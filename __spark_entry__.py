@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in ``cdc2vec_spark.operators.*`` / ``cdc2vec_spark.cdc.*``;
+this module only aggregates them.
 """
 
 from __future__ import annotations
@@ -13,26 +15,48 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cdc2vec_spark.operators import relational
+
+
+def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    modules = [relational]
+    try:
+        from cdc2vec_spark.cdc import changelog as _changelog
+
+        modules.append(_changelog)
+    except ImportError:
+        pass
+    try:
+        from cdc2vec_spark.operators import dedup as _dedup
+        from cdc2vec_spark.operators import similarity as _similarity
+        from cdc2vec_spark.operators import text as _text
+
+        modules.extend([_dedup, _similarity, _text])
+    except ImportError:
+        pass
+    try:
+        from cdc2vec_spark.streaming import windows as _windows
+
+        modules.append(_windows)
+    except ImportError:
+        pass
+    for mod in modules:
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: multi-way star join +
+    aggregation (exercises scan, broadcast join, shuffle agg, sort)."""
+    return relational.b4_multiway_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,56 @@
+"""Fixture table loaders.
+
+All test inputs are single-parquet tables under ``/root/testdata/sf*/``
+(TESTDATA.md). At 100 TB these would be multi-file partitioned parquet /
+Delta tables; ``spark.read.parquet`` handles both identically — Catalyst
+does partition pruning, predicate pushdown, and column pruning on the
+scan, so the loaders stay scale-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan — pushdown-friendly.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    reads as long (``spark.sql.legacy.parquet.nanosAsLong``, session.py);
+    convert to a real timestamp JVM-side (integer div + timestamp_micros —
+    codegen'd, no Python round-trip).
+    """
+    # Defensive: the driver may hand us a session built without our
+    # factory's configs. Both are runtime-settable session confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() == "long":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,327 @@
+"""Relational core — SURVEY.md §2.2 Group B.
+
+The reference implements none of these (SURVEY §2.1: "no SQL surface, no
+relational operators beyond filter/project/map"); this module is the
+engine surface that makes the star-schema fixtures queryable. Everything
+is built-in DataFrame API so Catalyst handles pushdown/pruning/reordering
+and Tungsten handles codegen.
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  broadcast explicitly — no shuffle of the fact side.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE coalesces
+  post-shuffle partitions and splits skewed ones (session.py).
+- Aggregations use hash-agg with map-side partial aggregation (Spark
+  default) — the groupBy cardinality here (flags, nations) is tiny, so the
+  shuffle carries only partial aggregates, not rows.
+- Filters/projections sit directly on the parquet scan (PushedFilters /
+  ReadSchema in .explain) — verified in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+
+# --- B1: parquet scan ----------------------------------------------------
+def b1_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) over lineitem. Parquet row-group metadata makes this a
+    metadata-only scan (no column decode)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- B2: projection + filter --------------------------------------------
+def b2_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate; both reach the parquet scan (pushdown)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")
+        .limit(100)
+    )
+
+
+# --- B3: broadcast equi-join --------------------------------------------
+def b3_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation: nation is tiny (25 rows at any SF) → broadcast.
+    The fact side never shuffles; this is the D1 oid-lookup analogue
+    (SURVEY §2.1 D1: stream-static broadcast join)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("n_name")
+    )
+
+
+# --- B4: multi-way join --------------------------------------------------
+def b4_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⋈ nation ⋈ customer ⋈ orders. region/nation broadcast;
+    customer⋈orders shuffles on custkey (the only big-big join)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .orderBy("r_name")
+    )
+
+
+# --- B5: semi / anti join ------------------------------------------------
+def b5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left_semi — no row duplication, build side deduped."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").agg(F.count(F.lit(1)).alias("n"))
+
+
+def b5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti (null-safe, unlike NOT IN)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- B6: hash aggregate (TPC-H Q1 shape) --------------------------------
+def b6_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation with map-side combine; the filter pushes to the
+    scan. Group cardinality is ~6, so the shuffle is a few KB at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- B7: exact distinct --------------------------------------------------
+def b7_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct = partial-distinct per partition, then merge. The
+    approx (HLL) variant is b7 in spirit but not oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.countDistinct("l_partkey").alias("n"))
+
+
+# --- B8: rollup ----------------------------------------------------------
+def b8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — Spark expands to grouping sets in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# --- B9: ranking window --------------------------------------------------
+def b9_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer: row_number over (custkey, price desc).
+    Shuffles once on the partition key; at scale the per-key state is
+    bounded by the rank cutoff (WindowGroupLimit pushes rn<=2 down in
+    Spark 3.5+, so the sort never materializes whole partitions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+        .limit(200)
+    )
+
+
+# --- B10: analytic window with frame ------------------------------------
+def b10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn("running", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_orderkey", "running")
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+# --- B11: top-k ----------------------------------------------------------
+def b11_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject: per-partition heap of k,
+    merge on driver. Never a global sort — O(n) scan + O(k log k) merge."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- B12: set ops --------------------------------------------------------
+def b12_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) = dedup + semi-join under the hood."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+# --- B13: scalar functions ----------------------------------------------
+def b13_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions — all JVM built-ins, codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("pfx"),
+            F.length("p_name").alias("len"),
+            F.year(F.lit("1995-03-15").cast("date")).alias("yr"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+# --- B14: array / json functions ----------------------------------------
+def b14_array_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.size("embedding").alias("dim")).orderBy("vec_id").limit(100)
+
+
+def b14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.get_json_object("props", "$.k").alias("k"))
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+# --- B15: scalar subquery ------------------------------------------------
+def b15_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery — Catalyst plans the avg as a one-row broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_b15_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM _b15_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _b15_customer)
+        ORDER BY c_custkey LIMIT 100
+        """
+    )
+
+
+QUERIES = {
+    "b1_scan_count": b1_scan_count,
+    "b2_project_filter": b2_project_filter,
+    "b3_broadcast_join": b3_broadcast_join,
+    "b4_multiway_join": b4_multiway_join,
+    "b5_semi_join": b5_semi_join,
+    "b5_anti_join": b5_anti_join,
+    "b6_hash_agg": b6_hash_agg,
+    "b7_count_distinct": b7_count_distinct,
+    "b8_rollup": b8_rollup,
+    "b9_rank_window": b9_rank_window,
+    "b10_running_sum": b10_running_sum,
+    "b11_topk": b11_topk,
+    "b12_intersect": b12_intersect,
+    "b13_scalar_funcs": b13_scalar_funcs,
+    "b14_array_dim": b14_array_dim,
+    "b14_json_extract": b14_json_extract,
+    "b15_scalar_subquery": b15_scalar_subquery,
+}
+
+ORACLES = {
+    "b1_scan_count": "SELECT count(*) AS n FROM lineitem",
+    "b2_project_filter": (
+        "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "
+        "ORDER BY l_orderkey, l_quantity LIMIT 100"
+    ),
+    "b3_broadcast_join": (
+        "SELECT n_name, count(*) AS c FROM customer JOIN nation "
+        "ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"
+    ),
+    "b4_multiway_join": (
+        "SELECT r_name, round(sum(o_totalprice), 2) AS s FROM region "
+        "JOIN nation ON r_regionkey = n_regionkey "
+        "JOIN customer ON n_nationkey = c_nationkey "
+        "JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY r_name ORDER BY r_name"
+    ),
+    "b5_semi_join": (
+        "SELECT count(*) AS n FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "b5_anti_join": (
+        "SELECT count(*) AS n FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "b6_hash_agg": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(avg(l_extendedprice), 2) AS avg_price, count(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "b7_count_distinct": "SELECT count(DISTINCT l_partkey) AS n FROM lineitem",
+    "b8_rollup": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
+    ),
+    "b9_rank_window": (
+        "SELECT o_custkey, o_orderkey, rn FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 200"
+    ),
+    "b10_running_sum": (
+        "SELECT o_orderkey, round(sum(o_totalprice) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running "
+        "FROM orders ORDER BY o_orderkey LIMIT 200"
+    ),
+    "b11_topk": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "b12_intersect": (
+        "SELECT c_nationkey AS k FROM customer INTERSECT "
+        "SELECT s_nationkey AS k FROM supplier ORDER BY 1"
+    ),
+    "b13_scalar_funcs": (
+        "SELECT p_partkey, upper(substr(p_name, 1, 5)) AS pfx, length(p_name) AS len, "
+        "year(DATE '1995-03-15') AS yr, round(p_retailprice * 1.1, 2) AS bumped "
+        "FROM part ORDER BY p_partkey LIMIT 100"
+    ),
+    "b14_array_dim": (
+        "SELECT vec_id, len(embedding) AS dim FROM embeddings ORDER BY vec_id LIMIT 100"
+    ),
+    "b14_json_extract": (
+        "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events "
+        "ORDER BY event_id LIMIT 100"
+    ),
+    "b15_scalar_subquery": (
+        "SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) "
+        "ORDER BY c_custkey LIMIT 100"
+    ),
+}

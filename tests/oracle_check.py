@@ -1,0 +1,124 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For each query name: run the Spark DataFrame and the DuckDB oracle SQL on
+the same parquet tables, then compare row count, column-name set, and an
+order-insensitive canonical value multiset (columns sorted by name — the
+driver's documented comparison). Used by tests/test_oracle.py and runnable
+standalone:  python tests/oracle_check.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from cdc2vec_spark.io import TABLES  # noqa: E402
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        # round-trip shortest repr; oracle queries pre-round floats so this
+        # is stable unless the engines genuinely disagree
+        return f"f:{v!r}"
+    if isinstance(v, _dt.datetime):
+        return "t:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    return f"s:{v}"
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    canon = sorted("|".join(_canon_value(r[i]) for i in order) for r in rows)
+    return sorted_cols, canon
+
+
+def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list[str]:
+    """Returns list of problem strings; empty = match."""
+    problems: list[str] = []
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        if len(s_rows) == 0 and not name.startswith(("a8", "d6")):
+            problems.append("rows-only check: 0 rows")
+        return problems
+    cur = con.execute(sql)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = [tuple(r) for r in cur.fetchall()]
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count spark={len(s_rows)} duckdb={len(d_rows)}")
+    sc, sv = canon_rows(s_cols, s_rows)
+    dc, dv = canon_rows(d_cols, d_rows)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duckdb={dc}")
+    elif sv != dv:
+        diff = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+        extra_s = [x for x in sv if x not in set(dv)][:3]
+        extra_d = [x for x in dv if x not in set(sv)][:3]
+        problems.append(f"values differ; first diffs={diff} only_spark={extra_s} only_duckdb={extra_d}")
+    return problems
+
+
+def run_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    from cdc2vec_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb_conn(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    results: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            results[name] = compare_one(spark, con, name, fn, oracles.get(name), sf_dir)
+        except Exception as e:  # noqa: BLE001
+            results[name] = [f"EXCEPTION: {type(e).__name__}: {e}"]
+    return results
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+    res = run_all(sf_dir, only or None)
+    bad = 0
+    for name in sorted(res):
+        probs = res[name]
+        status = "OK" if not probs else "FAIL"
+        if probs:
+            bad += 1
+        print(f"{status:4s} {name}" + ("" if not probs else f"  -> {probs}"))
+    print(f"\n{len(res) - bad}/{len(res)} queries match")
+    sys.exit(1 if bad else 0)
