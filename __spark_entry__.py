@@ -32,8 +32,9 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import dedup as _dedup
         from cdc2vec_spark.operators import similarity as _similarity
         from cdc2vec_spark.operators import text as _text
+        from cdc2vec_spark.operators import vectors as _vectors
 
-        modules.extend([_dedup, _similarity, _text])
+        modules.extend([_dedup, _similarity, _text, _vectors])
     except ImportError:
         pass
     try:

@@ -1,0 +1,107 @@
+"""Embedding providers — the Spark mapping of the reference's Provider
+interface (/root/reference/internal/embeddings/embeddings.go:16-19:
+``Embed(ctx, text) ([]float32, error)``).
+
+The reference calls its provider sequentially, one HTTP round-trip per row
+(pipeline.go:154-165 → embeddings.go:37-81). Here providers are Arrow-
+batched pandas UDFs: each executor task embeds a whole batch, tasks run
+partition-parallel, so throughput scales with cores/executors instead of
+being bounded by one round-trip latency.
+
+Two providers (mirroring the factory at embeddings.go:85-104):
+- DeterministicHashProvider — test/oracle provider: same text → same
+  vector, everywhere, forever. md5-seeded bytes mapped to [-1, 1).
+- OllamaHTTPProvider — production provider, POST {url}/api/embeddings
+  {model, prompt} with a 30s timeout (embeddings.go:42-51); one pooled
+  HTTP connection per executor task, batch submitted row-by-row (the
+  Ollama embeddings API is single-prompt).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import urllib.request
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DeterministicHashProvider:
+    """Deterministic embedder for tests/oracles (SURVEY §2.2 A8).
+
+    vector[i] = (md5(text ∥ ':' ∥ block)[i % 16] - 127.5) / 127.5, blocks
+    of 16 bytes until `dim` is filled. Pure function of the text — no RNG
+    state, no platform dependence."""
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def embed_one(self, text: str) -> np.ndarray:
+        blocks = []
+        for b in range((self.dim + 15) // 16):
+            blocks.append(
+                np.frombuffer(
+                    hashlib.md5(f"{text}:{b}".encode()).digest(), dtype=np.uint8
+                )
+            )
+        raw = np.concatenate(blocks)[: self.dim].astype(np.float64)
+        return ((raw - 127.5) / 127.5).astype(np.float32)
+
+    def udf(self) -> Column:
+        dim = self.dim
+
+        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        def embed(texts: pd.Series) -> pd.Series:
+            prov = DeterministicHashProvider(dim)
+            return texts.map(lambda t: prov.embed_one("" if t is None else t))
+
+        return embed
+
+
+class OllamaHTTPProvider:
+    """Production HTTP provider (embeddings.go:37-81 parity).
+
+    Empty vectors are a hard error, matching pipeline.go:223-228."""
+
+    def __init__(self, url: str, model: str, timeout_s: float = 30.0):
+        self.url = url.rstrip("/")
+        self.model = model
+        self.timeout_s = timeout_s
+
+    def embed_one(self, text: str) -> list[float]:
+        req = urllib.request.Request(
+            f"{self.url}/api/embeddings",
+            data=json.dumps({"model": self.model, "prompt": text}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            body = json.load(resp)
+        vec = body.get("embedding") or []
+        if not vec:
+            raise ValueError("empty embedding returned")  # pipeline.go:223-228
+        return [float(x) for x in vec]
+
+    def udf(self) -> Column:
+        url, model, timeout_s = self.url, self.model, self.timeout_s
+
+        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        def embed(texts: pd.Series) -> pd.Series:
+            prov = OllamaHTTPProvider(url, model, timeout_s)
+            return texts.map(lambda t: prov.embed_one("" if t is None else t))
+
+        return embed
+
+
+def get_provider(name: str, **kwargs):
+    """Provider factory (≅ embeddings.go:85-104; the reference accepts
+    'ollama_http'/'gorag_ollama' — we add the deterministic test provider)."""
+    if name in ("deterministic", "hash"):
+        return DeterministicHashProvider(**kwargs)
+    if name in ("ollama_http", "gorag_ollama"):
+        return OllamaHTTPProvider(**kwargs)
+    raise ValueError(f"unknown embeddings provider: {name}")

@@ -1,0 +1,328 @@
+"""Document deduplication — SURVEY §2.2 D1/D2 and the training-data-
+pipeline dedup family: exact hash, blocked n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+The fixture corpus has no true near-duplicates (500 distinct word-salad
+texts), so near-dup operators run over a *derived corpus*: documents ∪ a
+10%-truncated copy of each document (doc_id + 1,000,000). The truncation
+rule is pure arithmetic, so the DuckDB oracle can derive the identical
+corpus — every near-dup query below is exact-checkable except the LSH
+candidate generation itself (probabilistic recall → rows-only, pinned by
+tests against brute force at sf0.001).
+
+Scale design (100 TB):
+- exact dedup: hash-groupBy — one shuffle on a 16-byte key, AQE handles
+  skew from pathological duplicate explosions.
+- blocked Jaccard: the block key (here `source`) bounds the quadratic
+  term; shuffle is co-partitioned on the block.
+- MinHash LSH: signatures are computed scan-side (narrow); the only
+  shuffle is groupBy(band, band_hash) whose fan-in is the duplicate
+  cluster size, not n. This is the textbook shingle→minhash→band→bucket
+  join, all in Catalyst expressions (xxhash64 per permutation seed).
+- SimHash: 64-bit signature per doc computed in one Arrow-batched
+  pandas_udf pass (numpy); near-dup candidates via 16-bit band equality
+  — 4 narrow projections + one co-partitioned groupBy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+
+# ---------------------------------------------------------------- corpus
+
+_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, lower(text) AS text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         lower(substr(text, 1, CAST(floor(n_chars * 9 / 10.0) AS INT))) AS text,
+         source
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM corpus
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS shingles
+  FROM tok
+)
+"""
+
+
+def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ truncated copies — mirror of the corpus CTE above."""
+    d = load_table(spark, sf_dir, "documents")
+    orig = d.select("doc_id", F.lower("text").alias("text"), "source")
+    trunc = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lower(
+            F.expr("substr(text, 1, cast(floor(n_chars * 9 / 10.0) as int))")
+        ).alias("text"),
+        "source",
+    )
+    return orig.unionByName(trunc)
+
+
+def shingle(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc (empty when < n tokens)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        )
+    )
+    return df.withColumn("shingles", grams)
+
+
+# ------------------------------------------------------------- D1: exact
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup cardinality: distinct md5(text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(F.md5("text").alias("h")).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (lowest id wins) — hash-groupBy, the
+    canonical exact-dedup pass for a training corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(df.columns[0])
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ------------------------------------- D2a: blocked exact n-gram Jaccard
+
+def jaccard_pairs(
+    shingled: DataFrame, block_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """All pairs within a block with shingle-Jaccard ≥ threshold (on the
+    value rounded to 4, so the oracle threshold matches exactly)."""
+    a = shingled.select(
+        F.col(block_col).alias("_b"), F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa")
+    )
+    b = shingled.select(
+        F.col(block_col).alias("_b"), F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    jac = F.round(inter.cast("double") / union, 4)
+    return (
+        a.join(b, "_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(union > 0)
+        .select("id_a", "id_b", jac.alias("jac"))
+        .where(F.col("jac") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def d2_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (Jaccard ≥ 0.5 on word 3-gram shingles) within
+    `source` blocks over the derived corpus."""
+    corpus = shingle(neardup_corpus(spark, sf_dir))
+    return jaccard_pairs(corpus, "source", "doc_id", 0.5)
+
+
+# ----------------------------------------------------- D2b: MinHash LSH
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    xxhash64(j, shingle). Pure expressions — xxhash64 is a JVM built-in,
+    the min is array_min over a transformed array; computed scan-side."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(F.lit(j), s))
+            )
+            for j in range(num_perm)
+        ]
+    )
+    return shingled.where(F.size("shingles") > 0).select(
+        id_col, F.col("shingles"), sig.alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature, bucket-join: docs sharing any band bucket are
+    candidates. groupBy(band, hash) + self-pairing inside buckets — the
+    shuffle fan-in is bucket size, never n."""
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    other = banded.select(F.col(id_col).alias("_id2"), "band", "bh")
+    return (
+        banded.join(other, ["band", "bh"])
+        .where(F.col(id_col) < F.col("_id2"))
+        .select(F.col(id_col).alias("id_a"), F.col("_id2").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_neardup(
+    shingled: DataFrame,
+    threshold: float,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates, then exact-Jaccard verification of candidates only.
+    Output = pairs with true Jaccard ≥ threshold among LSH candidates
+    (recall < 1 is inherent to LSH; precision is exact thanks to the
+    verify join)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(shingled, num_perm, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows, id_col)
+    sh_a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    sh_b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    jac = F.round(inter.cast("double") / union, 4)
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .where(union > 0)
+        .select("id_a", "id_b", jac.alias("jac"))
+        .where(F.col("jac") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup over the derived corpus. Rows-only oracle
+    (candidate recall is probabilistic); tests/test_dedup.py checks the
+    survivors against brute force at sf0.001."""
+    corpus = shingle(neardup_corpus(spark, sf_dir))
+    return minhash_neardup(corpus, threshold=0.5)
+
+
+# --------------------------------------------------------- D2c: SimHash
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens; md5-derived token hashes so
+    the signature is platform/run stable. Arrow-batched numpy — the
+    documented slow path (SURVEY §2.1 M1 analogue)."""
+    import hashlib
+
+    def sh(text: str) -> int:
+        if not text:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += 2 * bits.astype(np.int64) - 1
+        out = 0
+        for b in np.nonzero(acc > 0)[0]:
+            out |= 1 << int(b)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    return texts.map(sh)
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(id_col, _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates via
+    16-bit band equality (any of 4 bands equal → candidate; Hamming ≤ 3
+    guarantees a shared band, larger radii trade recall), then exact
+    popcount verify."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    bandcols = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+        for b in range(4)
+    ]
+    banded = sigs.select(id_col, "simhash", *bandcols)
+    pairs = None
+    for b in range(4):
+        other = banded.select(
+            F.col(id_col).alias("_id2"), F.col("simhash").alias("_sh2"), F.col(f"b{b}").alias("_bb")
+        )
+        p = (
+            banded.join(other, F.col(f"b{b}") == F.col("_bb"))
+            .where(F.col(id_col) < F.col("_id2"))
+            .select(F.col(id_col).alias("id_a"), F.col("_id2").alias("id_b"),
+                    F.col("simhash").alias("_ha"), F.col("_sh2").alias("_hb"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        pairs.distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup over the derived corpus. Rows-only oracle
+    (pandas_udf signature); pinned by tests/test_dedup.py."""
+    return simhash_neardup(neardup_corpus(spark, sf_dir), max_hamming=6)
+
+
+_D2_BLOCKED_ORACLE = _CORPUS_CTE + """
+SELECT id_a, id_b, jac FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(a.shingles || b.shingles)), 4) AS jac
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.shingles || b.shingles)) > 0
+) t WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
+QUERIES = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_blocked_jaccard": d2_blocked_jaccard,
+    "d2_minhash_lsh": d2_minhash_lsh,
+    "d2_simhash": d2_simhash,
+}
+
+ORACLES = {
+    "d1_exact_dedup": (
+        "SELECT count(*) AS n FROM (SELECT DISTINCT md5(text) FROM documents) t"
+    ),
+    "d2_blocked_jaccard": _D2_BLOCKED_ORACLE,
+    # d2_minhash_lsh, d2_simhash: rows-only (probabilistic recall /
+    # pandas_udf signatures; exactness pinned in tests/test_dedup.py)
+}

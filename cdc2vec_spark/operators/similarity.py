@@ -1,0 +1,230 @@
+"""Similarity search over embedding columns — SURVEY §2.2 D3 plus the
+scale-path ANN (IVF-Flat) and an embedding-cosine near-dup pass.
+
+Scale design:
+- d3 exact top-k: the query side is one row → broadcast; the scan side
+  computes cosine inside the scan stage (no shuffle), then
+  TakeOrderedAndProject keeps a k-heap per partition and merges on the
+  driver — O(n) work, O(k) memory, no global sort. For q queries at once
+  the same plan is a broadcast join on the query set (q·n work
+  partition-parallel).
+- ivf_topk: IVF-Flat — deterministic centroid subset, one broadcast join
+  to assign each vector to its nearest centroid (computed once, cheap
+  narrow pass), probe the query's nprobe nearest centroids, exact rerank
+  inside the probed cells only. At 100 TB you'd persist the assignment as
+  a partition column so a probe prunes file-level partitions.
+- cosine near-dup: blocked all-pairs (block = label) — the blocking key
+  turns O(n²) into Σ O(b²) and shuffles co-partitioned blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..vector import ops
+
+
+def exact_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one stored vector (SURVEY §2.2 D3)."""
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            F.round(ops.cosine(vec_col, "_qv"), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def d3_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return exact_topk(e, query_vec_id=0, k=10)
+
+
+# --- IVF-Flat ANN (scale path) ------------------------------------------
+
+def _deterministic_centroid_ids(embeddings: DataFrame, id_col: str, every: int = 31) -> DataFrame:
+    """Centroid subset = ids ≡ 0 (mod `every`) — deterministic, no RNG.
+    A production build would run k-means; determinism matters more here
+    (oracle/tests), and IVF correctness is independent of centroid
+    quality — only recall varies."""
+    return embeddings.where(F.col(id_col) % every == 0)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine; ties →
+    lowest centroid id). Broadcast join + window argmax: one narrow pass
+    over the data, no shuffle of the big side except the argmax window,
+    which AQE keeps partition-local after the broadcast."""
+    from pyspark.sql.window import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    scored = embeddings.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "_cid",
+        ops.cosine(vec_col, "_cv").alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    centroid_every: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: probe the nprobe cells nearest to the
+    query, exact-rerank inside them. nprobe = #cells → exact."""
+    cents = _deterministic_centroid_ids(embeddings, id_col, centroid_every)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col)
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(F.col(id_col).alias("cell"), ops.cosine(vec_col, "_qv").alias("_s"))
+        .orderBy(F.col("_s").desc(), "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .select(id_col, F.round(ops.cosine(vec_col, "_qv"), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def d3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant of d3. Rows-only oracle (approximate by construction);
+    tests/test_similarity.py pins recall and the nprobe=all ≡ exact
+    equivalence."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=0, k=10, nprobe=4)
+
+
+# --- embedding-cosine near-dup ------------------------------------------
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked all-pairs cosine near-dup: pairs within a block whose
+    cosine ≥ threshold. The self-join shuffles both sides on the block
+    key only (co-partitioned)."""
+    a = embeddings.select(
+        F.col(block_col).alias("_b"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("_b"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(ops.cosine("_va", "_vb"), 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def d8_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.3)
+
+
+# --- random-hyperplane LSH bucketing (alternative ANN scale path) -------
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    nbits: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SimHash-style bucketing for vectors: bucket = sign bits of dot
+    products with `nbits` fixed hyperplanes (md5-seeded, deterministic).
+    Candidates for a query = its bucket — at scale, a partition-pruning
+    key. Pure expressions: the plane is a literal array, the dot product
+    a zip_with/aggregate (no Python on the data path)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    bucket = F.lit(0).cast("long")
+    for b in range(nbits):
+        seed = hashlib.md5(f"plane:{b}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+        plane = [float(x) for x in rng.standard_normal(dim)]
+        d = ops.dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+_D3_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, sim FROM (
+  SELECT e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 6) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+) t ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+_D8_ORACLE = """
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) t WHERE sim >= 0.3 ORDER BY id_a, id_b
+"""
+
+QUERIES = {
+    "d3_exact_topk": d3_exact_topk,
+    "d3_ivf_topk": d3_ivf_topk,
+    "d8_cosine_neardup": d8_cosine_neardup,
+}
+
+ORACLES = {
+    "d3_exact_topk": _D3_ORACLE,
+    # d3_ivf_topk: rows-only (approximate; pinned by tests/test_similarity.py)
+    "d8_cosine_neardup": _D8_ORACLE,
+}

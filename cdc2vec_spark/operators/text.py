@@ -1,0 +1,147 @@
+"""Text analysis — SURVEY §2.2 D4/D5 plus the training-data-pipeline text
+operators: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All pure built-in expressions (split/length/array HOFs/md5) — the text
+hot path stays JVM-side; there is no Python between parquet scan and
+aggregate, so these run at scan throughput on any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def d4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (count, mean chars, mean length)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def d5_slicing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language slicing — the bread-and-butter corpus triage agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "lang")
+    )
+
+
+def token_count(text_col: str = "text") -> F.Column:
+    """Whitespace token count (single-space corpus → plain split)."""
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count().alias("n_tokens")).orderBy("doc_id")
+
+
+def quality_score(text_col: str = "text") -> F.Column:
+    """Lexical-diversity quality score: distinct-token ratio, rounded.
+    (The classic punct/stopword ratios degenerate on this synthetic corpus;
+    diversity is the discriminating signal it does have.)"""
+    toks = F.split(F.col(text_col), " ")
+    return F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+    )
+
+
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score().alias("quality")).orderBy("doc_id")
+
+
+def lang_guess(text_col: str = "text") -> F.Column:
+    """Deterministic stopword-hit language heuristic. On real corpora the
+    hit-sets differ per language; the padded-LIKE form keeps it exactly
+    portable to the SQL oracle."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    return (
+        F.when(padded.like("% the %") | padded.like("% a %"), "en")
+        .otherwise("other")
+    )
+
+
+def t3_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(lang_guess().alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def fingerprint(text_col: str = "text", n: int = 5) -> F.Column:
+    """Document fingerprint: minimum md5 over word n-gram shingles (the
+    min-sampling step of winnowing). Short docs (< n tokens) fall back to
+    md5(text)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+        ),
+    )
+    return F.when(F.size(toks) < n, F.md5(F.col(text_col))).otherwise(F.array_min(grams))
+
+
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint().alias("fp")).orderBy("doc_id")
+
+
+QUERIES = {
+    "d4_text_stats": d4_text_stats,
+    "d5_slicing": d5_slicing,
+    "t1_token_count": t1_token_count,
+    "t2_quality_score": t2_quality_score,
+    "t3_lang_guess": t3_lang_guess,
+    "t4_fingerprint": t4_fingerprint,
+}
+
+ORACLES = {
+    "d4_text_stats": (
+        "SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, "
+        "round(avg(length(text)), 2) AS avg_len FROM documents "
+        "GROUP BY lang ORDER BY lang"
+    ),
+    "d5_slicing": (
+        "SELECT source, lang, count(*) AS n FROM documents "
+        "GROUP BY source, lang ORDER BY source, lang"
+    ),
+    "t1_token_count": (
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "t2_quality_score": (
+        "SELECT doc_id, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) "
+        "/ len(string_split(text, ' ')), 4) AS quality FROM documents ORDER BY doc_id"
+    ),
+    "t3_lang_guess": (
+        "SELECT lang_guess, count(*) AS n FROM ("
+        "SELECT CASE WHEN ' ' || text || ' ' LIKE '% the %' "
+        "OR ' ' || text || ' ' LIKE '% a %' THEN 'en' ELSE 'other' END AS lang_guess "
+        "FROM documents) t GROUP BY lang_guess ORDER BY lang_guess"
+    ),
+    "t4_fingerprint": (
+        "SELECT doc_id, CASE WHEN len(toks) < 5 THEN md5(text) ELSE "
+        "list_min(list_transform(range(1, len(toks) - 3), "
+        "i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) "
+        "END AS fp FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks "
+        "FROM documents) t ORDER BY doc_id"
+    ),
+}

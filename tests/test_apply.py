@@ -1,0 +1,94 @@
+"""CDC apply semantics: last-write-wins, skip-empty, delete routing,
+batch merge idempotence, and incremental == batch (SURVEY §2.2 A6/C6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.cdc import apply
+from cdc2vec_spark.cdc.changelog import MAPPED, changes_df
+from cdc2vec_spark.cdc.transform import filter_mapped
+
+SCHEMA = (
+    "lsn long, op string, tbl string, pk string, "
+    "after_title string, after_content string, after_author string"
+)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_last_write_wins(spark):
+    log = _log(
+        spark,
+        [
+            (1, "c", "t", "1", "v1", "c", "a"),
+            (2, "u", "t", "1", "v2", "c", "a"),
+            (3, "c", "t", "2", "x", "y", "b"),
+        ],
+    )
+    out = {r["pk"]: r["after_title"] for r in apply.latest_state(log).collect()}
+    assert out == {"1": "v2", "2": "x"}
+
+
+def test_delete_wins(spark):
+    log = _log(spark, [(1, "c", "t", "1", "v", "c", "a"), (2, "d", "t", "1", None, None, None)])
+    assert apply.latest_state(log).count() == 0
+
+
+def test_delete_then_reinsert(spark):
+    log = _log(
+        spark,
+        [
+            (1, "c", "t", "1", "old", "c", "a"),
+            (2, "d", "t", "1", None, None, None),
+            (3, "c", "t", "1", "new", "c", "a"),
+        ],
+    )
+    rows = apply.latest_state(log).collect()
+    assert len(rows) == 1 and rows[0]["after_title"] == "new"
+
+
+def test_empty_text_update_skipped_keeps_prior(spark):
+    # pipeline.go:204-208: an empty-text upsert never reaches the sink,
+    # so the previous state survives — the subtle reference semantic.
+    log = _log(
+        spark,
+        [(1, "c", "t", "1", "keep", "c", "a"), (2, "u", "t", "1", "", None, "a")],
+    )
+    rows = apply.latest_state(log).collect()
+    assert len(rows) == 1 and rows[0]["after_title"] == "keep"
+
+
+def test_merge_batch_idempotent_replay(spark):
+    b1 = _log(spark, [(1, "c", "t", "1", "v1", "c", "a")])
+    b2 = _log(spark, [(2, "u", "t", "1", "v2", "c", "a")])
+    s1 = apply.merge_batch(None, b1)
+    s2 = apply.merge_batch(s1, b2)
+    s2_replay = apply.merge_batch(s2, b2)  # replay after restart
+    assert [(r["pk"], r["after_title"]) for r in s2_replay.collect()] == [("1", "v2")]
+    # stale batch replay cannot regress state (max-LSN guard)
+    s2_stale = apply.merge_batch(s2, b1)
+    assert [(r["pk"], r["after_title"]) for r in s2_stale.collect()] == [("1", "v2")]
+
+
+def test_incremental_equals_batch_on_fixture(spark, sf_dir, tmp_path):
+    """Split the derived changelog into 3 LSN-ordered batches, apply via
+    ParquetCollection, compare with the one-shot latest_state answer."""
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED).cache()
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 3 + 1
+    coll = apply.ParquetCollection(spark, str(tmp_path / "state"))
+    for i in range(3):
+        batch = ch.where(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        coll.apply_batch(batch)
+    got = sorted(
+        (r["pk"], r["after_title"], r["after_content"]) for r in coll.state().collect()
+    )
+    want = sorted(
+        (r["pk"], r["after_title"], r["after_content"])
+        for r in apply.latest_state(ch).collect()
+    )
+    assert got == want and len(got) > 0

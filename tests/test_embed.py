@@ -1,0 +1,83 @@
+"""Embedding provider tests — mirrors the reference's test strategy
+(embeddings_test.go: provider against an in-process HTTP mock) plus
+determinism guarantees for the hash provider (SURVEY §2.2 A8)."""
+
+import http.server
+import json
+import threading
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.embed.provider import (
+    DeterministicHashProvider,
+    OllamaHTTPProvider,
+    get_provider,
+)
+
+
+def test_hash_provider_deterministic():
+    p = DeterministicHashProvider(dim=32)
+    a, b = p.embed_one("hello world"), p.embed_one("hello world")
+    assert np.array_equal(a, b)
+    assert len(a) == 32
+    assert not np.array_equal(a, p.embed_one("hello worlds"))
+    assert a.min() >= -1.0 and a.max() <= 1.0
+
+
+def test_hash_provider_udf_matches_local(spark):
+    p = DeterministicHashProvider(dim=16)
+    df = spark.createDataFrame([("abc",), ("def",)], "text string")
+    rows = df.select("text", p.udf()(F.col("text")).alias("v")).collect()
+    for r in rows:
+        assert np.allclose(r["v"], p.embed_one(r["text"]), atol=1e-7)
+
+
+def test_udf_runs_twice_identical(spark):
+    p = DeterministicHashProvider(dim=32)
+    df = spark.createDataFrame([(f"t{i}",) for i in range(50)], "text string")
+    a = df.select(p.udf()(F.col("text")).alias("v")).collect()
+    b = df.select(p.udf()(F.col("text")).alias("v")).collect()
+    assert [r["v"] for r in a] == [r["v"] for r in b]
+
+
+class _MockOllama(http.server.BaseHTTPRequestHandler):
+    # ≅ embeddings_test.go:12-44 httptest mock: checks path, returns vector
+    def do_POST(self):
+        assert self.path == "/api/embeddings"
+        n = int(self.headers["Content-Length"])
+        body = json.loads(self.rfile.read(n))
+        dim = min(8, max(4, len(body["prompt"]) // 4))
+        resp = json.dumps({"embedding": [0.1] * dim}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(resp)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def mock_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MockOllama)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_ollama_http_provider(mock_server):
+    p = OllamaHTTPProvider(mock_server, "test-model")
+    vec = p.embed_one("hello world, a prompt of decent length")
+    assert len(vec) == 8 and vec[0] == pytest.approx(0.1)
+
+
+def test_provider_factory():
+    assert isinstance(get_provider("deterministic", dim=8), DeterministicHashProvider)
+    assert isinstance(
+        get_provider("ollama_http", url="http://x", model="m"), OllamaHTTPProvider
+    )
+    with pytest.raises(ValueError):
+        get_provider("nope")
