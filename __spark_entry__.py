@@ -30,11 +30,12 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         pass
     try:
         from cdc2vec_spark.operators import dedup as _dedup
+        from cdc2vec_spark.operators import multimodal as _multimodal
         from cdc2vec_spark.operators import similarity as _similarity
         from cdc2vec_spark.operators import text as _text
         from cdc2vec_spark.operators import vectors as _vectors
 
-        modules.extend([_dedup, _similarity, _text, _vectors])
+        modules.extend([_dedup, _multimodal, _similarity, _text, _vectors])
     except ImportError:
         pass
     try:

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect overhead). Baseline context: BASELINE.md — the reference's
+published CDC throughput is 1,000-5,000 changes/s single-threaded; the
+a9/c6 entries here run the same pipeline semantics partition-parallel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: the heavy relational core, the CDC hot path, and the
+# LLM-data-pipeline extensions. Names match __spark_entry__.queries().
+HEADLINE = [
+    "b4_multiway_join",      # 4-way join + agg (broadcast dims)
+    "b6_hash_agg",           # TPC-H Q1 shape
+    "b7_count_distinct",
+    "b9_rank_window",
+    "b10_running_sum",
+    "a9_points_pipeline",    # full CDC hot path incl. pandas_udf embed
+    "c6_cdc_apply",          # incremental MERGE apply
+    "d1_exact_dedup",
+    "d2_minhash_lsh",
+    "d3_exact_topk",
+    "t1_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cdc2vec_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    registry = entry_mod.queries()
+    # Warm the JVM/file-listing paths once so q1 isn't charged for JIT/startup.
+    registry["b1_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -186,6 +186,28 @@ def a6_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pk")
 
 
+def a9_points_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hot path (SURVEY §3.2): changes → filters → projections →
+    embed → normalize → points. Rows-only oracle (embedding vector);
+    every stage is individually oracle-checked via a1-a6, and the vector
+    hash is process-stable (deterministic provider)."""
+    from ..embed.provider import DeterministicHashProvider
+    from .pipeline import build_points
+
+    pts = build_points(
+        changes_df(spark, sf_dir), DOCUMENTS_MAPPING, DeterministicHashProvider(dim=32)
+    )
+    vhash = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("vector"), lambda x: F.round(x, 6).cast("string"))
+        )
+    )
+    return pts.select(
+        "lsn", "id", "op", F.element_at("metadata", "after_author").alias("author"),
+        vhash.alias("vector_hash"),
+    ).orderBy("lsn")
+
+
 def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 — incremental CDC apply: stream the change log through
     ParquetCollection in 4 LSN-ordered micro-batches (the same code path
@@ -236,6 +258,7 @@ QUERIES = {
     "a4_key_derivation": a4_key_derivation,
     "a5_metadata": a5_metadata,
     "a6_last_write_wins": a6_last_write_wins,
+    "a9_points_pipeline": a9_points_pipeline,
     "c6_cdc_apply": c6_cdc_apply,
 }
 

@@ -1,0 +1,62 @@
+"""The full CDC hot path (SURVEY §3.2) as one composable DataFrame
+transformation:
+
+  changes → F1 mapped filter → F2 guards → P1 text concat → P3 id →
+  P2 metadata → M1 embed (pandas_udf, batched) → M2 normalize →
+  points(id, vector, metadata, op, tbl, pk)
+
+vs. the reference's single-threaded per-row loop (pipeline.go:154-165 →
+one HTTP round-trip per row): here every stage is partition-parallel and
+the embed stage is Arrow-batched. Deletes short-circuit before the
+embedder exactly like pipeline.go:191-196 (their vector is null).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig, Mapping
+from ..vector import ops
+from . import transform
+from .envelope import OP_DELETE
+
+
+def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool = True) -> DataFrame:
+    """Transform a (flattened) change log into sink-ready points."""
+    df = transform.filter_mapped(changes, [mapping.table])
+    txt = transform.concat_text(list(mapping.text_columns))
+    df = df.withColumn("text", txt)
+    df = transform.guard_nonempty(df, "text")
+    df = df.withColumn("id", transform.derive_key()).withColumn(
+        "metadata", transform.metadata_map(mapping)
+    )
+    emb = provider.udf()
+    # The UDF must land in its own projection: Spark rejects a Python UDF
+    # nested inside a higher-order-function lambda (the normalize step), so
+    # normalize must reference the materialized attribute, not the UDF expr.
+    df = df.withColumn(
+        "_raw_vec", F.when(F.col("op") != OP_DELETE, emb(F.col("text")))  # delete short-circuit
+    )
+    vec = ops.l2_normalize(F.col("_raw_vec")) if normalize else F.col("_raw_vec")
+    return df.select(
+        "id",
+        vec.alias("vector"),
+        "metadata",
+        "op",
+        "tbl",
+        "pk",
+        "lsn",
+    )
+
+
+def run_batch(changes: DataFrame, config: EngineConfig, provider) -> DataFrame:
+    """All configured mappings unioned — the whole-engine batch pass."""
+    outs = [
+        build_points(changes, m, provider, normalize=config.normalize)
+        for m in config.mappings
+    ]
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df

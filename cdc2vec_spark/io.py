@@ -46,7 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and field.dataType.typeName() == "long":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer `div`, NOT `/`: ns epoch values exceed 2^53, so double
+            # division would corrupt the low microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
     return df
 
 

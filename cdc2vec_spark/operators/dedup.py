@@ -149,14 +149,15 @@ def minhash_signatures(
     """MinHash signature per doc: sig[j] = min over shingles of
     xxhash64(j, shingle). Pure expressions — xxhash64 is a JVM built-in,
     the min is array_min over a transformed array; computed scan-side."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(F.lit(j), s))
-            )
-            for j in range(num_perm)
-        ]
-    )
+    def _minhash(j: int):
+        # NB: the lambda must take exactly one arg — a second (even
+        # defaulted) parameter makes PySpark pass the array INDEX into it,
+        # silently collapsing all permutations to one hash.
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(j), s))
+        )
+
+    sig = F.array(*[_minhash(j) for j in range(num_perm)])
     return shingled.where(F.size("shingles") > 0).select(
         id_col, F.col("shingles"), sig.alias("sig")
     )

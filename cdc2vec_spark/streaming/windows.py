@@ -1,0 +1,112 @@
+"""Event-time window operators — SURVEY §2.2 Group C.
+
+Each operator is a *transformation builder* that works on both a batch
+DataFrame and a streaming DataFrame (Spark's window/session_window
+expressions are mode-agnostic). The QUERIES entries run them in batch
+mode against the DuckDB oracle; tests/test_streaming.py replays the same
+events as a file stream and asserts the streaming answer equals the batch
+answer (the reference has no event-time support at all — SURVEY §2.1
+"processing-time only" — so these are engine-surface additions).
+
+Scale notes: windowed aggs shuffle on (window, keys); watermarks bound
+state so a 100 TB/day stream holds only the open windows in memory.
+Session windows merge per key — state is per (user, open session), purged
+at watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("w"), "event_type", "n", "s")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("w"), "event_type", "n", "s")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("s_start"), "n")
+    )
+
+
+def dedup_by_id(events: DataFrame, within_watermark: bool = False) -> DataFrame:
+    """C5 — streaming dedup on event_id. In streaming mode call with a
+    watermark on ts first; dropDuplicatesWithinWatermark bounds state."""
+    if within_watermark:
+        return events.dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+# --- batch-mode query entries (oracle-checked) ---------------------------
+
+def c1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev).orderBy("w", "event_type")
+
+
+def c2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev).orderBy("w", "event_type")
+
+
+def c3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_counts(ev).orderBy("user_id", "s_start")
+
+
+def c5_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_by_id(ev).agg(F.count(F.lit(1)).alias("n"))
+
+
+QUERIES = {
+    "c1_tumbling": c1_tumbling,
+    "c2_sliding": c2_sliding,
+    "c3_session": c3_session,
+    "c5_dedup_count": c5_dedup_count,
+}
+
+ORACLES = {
+    "c1_tumbling": (
+        "SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n, "
+        "round(sum(value), 2) AS s FROM events "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "c2_sliding": (
+        "WITH e2 AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, "
+        "event_type, value FROM events), "
+        "expanded AS (SELECT b AS w, event_type, value FROM e2 "
+        "UNION ALL SELECT b - INTERVAL '30 minutes' AS w, event_type, value FROM e2) "
+        "SELECT w, event_type, count(*) AS n, round(sum(value), 2) AS s "
+        "FROM expanded GROUP BY w, event_type ORDER BY w, event_type"
+    ),
+    "c3_session": (
+        "WITH o AS (SELECT user_id, ts, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+        "flagged AS (SELECT user_id, ts, CASE WHEN prev IS NULL "
+        "OR ts - prev > INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s FROM o), "
+        "islands AS (SELECT user_id, ts, "
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged) "
+        "SELECT user_id, min(ts) AS s_start, count(*) AS n FROM islands "
+        "GROUP BY user_id, sid ORDER BY user_id, s_start"
+    ),
+    "c5_dedup_count": "SELECT count(DISTINCT event_id) AS n FROM events",
+}

@@ -1,0 +1,68 @@
+"""Dedup correctness at sf0.001: MinHash-LSH survivors vs brute force
+(SURVEY §2.2 D2 'engine test vs brute-force Jaccard on sf0.001'),
+SimHash properties, exact dedup."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.operators import dedup
+
+
+def _brute_force_pairs(spark, sf_dir, threshold):
+    """Driver-side brute force over the derived corpus (sf0.001 only)."""
+    corpus = dedup.shingle(dedup.neardup_corpus(spark, sf_dir))
+    rows = corpus.select("doc_id", "shingles").collect()
+    docs = {r["doc_id"]: frozenset(r["shingles"]) for r in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = docs[a], docs[b]
+        if not sa and not sb:
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        # keep unrounded; Spark rounds HALF_UP, python rounds half-even
+        if round(jac, 4) >= threshold - 1e-9:
+            out[(a, b)] = jac
+    return out
+
+
+def test_minhash_lsh_vs_brute_force(spark, sf_dir):
+    brute = _brute_force_pairs(spark, sf_dir, 0.5)
+    corpus = dedup.shingle(dedup.neardup_corpus(spark, sf_dir))
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in dedup.minhash_neardup(corpus, threshold=0.5).collect()
+    }
+    # precision is exact (verify join): every survivor is a true pair
+    for pair, jac in got.items():
+        assert pair in brute and abs(brute[pair] - jac) < 1e-4
+    # recall: every high-similarity pair must be found (16 bands × 4 rows
+    # → P(miss | jac=0.8) < 1e-4)
+    high = {p for p, j in brute.items() if j >= 0.8}
+    assert high and high <= set(got)
+    # overall recall sanity on the 0.5 band
+    assert len(got) >= 0.6 * len(brute)
+
+
+def test_simhash_neardup_finds_truncated_copies(spark, sf_dir):
+    corpus = dedup.neardup_corpus(spark, sf_dir)
+    pairs = dedup.simhash_neardup(corpus, max_hamming=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # truncated copies (doc_id, doc_id+1e6) are near-identical token sets →
+    # most must fall within hamming 6
+    n_docs = corpus.count() // 2
+    copies = {(i, i + 1000000) for i in range(n_docs)}
+    hit = len(found & copies)
+    assert hit >= 0.5 * n_docs
+    # determinism
+    found2 = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert found == found2
+
+
+def test_exact_dedup_keeps_one_per_text(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "id long, text string"
+    )
+    out = dedup.exact_dedup(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]

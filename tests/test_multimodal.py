@@ -1,0 +1,45 @@
+"""Multimodal plumbing: binary round-trip, mapInPandas feature batches,
+stubbed decode behavior, frame sampling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators import multimodal as mm
+
+
+def test_media_roundtrip(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    m = mm.with_media(d)
+    row = m.join(d, "doc_id").select("media", "text", "media_meta").first()
+    assert bytes(row["media"]).decode("utf-8") == row["text"]
+    assert row["media_meta"]["n_bytes"] == len(bytes(row["media"]))
+    assert row["media_meta"]["kind"] == "text/plain"
+
+
+def test_feature_extraction_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    m = mm.with_media(d)
+    a = {r["doc_id"]: r["features"] for r in mm.extract_features(m).collect()}
+    b = {r["doc_id"]: r["features"] for r in mm.extract_features(m).collect()}
+    assert a == b and len(a) == 20
+    for v in a.values():
+        assert len(v) == 16 and abs(sum(v) - 1.0) < 1e-4
+
+
+def test_decode_stub_raises_for_real_media():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_text_plain():
+    arr = mm.decode_media(b"ab", "text/plain")
+    assert arr.tolist() == [97, 98]
+
+
+def test_frame_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    out = mm.frame_sample(mm.with_media(d), every=4).collect()
+    for r in out:
+        assert r["n_frames"] == len(r["frames"]) > 0

@@ -1,0 +1,38 @@
+"""Similarity-search guarantees: IVF with full probe ≡ exact; partial
+probe recall floor; hyperplane bucketing determinism."""
+
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators import similarity as sim
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").cache()
+    n_cells = e.where(F.col("vec_id") % 31 == 0).count()
+    exact = _ids(sim.exact_topk(e, query_vec_id=0, k=10))
+    full = _ids(sim.ivf_topk(e, query_vec_id=0, k=10, nprobe=n_cells))
+    assert exact == full
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").cache()
+    exact = set(_ids(sim.exact_topk(e, query_vec_id=0, k=10)))
+    approx = set(_ids(sim.ivf_topk(e, query_vec_id=0, k=10, nprobe=4)))
+    # random uniform vectors are a worst case for IVF; require non-trivial
+    # overlap and correct cardinality
+    assert len(approx) == 10
+    assert len(exact & approx) >= 2
+
+
+def test_hyperplane_buckets_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = {r["vec_id"]: r["bucket"] for r in sim.hyperplane_buckets(e, nbits=8).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in sim.hyperplane_buckets(e, nbits=8).collect()}
+    assert a == b
+    assert 0 <= min(a.values()) and max(a.values()) < 256
+    assert len(set(a.values())) > 1  # vectors actually spread across buckets

@@ -1,0 +1,64 @@
+"""Sink parity tests: FNV-1a-64 id hash (qdrant.go:174-179), Kafka
+message schema (kafka.go:19-26), Milvus payload shape."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.sinks import kafka, milvus, qdrant
+
+
+def test_fnv1a64_known_vectors():
+    # published FNV-1a 64 test vectors
+    assert qdrant.fnv1a64_py("") == 14695981039346656037
+    assert qdrant.fnv1a64_py("a") == 12638187200555641996
+    assert qdrant.fnv1a64_py("foobar") == 0x85944171F73967E8
+
+
+def test_fnv1a64_udf_matches_py(spark):
+    ids = ["public.documents:1", "public.documents:42", "x"]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    rows = df.select("id", qdrant.fnv1a64(F.col("id")).alias("h")).collect()
+    for r in rows:
+        assert int(r["h"]) == qdrant.fnv1a64_py(r["id"])
+
+
+def _points(spark):
+    return spark.createDataFrame(
+        [
+            ("public.documents:1", [0.6, 0.8], {"table": "public.documents", "pk": "1"},
+             "c", "public.documents", "1"),
+            ("public.documents:2", None, {"table": "public.documents", "pk": "2"},
+             "d", "public.documents", "2"),
+        ],
+        "id string, vector array<float>, metadata map<string,string>, "
+        "op string, tbl string, pk string",
+    )
+
+
+def test_kafka_message_schema(spark):
+    rows = kafka.to_kafka_messages(_points(spark)).collect()
+    assert [f.name for f in kafka.to_kafka_messages(_points(spark)).schema.fields] == ["key", "value"]
+    m1 = json.loads(bytes(rows[0]["value"]))
+    # kafka.go:19-26 field set
+    assert set(m1) == {"id", "vector", "metadata", "op", "table", "pk"}
+    assert m1["op"] == "upsert" and bytes(rows[0]["key"]).decode() == m1["id"]
+    m2 = json.loads(bytes(rows[1]["value"]))
+    assert m2["op"] == "delete" and "vector" not in m2 or m2.get("vector") is None
+
+
+def test_qdrant_payloads(spark):
+    up = qdrant.upsert_payloads(_points(spark).where(F.col("op") != "d")).collect()
+    body = json.loads(up[0]["point_json"])
+    assert set(body) == {"id", "vector", "payload"}
+    assert body["payload"]["ext_id"] == "public.documents:1"
+    assert int(body["id"]) == qdrant.fnv1a64_py("public.documents:1")
+    de = qdrant.delete_payloads(_points(spark).where(F.col("op") == "d")).collect()
+    dbody = json.loads(de[0]["delete_json"])
+    assert int(dbody["points"][0]) == qdrant.fnv1a64_py("public.documents:2")
+
+
+def test_milvus_payloads(spark):
+    out = milvus.insert_payloads(_points(spark).where(F.col("op") != "d")).collect()
+    assert json.loads(out[0]["payload_json"])["pk"] == "1"
+    assert milvus.delete_expr(["a", 'b"c']) == 'id in ["a","b\\"c"]'
