@@ -74,8 +74,13 @@ def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc (empty when < n tokens)."""
-    toks = F.split(F.col(text_col), " ")
+    """Distinct word n-gram shingles per doc (empty when < n tokens).
+
+    Tokens are materialized as their own column BEFORE the gram lambda:
+    referencing the raw `split(...)` expression inside the transform
+    embeds it in the lambda body, where it is re-evaluated once per
+    element_at — O(grams × n) re-splits of the full text per document."""
+    toks = F.col("_toks")
     grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
@@ -86,7 +91,42 @@ def shingle(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
             )
         )
     )
-    return df.withColumn("shingles", grams)
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn("shingles", grams)
+        .drop("_toks")
+    )
+
+
+def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingle HASHES per doc (array<long>, sorted).
+
+    The hot path for every near-dup operator. A vectorized pandas UDF
+    beats the Catalyst route here by ~5×: higher-order-function lambdas
+    are evaluated interpreted (no whole-stage codegen, per-element
+    boxing), while Python md5 over a gram is ~0.7 µs. The UDF ships only
+    the text column over Arrow and returns fixed-width longs; downstream
+    ops (explode/join/agg) never touch strings again. md5-derived hashes
+    are platform/run stable; the list is SORTED so the column is
+    deterministic (Python set order is not)."""
+    import hashlib
+    import struct
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> list[int]:
+            toks = t.split(" ") if t else []
+            if len(toks) < n:
+                return []
+            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            return sorted(
+                struct.unpack("<q", hashlib.md5(g.encode()).digest()[:8])[0]
+                for g in grams
+            )
+
+        return texts.map(one)
+
+    return df.withColumn("sh", _sh(F.col(text_col)))
 
 
 # ------------------------------------------------------------- D1: exact
@@ -111,24 +151,43 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------- D2a: blocked exact n-gram Jaccard
 
 def jaccard_pairs(
-    shingled: DataFrame, block_col: str, id_col: str, threshold: float
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    threshold: float,
+    text_col: str = "text",
+    n: int = 3,
 ) -> DataFrame:
-    """All pairs within a block with shingle-Jaccard ≥ threshold (on the
-    value rounded to 4, so the oracle threshold matches exactly)."""
-    a = shingled.select(
-        F.col(block_col).alias("_b"), F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa")
+    """All pairs within a block with shingle-Jaccard ≥ threshold (rounded
+    to 4, so the oracle threshold matches exactly).
+
+    Inverted-index join, NOT an all-pairs block cross-join: explode the
+    distinct shingle hashes, self-join on (block, hash), count shared
+    hashes per pair; |A∪B| = |A|+|B|−|A∩B|. Pairs sharing zero shingles
+    never materialize, so the block-quadratic term is paid only for pairs
+    with at least one common shingle — at 100 TB the all-pairs form is
+    O(Σ block²) array comparisons and unrunnable; this is one shuffle on
+    (block, hash) + one pair-key aggregation."""
+    hashed = shingle_hashes(df, n, text_col)
+    ex = hashed.select(
+        F.col(block_col).alias("_b"),
+        F.col(id_col).alias("_id"),
+        F.size("sh").alias("_n"),
+        F.explode("sh").alias("_h"),
     )
-    b = shingled.select(
-        F.col(block_col).alias("_b"), F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb")
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_union("_sa", "_sb"))
-    jac = F.round(inter.cast("double") / union, 4)
-    return (
-        a.join(b, "_b")
+    a = ex.select("_b", F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_h")
+    b = ex.select("_b", F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_h")
+    pairs = (
+        a.join(b, ["_b", "_h"])
         .where(F.col("id_a") < F.col("id_b"))
-        .where(union > 0)
-        .select("id_a", "id_b", jac.alias("jac"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    jac = F.round(
+        F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
+    )
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jac"))
         .where(F.col("jac") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -137,30 +196,30 @@ def jaccard_pairs(
 def d2_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs (Jaccard ≥ 0.5 on word 3-gram shingles) within
     `source` blocks over the derived corpus."""
-    corpus = shingle(neardup_corpus(spark, sf_dir))
-    return jaccard_pairs(corpus, "source", "doc_id", 0.5)
+    return jaccard_pairs(neardup_corpus(spark, sf_dir), "source", "doc_id", 0.5)
 
 
 # ----------------------------------------------------- D2b: MinHash LSH
 
 def minhash_signatures(
-    shingled: DataFrame, num_perm: int = 64, id_col: str = "doc_id"
+    hashed: DataFrame, num_perm: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature per doc: sig[j] = min over shingles of
-    xxhash64(j, shingle). Pure expressions — xxhash64 is a JVM built-in,
-    the min is array_min over a transformed array; computed scan-side."""
-    def _minhash(j: int):
-        # NB: the lambda must take exactly one arg — a second (even
-        # defaulted) parameter makes PySpark pass the array INDEX into it,
-        # silently collapsing all permutations to one hash.
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(j), s))
-        )
+    """MinHash signature per doc over a `sh: array<long>` column (from
+    shingle_hashes): sig[j] = min over shingles of xxhash64(j, h), as
+    explode → num_perm plain min() aggregates.
 
-    sig = F.array(*[_minhash(j) for j in range(num_perm)])
-    return shingled.where(F.size("shingles") > 0).select(
-        id_col, F.col("shingles"), sig.alias("sig")
-    )
+    Why this shape and not array higher-order functions: HOF lambdas are
+    evaluated interpreted (outside whole-stage codegen, boxing every
+    element), and building num_perm intermediate arrays per row allocates
+    heavily. explode + min() aggregates stay fully codegen'd, allocate
+    nothing per element, and map-side partial aggregation reduces the
+    shuffle to num_perm longs per doc — at 100 TB the shuffle volume is
+    |docs|·512 B regardless of document length. Permutations hash the
+    fixed-width long, never the shingle string."""
+    ex = hashed.where(F.size("sh") > 0).select(F.col(id_col), F.explode("sh").alias("_h"))
+    aggs = [F.min(F.xxhash64(F.lit(j), F.col("_h"))).alias(f"_m{j}") for j in range(num_perm)]
+    sig = F.array(*[F.col(f"_m{j}") for j in range(num_perm)])
+    return ex.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -195,21 +254,26 @@ def lsh_candidate_pairs(
 
 
 def minhash_neardup(
-    shingled: DataFrame,
+    df: DataFrame,
     threshold: float,
     num_perm: int = 64,
     bands: int = 16,
     id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
 ) -> DataFrame:
     """LSH candidates, then exact-Jaccard verification of candidates only.
     Output = pairs with true Jaccard ≥ threshold among LSH candidates
     (recall < 1 is inherent to LSH; precision is exact thanks to the
-    verify join)."""
+    verify join). Candidates are few (bucket collisions), so the verify
+    is array_intersect on the candidates' long arrays — no pair blowup."""
     rows = num_perm // bands
-    sigs = minhash_signatures(shingled, num_perm, id_col)
+    hashed = shingle_hashes(df, n, text_col)
+    sigs = minhash_signatures(hashed, num_perm, id_col)
     cands = lsh_candidate_pairs(sigs, bands, rows, id_col)
-    sh_a = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
-    sh_b = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    nonempty = hashed.where(F.size("sh") > 0)
+    sh_a = nonempty.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sa"))
+    sh_b = nonempty.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size(F.array_union("_sa", "_sb"))
     jac = F.round(inter.cast("double") / union, 4)
@@ -227,8 +291,7 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup over the derived corpus. Rows-only oracle
     (candidate recall is probabilistic); tests/test_dedup.py checks the
     survivors against brute force at sf0.001."""
-    corpus = shingle(neardup_corpus(spark, sf_dir))
-    return minhash_neardup(corpus, threshold=0.5)
+    return minhash_neardup(neardup_corpus(spark, sf_dir), threshold=0.5)
 
 
 # --------------------------------------------------------- D2c: SimHash
