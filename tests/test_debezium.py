@@ -1,0 +1,104 @@
+"""Debezium envelope parsing (S1 production path) + pk-change divergence.
+
+Reference parity: op codes postgres.go:583/599/618; pk stringification
+postgres.go:565; the pk-changing-update orphan (postgres.go:586-600) is
+fixed by split_pk_changes (SURVEY §2.1 D3 divergence note).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.cdc import debezium
+
+
+def _event(op, before=None, after=None, lsn=100, wrap=False, table="documents"):
+    payload = {
+        "op": op,
+        "before": before,
+        "after": after,
+        "source": {"schema": "public", "table": table, "lsn": lsn},
+        "ts_ms": 1700000000000,
+    }
+    return json.dumps({"schema": {}, "payload": payload} if wrap else payload)
+
+
+def _parse(spark, values, id_column="id"):
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    return debezium.parse_debezium(df, "value", id_column)
+
+
+def test_insert_update_delete(spark):
+    rows = _parse(
+        spark,
+        [
+            _event("c", after={"id": 1, "title": "a"}, lsn=1),
+            _event("u", before={"id": 2, "title": "old"}, after={"id": 2, "title": "b"}, lsn=2),
+            _event("d", before={"id": 3, "title": "x"}, lsn=3),
+        ],
+    ).orderBy("lsn").collect()
+    assert [r["op"] for r in rows] == ["c", "u", "d"]
+    assert [r["pk"] for r in rows] == ["1", "2", "3"]
+    assert rows[0]["tbl"] == "public.documents"
+    assert rows[0]["after"] == {"id": "1", "title": "a"}
+    assert rows[0]["before"] is None
+    # delete: image only in before, after nulled (postgres.go:602-618)
+    assert rows[2]["after"] is None
+    assert rows[2]["before"]["title"] == "x"
+
+
+def test_snapshot_read_maps_to_insert_and_wrapper(spark):
+    rows = _parse(spark, [_event("r", after={"id": 9}, lsn=5, wrap=True)]).collect()
+    assert rows[0]["op"] == "c"
+    assert rows[0]["pk"] == "9"
+
+
+def test_unknown_ops_dropped_and_lsn_fallback(spark):
+    vals = [
+        _event("t", lsn=1),  # truncate → dropped
+        json.dumps({"op": "c", "after": {"id": 4}, "source": {"schema": "s", "table": "t"}, "ts_ms": 42}),
+    ]
+    rows = _parse(spark, vals).collect()
+    assert len(rows) == 1
+    assert rows[0]["lsn"] == 42  # no source.lsn → ts_ms fallback
+
+
+def test_split_pk_changes(spark):
+    env = _parse(
+        spark,
+        [
+            _event("u", before={"id": 1, "t": "x"}, after={"id": 1, "t": "y"}, lsn=10),
+            _event("u", before={"id": 2, "t": "x"}, after={"id": 5, "t": "x"}, lsn=11),
+            _event("c", after={"id": 7}, lsn=12),
+        ],
+    )
+    out = debezium.split_pk_changes(env, "id").orderBy("lsn").collect()
+    assert [(r["op"], r["pk"]) for r in out] == [
+        ("u", "1"),          # ordinary update untouched
+        ("d", "2"),          # old key dies...
+        ("c", "5"),          # ...new key born, ordered after the delete
+        ("c", "7"),
+    ]
+    lsns = [r["lsn"] for r in out]
+    assert lsns == sorted(lsns) and lsns[1] < lsns[2]
+
+
+def test_streaming_parse_same_schema(spark, tmp_path):
+    """parse_debezium is stream-compatible: same plan over readStream."""
+    src = tmp_path / "kafkaish"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"value": _event("c", after={"id": i}, lsn=i)}) for i in range(3))
+    )
+    stream = spark.readStream.schema("value string").json(str(src))
+    parsed = debezium.parse_debezium(stream, "value", "id")
+    q = (
+        parsed.writeStream.format("memory").queryName("dbz")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("dbz").orderBy("lsn").collect()
+    assert [r["pk"] for r in got] == ["0", "1", "2"]
+    assert got[0]["op"] == "c"
