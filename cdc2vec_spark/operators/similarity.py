@@ -74,11 +74,11 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; ties →
-    lowest centroid id). Broadcast join + window argmax: one narrow pass
-    over the data, no shuffle of the big side except the argmax window,
-    which AQE keeps partition-local after the broadcast."""
-    from pyspark.sql.window import Window
-
+    lowest centroid id). Broadcast join + max_by aggregation: the
+    broadcast colocates every vector's centroid-scored rows in their
+    producing partition, so partial aggregation collapses them map-side —
+    the shuffle carries ONE row per vector (a window argmax would shuffle
+    and sort all n·|centroids| scored rows instead)."""
     c = centroids.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
     )
@@ -88,11 +88,9 @@ def ivf_assign(
         "_cid",
         ops.cosine(vec_col, "_cv").alias("_csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("_cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("_cid").alias("cell"))
+    best = F.max_by("_cid", F.struct(F.col("_csim"), (-F.col("_cid")).alias("_nid")))
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col), best.alias("cell")
     )
 
 
