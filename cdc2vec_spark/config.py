@@ -56,3 +56,100 @@ DOCUMENTS_MAPPING = Mapping(
 )
 
 DEFAULT_CONFIG = EngineConfig(mappings=(DOCUMENTS_MAPPING,))
+
+
+# --- YAML config loading (reference parity) -------------------------------
+
+@dataclass(frozen=True)
+class SourceConfig:
+    """≅ config.go:10-24 (SourceConfig + PostgresSource). The engine reads
+    CDC from files/Kafka (cdc.debezium), so dsn/slot/publication are
+    carried for operator tooling, not dialed by the engine itself."""
+
+    type: str = ""
+    dsn: str = ""
+    slot: str = ""
+    publication: str = ""
+    start_lsn: str = ""
+    create_publication: bool = False
+    create_slot: bool = False
+    tables: tuple[str, ...] = ()
+    offset_store: str = ""
+
+
+@dataclass(frozen=True)
+class SinkConfig:
+    """≅ config.go:54-59; per-sink sub-configs flattened to one mapping."""
+
+    type: str = ""
+    options: dict = field(default_factory=dict)
+
+
+def load_yaml(path: str) -> "PipelineConfig":
+    """Load the reference's YAML config shape (config.go:86-117), applying
+    the same defaults: batch_size 64, flush_interval_ms 500, http addr
+    ':8080', vector_size 768."""
+    import yaml  # lazy: config files are optional, dataclasses are not
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    src = raw.get("source") or {}
+    pg = src.get("postgres") or {}
+    embed = raw.get("embed") or {}
+    batching = raw.get("batching") or {}
+    sink = raw.get("sink") or {}
+    http = raw.get("http") or {}
+
+    mappings = tuple(
+        Mapping(
+            table=m.get("table", ""),
+            id_column=m.get("id_column", ""),
+            text_columns=tuple(m.get("text_columns") or ()),
+            metadata_columns=tuple(m.get("metadata_columns") or ()),
+        )
+        for m in (raw.get("mapping") or ())
+    )
+    def _pos(v, default: int) -> int:  # the Go `<= 0` default checks
+        v = int(v or 0)
+        return v if v > 0 else default
+
+    engine = EngineConfig(
+        mappings=mappings,
+        batch_size=_pos(batching.get("batch_size"), 64),  # config.go:103-105
+        flush_interval_ms=_pos(batching.get("flush_interval_ms"), 500),  # :106-108
+        vector_size=_pos(embed.get("vector_size"), 768),  # :112-114
+        normalize=bool(embed.get("normalize", True)),
+        provider=embed.get("provider") or "deterministic",
+    )
+    sink_type = sink.get("type", "")
+    return PipelineConfig(
+        engine=engine,
+        source=SourceConfig(
+            type=src.get("type", ""),
+            dsn=pg.get("dsn", ""),
+            slot=pg.get("slot", ""),
+            publication=pg.get("publication", ""),
+            start_lsn=pg.get("start_lsn", ""),
+            create_publication=bool(pg.get("create_publication", False)),
+            create_slot=bool(pg.get("create_slot", False)),
+            tables=tuple(pg.get("tables") or ()),
+            offset_store=src.get("offset_store", ""),
+        ),
+        sink=SinkConfig(type=sink_type, options=dict(sink.get(sink_type) or {})),
+        embed_url=embed.get("url", ""),
+        embed_model=embed.get("model", ""),
+        http_addr=http.get("addr") or ":8080",  # config.go:109-111
+    )
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """The whole config file (≅ config.go:77-84)."""
+
+    engine: EngineConfig
+    source: SourceConfig = field(default_factory=SourceConfig)
+    sink: SinkConfig = field(default_factory=SinkConfig)
+    embed_url: str = ""
+    embed_model: str = ""
+    http_addr: str = ":8080"

@@ -1,0 +1,82 @@
+"""YAML config loading parity (config.go:86-117): shape, defaults, and the
+demo config the reference ships (configs/postgres-qdrant.yaml)."""
+
+from __future__ import annotations
+
+import textwrap
+
+from cdc2vec_spark.config import load_yaml
+
+
+def test_load_full_config(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        textwrap.dedent(
+            """
+            source:
+              type: postgres
+              offset_store: /tmp/offsets
+              postgres:
+                dsn: postgres://u:p@h:5432/db?replication=database
+                slot: cdc2vec_slot
+                publication: cdc2vec_pub
+                tables: [public.documents]
+            embed:
+              provider: ollama_http
+              model: nomic-embed-text
+              url: http://localhost:11434
+              normalize: true
+              vector_size: 768
+            sink:
+              type: qdrant
+              qdrant:
+                url: http://localhost:6333
+                collection: documents
+                distance: Cosine
+            mapping:
+              - table: public.documents
+                id_column: id
+                text_columns: [title, content]
+                metadata_columns: [author, created_at]
+            batching:
+              batch_size: 128
+              flush_interval_ms: 250
+            http:
+              addr: ":9090"
+            """
+        )
+    )
+    cfg = load_yaml(str(p))
+    assert cfg.source.slot == "cdc2vec_slot"
+    assert cfg.source.tables == ("public.documents",)
+    assert cfg.engine.provider == "ollama_http"
+    assert cfg.embed_url == "http://localhost:11434"
+    assert cfg.sink.type == "qdrant"
+    assert cfg.sink.options["collection"] == "documents"
+    m = cfg.engine.mappings[0]
+    assert m.table == "public.documents"
+    assert m.text_columns == ("title", "content")
+    assert cfg.engine.batch_size == 128
+    assert cfg.engine.flush_interval_ms == 250
+    assert cfg.http_addr == ":9090"
+
+
+def test_defaults_applied(tmp_path):
+    """Empty file → the config.go:103-114 defaults."""
+    p = tmp_path / "empty.yaml"
+    p.write_text("")
+    cfg = load_yaml(str(p))
+    assert cfg.engine.batch_size == 64
+    assert cfg.engine.flush_interval_ms == 500
+    assert cfg.engine.vector_size == 768
+    assert cfg.http_addr == ":8080"
+    assert cfg.engine.mappings == ()
+
+
+def test_zero_values_get_defaults(tmp_path):
+    """batch_size<=0 → 64, like the Go <=0 checks."""
+    p = tmp_path / "z.yaml"
+    p.write_text("batching:\n  batch_size: 0\n  flush_interval_ms: -1\n")
+    cfg = load_yaml(str(p))
+    assert cfg.engine.batch_size == 64
+    assert cfg.engine.flush_interval_ms == 500
