@@ -85,23 +85,35 @@ def t3_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fingerprint(text_col: str = "text", n: int = 5) -> F.Column:
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", n: int = 5, out_col: str = "fp"
+) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles (the
     min-sampling step of winnowing). Short docs (< n tokens) fall back to
-    md5(text)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    md5(text).
+
+    Tokens are materialized in their own projection first — a raw
+    `split(...)` referenced inside the gram lambda gets embedded in the
+    lambda body and re-evaluated per element_at (n full re-splits of the
+    text per gram)."""
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.md5(
             F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
         ),
     )
-    return F.when(F.size(toks) < n, F.md5(F.col(text_col))).otherwise(F.array_min(grams))
+    fp = F.when(F.size(toks) < n, F.md5(F.col(text_col))).otherwise(F.array_min(grams))
+    return (
+        df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
+        .withColumn(out_col, fp)
+        .drop("_toks")
+    )
 
 
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint().alias("fp")).orderBy("doc_id")
+    return with_fingerprint(d).select("doc_id", "fp").orderBy("doc_id")
 
 
 QUERIES = {
