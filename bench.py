@@ -25,14 +25,19 @@ HEADLINE = [
     "b4_multiway_join",      # 4-way join + agg (broadcast dims)
     "b6_hash_agg",           # TPC-H Q1 shape
     "b7_count_distinct",
+    "b8_rollup",
     "b9_rank_window",
     "b10_running_sum",
     "a9_points_pipeline",    # full CDC hot path incl. pandas_udf embed
     "c6_cdc_apply",          # incremental MERGE apply
+    "c1_tumbling",           # event-time window agg
     "d1_exact_dedup",
     "d2_minhash_lsh",
+    "d2_blocked_jaccard",    # exact near-dup via inverted-index join
     "d3_exact_topk",
+    "d8_cosine_neardup",
     "t1_token_count",
+    "t4_fingerprint",
 ]
 
 

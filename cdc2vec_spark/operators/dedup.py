@@ -261,15 +261,26 @@ def minhash_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """LSH candidates, then exact-Jaccard verification of candidates only.
     Output = pairs with true Jaccard ≥ threshold among LSH candidates
     (recall < 1 is inherent to LSH; precision is exact thanks to the
     verify join). Candidates are few (bucket collisions), so the verify
-    is array_intersect on the candidates' long arrays — no pair blowup."""
+    is array_intersect on the candidates' long arrays — no pair blowup.
+
+    ``cache`` persists the two fan-out intermediates (shingle hashes feed
+    sigs + both verify sides; sigs feed both sides of the bucket
+    self-join) — without it the shingle UDF and the signature aggregation
+    re-run once per branch. Storage is LRU-evicted; in a production
+    pipeline at 100 TB you'd checkpoint signatures to a table instead."""
     rows = num_perm // bands
     hashed = shingle_hashes(df, n, text_col)
+    if cache:
+        hashed = hashed.persist()
     sigs = minhash_signatures(hashed, num_perm, id_col)
+    if cache:
+        sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, bands, rows, id_col)
     nonempty = hashed.where(F.size("sh") > 0)
     sh_a = nonempty.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sa"))

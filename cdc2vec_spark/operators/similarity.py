@@ -145,19 +145,36 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Blocked all-pairs cosine near-dup: pairs within a block whose
-    cosine ≥ threshold. The self-join shuffles both sides on the block
-    key only (co-partitioned)."""
-    a = embeddings.select(
-        F.col(block_col).alias("_b"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
-    )
-    b = embeddings.select(
-        F.col(block_col).alias("_b"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
-    )
+    cosine ≥ threshold.
+
+    One shuffle on the block key, then each block is a single BLAS
+    matmul inside applyInPandas: normalize rows once, S = M·Mᵀ, upper
+    triangle, threshold. A pair-expression self-join costs ~100 µs/pair
+    in interpreted array lambdas; the matmul does the whole 200-row
+    block in well under a millisecond. The blocking key must bound block
+    size (that is its job at 100 TB — a block must fit one task); zero
+    vectors get sim 0 (ops.cosine semantics)."""
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = np.inf  # zero vector → cosine 0
+        mn = m / norms[:, None]
+        sims_full = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sims = np.round(sims_full[ia, ib], 6)
+        keep = sims >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "sim": sims[keep]}
+        )
+
     return (
-        a.join(b, "_b")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(ops.cosine("_va", "_vb"), 6).alias("sim"))
-        .where(F.col("sim") >= threshold)
+        embeddings.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, "id_a long, id_b long, sim double")
         .orderBy("id_a", "id_b")
     )
 
