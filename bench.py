@@ -62,6 +62,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # CDC-apply sustained throughput (BASELINE.md target: >= 5,000 changes/s;
+    # the reference publishes 1,000-5,000). 10x-replicated change log at the
+    # reference's default dim 768 to amortize fixed job overhead.
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.cdc import changelog as C
+    from cdc2vec_spark.cdc.pipeline import build_points
+    from cdc2vec_spark.embed.provider import DeterministicHashProvider
+
+    ch = C.changes_df(spark, sf_dir)
+    n = ch.count()
+    big = ch
+    for i in range(1, 10):
+        big = big.unionByName(ch.withColumn("lsn", F.col("lsn") + F.lit(i * 10_000_000)))
+    pts = build_points(big.repartition(32), C.DOCUMENTS_MAPPING, DeterministicHashProvider(dim=768))
+    t0 = time.perf_counter()
+    pts.write.format("noop").mode("overwrite").save()
+    cdc_rate = round(10 * n / (time.perf_counter() - t0))
+    print(f"# cdc_pipeline: {10 * n} changes, {cdc_rate}/s", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -74,6 +94,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cdc_changes_per_sec": cdc_rate,
                 "sf": sf_val,
             }
         )

@@ -38,10 +38,13 @@ def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool
     df = df.withColumn(
         "_raw_vec", F.when(F.col("op") != OP_DELETE, emb(F.col("text")))  # delete short-circuit
     )
-    vec = ops.l2_normalize(F.col("_raw_vec")) if normalize else F.col("_raw_vec")
+    if normalize:
+        df = ops.with_l2_normalized(df, "_raw_vec", "vector")
+    else:
+        df = df.withColumn("vector", F.col("_raw_vec"))
     return df.select(
         "id",
-        vec.alias("vector"),
+        "vector",
         "metadata",
         "op",
         "tbl",

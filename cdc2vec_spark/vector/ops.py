@@ -43,11 +43,35 @@ def l2_norm(v: Column | str) -> Column:
 
 
 def l2_normalize(v: Column | str) -> Column:
-    """v / ||v||₂; zero vector unchanged (util/text.go:44-46)."""
+    """v / ||v||₂; zero vector unchanged (util/text.go:44-46).
+
+    WARNING — O(d²) per row: the norm aggregate is embedded in the
+    transform lambda, so it is re-evaluated once per ELEMENT (Catalyst
+    has no let-binding inside lambdas). Fine for small dims / tests; any
+    hot path must use with_l2_normalized, which materializes the norm as
+    its own column first (O(d) per row)."""
     vc = _c(v)
     n = l2_norm(vc)
     return F.when(n == 0.0, vc.cast("array<double>")).otherwise(
         F.transform(vc, lambda x: x.cast("double") / n)
+    )
+
+
+def with_l2_normalized(
+    df, vec_col: str, out_col: str | None = None
+):
+    """L2-normalize ``vec_col`` with the norm computed ONCE per row in its
+    own projection (the lambda then references a plain attribute). This is
+    the scale form: O(d) per row, still pure JVM expressions."""
+    out_col = out_col or vec_col
+    nc = F.col("_l2norm")
+    normed = F.when(nc == 0.0, F.col(vec_col).cast("array<double>")).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nc)
+    )
+    return (
+        df.withColumn("_l2norm", l2_norm(vec_col))
+        .withColumn(out_col, normed)
+        .drop("_l2norm")
     )
 
 
