@@ -218,7 +218,9 @@ def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .apply import ParquetCollection
 
-    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    # cache: the synthetic change log is re-read by every micro-batch (plus
+    # the range probe) — 6 derivations of the explode pipeline otherwise
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
     lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
     step = (hi - lo) // 4 + 1
     root = tempfile.mkdtemp(prefix="c6_apply_")
@@ -237,6 +239,7 @@ def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema).orderBy("pk")
     finally:
+        ch.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -103,3 +103,31 @@ def test_c6_streaming_cdc_apply_with_checkpoint(spark, sf_dir, tmp_path):
         foreach_batch=coll.apply_batch, checkpoint=str(tmp_path / "ckpt"),
     )
     assert _rows(coll.state(), ["pk", "after_title", "after_content"]) == want
+
+
+def test_c3_session_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Session windows are stateful (windows merge as events arrive) — the
+    replayed stream must still converge to the batch gaps-and-islands
+    answer."""
+    ev = load_table(spark, sf_dir, "events")
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ev, chunks, n_chunks=5, order_col="ts")
+    stream = source.read_file_stream(spark, chunks, ev.schema)
+    agg = windows.session_counts(stream)
+    got = source.run_to_completion(agg, "c3_out", output_mode="complete")
+    want = windows.session_counts(ev)
+    assert _rows(got, ["user_id", "s_start", "n"]) == _rows(
+        want, ["user_id", "s_start", "n"]
+    )
+
+
+def test_c2_sliding_stream_equals_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ev, chunks, n_chunks=3, order_col="ts")
+    stream = source.read_file_stream(spark, chunks, ev.schema)
+    got = source.run_to_completion(windows.sliding_counts(stream), "c2_out", "complete")
+    want = windows.sliding_counts(ev)
+    assert _rows(got, ["w", "event_type", "n", "s"]) == _rows(
+        want, ["w", "event_type", "n", "s"]
+    )
