@@ -65,12 +65,19 @@ class DeterministicHashProvider:
 class OllamaHTTPProvider:
     """Production HTTP provider (embeddings.go:37-81 parity).
 
-    Empty vectors are a hard error, matching pipeline.go:223-228."""
+    Empty vectors are a hard error, matching pipeline.go:223-228.
 
-    def __init__(self, url: str, model: str, timeout_s: float = 30.0):
+    Unlike the reference — one sequential round-trip per row
+    (pipeline.go:154-165) — each executor task fans its Arrow batch out
+    over ``concurrency`` in-flight requests (the Ollama embeddings API is
+    single-prompt, so in-flight parallelism is the only batching lever).
+    Effective parallelism = tasks × concurrency."""
+
+    def __init__(self, url: str, model: str, timeout_s: float = 30.0, concurrency: int = 8):
         self.url = url.rstrip("/")
         self.model = model
         self.timeout_s = timeout_s
+        self.concurrency = max(1, int(concurrency))
 
     def embed_one(self, text: str) -> list[float]:
         req = urllib.request.Request(
@@ -88,11 +95,20 @@ class OllamaHTTPProvider:
 
     def udf(self) -> Column:
         url, model, timeout_s = self.url, self.model, self.timeout_s
+        concurrency = self.concurrency
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def embed(texts: pd.Series) -> pd.Series:
+            from concurrent.futures import ThreadPoolExecutor
+
             prov = OllamaHTTPProvider(url, model, timeout_s)
-            return texts.map(lambda t: prov.embed_one("" if t is None else t))
+            vals = ["" if t is None else t for t in texts]
+            if concurrency == 1 or len(vals) <= 1:
+                out = [prov.embed_one(t) for t in vals]
+            else:
+                with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                    out = list(pool.map(prov.embed_one, vals))  # order-preserving
+            return pd.Series(out, index=texts.index)
 
         return embed
 

@@ -81,3 +81,14 @@ def test_provider_factory():
     )
     with pytest.raises(ValueError):
         get_provider("nope")
+
+
+def test_ollama_udf_concurrent_preserves_order(spark, mock_server):
+    """The thread-pooled UDF must return row-aligned vectors: the mock's
+    dim depends on prompt length, so any reordering is visible."""
+    prompts = [("x" * n,) for n in (4, 16, 20, 24, 28, 32, 8, 12)]
+    df = spark.createDataFrame(prompts, "text string").coalesce(2)
+    p = OllamaHTTPProvider(mock_server, "test-model", concurrency=4)
+    rows = df.select("text", p.udf()(F.col("text")).alias("v")).collect()
+    for r in rows:
+        assert len(r["v"]) == min(8, max(4, len(r["text"]) // 4))
