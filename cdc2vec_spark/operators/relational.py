@@ -130,6 +130,16 @@ def b8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b8_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 4 grouping sets in one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sq"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
 # --- B9: ranking window --------------------------------------------------
 def b9_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per customer: row_number over (custkey, price desc).
@@ -240,6 +250,7 @@ QUERIES = {
     "b6_hash_agg": b6_hash_agg,
     "b7_count_distinct": b7_count_distinct,
     "b8_rollup": b8_rollup,
+    "b8_cube": b8_cube,
     "b9_rank_window": b9_rank_window,
     "b10_running_sum": b10_running_sum,
     "b11_topk": b11_topk,
@@ -285,6 +296,12 @@ ORACLES = {
     "b8_rollup": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
+    ),
+    "b8_cube": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "round(sum(l_quantity), 2) AS sq FROM lineitem "
+        "GROUP BY CUBE(l_returnflag, l_linestatus) "
         "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
     ),
     "b9_rank_window": (

@@ -1,0 +1,75 @@
+"""Physical-plan assertions — the scale properties the docstrings claim,
+pinned so a refactor can't silently regress them (SURVEY §4: Catalyst
+does the optimizing; these tests prove the plans we ship actually get it).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc2vec_spark.operators import dedup, relational
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_b2_filter_and_projection_pushdown(spark, sf):
+    plan = _plan(relational.b2_project_filter(spark, sf))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+    # column pruning: the scan must read exactly the two projected columns
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_extendedprice" not in scan and "l_shipdate" not in scan
+
+
+def test_b3_dim_join_broadcasts(spark, sf):
+    plan = _plan(relational.b3_broadcast_join(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_b4_broadcasts_dims_only(spark, sf):
+    plan = _plan(relational.b4_multiway_join(spark, sf))
+    # nation + region explicitly broadcast; customer/orders join left to
+    # size-based planning (broadcast at tiny SF, sort-merge at scale)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_b6_scan_prunes_to_needed_columns(spark, sf):
+    plan = _plan(relational.b6_hash_agg(spark, sf))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    for col in ("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate"):
+        assert col in scan
+    assert "l_comment" not in scan and "l_partkey" not in scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_b9_window_group_limit_pushdown(spark, sf):
+    """Spark 3.5+ WindowGroupLimit keeps only rn<=k per partition before
+    the full sort — the property that makes top-k-per-key scale."""
+    plan = _plan(relational.b9_rank_window(spark, sf))
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_signatures_use_hash_aggregate(spark, sf):
+    """The 64 min() aggregates must stay in hash aggregation with
+    map-side partial aggregation (two HashAggregate levels)."""
+    corpus = dedup.shingle_hashes(dedup.neardup_corpus(spark, sf))
+    plan = _plan(dedup.minhash_signatures(corpus))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+
+
+def test_exact_topk_broadcasts_query_side(spark, sf):
+    from cdc2vec_spark.operators import similarity
+
+    plan = _plan(similarity.d3_exact_topk(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # top-k must be a TakeOrderedAndProject (k-heap), not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
