@@ -1,0 +1,122 @@
+"""Engine boot — the reference's process lifecycle (main.go:33-157) as one
+function over Spark primitives.
+
+main.go step → here:
+1-2. logger/config             → PipelineConfig (config.load_yaml)
+3.   embedder factory          → embed.provider.get_provider
+4.   sink factory              → PointsCollection (engine-native keyed
+                                 store ≅ the vector sinks' upsert/delete
+                                 contract; sinks/*.py hold the
+                                 Qdrant/Milvus/Kafka payload builders)
+5-6. pipeline + channel        → Structured Streaming micro-batches (the
+                                 10k lossy channel is replaced by
+                                 backpressure + checkpoint)
+7-8. pipeline/source goroutines→ one streaming query, foreachBatch
+9.   /healthz goroutine        → streaming.health.serve_healthz
+10.  signal wait/shutdown      → query.stop() / run_supervised
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .cdc.envelope import OP_DELETE
+from .cdc.pipeline import run_batch
+from .config import DEFAULT_CONFIG, EngineConfig, PipelineConfig, load_yaml
+from .embed.provider import get_provider
+from .streaming.source import read_file_stream
+
+
+class PointsCollection:
+    """Keyed point store: last-write-wins by (id, lsn), deletes keep a
+    tombstone so a stale replayed upsert cannot resurrect a key — the
+    same max-LSN-per-key merge contract as cdc.apply.ParquetCollection,
+    holding sink-side points (id, vector, metadata) instead of row state
+    (types.go:15's Point)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
+        state = self.read()
+        cols = ["id", "vector", "metadata", "op", "lsn"]
+        ev = pts.select(*cols)
+        if state is not None:
+            ev = state.select(*cols).unionByName(ev)
+        w = Window.partitionBy("id").orderBy(F.col("lsn").desc())
+        merged = ev.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = self.path + ".old"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+
+    def live(self) -> DataFrame | None:
+        df = self.read()
+        return None if df is None else df.where(F.col("op") != OP_DELETE).drop("op")
+
+
+def _provider_from(cfg: PipelineConfig | EngineConfig):
+    engine = cfg.engine if isinstance(cfg, PipelineConfig) else cfg
+    if engine.provider in ("deterministic", "hash"):
+        return get_provider("deterministic", dim=engine.vector_size)
+    url = getattr(cfg, "embed_url", "") or "http://localhost:11434"
+    model = getattr(cfg, "embed_model", "") or "nomic-embed-text"
+    return get_provider(engine.provider, url=url, model=model)
+
+
+def boot(
+    spark: SparkSession,
+    config: PipelineConfig | str | None,
+    changes_dir: str,
+    changes_schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    health_port: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Start the whole pipeline. Returns (query, collection, health_server).
+
+    `changes_dir` is a (growing) directory of flattened change-log parquet
+    chunks — the file-stream stand-in for the Kafka/Debezium topic (swap in
+    cdc.debezium.read_kafka_stream for production). Caller stops the query
+    (or wraps this in streaming.health.run_supervised)."""
+    if config is None:
+        cfg = PipelineConfig(engine=DEFAULT_CONFIG)
+    elif isinstance(config, str):
+        cfg = load_yaml(config)
+    else:
+        cfg = config
+    provider = _provider_from(cfg)
+    coll = PointsCollection(spark, state_dir)
+
+    stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        coll.apply_points(run_batch(batch, cfg.engine, provider), epoch_id)
+
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    server = None
+    if health_port is not None:
+        from .streaming.health import serve_healthz
+
+        server = serve_healthz(query, health_port)
+    return query, coll, server

@@ -1,0 +1,82 @@
+"""End-to-end boot test (SURVEY §3.1 parity): config → file-stream change
+log → embed → normalize → keyed point store, with health endpoint.
+
+The final store must agree with the batch A6 last-write-wins answer, and
+every live vector must be unit-norm (M2 applied in the hot path).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import urllib.request
+
+from pyspark.sql import functions as F
+
+from cdc2vec_spark import runner
+from cdc2vec_spark.cdc.changelog import MAPPED, changes_df
+from cdc2vec_spark.cdc.transform import filter_mapped
+from cdc2vec_spark.cdc import apply as cdc_apply
+from cdc2vec_spark.streaming.source import write_chunks
+
+
+def test_boot_end_to_end(spark, sf_dir, tmp_path):
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=4, order_col="lsn")
+
+    query, coll, server = runner.boot(
+        spark,
+        config=None,  # DEFAULT_CONFIG: public.documents mapping, dim 768
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        health_port=0,
+    )
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.server_address[1]}/healthz", timeout=5
+        ) as r:
+            assert json.load(r)["status"] == "ok"
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        server.shutdown()
+
+    live = coll.live()
+    want = cdc_apply.latest_state(ch)
+    want_ids = sorted(
+        "public.documents:" + r["pk"] for r in want.select("pk").collect()
+    )
+    got = live.select("id", "vector").collect()
+    assert sorted(r["id"] for r in got) == want_ids
+    for r in got:
+        norm = math.sqrt(sum(x * x for x in r["vector"]))
+        assert abs(norm - 1.0) < 1e-6
+        assert len(r["vector"]) == 768
+
+
+def test_boot_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Second boot over the same checkpoint reprocesses nothing and the
+    state survives (B2 parity: the offset log actually works — unlike the
+    reference's write-only offset file)."""
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    args = dict(
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q1, coll, _ = runner.boot(spark, None, **args)
+    q1.processAllAvailable()
+    q1.stop()
+    before = sorted(r["id"] for r in coll.live().select("id").collect())
+
+    q2, coll2, _ = runner.boot(spark, None, **args)
+    q2.processAllAvailable()
+    q2.stop()
+    after = sorted(r["id"] for r in coll2.live().select("id").collect())
+    assert after == before
