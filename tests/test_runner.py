@@ -80,3 +80,26 @@ def test_boot_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     q2.stop()
     after = sorted(r["id"] for r in coll2.live().select("id").collect())
     assert after == before
+
+
+def test_points_collection_replay_idempotent(spark, tmp_path):
+    """Replaying the same points batch must reproduce identical state
+    (foreachBatch redelivery after a crash-before-commit)."""
+    pts = spark.createDataFrame(
+        [
+            ("t:1", [1.0, 0.0], {"pk": "1"}, "c", 1),
+            ("t:1", [0.0, 1.0], {"pk": "1"}, "u", 2),
+            ("t:2", [0.5, 0.5], {"pk": "2"}, "c", 3),
+            ("t:2", None, None, "d", 4),
+        ],
+        "id string, vector array<float>, metadata map<string,string>, op string, lsn long",
+    )
+    coll = runner.PointsCollection(spark, str(tmp_path / "pts"))
+    coll.apply_points(pts)
+    first = sorted((r["id"], r["lsn"]) for r in coll.read().collect())
+    coll.apply_points(pts)  # redelivery
+    second = sorted((r["id"], r["lsn"]) for r in coll.read().collect())
+    assert first == second == [("t:1", 2), ("t:2", 4)]
+    live = coll.live().collect()
+    assert [r["id"] for r in live] == ["t:1"]  # t:2 tombstoned
+    assert list(live[0]["vector"]) == [0.0, 1.0]  # LWW picked lsn 2
