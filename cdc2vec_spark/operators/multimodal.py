@@ -94,6 +94,48 @@ def extract_features(df: DataFrame, n_bins: int = 16) -> DataFrame:
     return df.mapInPandas(gen, out_schema)
 
 
+def resize_media(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize plumbing (image-resize analogue): deterministically
+    downsample each blob to ≤ target_bytes via strided byte selection,
+    mapInPandas so the batch shape matches a real PIL/ffmpeg resize. Real
+    pixel resampling needs media libs this container lacks — decode_media
+    raises NotImplementedError for non-text kinds (the documented stub
+    boundary); the Spark-side schema/batching here is the real thing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                        T.StructField("codec", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas = [], []
+            for blob, meta in zip(pdf["media"], pdf["media_meta"]):
+                arr = decode_media(blob, meta["kind"])
+                step = max(1, int(np.ceil(len(arr) / target_bytes))) if len(arr) else 1
+                small = bytes(arr[::step][:target_bytes])
+                blobs.append(small)
+                metas.append(
+                    {"kind": meta["kind"], "n_bytes": len(small), "codec": meta["codec"]}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs, "media_meta": metas}
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
     """Frame-sampling plumbing: slice every `every`-th byte (the video
     analogue: every n-th frame) into an array column — pure expressions."""

@@ -43,3 +43,25 @@ def test_frame_sample(spark, sf_dir):
     out = mm.frame_sample(mm.with_media(d), every=4).collect()
     for r in out:
         assert r["n_frames"] == len(r["frames"]) > 0
+
+
+def test_resize_media_bounds_and_determinism(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    small = mm.resize_media(mm.with_media(d), target_bytes=32)
+    rows = {r["doc_id"]: r for r in small.collect()}
+    rows2 = {r["doc_id"]: r for r in mm.resize_media(mm.with_media(d), 32).collect()}
+    assert rows.keys() == rows2.keys()
+    for k, r in rows.items():
+        assert len(r["media"]) <= 32
+        assert r["media_meta"]["n_bytes"] == len(r["media"])
+        assert r["media"] == rows2[k]["media"]  # deterministic
+    # strided selection keeps the first byte of the original blob
+    orig = {r["doc_id"]: r["media"] for r in mm.with_media(d).collect()}
+    for k, r in rows.items():
+        if len(orig[k]) > 0:
+            assert r["media"][0] == orig[k][0]
+
+
+def test_decode_media_stub_raises_for_real_kinds():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG", "image/png")
