@@ -49,6 +49,20 @@ def t1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_count().alias("n_tokens")).orderBy("doc_id")
 
 
+def t5_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: alpha runs, digit runs, and single
+    non-alnum marks as separate tokens (the pre-tokenizer split most BPE
+    vocabularies assume). Pure JVM regexp — the pattern is RE2/Java
+    portable so the DuckDB oracle applies the identical split."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+    ).orderBy("doc_id")
+
+
 def quality_score(text_col: str = "text") -> F.Column:
     """Lexical-diversity quality score: distinct-token ratio, rounded.
     (The classic punct/stopword ratios degenerate on this synthetic corpus;
@@ -121,6 +135,7 @@ QUERIES = {
     "d5_slicing": d5_slicing,
     "t1_token_count": t1_token_count,
     "t2_quality_score": t2_quality_score,
+    "t5_regex_tokens": t5_regex_tokens,
     "t3_lang_guess": t3_lang_guess,
     "t4_fingerprint": t4_fingerprint,
 }
@@ -142,6 +157,11 @@ ORACLES = {
     "t2_quality_score": (
         "SELECT doc_id, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) "
         "/ len(string_split(text, ' ')), 4) AS quality FROM documents ORDER BY doc_id"
+    ),
+    "t5_regex_tokens": (
+        "SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens, "
+        "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')[1] AS first_tok "
+        "FROM documents ORDER BY doc_id"
     ),
     "t3_lang_guess": (
         "SELECT lang_guess, count(*) AS n FROM ("
