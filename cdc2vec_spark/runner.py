@@ -109,9 +109,12 @@ def boot(
     def handle(batch: DataFrame, epoch_id: int) -> None:
         coll.apply_points(run_batch(batch, cfg.engine, provider), epoch_id)
 
+    # flush_interval_ms → processingTime trigger (B1 parity: the reference
+    # flushes every 500 ms by default, config.go:106-108)
     query = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{cfg.engine.flush_interval_ms} milliseconds")
         .start()
     )
     server = None
