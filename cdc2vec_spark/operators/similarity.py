@@ -57,6 +57,41 @@ def d3_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_topk(e, query_vec_id=0, k=10)
 
 
+def exact_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch kNN: exact cosine top-k for EVERY query row at once.
+
+    Broadcast the query set against the corpus scan (q·n similarity work,
+    partition-parallel, zero shuffle of the corpus), then a per-query
+    row_number keeps k — WindowGroupLimit (test_plans.py) prunes each
+    partition to its local top-k before the final per-query sort, so
+    state is O(q·k), not O(q·n). This is the retrieval-pipeline shape:
+    queries in the thousands, corpus in the billions."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(ops.cosine(vec_col, "_qv"), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "sim", F.col("_rn").alias("rank"))
+    )
+
+
 # --- IVF-Flat ANN (scale path) ------------------------------------------
 
 def _deterministic_centroid_ids(embeddings: DataFrame, id_col: str, every: int = 31) -> DataFrame:

@@ -36,3 +36,35 @@ def test_hyperplane_buckets_deterministic(spark, sf_dir):
     assert a == b
     assert 0 <= min(a.values()) and max(a.values()) < 256
     assert len(set(a.values())) > 1  # vectors actually spread across buckets
+
+
+def test_exact_topk_multi_agrees_with_single(spark, sf_dir):
+    """Each query's batched result must equal the single-query operator
+    (excluding self-matches, which the single form filters)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id").isin(0, 1, 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    multi = sim.exact_topk_multi(e, queries, k=11)  # k+1: self-match included
+    for qid in (0, 1, 5):
+        single = [
+            (r["vec_id"], r["sim"])
+            for r in sim.exact_topk(e, query_vec_id=qid, k=10).collect()
+        ]
+        batched = [
+            (r["vec_id"], r["sim"])
+            for r in multi.where(
+                (F.col("query_id") == qid) & (F.col("vec_id") != qid)
+            ).orderBy("rank").limit(10).collect()
+        ]
+        assert batched == single
+
+
+def test_exact_topk_multi_plan_is_broadcast_with_group_limit(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = sim.exact_topk_multi(e, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "WindowGroupLimit" in plan
