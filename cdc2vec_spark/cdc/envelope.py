@@ -68,32 +68,16 @@ def to_flat(df: DataFrame, after_keys: list[str]) -> DataFrame:
     return df.select(*cols)
 
 
-def from_debezium_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+def from_debezium_json(
+    df: DataFrame, value_col: str = "value", id_column: str = "id"
+) -> DataFrame:
     """Parse a Debezium-style JSON change stream (e.g. Kafka topic value)
-    into the envelope. Production CDC path: spark.readStream.format('kafka')
+    into the envelope — delegates to cdc.debezium.parse_debezium (wrapper
+    handling, pk extraction via ``id_column``, ts_ms LSN fallback, unknown
+    ops dropped). Production CDC path: spark.readStream.format('kafka')
     over Debezium topics replaces the reference's pglogrepl source
     (postgres.go:95-221); this is the decode step (≅ D2-D5 in SURVEY §2.1).
     """
-    payload_schema = T.StructType(
-        [
-            T.StructField("op", T.StringType()),
-            T.StructField("source", T.StructType([
-                T.StructField("schema", T.StringType()),
-                T.StructField("table", T.StringType()),
-                T.StructField("lsn", T.LongType()),
-            ])),
-            T.StructField("before", T.MapType(T.StringType(), T.StringType())),
-            T.StructField("after", T.MapType(T.StringType(), T.StringType())),
-        ]
-    )
-    p = F.from_json(F.col(value_col).cast("string"), payload_schema)
-    # Debezium op codes match the reference's ('c','u','d'; 'r' snapshot → 'c')
-    op = F.when(p["op"] == "r", F.lit(OP_INSERT)).otherwise(p["op"])
-    return df.select(
-        op.alias("op"),
-        F.concat_ws(".", p["source.schema"], p["source.table"]).alias("tbl"),
-        F.lit(None).cast("string").alias("pk"),  # filled by caller via mapping.id_column
-        p["before"].alias("before"),
-        p["after"].alias("after"),
-        p["source.lsn"].alias("lsn"),
-    )
+    from .debezium import parse_debezium
+
+    return parse_debezium(df, value_col, id_column)

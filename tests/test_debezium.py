@@ -102,3 +102,29 @@ def test_streaming_parse_same_schema(spark, tmp_path):
     got = spark.table("dbz").orderBy("lsn").collect()
     assert [r["pk"] for r in got] == ["0", "1", "2"]
     assert got[0]["op"] == "c"
+
+
+def test_debezium_to_apply_end_to_end(spark):
+    """Production decode path feeds the apply path: Debezium JSON →
+    envelope → pk-change split → flattened columns → last-write-wins
+    state. The pk-renamed row must exist ONLY under its new key."""
+    from cdc2vec_spark.cdc import apply as cdc_apply
+    from cdc2vec_spark.cdc.envelope import to_flat
+
+    events = [
+        _event("c", after={"id": 1, "title": "one", "content": "c1"}, lsn=1),
+        _event("c", after={"id": 2, "title": "two", "content": "c2"}, lsn=2),
+        _event("u", before={"id": 1, "title": "one"}, after={"id": 1, "title": "one-v2", "content": "c1"}, lsn=3),
+        # pk rename 2 → 9
+        _event("u", before={"id": 2, "title": "two"}, after={"id": 9, "title": "two", "content": "c2"}, lsn=4),
+        _event("d", before={"id": 1, "title": "one-v2"}, lsn=5),
+    ]
+    env = debezium.split_pk_changes(_parse(spark, events), "id")
+    flat = to_flat(env, ["title", "content"])
+    state = {
+        r["pk"]: r["after_title"]
+        for r in cdc_apply.latest_state(
+            flat, text_cols=("after_title", "after_content"), key_cols=("tbl", "pk")
+        ).collect()
+    }
+    assert state == {"9": "two"}  # 1 deleted; 2 renamed away; 9 live
