@@ -245,6 +245,35 @@ def hyperplane_buckets(
     return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
 
 
+def hyperplane_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nbits: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates = vectors whose hyperplane bucket is
+    within `multiprobe` bit flips of the query's bucket, exact-reranked.
+
+    At scale the bucket column is a partition key, so a probe prunes
+    whole file partitions; multiprobe trades recall for probed buckets
+    (Σ C(nbits, i) of them). Deterministic planes (md5-seeded) keep
+    results reproducible."""
+    bucketed = hyperplane_buckets(embeddings, nbits, None, id_col, vec_col)
+    qrow = bucketed.where(F.col(id_col) == query_vec_id)
+    q = qrow.select(F.col(vec_col).alias("_qv"), F.col("bucket").alias("_qb"))
+    hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.col("_qb")))
+    return (
+        bucketed.crossJoin(F.broadcast(q))
+        .where((F.col(id_col) != query_vec_id) & (hamming <= multiprobe))
+        .select(id_col, F.round(ops.cosine(vec_col, "_qv"), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 _D3_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, sim FROM (

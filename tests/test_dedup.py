@@ -66,3 +66,25 @@ def test_exact_dedup_keeps_one_per_text(spark):
     )
     out = dedup.exact_dedup(df)
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_shingle_hashes_edge_cases(spark):
+    """None text → [], short text (<n tokens) → [], hashes sorted/distinct."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "one two"), (3, "a b c d a b c d"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sh"] for r in dedup.shingle_hashes(df).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == sorted(set(rows[3]))  # distinct + sorted
+    assert len(rows[3]) == 4  # 6 grams, 2 repeats of the a-b-c / b-c-d pattern
+    assert len(rows[4]) == 1
+
+
+def test_minhash_and_jaccard_empty_corpus(spark):
+    """No doc has >= 3 tokens → every stage yields empty, no crash."""
+    df = spark.createDataFrame(
+        [(1, "hi", "s"), (2, "yo", "s")], "doc_id long, text string, source string"
+    )
+    assert dedup.minhash_neardup(df, 0.5, cache=False).count() == 0
+    assert dedup.jaccard_pairs(df, "source", "doc_id", 0.5).count() == 0

@@ -68,3 +68,27 @@ def test_exact_topk_multi_plan_is_broadcast_with_group_limit(spark, sf_dir):
     plan = sim.exact_topk_multi(e, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_hyperplane_topk_recall_vs_exact(spark, sf_dir):
+    """Multi-probe LSH rerank: results are a subset of the corpus ranked
+    exactly; recall@10 vs exact must be meaningful (>0.3 with 8 bits and
+    1-bit probing on this corpus) and sims must match exact values."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"]: r["sim"] for r in sim.exact_topk(e, 0, k=10).collect()}
+    ann = {r["vec_id"]: r["sim"] for r in sim.hyperplane_topk(e, 0, k=10, multiprobe=1).collect()}
+    hits = set(ann) & set(exact)
+    assert len(hits) >= 3
+    for v in hits:
+        assert ann[v] == exact[v]  # rerank is exact cosine
+
+
+def test_hyperplane_full_probe_equals_exact(spark, sf_dir):
+    """Probing every bucket (multiprobe = nbits) degenerates to exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = [(r["vec_id"], r["sim"]) for r in sim.exact_topk(e, 0, k=10).collect()]
+    ann = [
+        (r["vec_id"], r["sim"])
+        for r in sim.hyperplane_topk(e, 0, k=10, nbits=8, multiprobe=8).collect()
+    ]
+    assert ann == exact
