@@ -35,6 +35,35 @@ from . import transform
 from .envelope import OP_DELETE
 
 
+def swap_write(df: DataFrame, path: str) -> None:
+    """Write df to `path` via tmp-then-rename with crash recovery.
+
+    The two renames are not jointly atomic; a crash between them would
+    leave only `<path>.old`. read_state compensates by promoting `.old`
+    when `path` is missing — so the worst post-crash outcome is the
+    pre-batch state (the batch replays from the checkpoint), never an
+    empty store. On a real cluster this whole protocol is a Delta/Iceberg
+    MERGE commit."""
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read swap_write state; promotes `<path>.old` if a crash stranded it."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crash between the two renames — recover
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def eligible_events(changes: DataFrame, text_cols: Sequence[str]) -> DataFrame:
     """Changes that would actually hit the sink: deletes always; upserts
     only when their extracted text is non-empty (F2 skip)."""
@@ -98,20 +127,11 @@ class ParquetCollection:
         self.text_cols = tuple(text_cols)
 
     def read(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
-            return None
-        return self.spark.read.parquet(self.path)
+        return read_state(self.spark, self.path)
 
     def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
         """foreachBatch hook: merge one micro-batch into state."""
-        merged = merge_batch(self.read(), batch, self.text_cols)
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = self.path + ".old"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_write(merge_batch(self.read(), batch, self.text_cols), self.path)
 
     def state(self) -> DataFrame | None:
         """Live rows only (tombstones filtered)."""

@@ -25,19 +25,30 @@ Mapping notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .envelope import ENVELOPE_SCHEMA, OP_DELETE, OP_INSERT
 
-_MAP = "map<string,string>"
-
-
-def _payload(value: Column) -> Column:
-    """Unwrap the optional {schema, payload} envelope: if a top-level
-    `payload` object exists use it, else the value is already the payload."""
-    inner = F.get_json_object(value, "$.payload.op")
-    return F.when(inner.isNotNull(), F.get_json_object(value, "$.payload")).otherwise(value)
+_PAYLOAD_FIELDS = [
+    T.StructField("op", T.StringType()),
+    T.StructField("before", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("after", T.MapType(T.StringType(), T.StringType())),
+    T.StructField(
+        "source",
+        T.StructType(
+            [
+                T.StructField("schema", T.StringType()),
+                T.StructField("table", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+            ]
+        ),
+    ),
+    T.StructField("ts_ms", T.LongType()),
+]
+# accepts both the bare payload and the {schema, payload} Connect wrapper
+_FULL_SCHEMA = T.StructType([T.StructField("payload", T.StructType(_PAYLOAD_FIELDS)), *_PAYLOAD_FIELDS])
 
 
 def parse_debezium(df: DataFrame, value_col: str = "value", id_column: str = "id") -> DataFrame:
@@ -45,27 +56,33 @@ def parse_debezium(df: DataFrame, value_col: str = "value", id_column: str = "id
 
     Works identically on a batch or streaming DataFrame — pure
     projections, no shuffle; at scale this runs fused with the Kafka scan.
-    Rows whose op is unknown (Debezium heartbeats/truncates) are dropped,
-    mirroring the reference's default decode case (postgres.go:316-320).
+    The value is JSON-parsed exactly ONCE per record (a single from_json
+    materialized into its own column — per-field get_json_object would
+    re-tokenize the value string for every extracted field). Rows whose
+    op is unknown (Debezium heartbeats/truncates) are dropped, mirroring
+    the reference's default decode case (postgres.go:316-320).
     """
-    p = _payload(F.col(value_col).cast("string"))
-    op_raw = F.get_json_object(p, "$.op")
-    op = F.when(op_raw == "r", F.lit(OP_INSERT)).otherwise(op_raw)
-    before = F.from_json(F.get_json_object(p, "$.before"), _MAP)
-    after = F.from_json(F.get_json_object(p, "$.after"), _MAP)
-    tbl = F.concat_ws(
-        ".",
-        F.get_json_object(p, "$.source.schema"),
-        F.get_json_object(p, "$.source.table"),
+    parsed = F.from_json(F.col(value_col).cast("string"), _FULL_SCHEMA)
+    unwrapped = F.when(parsed["payload"].isNotNull(), parsed["payload"]).otherwise(
+        F.struct(
+            parsed["op"].alias("op"),
+            parsed["before"].alias("before"),
+            parsed["after"].alias("after"),
+            parsed["source"].alias("source"),
+            parsed["ts_ms"].alias("ts_ms"),
+        )
     )
+    # materialize the parsed struct so every field below reads an attribute
+    staged = df.withColumn("_p", unwrapped)
+    p = F.col("_p")
+    op = F.when(p["op"] == "r", F.lit(OP_INSERT)).otherwise(p["op"])
+    before, after = p["before"], p["after"]
+    tbl = F.concat_ws(".", p["source"]["schema"], p["source"]["table"])
     pk = F.when(
         op == OP_DELETE, F.element_at(before, id_column)
     ).otherwise(F.element_at(after, id_column))
-    lsn = F.coalesce(
-        F.get_json_object(p, "$.source.lsn").cast("long"),
-        F.get_json_object(p, "$.ts_ms").cast("long"),
-    )
-    out = df.select(
+    lsn = F.coalesce(p["source"]["lsn"], p["ts_ms"])
+    out = staged.select(
         op.alias("op"),
         tbl.alias("tbl"),
         pk.alias("pk"),

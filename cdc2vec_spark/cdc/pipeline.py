@@ -35,9 +35,15 @@ def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool
     # The UDF must land in its own projection: Spark rejects a Python UDF
     # nested inside a higher-order-function lambda (the normalize step), so
     # normalize must reference the materialized attribute, not the UDF expr.
-    df = df.withColumn(
-        "_raw_vec", F.when(F.col("op") != OP_DELETE, emb(F.col("text")))  # delete short-circuit
-    )
+    #
+    # Delete short-circuit (pipeline.go:191-196): a Python UDF under
+    # F.when is still EXECUTED for every row (Spark extracts UDFs out of
+    # CASE WHEN and evaluates them unconditionally), so guarding the
+    # OUTPUT would not stop deletes from hitting the embedding service.
+    # Instead the INPUT is nulled for deletes and providers skip nulls —
+    # no HTTP call, vector stays NULL.
+    delete_safe_text = F.when(F.col("op") != OP_DELETE, F.col("text"))
+    df = df.withColumn("_raw_vec", emb(delete_safe_text))
     if normalize:
         df = ops.with_l2_normalized(df, "_raw_vec", "vector")
     else:

@@ -36,11 +36,12 @@ def concat_text(columns: Sequence[Column | str]) -> Column:
     concat_ws natively drops NULLs; `when(col != '')` turns '' into NULL
     (and passes NULL through, since a NULL comparison is NULL → no match)
     so empty strings are skipped too. Non-strings stringify via cast, the
-    analogue of Go's %v."""
-    cols = [
-        F.when(c != "", c.cast("string"))
-        for c in (F.col(c) if isinstance(c, str) else c for c in columns)
-    ]
+    analogue of Go's %v — the cast happens BEFORE the '' comparison, else
+    ANSI mode would coerce '' to the column's type and fail for numerics."""
+    cols = []
+    for c in (F.col(c) if isinstance(c, str) else c for c in columns):
+        s = c.cast("string")
+        cols.append(F.when(s != "", s))
     return F.concat_ws(" ", *cols)
 
 

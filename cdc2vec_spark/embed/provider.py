@@ -57,7 +57,9 @@ class DeterministicHashProvider:
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def embed(texts: pd.Series) -> pd.Series:
             prov = DeterministicHashProvider(dim)
-            return texts.map(lambda t: prov.embed_one("" if t is None else t))
+            # NULL text → NULL vector: the pipeline nulls the text for
+            # deletes (pipeline.go:191-196 short-circuit) — never embed it
+            return texts.map(lambda t: None if t is None else prov.embed_one(t))
 
         return embed
 
@@ -102,12 +104,17 @@ class OllamaHTTPProvider:
             from concurrent.futures import ThreadPoolExecutor
 
             prov = OllamaHTTPProvider(url, model, timeout_s)
-            vals = ["" if t is None else t for t in texts]
+
+            def one(t):
+                # NULL text → NULL vector, no HTTP (delete short-circuit)
+                return None if t is None else prov.embed_one(t)
+
+            vals = list(texts)
             if concurrency == 1 or len(vals) <= 1:
-                out = [prov.embed_one(t) for t in vals]
+                out = [one(t) for t in vals]
             else:
                 with ThreadPoolExecutor(max_workers=concurrency) as pool:
-                    out = list(pool.map(prov.embed_one, vals))  # order-preserving
+                    out = list(pool.map(one, vals))  # order-preserving
             return pd.Series(out, index=texts.index)
 
         return embed

@@ -288,7 +288,7 @@ def minhash_neardup(
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size(F.array_union("_sa", "_sb"))
     jac = F.round(inter.cast("double") / union, 4)
-    return (
+    out = (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .where(union > 0)
@@ -296,6 +296,13 @@ def minhash_neardup(
         .where(F.col("jac") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    if cache:
+        # materialize the (small) result eagerly so the big intermediates
+        # can be unpersisted NOW instead of leaking until driver GC
+        out = out.localCheckpoint(eager=True)
+        hashed.unpersist()
+        sigs.unpersist()
+    return out
 
 
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,7 +141,9 @@ def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
     analogue: every n-th frame) into an array column — pure expressions."""
     media = F.col("media")
     idx = F.sequence(F.lit(1), F.length(media), F.lit(every))
-    frames = F.transform(idx, lambda i: F.substring(media, i, 1))
+    sampled = F.transform(idx, lambda i: F.substring(media, i, 1))
+    # sequence(1, 0) is an error, not empty — zero-byte blobs need a guard
+    frames = F.when(F.length(media) == 0, F.array().cast("array<binary>")).otherwise(sampled)
     return df.select("doc_id", frames.alias("frames"), F.size(frames).alias("n_frames"))
 
 

@@ -234,7 +234,11 @@ def hyperplane_buckets(
     key. Pure expressions: the plane is a literal array, the dot product
     a zip_with/aggregate (no Python on the data path)."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        # eager one-row probe — only when the caller can't supply dim
+        first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            raise ValueError("cannot infer vector dim from an empty corpus; pass dim=")
+        dim = len(first[0])
     bucket = F.lit(0).cast("long")
     for b in range(nbits):
         seed = hashlib.md5(f"plane:{b}".encode()).digest()
@@ -251,17 +255,20 @@ def hyperplane_topk(
     k: int = 10,
     nbits: int = 8,
     multiprobe: int = 1,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates = vectors whose hyperplane bucket is
     within `multiprobe` bit flips of the query's bucket, exact-reranked.
+    Pass `dim` when known — it skips the one-row probe job
+    hyperplane_buckets otherwise runs to discover the vector width.
 
     At scale the bucket column is a partition key, so a probe prunes
     whole file partitions; multiprobe trades recall for probed buckets
     (Σ C(nbits, i) of them). Deterministic planes (md5-seeded) keep
     results reproducible."""
-    bucketed = hyperplane_buckets(embeddings, nbits, None, id_col, vec_col)
+    bucketed = hyperplane_buckets(embeddings, nbits, dim, id_col, vec_col)
     qrow = bucketed.where(F.col(id_col) == query_vec_id)
     q = qrow.select(F.col(vec_col).alias("_qv"), F.col("bucket").alias("_qb"))
     hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.col("_qb")))

@@ -43,11 +43,13 @@ class PointsCollection:
         self.path = path
 
     def read(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
-            return None
-        return self.spark.read.parquet(self.path)
+        from .cdc.apply import read_state
+
+        return read_state(self.spark, self.path)
 
     def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
+        from .cdc.apply import swap_write
+
         state = self.read()
         cols = ["id", "vector", "metadata", "op", "lsn"]
         ev = pts.select(*cols)
@@ -55,15 +57,7 @@ class PointsCollection:
             ev = state.select(*cols).unionByName(ev)
         w = Window.partitionBy("id").orderBy(F.col("lsn").desc())
         merged = ev.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = self.path + ".old"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        import shutil
-
-        shutil.rmtree(old, ignore_errors=True)
+        swap_write(merged, self.path)
 
     def live(self) -> DataFrame | None:
         df = self.read()

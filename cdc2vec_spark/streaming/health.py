@@ -35,7 +35,7 @@ def health_snapshot(query: StreamingQuery) -> dict:
     return {
         "status": "ok" if query.isActive else "stopped",
         "is_data_available": bool(status.get("isDataAvailable", False)),
-        "last_offset": (progress or {}).get("sources", [{}])[0].get("endOffset"),
+        "last_offset": ((progress or {}).get("sources") or [{}])[0].get("endOffset"),
         "batch_size": int((progress or {}).get("numInputRows", 0)),
         "timestamp": (progress or {}).get("timestamp")
         or time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

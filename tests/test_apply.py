@@ -92,3 +92,19 @@ def test_incremental_equals_batch_on_fixture(spark, sf_dir, tmp_path):
         for r in apply.latest_state(ch).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_swap_write_crash_recovery(spark, tmp_path):
+    """A crash between the two renames leaves only <path>.old; read_state
+    must recover the pre-batch state instead of silently returning None."""
+    import os
+
+    path = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    apply.swap_write(df, path)
+    # simulate the crash window: state renamed away, new state never promoted
+    os.rename(path, path + ".old")
+    recovered = apply.read_state(spark, path)
+    assert recovered is not None
+    assert [(r["id"], r["v"]) for r in recovered.collect()] == [(1, "a")]
+    assert os.path.exists(path) and not os.path.exists(path + ".old")

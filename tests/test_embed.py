@@ -92,3 +92,22 @@ def test_ollama_udf_concurrent_preserves_order(spark, mock_server):
     rows = df.select("text", p.udf()(F.col("text")).alias("v")).collect()
     for r in rows:
         assert len(r["v"]) == min(8, max(4, len(r["text"]) // 4))
+
+
+def test_delete_rows_never_hit_the_embedder(spark):
+    """build_points must not call the provider for deletes: with an
+    unreachable embedding server, a delete-only batch still succeeds
+    (a UDF under F.when would be executed unconditionally — the pipeline
+    nulls the INPUT instead)."""
+    from cdc2vec_spark.cdc.pipeline import build_points
+    from cdc2vec_spark.config import DOCUMENTS_MAPPING
+
+    changes = spark.createDataFrame(
+        [(1, "d", "public.documents", "1", None, None, None)],
+        "lsn long, op string, tbl string, pk string, after_title string, "
+        "after_content string, after_author string",
+    )
+    dead = OllamaHTTPProvider("http://127.0.0.1:9", "m", timeout_s=1.0)
+    pts = build_points(changes, DOCUMENTS_MAPPING, dead).collect()
+    assert len(pts) == 1
+    assert pts[0]["op"] == "d" and pts[0]["vector"] is None

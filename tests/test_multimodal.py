@@ -65,3 +65,12 @@ def test_resize_media_bounds_and_determinism(spark, sf_dir):
 def test_decode_media_stub_raises_for_real_kinds():
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x89PNG", "image/png")
+
+
+def test_frame_sample_empty_blob(spark):
+    """Zero-byte media must yield an empty frames array, not a
+    sequence-boundary error."""
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in mm.frame_sample(mm.with_media(df), every=4).collect()}
+    assert rows[2]["n_frames"] == 0 and rows[2]["frames"] == []
+    assert rows[1]["n_frames"] == 2

@@ -67,3 +67,15 @@ def test_guard_nonempty_deletes_pass(spark):
     )
     out = transform.guard_nonempty(df, "txt").select("op").collect()
     assert sorted(r["op"] for r in out) == ["d", "u"]
+
+
+def test_concat_text_numeric_columns_ansi_safe(spark):
+    """Numeric text_columns must stringify (Go %v analogue) — the ''
+    comparison must happen AFTER the cast or ANSI mode throws."""
+    df = spark.createDataFrame([(5, 3.5, "x"), (None, None, "")], "a int, b double, c string")
+    out = [
+        r["txt"]
+        for r in df.select(transform.concat_text(["a", "b", "c"]).alias("txt")).collect()
+    ]
+    assert out[0] == "5 3.5 x"
+    assert out[1] == ""  # all null/empty skipped
