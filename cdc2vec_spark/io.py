@@ -56,3 +56,26 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """Persist df as a bucketed (+ optionally sorted) managed table.
+
+    Bucketing is the co-located-join strategy for 100 TB fact-fact joins:
+    two tables bucketed on the same keys with the same bucket count join
+    with ZERO exchange (and zero sort, if sorted) — the shuffle is paid
+    once at write time, then amortized over every downstream join/agg on
+    those keys. Verified by tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
+    if sort_cols:
+        s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*s)
+    w.format("parquet").saveAsTable(table)

@@ -73,3 +73,38 @@ def test_exact_topk_broadcasts_query_side(spark, sf):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # top-k must be a TakeOrderedAndProject (k-heap), not a global Sort+Limit
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf, tmp_path):
+    """Two tables bucketed on the join key join with no shuffle: the
+    write-once bucketing pays the exchange so every later join is free."""
+    from cdc2vec_spark.io import load_table, write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/wh'")
+    try:
+        o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(o, "bucketdb.orders_b", "o_orderkey", 8)
+        write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                       "bucketdb.lineitem_b", "o_orderkey", 8)
+        ob, lb = spark.table("bucketdb.orders_b"), spark.table("bucketdb.lineitem_b")
+        joined = ob.join(lb, "o_orderkey").groupBy("o_custkey").count()
+        # disable broadcast so the plan must prove bucket co-location (at
+        # real scale neither side would broadcast anyway)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # sanity: result matches the unbucketed join
+        plain = (
+            o.join(li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+            .groupBy("o_custkey").count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
