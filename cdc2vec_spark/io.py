@@ -79,3 +79,18 @@ def write_bucketed(
         s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*s)
     w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str] | str
+) -> None:
+    """Persist df as directory-partitioned parquet (hive layout).
+
+    Partitioning is the scan-pruning strategy for 100 TB: a filter on the
+    partition column prunes whole directories at planning time
+    (PartitionFilters in the scan, zero I/O for excluded partitions) —
+    the right layout for low-cardinality slice keys (date, source, lang).
+    Verified by tests/test_plans.py::test_partitioned_scan_prunes.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode("overwrite").partitionBy(*cols).parquet(path)

@@ -6,6 +6,7 @@ does the optimizing; these tests prove the plans we ship actually get it).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cdc2vec_spark.operators import dedup, relational
 
@@ -108,3 +109,20 @@ def test_bucketed_join_has_no_exchange(spark, sf, tmp_path):
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_partitioned_scan_prunes(spark, sf, tmp_path):
+    """A filter on the partition column must prune at planning time
+    (PartitionFilters), reading only the matching directories."""
+    from cdc2vec_spark.io import load_table, write_partitioned
+
+    docs = load_table(spark, sf, "documents")
+    path = str(tmp_path / "docs_by_source")
+    write_partitioned(docs, path, "source")
+    one = spark.read.parquet(path).where(F.col("source") == "src3")
+    plan = _plan(one)
+    assert "PartitionFilters: [isnotnull(source" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "(source" in plan.split("PartitionFilters")[1][:80]
+    n_src3 = docs.where(F.col("source") == "src3").count()
+    assert one.count() == n_src3 > 0
