@@ -317,23 +317,25 @@ def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @F.pandas_udf(T.LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens; md5-derived token hashes so
-    the signature is platform/run stable. Arrow-batched numpy — the
-    documented slow path (SURVEY §2.1 M1 analogue)."""
+    the signature is platform/run stable. Fully vectorized per document:
+    one (tokens × 64) bit-matrix broadcast instead of per-token numpy
+    calls (~10× faster at ~50 tokens/doc); bits packed with packbits."""
     import hashlib
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     def sh(text: str) -> int:
-        if not text:
+        toks = text.split() if text else []
+        if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += 2 * bits.astype(np.int64) - 1
-        out = 0
-        for b in np.nonzero(acc > 0)[0]:
-            out |= 1 << int(b)
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks), dtype="<u8"
+        )
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        acc = 2 * bits.sum(axis=0) - len(toks)  # Σ(2b-1) = 2Σb - n
+        out = int.from_bytes(
+            np.packbits(acc > 0, bitorder="little").tobytes(), "little"
+        )
         return out - (1 << 64) if out >= (1 << 63) else out
 
     return texts.map(sh)
@@ -349,29 +351,43 @@ def simhash_neardup(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates via
     16-bit band equality (any of 4 bands equal → candidate; Hamming ≤ 3
     guarantees a shared band, larger radii trade recall), then exact
-    popcount verify."""
+    popcount verify.
+
+    One explode + ONE self-join on (band, value) — the same inverted-index
+    shape as MinHash banding — instead of 4 separate joins + union (4
+    shuffles → 1)."""
     sigs = simhash_signatures(df, id_col, text_col)
-    bandcols = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
-        for b in range(4)
-    ]
-    banded = sigs.select(id_col, "simhash", *bandcols)
-    pairs = None
-    for b in range(4):
-        other = banded.select(
-            F.col(id_col).alias("_id2"), F.col("simhash").alias("_sh2"), F.col(f"b{b}").alias("_bb")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
+        id_col, "simhash", "bk.band", "bk.bv"
+    )
+    other = banded.select(
+        F.col(id_col).alias("_id2"), F.col("simhash").alias("_sh2"), "band", "bv"
+    )
+    pairs = (
+        banded.join(other, ["band", "bv"])
+        .where(F.col(id_col) < F.col("_id2"))
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.col("simhash").alias("_ha"),
+            F.col("_sh2").alias("_hb"),
         )
-        p = (
-            banded.join(other, F.col(f"b{b}") == F.col("_bb"))
-            .where(F.col(id_col) < F.col("_id2"))
-            .select(F.col(id_col).alias("id_a"), F.col("_id2").alias("id_b"),
-                    F.col("simhash").alias("_ha"), F.col("_sh2").alias("_hb"))
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        .distinct()
+    )
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
     return (
-        pairs.distinct()
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
