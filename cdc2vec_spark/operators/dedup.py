@@ -424,3 +424,60 @@ ORACLES = {
     # d2_minhash_lsh, d2_simhash: rows-only (probabilistic recall /
     # pandas_udf signatures; exactness pinned in tests/test_dedup.py)
 }
+
+
+# ------------------------------------------- cluster + keep-one canonical
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, comp) with comp =
+    min id in the component. Iterative min-label propagation: each round
+    every node takes the min label among itself and its neighbors;
+    converges in O(component diameter) rounds (near-dup clusters are
+    shallow — pairs share a pivot doc). Per-round lineage is truncated
+    with localCheckpoint, the standard Spark idiom for iterative
+    algorithms (lineage growth is otherwise quadratic in rounds)."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels, e["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["comp"], F.coalesce("ncomp", labels["comp"])).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup a corpus given its near-dup pairs: keep the min-id member of
+    every duplicate cluster plus all unclustered rows — the final step of
+    every near-dup pipeline (pairs → clusters → one survivor each)."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -88,3 +88,45 @@ def test_minhash_and_jaccard_empty_corpus(spark):
     )
     assert dedup.minhash_neardup(df, 0.5, cache=False).count() == 0
     assert dedup.jaccard_pairs(df, "source", "doc_id", 0.5).count() == 0
+
+
+def test_connected_components_vs_union_find(spark):
+    """Spark label propagation ≡ classic union-find on a multi-cluster,
+    chain-shaped edge set (chains force >1 propagation round)."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[5] == 1 and got[22] == 20  # chains collapsed to min id
+
+
+def test_keep_canonical_on_derived_corpus(spark, sf_dir):
+    """End-to-end: corpus + its minhash pairs → one survivor per cluster;
+    every truncated copy (doc_id+1M) whose pair was found is dropped."""
+    corpus = dedup.neardup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_neardup(corpus, threshold=0.5, cache=False)
+    kept = dedup.keep_canonical(corpus, pairs)
+    n_before, n_after = corpus.count(), kept.count()
+    from pyspark.sql import functions as F
+
+    comp = dedup.connected_components(pairs)
+    n_losers = comp.where(F.col("id") != F.col("comp")).count()
+    assert n_losers > 0
+    assert n_after == n_before - n_losers  # exactly the non-canonical members dropped
+    # id_b of any pair is always a loser (comp = min id <= id_a < id_b)
+    assert kept.join(pairs, kept.doc_id == pairs.id_b, "inner").count() == 0
