@@ -28,7 +28,15 @@ def typed_columns(
     Values that fail the cast become NULL (try_cast), values absent from
     the image become NULL (map element_at semantics). Pure projections —
     runs fused with the source scan."""
-    cols = [F.col(c) for c in keep if c in env.columns]
+    kept = [c for c in keep if c in env.columns]
+    clash = set(types) & set(kept)
+    if clash:
+        raise ValueError(
+            f"extracted keys collide with envelope columns: {sorted(clash)}; "
+            "rename via types={'<key>': ...} after dropping the keep column, "
+            "or pass a keep tuple without it"
+        )
+    cols = [F.col(c) for c in kept]
     for key, dtype in types.items():
         raw = F.element_at(F.col(image_col), key)
         cols.append(raw.try_cast(dtype).alias(key))

@@ -222,12 +222,37 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
 
 
+def banded_candidate_pairs(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    bv_col: str = "bv",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Self-join a banded inverted index on (band, band-value): docs
+    sharing ANY band bucket pair up; the shuffle fan-in is bucket size,
+    never n. Shared by MinHash and SimHash candidate generation. `carry`
+    columns propagate from both sides as <c>_a / <c>_b."""
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band", F.col(bv_col).alias("_bv"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band", F.col(bv_col).alias("_bv"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    out_cols = ["id_a", "id_b"] + [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry]
+    return (
+        left.join(right, ["band", "_bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(*out_cols)
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, rows: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Band the signature, bucket-join: docs sharing any band bucket are
-    candidates. groupBy(band, hash) + self-pairing inside buckets — the
-    shuffle fan-in is bucket size, never n."""
+    """Band the MinHash signature, bucket-join via banded_candidate_pairs."""
     banded = signatures.select(
         id_col,
         F.explode(
@@ -237,20 +262,14 @@ def lsh_candidate_pairs(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                        ).alias("bh"),
+                        ).alias("bv"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bh")
-    other = banded.select(F.col(id_col).alias("_id2"), "band", "bh")
-    return (
-        banded.join(other, ["band", "bh"])
-        .where(F.col(id_col) < F.col("_id2"))
-        .select(F.col(id_col).alias("id_a"), F.col("_id2").alias("id_b"))
-        .distinct()
-    )
+    ).select(id_col, "bk.band", "bk.bv")
+    return banded_candidate_pairs(banded, id_col)
 
 
 def minhash_neardup(
@@ -323,16 +342,22 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     import hashlib
 
     shifts = np.arange(64, dtype=np.uint64)
+    CHUNK = 4096  # bound the (tokens × 64) bit matrix: a 10M-token poison
+    # doc must cost ~1 MB peak, not ~2.5 GB (executor OOM)
 
     def sh(text: str) -> int:
         toks = text.split() if text else []
         if not toks:
             return 0
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks), dtype="<u8"
-        )
-        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-        acc = 2 * bits.sum(axis=0) - len(toks)  # Σ(2b-1) = 2Σb - n
+        acc = np.zeros(64, dtype=np.int64)
+        for i in range(0, len(toks), CHUNK):
+            chunk = toks[i : i + CHUNK]
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(t.encode()).digest()[:8] for t in chunk),
+                dtype="<u8",
+            )
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            acc += 2 * bits.sum(axis=0) - len(chunk)  # Σ(2b-1) = 2Σb - n
         out = int.from_bytes(
             np.packbits(acc > 0, bitorder="little").tobytes(), "little"
         )
@@ -346,17 +371,25 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def simhash_neardup(
-    df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates via
     16-bit band equality (any of 4 bands equal → candidate; Hamming ≤ 3
     guarantees a shared band, larger radii trade recall), then exact
     popcount verify.
 
-    One explode + ONE self-join on (band, value) — the same inverted-index
-    shape as MinHash banding — instead of 4 separate joins + union (4
-    shuffles → 1)."""
+    One explode + ONE self-join on (band, value) through the shared
+    banded_candidate_pairs helper. ``cache`` persists the signatures
+    (both self-join sides re-derive them otherwise — a duplicated
+    full-corpus UDF pass), eagerly materializes the small result, then
+    unpersists."""
     sigs = simhash_signatures(df, id_col, text_col)
+    if cache:
+        sigs = sigs.persist()
     bands = F.array(
         *[
             F.struct(
@@ -371,26 +404,17 @@ def simhash_neardup(
     banded = sigs.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
         id_col, "simhash", "bk.band", "bk.bv"
     )
-    other = banded.select(
-        F.col(id_col).alias("_id2"), F.col("simhash").alias("_sh2"), "band", "bv"
-    )
-    pairs = (
-        banded.join(other, ["band", "bv"])
-        .where(F.col(id_col) < F.col("_id2"))
-        .select(
-            F.col(id_col).alias("id_a"),
-            F.col("_id2").alias("id_b"),
-            F.col("simhash").alias("_ha"),
-            F.col("_sh2").alias("_hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (
+    pairs = banded_candidate_pairs(banded, id_col, carry=("simhash",))
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    out = (
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+    if cache:
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return out
 
 
 def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,12 +456,17 @@ def connected_components(
     pairs: DataFrame, max_iter: int = 20, a_col: str = "id_a", b_col: str = "id_b"
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, comp) with comp =
-    min id in the component. Iterative min-label propagation: each round
-    every node takes the min label among itself and its neighbors;
-    converges in O(component diameter) rounds (near-dup clusters are
-    shallow — pairs share a pivot doc). Per-round lineage is truncated
-    with localCheckpoint, the standard Spark idiom for iterative
-    algorithms (lineage growth is otherwise quadratic in rounds)."""
+    min id in the component. Min-label propagation accelerated with
+    pointer jumping: each round every node takes the min label among
+    itself and its neighbors, then labels are compressed one level
+    (comp := comp(comp)), which halves chain depth per round — O(log
+    diameter) rounds even on pathological path-shaped clusters. Per-round
+    lineage is truncated with localCheckpoint, the standard Spark idiom
+    for iterative algorithms.
+
+    Raises RuntimeError if max_iter rounds don't converge — a wrong
+    silent label would let keep_canonical keep multiple survivors in one
+    duplicate cluster."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -451,12 +480,16 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("ncomp"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["dst"], "left").select(
+            labels["id"],
+            F.least(labels["comp"], F.coalesce("ncomp", labels["comp"])).alias("comp"),
+        )
+        # pointer jump: comp := comp(comp) — label values are node ids, so
+        # one self-join compresses a level of indirection per round
+        lk = stepped.select(F.col("id").alias("_cid"), F.col("comp").alias("_cc"))
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["dst"], "left")
-            .select(
-                labels["id"],
-                F.least(labels["comp"], F.coalesce("ncomp", labels["comp"])).alias("comp"),
-            )
+            stepped.join(lk, stepped["comp"] == lk["_cid"], "left")
+            .select(stepped["id"], F.coalesce("_cc", stepped["comp"]).alias("comp"))
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
@@ -466,8 +499,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (component diameter exceeds 2^max_iter)"
+    )
 
 
 def keep_canonical(

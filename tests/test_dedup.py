@@ -130,3 +130,13 @@ def test_keep_canonical_on_derived_corpus(spark, sf_dir):
     assert n_after == n_before - n_losers  # exactly the non-canonical members dropped
     # id_b of any pair is always a loser (comp = min id <= id_a < id_b)
     assert kept.join(pairs, kept.doc_id == pairs.id_b, "inner").count() == 0
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node path (diameter 60 >> rounds) must still collapse to one
+    component — pointer jumping compresses chains exponentially."""
+    edges = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs, max_iter=12).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 61

@@ -30,3 +30,14 @@ def test_typed_columns_casts_and_survives_poison(spark):
     assert rows["2"]["price"] is None and rows["2"]["qty"] is None  # try_cast, no crash
     assert rows["3"]["price"] is None and rows["3"]["qty"] == 7
     assert set(rows["1"].asDict()) == {"op", "tbl", "pk", "lsn", "price", "qty", "created_at"}
+
+
+def test_typed_columns_rejects_envelope_collision(spark):
+    import pytest
+
+    env = spark.createDataFrame(
+        [("c", "t", "1", {"op": "x"}, 1)],
+        "op string, tbl string, pk string, after map<string,string>, lsn long",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        typed_columns(env, {"op": "string"})

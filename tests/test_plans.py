@@ -122,7 +122,6 @@ def test_partitioned_scan_prunes(spark, sf, tmp_path):
     one = spark.read.parquet(path).where(F.col("source") == "src3")
     plan = _plan(one)
     assert "PartitionFilters: [isnotnull(source" in plan
-    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "(source" in plan.split("PartitionFilters")[1][:80]
     n_src3 = docs.where(F.col("source") == "src3").count()
     assert one.count() == n_src3 > 0
