@@ -423,6 +423,16 @@ def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup(neardup_corpus(spark, sf_dir), max_hamming=6)
 
 
+def d9_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup pipeline: pairs → clusters → one survivor per
+    cluster; returns the surviving doc_ids. Rows-only oracle (LSH recall
+    is probabilistic); cluster semantics pinned vs union-find in
+    tests/test_dedup.py."""
+    corpus = neardup_corpus(spark, sf_dir)
+    pairs = minhash_neardup(corpus, threshold=0.5)
+    return keep_canonical(corpus, pairs).select("doc_id").orderBy("doc_id")
+
+
 _D2_BLOCKED_ORACLE = _CORPUS_CTE + """
 SELECT id_a, id_b, jac FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -438,6 +448,7 @@ QUERIES = {
     "d2_blocked_jaccard": d2_blocked_jaccard,
     "d2_minhash_lsh": d2_minhash_lsh,
     "d2_simhash": d2_simhash,
+    "d9_keep_canonical": d9_keep_canonical,
 }
 
 ORACLES = {
