@@ -83,13 +83,14 @@ def main() -> None:
     cdc_rate = round(10 * n / min(cdc_secs))
     print(f"# cdc_pipeline: {10 * n} changes, {cdc_rate}/s", file=sys.stderr)
 
-    # best-of-2 per query: single-shot numbers on a busy 32-thread box swing
-    # 2-4x with GC/compilation noise; min is the standard steady-state read.
+    # best-of-3 per query: single-shot numbers on a busy 32-thread box swing
+    # 2-4x with GC/compilation/co-tenant noise; min is the standard
+    # steady-state read.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
         secs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             secs.append(time.perf_counter() - t0)

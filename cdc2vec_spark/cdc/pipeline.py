@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig, Mapping
+from ..io import rebalance
 from ..vector import ops
 from . import transform
 from .envelope import OP_DELETE
@@ -43,6 +44,10 @@ def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool
     # Instead the INPUT is nulled for deletes and providers skip nulls —
     # no HTTP call, vector stays NULL.
     delete_safe_text = F.when(F.col("op") != OP_DELETE, F.col("text"))
+    # spread before the embed UDF: a small-file or single-split change log
+    # would otherwise pin every embedding call to 1-2 cores (guarded —
+    # no shuffle when the log already has >= cores partitions)
+    df = rebalance(df)
     df = df.withColumn("_raw_vec", emb(delete_safe_text))
     if normalize:
         df = ops.with_l2_normalized(df, "_raw_vec", "vector")

@@ -52,6 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan has fewer partitions
+    than the cluster has cores — a small-file input (one parquet file →
+    1-2 splits) otherwise serializes every downstream Pandas UDF onto
+    one core. At scale the input already has >= cores splits and this is
+    a no-op (no shuffle inserted)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in tables:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load_table
+from ..io import load_table, rebalance
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -162,7 +162,9 @@ def d6_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction pipeline over binary media (mapInPandas path).
     Rows-only oracle (numpy histogram); determinism pinned in
     tests/test_multimodal.py."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance: mapInPandas throughput is bounded by input splits (1-2
+    # for the small fixture file)
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     feats = extract_features(with_media(d))
     return feats.select(
         "doc_id",

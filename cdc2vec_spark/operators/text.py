@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, rebalance
 
 
 def d4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +126,9 @@ def with_fingerprint(
 
 
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance: the gram lambda is interpreted (HOF) — don't pin the
+    # whole pass to the file's 1-2 input splits
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     return with_fingerprint(d).select("doc_id", "fp").orderBy("doc_id")
 
 

@@ -58,13 +58,16 @@ def test_b9_window_group_limit_pushdown(spark, sf):
     assert "WindowGroupLimit" in plan
 
 
-def test_minhash_signatures_use_hash_aggregate(spark, sf):
-    """The 64 min() aggregates must stay in hash aggregation with
-    map-side partial aggregation (two HashAggregate levels)."""
+def test_minhash_signatures_are_narrow(spark, sf):
+    """The signature pass is a vectorized Arrow UDF map over the shingle
+    arrays — NO shuffle may appear between the scan and the signature
+    (the rebalance exchange of the corpus itself is the only allowed one)."""
     corpus = dedup.shingle_hashes(dedup.neardup_corpus(spark, sf))
     plan = _plan(dedup.minhash_signatures(corpus))
-    assert plan.count("HashAggregate") >= 2
-    assert "SortAggregate" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    # exactly the one round-robin exchange from neardup_corpus's rebalance
+    assert plan.count("Exchange") <= 1
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
 
 
 def test_exact_topk_broadcasts_query_side(spark, sf):
