@@ -235,9 +235,10 @@ def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = coll.state().select(
             "pk", "after_title", "after_content", "after_author"
         )
-        # materialize before the temp dir vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema).orderBy("pk")
+        # materialize executor-side before the temp dir vanishes —
+        # localCheckpoint avoids the collect + re-parallelize driver
+        # round-trip (rows never pass through Python)
+        return out.localCheckpoint(eager=True).orderBy("pk")
     finally:
         ch.unpersist()
         shutil.rmtree(root, ignore_errors=True)
