@@ -171,12 +171,14 @@ def jaccard_pairs(
     O(Σ block²) array comparisons and unrunnable; this is one shuffle on
     (block, hash) + one pair-key aggregation."""
     hashed = shingle_hashes(df, n, text_col)
+    # persist: both self-join sides re-derive the shingle UDF pass
+    # otherwise (a full duplicated corpus scan + Python pass)
     ex = hashed.select(
         F.col(block_col).alias("_b"),
         F.col(id_col).alias("_id"),
         F.size("sh").alias("_n"),
         F.explode("sh").alias("_h"),
-    )
+    ).persist()
     a = ex.select("_b", F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_h")
     b = ex.select("_b", F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_h")
     pairs = (
@@ -188,11 +190,16 @@ def jaccard_pairs(
     jac = F.round(
         F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
     )
-    return (
+    out = (
         pairs.select("id_a", "id_b", jac.alias("jac"))
         .where(F.col("jac") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    # the result is small (near-dup pairs): materialize it eagerly so the
+    # big exploded index can be unpersisted now, not at driver GC
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return out
 
 
 def d2_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
