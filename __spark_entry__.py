@@ -39,9 +39,10 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     except ImportError:
         pass
     try:
+        from cdc2vec_spark.streaming import stateful as _stateful
         from cdc2vec_spark.streaming import windows as _windows
 
-        modules.append(_windows)
+        modules.extend([_windows, _stateful])
     except ImportError:
         pass
     for mod in modules:

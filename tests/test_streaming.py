@@ -131,3 +131,23 @@ def test_c2_sliding_stream_equals_batch(spark, sf_dir, tmp_path):
     assert _rows(got, ["w", "event_type", "n", "s"]) == _rows(
         want, ["w", "event_type", "n", "s"]
     )
+
+
+def test_c7_stateful_lww_equals_batch(spark, sf_dir):
+    """applyInPandasWithState last-write-wins must converge to the batch
+    window answer: same final rows, deletes dropped, reinserts kept."""
+    from cdc2vec_spark.streaming import stateful
+
+    ch = cdc_apply.eligible_events(
+        filter_mapped(changes_df(spark, sf_dir), list(MAPPED)),
+        ("after_title", "after_content"),
+    )
+    got = _rows(
+        stateful.c7_stateful_lww(spark, sf_dir),
+        ["pk", "after_title", "after_content", "after_author"],
+    )
+    want = _rows(
+        cdc_apply.latest_state(ch),
+        ["pk", "after_title", "after_content", "after_author"],
+    )
+    assert got == want and len(got) > 0
