@@ -93,24 +93,56 @@ def merge_batch(
     batch: DataFrame,
     text_cols: Sequence[str] = ("after_title", "after_content"),
     key_cols: Sequence[str] = ("tbl", "pk"),
+    coalesce_unchanged: bool = False,
 ) -> DataFrame:
     """MERGE emulation for one micro-batch: existing state (rows carry the
     lsn that produced them) ∪ new eligible events → keep max-LSN winner per
     key. Deleted keys stay as tombstones (op='d') so a stale upsert
     replayed in a later batch cannot resurrect them — the max-LSN-per-key
     guard SURVEY §7 calls out. Idempotent: replaying any batch reproduces
-    the same state."""
+    the same state.
+
+    ``coalesce_unchanged=True`` is the TOAST-repair divergence (SURVEY §7):
+    pgoutput sends unchanged TOAST columns as nil ('u', postgres.go:
+    621-647), which the reference then LOSES at re-embed time. When
+    enabled, a null after_* column on an update is backfilled from the
+    key's prior state (first non-null down the LSN-ordered history, never
+    across a tombstone — a delete resets the key). Default off: plain
+    whole-row last-write-wins, which is what the A6/C6 SQL oracle
+    specifies."""
     ev = eligible_events(batch, text_cols)
     cols = ["op", "tbl", "pk", "lsn", *[c for c in batch.columns if c.startswith("after_")]]
     ev = ev.select(*cols)
     if state is not None:
         ev = state.select(*cols).unionByName(ev)
     w = Window.partitionBy(*key_cols).orderBy(F.col("lsn").desc())
-    return (
-        ev.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    ranked = ev.withColumn("_rn", F.row_number().over(w))
+    if coalesce_unchanged:
+        # delete-epoch: running tombstone count in LSN-desc order. A
+        # delete starts a new epoch, so an upsert can only backfill from
+        # rows in ITS epoch — never from values older than a delete.
+        ranked = ranked.withColumn(
+            "_epoch",
+            F.sum((F.col("op") == OP_DELETE).cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        hist = (
+            Window.partitionBy(*key_cols, "_epoch")
+            .orderBy(F.col("lsn").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for c in ev.columns:
+            if c.startswith("after_"):
+                masked = F.when(F.col("op") != OP_DELETE, F.col(c))
+                ranked = ranked.withColumn(
+                    c,
+                    F.when(
+                        F.col("op") == OP_DELETE, F.col(c)
+                    ).otherwise(F.first(masked, ignorenulls=True).over(hist)),
+                )
+        ranked = ranked.drop("_epoch")
+    return ranked.where(F.col("_rn") == 1).drop("_rn")
 
 
 class ParquetCollection:
