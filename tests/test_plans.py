@@ -128,3 +128,18 @@ def test_partitioned_scan_prunes(spark, sf, tmp_path):
     assert "(source" in plan.split("PartitionFilters")[1][:80]
     n_src3 = docs.where(F.col("source") == "src3").count()
     assert one.count() == n_src3 > 0
+
+
+def test_ivf_assignment_is_narrow(spark, sf):
+    """IVF cell assignment must be a single narrow mapInPandas over the
+    scan — no shuffle, no join: the centroid matrix rides in the closure
+    and each batch does one matmul."""
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators import similarity
+
+    e = load_table(spark, sf, "embeddings")
+    cents, assigned = similarity.ivf_build(e)
+    plan = _plan(assigned)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
