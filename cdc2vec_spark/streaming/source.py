@@ -15,22 +15,40 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_chunks(df: DataFrame, out_dir: str, n_chunks: int, order_col: str) -> None:
     """Split a batch DataFrame into n ordered parquet chunk-files so a file
-    stream replays it in a deterministic order. Driver-side only in tests;
-    at scale the stream already arrives chunked (Kafka partitions)."""
-    rows = df.orderBy(order_col).collect()
-    spark = df.sparkSession
-    per = (len(rows) + n_chunks - 1) // n_chunks or 1
+    stream replays it in ``order_col`` order: chunk i holds a contiguous
+    range of ``order_col`` values ≤ every value in chunk i+1, and chunks are
+    written sequentially so the file source's mtime ordering matches.
+
+    Rows never touch the driver: ``repartitionByRange`` range-partitions
+    executor-side (parallel sample-based sort, no single-task window), and
+    each chunk is written by its own executor tasks. At scale the stream
+    already arrives chunked (Kafka partitions); this is the replay harness.
+    """
     os.makedirs(out_dir, exist_ok=True)
-    for i in range(n_chunks):
-        chunk = rows[i * per : (i + 1) * per]
-        if not chunk:
-            continue
-        cdf = spark.createDataFrame(chunk, df.schema)
-        cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk_{i:04d}"))
+    chunked = (
+        df.repartitionByRange(n_chunks, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__chunk", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        # only the tiny list of non-empty chunk ids is collected
+        ids = sorted(r[0] for r in chunked.select("__chunk").distinct().collect())
+        for cid in ids:
+            (
+                chunked.where(F.col("__chunk") == cid)
+                .drop("__chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"chunk_{cid:04d}"))
+            )
+    finally:
+        chunked.unpersist()
 
 
 def read_file_stream(
