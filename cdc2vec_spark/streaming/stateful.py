@@ -77,9 +77,15 @@ def lww_stream(changes: DataFrame) -> DataFrame:
 
 def c7_stateful_lww(spark, sf_dir: str) -> DataFrame:
     """C7 — the CDC hot path through the keyed state store: replay the
-    eligible change log as a 4-chunk file stream, fold it with
+    eligible change log as a 2-chunk file stream, fold it with
     ``applyInPandasWithState``, reduce the emission stream to its final
-    row per key. Must equal the one-shot A6/C6 answer (same SQL oracle)."""
+    row per key. Must equal the one-shot A6/C6 answer (same SQL oracle).
+
+    Cost-bounded on purpose: the keyed state exchange uses
+    ``spark.sql.shuffle.partitions`` state-store partitions *per
+    micro-batch*, and a bare session defaults that to 200 — so this query
+    pins it to 8 for the duration of the stream (restored after). Two
+    chunks exercise cross-micro-batch state without paying for four."""
     import os
     import shutil
     import tempfile
@@ -97,15 +103,19 @@ def c7_stateful_lww(spark, sf_dir: str) -> DataFrame:
         ("after_title", "after_content"),
     )
     root = tempfile.mkdtemp(prefix="c7_lww_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         chunks = os.path.join(root, "chunks")
-        source.write_chunks(ch, chunks, n_chunks=4, order_col="lsn")
+        n = source.write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+        assert n >= 2, f"c7 replay needs >=2 micro-batches, got {n}"
         stream = source.read_file_stream(spark, chunks, ch.schema)
         sink = "c7_" + os.path.basename(root).removeprefix("c7_lww_")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         emitted = source.run_to_completion(
             lww_stream(stream), sink, output_mode="update",
             checkpoint=os.path.join(root, "ckpt"),
         )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         w = Window.partitionBy("tbl", "pk").orderBy(F.col("lsn").desc())
         out = (
             emitted.withColumn("_rn", F.row_number().over(w))
@@ -113,11 +123,14 @@ def c7_stateful_lww(spark, sf_dir: str) -> DataFrame:
             .select("pk", "after_title", "after_content", "after_author")
             .orderBy("pk")
         )
-        # materialize before the memory sink / temp dirs go away
-        out = out.localCheckpoint(eager=True)
+        # the result is tiny (one row per live key at sf0.01 ≈ 414 rows):
+        # collect it and hand back a temp-dir-independent local DataFrame
+        # instead of spending a localCheckpoint job
+        rows = out.collect()
         spark.catalog.dropTempView(sink)
-        return out
+        return spark.createDataFrame(rows, out.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -88,6 +88,43 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list
     return problems
 
 
+# every registered query, pinned: a silent drop anywhere (registry bug,
+# driver-side enumeration skip, import error) must be LOUD, not a quietly
+# shorter CORRECTNESS file. Update this set when a query is added.
+EXPECTED_QUERIES = frozenset(
+    [f"b{i}_{s}" for i, s in [
+        (1, "scan_count"), (2, "project_filter"), (3, "broadcast_join"),
+        (4, "multiway_join"), (5, "semi_join"), (5, "anti_join"),
+        (6, "hash_agg"), (7, "count_distinct"), (8, "rollup"), (8, "cube"),
+        (9, "rank_window"), (10, "running_sum"), (11, "topk"),
+        (12, "intersect"), (13, "scalar_funcs"), (14, "array_dim"),
+        (14, "json_extract"), (15, "scalar_subquery"),
+    ]]
+    + ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
+       "a5_metadata", "a6_last_write_wins", "a7_l2_normalize",
+       "a8_deterministic_embed", "a9_points_pipeline"]
+    + ["c1_tumbling", "c2_sliding", "c3_session", "c5_dedup_count",
+       "c6_cdc_apply", "c7_stateful_lww"]
+    + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_minhash_lsh", "d2_simhash",
+       "d3_exact_topk", "d3_ivf_topk", "d4_text_stats", "d5_slicing",
+       "d6_multimodal", "d6_features", "d7_embedding_stats",
+       "d8_cosine_neardup", "d9_keep_canonical"]
+    + ["t1_token_count", "t2_quality_score", "t3_lang_guess",
+       "t4_fingerprint", "t5_regex_tokens"]
+)
+
+
+def check_registry(qs: dict) -> None:
+    got = set(qs)
+    missing, extra = EXPECTED_QUERIES - got, got - EXPECTED_QUERIES
+    if missing or extra:
+        raise AssertionError(
+            f"queries() registry drifted: {len(got)} registered, "
+            f"{len(EXPECTED_QUERIES)} expected; "
+            f"missing={sorted(missing)} unexpected={sorted(extra)}"
+        )
+
+
 def run_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
@@ -97,6 +134,7 @@ def run_all(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
     spark = get_spark("oracle_check")
     con = duckdb_conn(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    check_registry(qs)
     results: dict[str, list[str]] = {}
     for name, fn in qs.items():
         if only and name not in only:

@@ -35,10 +35,20 @@ def test_c1_stream_equals_batch(spark, sf_dir, tmp_path):
 
 def test_c5_stream_dedup(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
-    # duplicate the stream: every event delivered twice across chunks
-    doubled = ev.unionByName(ev)
+    # duplicate the stream, ordering by (copy, event_id) so the first
+    # delivery of every event lands in an earlier chunk than its duplicate:
+    # dedup must happen ACROSS micro-batches through the state store, not
+    # within one batch
+    doubled = ev.withColumn("__copy", F.lit(0)).unionByName(
+        ev.withColumn("__copy", F.lit(1))
+    )
     chunks = str(tmp_path / "chunks")
-    source.write_chunks(doubled, chunks, n_chunks=4, order_col="event_id")
+    n = source.write_chunks(
+        doubled, chunks, n_chunks=4, order_col=["__copy", "event_id"]
+    )
+    assert n >= 2, "duplicates must arrive in separate micro-batches"
+    # ev.schema omits __copy; parquet reads project by name so the marker
+    # column never enters the stream
     stream = source.read_file_stream(spark, chunks, ev.schema)
     deduped = windows.dedup_by_id(stream.withWatermark("ts", "1 day"), within_watermark=False)
     got = source.run_to_completion(
