@@ -111,16 +111,15 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; ties →
     lowest centroid id). The centroid matrix is collected to the driver,
-    row-normalized once, and shipped in the mapInPandas closure; each
-    Arrow batch scores ALL centroids with one BLAS matmul + argmax. This
-    is a narrow map — NO shuffle, no join: each scan partition emits
-    (id, vec, cell) directly. The expression-level alternative
-    (crossJoin + `aggregate` cosine) evaluates Catalyst higher-order
-    functions interpreted, per element — ~100× slower per pair.
-
-    Scale note: |centroids| is the small side by construction (k-means
-    k ≈ √n; 65k × 768 f32 ≈ 200 MB — cap k or use sc.broadcast for a
-    shared JVM copy instead of a per-task pickle when k·d is large)."""
+    row-normalized once, and shipped to executors via ``sc.broadcast`` —
+    one torrent-distributed copy per executor, NOT a per-task closure
+    pickle (at k-means k ≈ √n, 65k × 768 f64 ≈ 400 MB; re-pickling that
+    into every task would dominate the job). Each Arrow batch scores ALL
+    centroids with one BLAS matmul + argmax. This is a narrow map — NO
+    shuffle, no join: each scan partition emits (id, vec, cell)
+    directly. The expression-level alternative (crossJoin + `aggregate`
+    cosine) evaluates Catalyst higher-order functions interpreted, per
+    element — ~100× slower per pair."""
     cent = sorted(
         centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )
@@ -128,7 +127,7 @@ def ivf_assign(
     cmat = np.array([r[1] for r in cent], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
     cnorm[cnorm == 0.0] = 1.0  # zero centroid → cosine 0, never argmax-preferred
-    cmat_n = cmat / cnorm
+    bc = embeddings.sparkSession.sparkContext.broadcast((cids, cmat / cnorm))
 
     src = embeddings.select(id_col, vec_col)
     out_schema = T.StructType(
@@ -136,6 +135,7 @@ def ivf_assign(
     )
 
     def assign(batches):
+        b_cids, b_cmat_n = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(cell=np.array([], dtype=np.int64))
@@ -143,9 +143,9 @@ def ivf_assign(
             emat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             enorm = np.linalg.norm(emat, axis=1, keepdims=True)
             enorm[enorm == 0.0] = 1.0
-            sims = (emat / enorm) @ cmat_n.T
+            sims = (emat / enorm) @ b_cmat_n.T
             # argmax takes the FIRST max; cids sorted asc → ties → lowest id
-            yield pdf.assign(cell=cids[np.argmax(sims, axis=1)])
+            yield pdf.assign(cell=b_cids[np.argmax(sims, axis=1)])
 
     return src.mapInPandas(assign, schema=out_schema)
 
@@ -280,22 +280,41 @@ def hyperplane_buckets(
     """SimHash-style bucketing for vectors: bucket = sign bits of dot
     products with `nbits` fixed hyperplanes (md5-seeded, deterministic).
     Candidates for a query = its bucket — at scale, a partition-pruning
-    key. Pure expressions: the plane is a literal array, the dot product
-    a zip_with/aggregate (no Python on the data path)."""
+    key.
+
+    One narrow mapInPandas: each Arrow batch does a single BLAS matmul
+    against the (nbits × dim) plane matrix and packs all sign bits at
+    once. The previous expression form (`aggregate` dot per plane per
+    row) ran nbits interpreted higher-order functions per row — the
+    CodegenFallback pitfall ivf_assign avoids; at 768-dim × 8 bits that
+    is ~6k interpreted lambda steps/row vs one vectorized matmul."""
     if dim is None:
         # eager one-row probe — only when the caller can't supply dim
         first = embeddings.select(vec_col).where(F.col(vec_col).isNotNull()).first()
         if first is None:
             raise ValueError("cannot infer vector dim from an empty corpus; pass dim=")
         dim = len(first[0])
-    bucket = F.lit(0).cast("long")
+    planes = np.empty((nbits, dim), dtype=np.float64)
     for b in range(nbits):
         seed = hashlib.md5(f"plane:{b}".encode()).digest()
         rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-        plane = [float(x) for x in rng.standard_normal(dim)]
-        d = ops.dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-        bucket = bucket + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return embeddings.select(id_col, vec_col, bucket.alias("bucket"))
+        planes[b] = rng.standard_normal(dim)
+    bit_vals = (np.int64(1) << np.arange(nbits, dtype=np.int64))
+
+    src = embeddings.select(id_col, vec_col)
+    out_schema = T.StructType(
+        list(src.schema.fields) + [T.StructField("bucket", T.LongType(), False)]
+    )
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(bucket=np.array([], dtype=np.int64))
+                continue
+            emat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pdf.assign(bucket=((emat @ planes.T) > 0.0) @ bit_vals)
+
+    return src.mapInPandas(bucketize, schema=out_schema)
 
 
 def hyperplane_topk(
