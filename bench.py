@@ -83,10 +83,19 @@ def main() -> None:
     cdc_rate = round(10 * n / min(cdc_secs))
     print(f"# cdc_pipeline: {10 * n} changes, {cdc_rate}/s", file=sys.stderr)
 
+    # Bucket-pruned CDC apply: per-batch wall must stay flat as the state
+    # table grows 10x, because a batch touches O(batch) buckets, not the
+    # whole state (cdc/apply.py ParquetCollection). Measured directly:
+    # same 64-key batch applied against a 20k-key and a 200k-key state.
+    apply_scale = _cdc_apply_state_scale(spark)
+    print(f"# cdc_apply_state_scale: {apply_scale}", file=sys.stderr)
+
     # best-of-3 per query: single-shot numbers on a busy 32-thread box swing
     # 2-4x with GC/compilation/co-tenant noise; min is the standard
-    # steady-state read.
+    # steady-state read. Spread (max-min) is emitted per query so a
+    # cross-round swing on untouched code is self-documenting as noise.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
         secs = []
@@ -95,7 +104,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             secs.append(time.perf_counter() - t0)
         timings[name] = round(min(secs), 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        spread[name] = round(max(secs) - min(secs), 3)
+        print(f"# {name}: {timings[name]}s (+{spread[name]} spread)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -109,11 +119,85 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "delta_vs_prev": _delta_vs_prev(timings),
+                "cdc_apply_state_scale": apply_scale,
                 "cdc_changes_per_sec": cdc_rate,
                 "sf": sf_val,
             }
         )
     )
+
+
+def _cdc_apply_state_scale(spark) -> dict:
+    """Time one small apply_batch against a 20k-key and a 200k-key state.
+
+    With the bucket-pruned merge the two should be near-equal (the batch
+    touches <= 64 of 256 buckets either way); an O(state) rewrite would
+    show ~10x. best-of-2 per size to damp co-tenant noise."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.cdc.apply import ParquetCollection
+
+    def state_rows(n):
+        return spark.range(n).select(
+            F.col("id").alias("lsn"),
+            F.lit("c").alias("op"),
+            F.lit("public.documents").alias("tbl"),
+            F.col("id").cast("string").alias("pk"),
+            F.lit("title text").alias("after_title"),
+            F.lit("content text that is long enough to look like a row").alias(
+                "after_content"
+            ),
+            F.lit("author").alias("after_author"),
+        )
+
+    batch = state_rows(64).withColumn("lsn", F.col("lsn") + F.lit(10_000_000)).withColumn(
+        "op", F.lit("u")
+    )
+    out: dict[str, float] = {}
+    for label, n in (("batch_secs_20k_state", 20_000), ("batch_secs_200k_state", 200_000)):
+        root = tempfile.mkdtemp(prefix="bench_apply_")
+        try:
+            coll = ParquetCollection(spark, f"{root}/state", n_buckets=256)
+            coll.apply_batch(state_rows(n))
+            secs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                coll.apply_batch(batch)
+                secs.append(time.perf_counter() - t0)
+            out[label] = round(min(secs), 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    out["ratio_10x_state"] = round(
+        out["batch_secs_200k_state"] / max(out["batch_secs_20k_state"], 1e-9), 2
+    )
+    return out
+
+
+def _delta_vs_prev(timings: dict[str, float]) -> dict[str, float]:
+    """best-of-3 minus the latest BENCH_r*.json's best-of-3, per query —
+    makes round-over-round swings attributable at a glance."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return {}
+    try:
+        with open(benches[-1]) as f:
+            prev = json.load(f).get("parsed", {}).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return {
+        q: round(t - prev[q], 3) for q, t in timings.items() if q in prev
+    }
 
 
 if __name__ == "__main__":

@@ -94,6 +94,8 @@ def merge_batch(
     text_cols: Sequence[str] = ("after_title", "after_content"),
     key_cols: Sequence[str] = ("tbl", "pk"),
     coalesce_unchanged: bool = False,
+    cluster_col: str | None = None,
+    cluster_partitions: int | None = None,
 ) -> DataFrame:
     """MERGE emulation for one micro-batch: existing state (rows carry the
     lsn that produced them) ∪ new eligible events → keep max-LSN winner per
@@ -109,13 +111,26 @@ def merge_batch(
     key's prior state (first non-null down the LSN-ordered history, never
     across a tombstone — a delete resets the key). Default off: plain
     whole-row last-write-wins, which is what the A6/C6 SQL oracle
-    specifies."""
+    specifies.
+
+    ``cluster_col`` (with ``cluster_partitions``) is the bucket-pruned
+    variant's hook: the column must pre-exist on both sides and be a pure
+    function of the key (so adding it to the window PARTITION BY changes
+    nothing semantically). The union is repartitioned on it, which
+    Catalyst accepts as satisfying the window's clustered distribution —
+    one shuffle total, and the writer downstream gets data clustered by
+    bucket (one file per bucket instead of files × shuffle-partitions)."""
     ev = eligible_events(batch, text_cols)
     cols = ["op", "tbl", "pk", "lsn", *[c for c in batch.columns if c.startswith("after_")]]
+    if cluster_col is not None:
+        cols.append(cluster_col)
     ev = ev.select(*cols)
     if state is not None:
         ev = state.select(*cols).unionByName(ev)
-    w = Window.partitionBy(*key_cols).orderBy(F.col("lsn").desc())
+    win_keys = list(key_cols) if cluster_col is None else [cluster_col, *key_cols]
+    if cluster_col is not None:
+        ev = ev.repartition(cluster_partitions or 1, cluster_col)
+    w = Window.partitionBy(*win_keys).orderBy(F.col("lsn").desc())
     ranked = ev.withColumn("_rn", F.row_number().over(w))
     if coalesce_unchanged:
         # delete-epoch: running tombstone count in LSN-desc order. A
@@ -128,7 +143,7 @@ def merge_batch(
             ),
         )
         hist = (
-            Window.partitionBy(*key_cols, "_epoch")
+            Window.partitionBy(*win_keys, "_epoch")
             .orderBy(F.col("lsn").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
@@ -145,25 +160,117 @@ def merge_batch(
     return ranked.where(F.col("_rn") == 1).drop("_rn")
 
 
+BUCKET_COL = "bucket"
+
+
+def bucket_expr(key_cols: Sequence[str], n_buckets: int):
+    """Deterministic hash bucket of the key — the state table's partition
+    key. xxhash64 (not rand/monotonic id) so a retried task recomputes the
+    identical bucket."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def read_bucketed_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read `path/bucket=<i>/` partitioned state, recovering any bucket a
+    crash left stranded under `<path>.old/` (the per-bucket analogue of
+    read_state's promotion)."""
+    oldroot = path + ".old"
+    if os.path.isdir(oldroot):
+        for name in os.listdir(oldroot):
+            if name.startswith(f"{BUCKET_COL}="):
+                dst = os.path.join(path, name)
+                if not os.path.exists(dst):  # crashed between the renames
+                    os.makedirs(path, exist_ok=True)
+                    os.rename(os.path.join(oldroot, name), dst)
+        shutil.rmtree(oldroot, ignore_errors=True)
+    if not os.path.isdir(path) or not any(
+        n.startswith(f"{BUCKET_COL}=") for n in os.listdir(path)
+    ):
+        return None
+    return spark.read.parquet(path)
+
+
+def swap_buckets(merged: DataFrame, path: str, touched: Sequence[int]) -> None:
+    """Replace exactly the `touched` bucket directories of `path` with the
+    corresponding partitions of `merged` (which must carry BUCKET_COL).
+
+    Write-then-rename per bucket: each bucket flip is atomic, and a crash
+    mid-loop leaves every bucket either pre- or post-batch — merge_batch
+    is idempotent, so the checkpoint replay converges. Untouched buckets
+    are never read, rewritten, or even listed. On a real cluster this is
+    `MERGE INTO state` on a table partitioned/clustered by bucket —
+    Delta/Iceberg prune to the same touched file set."""
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    os.makedirs(path, exist_ok=True)
+    oldroot = path + ".old"
+    for b in touched:
+        src = os.path.join(tmp, f"{BUCKET_COL}={b}")
+        dst = os.path.join(path, f"{BUCKET_COL}={b}")
+        old = os.path.join(oldroot, f"{BUCKET_COL}={b}")
+        os.makedirs(oldroot, exist_ok=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(oldroot, ignore_errors=True)
+
+
 class ParquetCollection:
-    """Keyed collection state backed by parquet with atomic directory swap
-    — the engine-native analogue of the reference's vector sinks
-    (qdrant.go upsert/delete), minus the HTTP. On a cluster this class is
-    replaced by Delta MERGE; the plan shape (merge_batch) is identical.
-    """
+    """Keyed collection state backed by hash-bucketed parquet
+    (`path/bucket=<i>/`) with per-bucket atomic swap — the engine-native
+    analogue of the reference's vector sinks (qdrant.go upsert/delete),
+    minus the HTTP.
+
+    Per-batch cost is O(batch + touched_buckets × bucket_size), NOT
+    O(total state): the batch's touched buckets (≤ n_buckets small ints —
+    the only collect) prune both the state read (partition pruning on the
+    bucket directory column) and the rewrite (swap_buckets). At 100 TB
+    you size n_buckets so a bucket is a few GB (n_buckets ~ 10^4-10^5)
+    and this becomes the same touched-file set a Delta/Iceberg MERGE on a
+    bucket-clustered table would touch; merge_batch is the identical plan
+    shape."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 text_cols: Sequence[str] = ("after_title", "after_content")):
+                 text_cols: Sequence[str] = ("after_title", "after_content"),
+                 key_cols: Sequence[str] = ("tbl", "pk"),
+                 n_buckets: int = 64):
         self.spark = spark
         self.path = path
         self.text_cols = tuple(text_cols)
+        self.key_cols = tuple(key_cols)
+        self.n_buckets = n_buckets
 
     def read(self) -> DataFrame | None:
-        return read_state(self.spark, self.path)
+        return read_bucketed_state(self.spark, self.path)
 
     def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
-        """foreachBatch hook: merge one micro-batch into state."""
-        swap_write(merge_batch(self.read(), batch, self.text_cols), self.path)
+        """foreachBatch hook: merge one micro-batch into the touched
+        buckets only."""
+        bexpr = bucket_expr(self.key_cols, self.n_buckets)
+        ev = eligible_events(batch, self.text_cols).withColumn(BUCKET_COL, bexpr)
+        touched = sorted(
+            r[0] for r in ev.select(BUCKET_COL).distinct().collect()
+        )  # ≤ n_buckets ints — the one driver round-trip
+        if not touched:
+            return
+        prior = self.read()
+        if prior is not None:
+            # bucket is the partition directory column → pruned scan
+            prior = prior.where(F.col(BUCKET_COL).isin(touched))
+        merged = merge_batch(
+            prior,
+            batch.withColumn(BUCKET_COL, bexpr),
+            self.text_cols,
+            key_cols=self.key_cols,
+            cluster_col=BUCKET_COL,
+            cluster_partitions=len(touched),
+        )
+        swap_buckets(merged, self.path, touched)
 
     def state(self) -> DataFrame | None:
         """Live rows only (tombstones filtered)."""

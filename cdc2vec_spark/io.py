@@ -43,12 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() == "long":
-            from pyspark.sql import functions as F
+        if field.name != "ts":
+            continue
+        from pyspark.sql import functions as F
 
+        if field.dataType.typeName() == "long":
             # integer `div`, NOT `/`: ns epoch values exceed 2^53, so double
             # division would corrupt the low microseconds
             df = df.withColumn("ts", F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            # naive micros footer → Spark reads TIMESTAMP_NTZ, which
+            # withWatermark rejects; session tz is pinned UTC so the cast
+            # to LTZ preserves every instant (and the DuckDB oracle, being
+            # UTC-naive, sees identical values either way)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

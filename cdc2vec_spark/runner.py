@@ -34,28 +34,36 @@ class PointsCollection:
     tombstone so a stale replayed upsert cannot resurrect a key — the
     same max-LSN-per-key merge contract as cdc.apply.ParquetCollection,
     holding sink-side points (id, vector, metadata) instead of row state
-    (types.go:15's Point)."""
+    (types.go:15's Point). Hash-bucketed like ParquetCollection: a batch
+    reads and rewrites only the buckets holding its ids — O(batch +
+    touched_buckets × bucket_size) per flush, never O(state)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
         self.spark = spark
         self.path = path
+        self.n_buckets = n_buckets
 
     def read(self) -> DataFrame | None:
-        from .cdc.apply import read_state
+        from .cdc.apply import read_bucketed_state
 
-        return read_state(self.spark, self.path)
+        return read_bucketed_state(self.spark, self.path)
 
     def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
-        from .cdc.apply import swap_write
+        from .cdc.apply import BUCKET_COL, bucket_expr, swap_buckets
 
+        bexpr = bucket_expr(("id",), self.n_buckets)
+        cols = ["id", "vector", "metadata", "op", "lsn", BUCKET_COL]
+        ev = pts.withColumn(BUCKET_COL, bexpr).select(*cols)
+        touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return
         state = self.read()
-        cols = ["id", "vector", "metadata", "op", "lsn"]
-        ev = pts.select(*cols)
         if state is not None:
-            ev = state.select(*cols).unionByName(ev)
-        w = Window.partitionBy("id").orderBy(F.col("lsn").desc())
+            ev = state.where(F.col(BUCKET_COL).isin(touched)).select(*cols).unionByName(ev)
+        ev = ev.repartition(len(touched), BUCKET_COL)
+        w = Window.partitionBy(BUCKET_COL, "id").orderBy(F.col("lsn").desc())
         merged = ev.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-        swap_write(merged, self.path)
+        swap_buckets(merged, self.path, touched)
 
     def live(self) -> DataFrame | None:
         df = self.read()

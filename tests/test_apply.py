@@ -110,6 +110,90 @@ def test_swap_write_crash_recovery(spark, tmp_path):
     assert os.path.exists(path) and not os.path.exists(path + ".old")
 
 
+def _bucket_snapshot(path):
+    """(bucket dir → sorted data-file names+sizes) map for change detection."""
+    import os
+
+    out = {}
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("bucket="):
+            continue
+        d = os.path.join(path, name)
+        out[name] = sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        )
+    return out
+
+
+def test_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """The O(batch) claim, verified structurally: a 2-key batch against a
+    1000-key state must leave every untouched bucket directory's data
+    files byte-identical (same names — Spark part-file names are
+    write-specific UUIDs, so an untouched name proves an untouched file)
+    and rewrite only the buckets the 2 keys hash into."""
+    path = str(tmp_path / "state")
+    coll = apply.ParquetCollection(spark, path, n_buckets=16)
+    big = spark.range(1000).select(
+        F.col("id").alias("lsn"),
+        F.lit("c").alias("op"),
+        F.lit("t").alias("tbl"),
+        F.col("id").cast("string").alias("pk"),
+        F.lit("title").alias("after_title"),
+        F.lit("content").alias("after_content"),
+        F.lit("a").alias("after_author"),
+    )
+    coll.apply_batch(big)
+    before = _bucket_snapshot(path)
+    assert len(before) == 16  # 1000 keys cover all 16 buckets
+
+    small = _log(
+        spark,
+        [
+            (5000, "u", "t", "3", "new3", "c", "a"),
+            (5001, "d", "t", "7", None, None, None),
+        ],
+    )
+    coll.apply_batch(small)
+    after = _bucket_snapshot(path)
+
+    changed = {b for b in before if before[b] != after.get(b)}
+    from pyspark.sql import Row
+
+    want = {
+        f"bucket={r.b}"
+        for r in spark.createDataFrame([Row(tbl="t", pk="3"), Row(tbl="t", pk="7")])
+        .select(apply.bucket_expr(("tbl", "pk"), 16).alias("b"))
+        .collect()
+    }
+    assert changed == want and 1 <= len(changed) <= 2
+
+    # and the merge itself is still correct
+    got = {r["pk"]: r["after_title"] for r in coll.state().collect()}
+    assert got["3"] == "new3" and "7" not in got and len(got) == 999
+
+
+def test_bucketed_crash_recovery(spark, tmp_path):
+    """A crash between the per-bucket renames leaves the bucket only under
+    <path>.old/; read_bucketed_state must promote it."""
+    import os
+
+    path = str(tmp_path / "state")
+    coll = apply.ParquetCollection(spark, path, n_buckets=4)
+    coll.apply_batch(
+        _log(spark, [(1, "c", "t", "1", "v", "c", "a"), (2, "c", "t", "2", "w", "c", "a")])
+    )
+    buckets = [n for n in os.listdir(path) if n.startswith("bucket=")]
+    victim = buckets[0]
+    os.makedirs(path + ".old", exist_ok=True)
+    os.rename(os.path.join(path, victim), os.path.join(path + ".old", victim))
+    got = {r["pk"] for r in coll.state().collect()}
+    assert got == {"1", "2"}
+    assert os.path.exists(os.path.join(path, victim))
+    assert not os.path.exists(path + ".old")
+
+
 def test_merge_batch_toast_coalesce(spark):
     """coalesce_unchanged=True backfills a null update column from the
     key's prior state (TOAST 'u' repair) — within one batch, across
