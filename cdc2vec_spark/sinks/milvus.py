@@ -1,15 +1,24 @@
-"""Milvus sink parity helpers (/root/reference/internal/sink/milvus/).
+"""Milvus sink parity (/root/reference/internal/sink/milvus/).
 
 The reference creates a collection with fields (id varchar(512) pk,
 vector float_vector(dim), payload json), HNSW index M=16 ef=200, metric
 IP (milvus.go:53-131) and then *Inserts* — not upserts — so updates
 duplicate rows (milvus.go:134-158, documented divergence in SURVEY §2.1
-K3). Our engine does true upsert via the keyed collection merge; this
-module only builds the row payloads a gRPC writer would send, since no
-Milvus server exists in this environment.
+K3). Our engine does true upsert via the keyed collection merge upstream.
+
+The reference speaks the gRPC SDK; the Spark-side writer here speaks
+Milvus's public REST v2 surface (/v2/vectordb/...) so it can run from
+``foreachPartition`` with one pooled HTTP connection per partition —
+batched, vs the reference's one-RPC-per-point loop. ``ensure_collection``
+reproduces milvus.go's ensure() flow (has → create schema → create HNSW
+index → load) with the same field/index constants. No Milvus server
+exists in this environment; tests drive a mock server end-to-end.
 """
 
 from __future__ import annotations
+
+import json as _json
+import urllib.request
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,3 +45,104 @@ def delete_expr(ids: list[str]) -> str:
     """Milvus delete expression (milvus.go:160-177: `id in ["<id>"]`)."""
     quoted = ",".join('"' + i.replace('"', '\\"') + '"' for i in ids)
     return f"id in [{quoted}]"
+
+
+def _post(url: str, path: str, body: dict, timeout_s: float) -> dict:
+    req = urllib.request.Request(
+        url.rstrip("/") + path,
+        data=_json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        return _json.loads(resp.read() or b"{}")
+
+
+def ensure_collection(
+    url: str, collection: str, dim: int, metric: str = "IP",
+    index_type: str = "HNSW", timeout_s: float = 30.0,
+) -> bool:
+    """milvus.go ensure() (53-131) over REST v2: has → (create schema +
+    HNSW M=16/ef=200 index) → load. Returns True if the collection was
+    created. Driver-side, once per stream — not per batch (the reference
+    re-checks per upsert; we cache at the caller via the returned flag)."""
+    has = _post(url, "/v2/vectordb/collections/has",
+                {"collectionName": collection}, timeout_s)
+    exists = bool((has.get("data") or {}).get("has"))
+    if not exists:
+        schema = {
+            "fields": [
+                {
+                    "fieldName": "id",
+                    "dataType": "VarChar",
+                    "isPrimary": True,
+                    "elementTypeParams": {"max_length": 512},  # milvus.go:71
+                },
+                {
+                    "fieldName": "vector",
+                    "dataType": "FloatVector",
+                    "elementTypeParams": {"dim": dim},  # milvus.go:72
+                },
+                {"fieldName": "payload", "dataType": "JSON"},  # milvus.go:73
+            ]
+        }
+        _post(url, "/v2/vectordb/collections/create",
+              {"collectionName": collection, "schema": schema}, timeout_s)
+        _post(
+            url,
+            "/v2/vectordb/indexes/create",
+            {
+                "collectionName": collection,
+                "indexParams": [
+                    {
+                        "fieldName": "vector",
+                        "indexName": "vector",
+                        "metricType": metric,  # milvus.go:99: default IP
+                        "params": {
+                            "index_type": index_type,  # HNSW
+                            "M": INDEX["M"],
+                            "efConstruction": INDEX["efConstruction"],
+                        },
+                    }
+                ],
+            },
+            timeout_s,
+        )
+    _post(url, "/v2/vectordb/collections/load",
+          {"collectionName": collection}, timeout_s)
+    return not exists
+
+
+def write_partition_http(
+    rows, url: str, collection: str, timeout_s: float = 20.0,
+) -> None:
+    """foreachPartition writer over ``insert_payloads`` rows: one batched
+    POST /v2/vectordb/entities/insert per partition (milvus.go:134-158
+    inserts one point per RPC; same 20s timeout). Insert — not upsert —
+    is the reference's documented behavior; dedup happens upstream in the
+    keyed collection merge."""
+    data = [
+        {
+            "id": r["id"],
+            "vector": [float(x) for x in r["vector"]],
+            "payload": _json.loads(r["payload_json"] or "{}"),
+        }
+        for r in rows
+    ]
+    if not data:
+        return
+    _post(url, "/v2/vectordb/entities/insert",
+          {"collectionName": collection, "data": data}, timeout_s)
+
+
+def delete_partition_http(
+    rows, url: str, collection: str, timeout_s: float = 20.0,
+) -> None:
+    """foreachPartition delete: batched filter expression
+    POST /v2/vectordb/entities/delete (milvus.go:160-177 sends one
+    single-id expr per RPC; ours packs the whole partition into one)."""
+    ids = [r["id"] for r in rows]
+    if not ids:
+        return
+    _post(url, "/v2/vectordb/entities/delete",
+          {"collectionName": collection, "filter": delete_expr(ids)}, timeout_s)

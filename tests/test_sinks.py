@@ -3,6 +3,7 @@ message schema (kafka.go:19-26), Milvus payload shape."""
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc2vec_spark.sinks import kafka, milvus, qdrant
@@ -62,6 +63,90 @@ def test_milvus_payloads(spark):
     out = milvus.insert_payloads(_points(spark).where(F.col("op") != "d")).collect()
     assert json.loads(out[0]["payload_json"])["pk"] == "1"
     assert milvus.delete_expr(["a", 'b"c']) == 'id in ["a","b\\"c"]'
+
+
+def _mock_milvus():
+    """Minimal Milvus REST v2 mock: records every POST, answers /has from
+    its own created-collections set."""
+    import http.server
+    import json as _json
+    import threading
+
+    state = {"calls": [], "collections": set()}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = _json.loads(self.rfile.read(n))
+            state["calls"].append((self.path, body))
+            out = {"code": 0, "data": {}}
+            if self.path == "/v2/vectordb/collections/has":
+                out["data"] = {"has": body["collectionName"] in state["collections"]}
+            elif self.path == "/v2/vectordb/collections/create":
+                state["collections"].add(body["collectionName"])
+            payload = _json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", state
+
+
+def test_milvus_writer_end_to_end(spark):
+    """ensure → insert → delete against a mock Milvus REST v2 server:
+    the milvus.go:53-131 ensure flow (has → create varchar(512)-pk/
+    vector/json schema → HNSW M=16 ef=200 IP index → load), then batched
+    partition inserts (134-158) and a batched delete expr (160-177)."""
+    srv, url, state = _mock_milvus()
+    try:
+        created = milvus.ensure_collection(url, "docs", dim=2)
+        assert created
+        paths = [p for p, _ in state["calls"]]
+        assert paths == [
+            "/v2/vectordb/collections/has",
+            "/v2/vectordb/collections/create",
+            "/v2/vectordb/indexes/create",
+            "/v2/vectordb/collections/load",
+        ]
+        create_body = state["calls"][1][1]
+        fields = {f["fieldName"]: f for f in create_body["schema"]["fields"]}
+        assert fields["id"]["isPrimary"] and fields["id"]["elementTypeParams"]["max_length"] == 512
+        assert fields["vector"]["elementTypeParams"]["dim"] == 2
+        assert fields["payload"]["dataType"] == "JSON"
+        idx = state["calls"][2][1]["indexParams"][0]
+        assert idx["metricType"] == "IP" and idx["params"] == {
+            "index_type": "HNSW", "M": 16, "efConstruction": 200,
+        }
+        # second ensure: has → load only, no re-create
+        assert not milvus.ensure_collection(url, "docs", dim=2)
+        assert [p for p, _ in state["calls"][4:]] == [
+            "/v2/vectordb/collections/has",
+            "/v2/vectordb/collections/load",
+        ]
+
+        state["calls"].clear()
+        pts = _points(spark)
+        up = milvus.insert_payloads(pts.where(F.col("op") != "d")).repartition(2)
+        up.foreachPartition(lambda rows: milvus.write_partition_http(rows, url, "docs"))
+        inserts = [b for p, b in state["calls"] if p == "/v2/vectordb/entities/insert"]
+        sent = [d for b in inserts for d in b["data"]]
+        assert {d["id"] for d in sent} == {"public.documents:1"}
+        assert sent[0]["vector"] == pytest.approx([0.6, 0.8]) and sent[0]["payload"]["pk"] == "1"
+
+        dels = pts.where(F.col("op") == "d").select("id").coalesce(1)
+        dels.foreachPartition(lambda rows: milvus.delete_partition_http(rows, url, "docs"))
+        del_calls = [b for p, b in state["calls"] if p == "/v2/vectordb/entities/delete"]
+        assert del_calls == [
+            {"collectionName": "docs", "filter": 'id in ["public.documents:2"]'}
+        ]
+    finally:
+        srv.shutdown()
 
 
 def test_qdrant_http_writer_end_to_end(spark):
