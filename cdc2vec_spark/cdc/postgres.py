@@ -1,0 +1,282 @@
+"""Postgres CDC bridge — dev-mode parity for the reference's logical-
+replication source (/root/reference/internal/cdc/postgres/postgres.go:95-221).
+
+The reference dials Postgres directly (pglogrepl + pgoutput) and decodes
+WAL row messages in-process. The engine's production topology is
+Kafka/Debezium (cdc.debezium.read_kafka_stream); what was missing is the
+reference's no-Kafka demo shape: point the engine at a bare Postgres and
+go. This module closes that gap in two layers, both on public interfaces:
+
+- **Decode**: ``wal2json_changes`` parses the wal2json logical-decoding
+  output (format-version 2 NDJSON — the standard contrib plugin's
+  documented format) into the engine envelope, entirely with JVM
+  expressions (from_json + map_from_entries + conv). pgoutput's binary
+  protocol is intentionally NOT re-implemented: wal2json ships with every
+  managed Postgres and emits the same row images.
+- **Transport**: ``PostgresBridge`` tails a growing wal2json NDJSON file
+  (what ``pg_recvlogical -f`` writes) and lands monotonic parquet chunks
+  in a directory that ``streaming.source.read_file_stream`` / ``runner
+  .boot`` already consume. Offsets are a byte position persisted via
+  tmp+rename, so a restarted bridge resumes exactly where it stopped —
+  the reference's StandbyStatusUpdate bookkeeping (postgres.go:182-186),
+  file-shaped.
+- **Provisioning**: ``provision`` issues the same two statements the
+  reference runs at startup — CREATE PUBLICATION ... FOR ALL TABLES
+  (postgres.go:124-133) and pg_create_logical_replication_slot(slot,
+  plugin) (postgres.go:141-150 via pglogrepl.CreateReplicationSlot) —
+  through a caller-supplied ``execute`` so any DB-API cursor (or a test
+  fake) works, with the reference's warn-and-continue on "already
+  exists".
+
+Scale note: the bridge is a DEV topology — one driver-side tailer is
+exactly as parallel as one replication slot (Postgres logical replication
+is inherently single-streamed). At 100 TB you run Debezium into Kafka and
+`read_kafka_stream` fans out by topic-partition; the decode layer here is
+the same envelope either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .envelope import OP_DELETE, OP_INSERT, OP_UPDATE
+
+# wal2json format-version 2 row record (documented fields; B/C txn records
+# carry no columns and are dropped by the action filter).
+WAL2JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("action", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("lsn", T.StringType()),  # "X/Y" pg_lsn text form
+        T.StructField(
+            "columns",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "identity",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_ACTION_TO_OP = {"I": OP_INSERT, "U": OP_UPDATE, "D": OP_DELETE}
+
+
+def lsn_to_long(col: Column) -> Column:
+    """pg_lsn text ("16/B374D848") → numeric WAL position
+    (hi<<32 | lo) — the same arithmetic as postgres.go:155-158."""
+    hi = F.conv(F.split(col, "/").getItem(0), 16, 10).cast("long")
+    lo = F.conv(F.split(col, "/").getItem(1), 16, 10).cast("long")
+    return (F.shiftleft(hi, 32) + lo).alias("lsn")
+
+
+def wal2json_changes(
+    df: DataFrame, id_column: str, value_col: str = "value"
+) -> DataFrame:
+    """wal2json v2 NDJSON lines → engine envelope (op, tbl, pk, before,
+    after, lsn).
+
+    - action I/U/D → op c/u/d (postgres.go:583/599/618); B/C/T/M records
+      are filtered out.
+    - ``columns`` (new row image) → ``after`` map for I/U; ``identity``
+      (replica-identity image) → ``before``, and the delete's pk source
+      (postgres.go:602-618: deletes carry only the old image).
+    - every value stays a string — the reference decodes all columns to
+      strings (postgres.go:621-647), and wal2json's v2 output is already
+      stringly typed here.
+
+    All JVM expressions (from_json, map_from_entries, conv) — no Python
+    on the row path, so the same decode runs unchanged over a Kafka
+    stream carrying wal2json payloads.
+    """
+    rec = F.from_json(F.col(value_col).cast("string"), WAL2JSON_SCHEMA)
+    op = _op_expr(rec["action"])
+    after = F.map_from_entries(rec["columns"])
+    before = F.map_from_entries(rec["identity"])
+    pk = F.coalesce(
+        F.element_at(after, id_column), F.element_at(before, id_column)
+    )
+    return (
+        df.select(
+            op.alias("op"),
+            F.concat_ws(".", rec["schema"], rec["table"]).alias("tbl"),
+            pk.alias("pk"),
+            F.when(op != OP_INSERT, before).alias("before"),
+            F.when(op != OP_DELETE, after).alias("after"),
+            lsn_to_long(rec["lsn"]).alias("lsn"),
+        )
+        .where(F.col("op").isNotNull())
+    )
+
+
+def _op_expr(action: Column) -> Column:
+    out = F.lit(None).cast("string")
+    for act, op in _ACTION_TO_OP.items():
+        out = F.when(action == act, F.lit(op)).otherwise(out)
+    return out
+
+
+def flat_changes(
+    df: DataFrame, id_column: str, after_keys: list[str], value_col: str = "value"
+) -> DataFrame:
+    """wal2json lines → the flattened change schema (lsn, op, tbl, pk,
+    after_<key>) the rest of the engine consumes (FIXTURES.md §2)."""
+    from .envelope import to_flat
+
+    return to_flat(wal2json_changes(df, id_column, value_col), after_keys)
+
+
+# --- provisioning (postgres.go:124-150) -----------------------------------
+
+def provision_statements(
+    publication: str, slot: str, plugin: str = "pgoutput"
+) -> list[str]:
+    """The two startup statements the reference issues, verbatim in
+    semantics: publication over all tables, then the logical slot."""
+    return [
+        f"CREATE PUBLICATION {publication} FOR ALL TABLES",  # postgres.go:128
+        f"SELECT pg_create_logical_replication_slot('{slot}', '{plugin}')",
+    ]
+
+
+def provision(
+    execute, publication: str = "", slot: str = "", plugin: str = "pgoutput"
+) -> list[str]:
+    """Run provisioning through ``execute(sql)`` (any DB-API cursor
+    method). Mirrors the reference's tolerance: an already-exists failure
+    is logged-and-ignored (postgres.go:130-133, :145-149), anything else
+    propagates. Returns the statements that succeeded."""
+    done: list[str] = []
+    stmts = []
+    if publication:
+        stmts.append(provision_statements(publication, slot, plugin)[0])
+    if slot:
+        stmts.append(provision_statements(publication, slot, plugin)[1])
+    for sql in stmts:
+        try:
+            execute(sql)
+            done.append(sql)
+        except Exception as e:  # noqa: BLE001 — classify, don't die mid-boot
+            if "already exists" not in str(e).lower():
+                raise
+    return done
+
+
+# --- dev-mode transport ----------------------------------------------------
+
+@dataclass
+class BridgeOffset:
+    byte_pos: int = 0
+    chunk_seq: int = 0
+
+
+class PostgresBridge:
+    """Tail a wal2json NDJSON file into parquet chunks for the file
+    stream — the no-Kafka demo topology (reference docker-compose.yaml:
+    Postgres straight into the engine).
+
+    ``pump()`` reads complete new lines past the stored byte offset,
+    decodes them (flat_changes), writes one `chunk_NNNN` parquet dir with
+    a monotonically bumped mtime (FileStreamSource orders by mtime), and
+    atomically persists the new offset. Crash between chunk write and
+    offset write → the chunk is re-written identically on restart
+    (decode is deterministic, chunk seq comes from the offset file), and
+    the streaming checkpoint dedups at the sink via the max-LSN merge —
+    the same at-least-once + idempotent-apply story as the Kafka path.
+
+    Driver-side by design: dev-mode only (see module docstring)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        wal_path: str,
+        chunk_dir: str,
+        id_column: str,
+        after_keys: list[str],
+    ):
+        self.spark = spark
+        self.wal_path = wal_path
+        self.chunk_dir = chunk_dir
+        self.id_column = id_column
+        self.after_keys = list(after_keys)
+        self.offset_path = os.path.join(chunk_dir, "_bridge_offset.json")
+
+    # FileStreamSource ignores _-prefixed files, so the offset sidecar is
+    # invisible to the stream reading the same directory.
+
+    def _load_offset(self) -> BridgeOffset:
+        try:
+            with open(self.offset_path) as f:
+                return BridgeOffset(**json.load(f))
+        except (OSError, json.JSONDecodeError, TypeError):
+            return BridgeOffset()
+
+    def _save_offset(self, off: BridgeOffset) -> None:
+        tmp = self.offset_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(off.__dict__, f)
+        os.replace(tmp, self.offset_path)
+
+    def pump(self) -> int:
+        """One poll: land new complete WAL lines as one chunk. Returns the
+        number of change rows written (0 → nothing new)."""
+        off = self._load_offset()
+        try:
+            with open(self.wal_path, "rb") as f:
+                f.seek(off.byte_pos)
+                buf = f.read()
+        except FileNotFoundError:
+            return 0
+        # only complete lines — a torn tail line stays for the next poll
+        end = buf.rfind(b"\n")
+        if end < 0:
+            return 0
+        lines = [ln for ln in buf[: end + 1].splitlines() if ln.strip()]
+        if not lines:
+            self._save_offset(BridgeOffset(off.byte_pos + end + 1, off.chunk_seq))
+            return 0
+        raw = self.spark.createDataFrame(
+            [(ln.decode("utf-8"),) for ln in lines], "value string"
+        )
+        flat = flat_changes(raw, self.id_column, self.after_keys)
+        out = os.path.join(self.chunk_dir, f"chunk_{off.chunk_seq:04d}")
+        flat.coalesce(1).write.mode("overwrite").parquet(out)
+        n = flat.count()
+        now = time.time()
+        for fn in os.listdir(out):
+            os.utime(os.path.join(out, fn), (now, now))
+        self._save_offset(BridgeOffset(off.byte_pos + end + 1, off.chunk_seq + 1))
+        return n
+
+    def run(self, poll_interval_s: float = 0.5, max_idle_polls: int | None = None):
+        """Poll loop (the reference's receive loop, postgres.go:188-218).
+        ``max_idle_polls`` bounds the loop for tests; None runs forever."""
+        idle = 0
+        while max_idle_polls is None or idle < max_idle_polls:
+            if self.pump() > 0:
+                idle = 0
+            else:
+                idle += 1
+            time.sleep(poll_interval_s)

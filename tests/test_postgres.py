@@ -1,0 +1,133 @@
+"""Postgres dev-mode bridge (SURVEY §2.1 S1/S2 dev topology): wal2json
+decode parity, provisioning statements, and a synthetic WAL replay
+through the full engine boot."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc2vec_spark import runner
+from cdc2vec_spark.cdc import postgres as pg
+
+
+def _wal_line(action, lsn, columns=None, identity=None, schema="public", table="documents"):
+    rec = {"action": action, "schema": schema, "table": table, "lsn": lsn}
+    if columns is not None:
+        rec["columns"] = [{"name": k, "value": v} for k, v in columns.items()]
+    if identity is not None:
+        rec["identity"] = [{"name": k, "value": v} for k, v in identity.items()]
+    return json.dumps(rec)
+
+
+def test_lsn_to_long(spark):
+    df = spark.createDataFrame([("0/16B2C58",), ("16/B374D848",)], "lsn string")
+    got = [r[0] for r in df.select(pg.lsn_to_long(F.col("lsn"))).collect()]
+    assert got == [0x16B2C58, (0x16 << 32) | 0xB374D848]
+
+
+def test_wal2json_decode(spark):
+    lines = [
+        # txn framing records must be dropped
+        json.dumps({"action": "B"}),
+        _wal_line("I", "0/100", columns={"id": "1", "title": "t1", "content": "c1"}),
+        _wal_line(
+            "U",
+            "0/200",
+            columns={"id": "1", "title": "t2", "content": "c2"},
+            identity={"id": "1"},
+        ),
+        _wal_line("D", "0/300", identity={"id": "1"}),
+        json.dumps({"action": "C"}),
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    rows = pg.wal2json_changes(df, id_column="id").orderBy("lsn").collect()
+    assert [r["op"] for r in rows] == ["c", "u", "d"]
+    assert all(r["tbl"] == "public.documents" for r in rows)
+    assert [r["pk"] for r in rows] == ["1", "1", "1"]
+    assert rows[0]["after"]["title"] == "t1" and rows[0]["before"] is None
+    assert rows[1]["after"]["title"] == "t2" and rows[1]["before"] == {"id": "1"}
+    # deletes carry only the old image (postgres.go:602-618)
+    assert rows[2]["after"] is None and rows[2]["before"] == {"id": "1"}
+    assert [r["lsn"] for r in rows] == [0x100, 0x200, 0x300]
+
+
+def test_provision_warn_and_continue():
+    ran = []
+
+    def execute(sql):
+        ran.append(sql)
+        if "PUBLICATION" in sql:
+            raise RuntimeError('publication "pub" already exists')
+
+    done = pg.provision(execute, publication="pub", slot="slot")
+    assert ran == [
+        "CREATE PUBLICATION pub FOR ALL TABLES",
+        "SELECT pg_create_logical_replication_slot('slot', 'pgoutput')",
+    ]
+    assert done == [ran[1]]  # already-exists swallowed, slot created
+
+    with pytest.raises(RuntimeError, match="connection refused"):
+        pg.provision(
+            lambda sql: (_ for _ in ()).throw(RuntimeError("connection refused")),
+            publication="pub",
+        )
+
+
+def test_bridge_replay_through_boot(spark, tmp_path):
+    """Synthetic WAL-like log → PostgresBridge chunks → runner.boot: the
+    reference's no-Kafka demo topology end-to-end. Includes a torn tail
+    line (must wait for its newline), a restart-resume, and LWW + delete
+    semantics at the sink."""
+    wal = tmp_path / "wal.ndjson"
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    bridge = pg.PostgresBridge(
+        spark,
+        str(wal),
+        str(chunks),
+        id_column="id",
+        after_keys=["title", "content", "author"],
+    )
+    assert bridge.pump() == 0  # no WAL file yet
+
+    seg1 = [
+        _wal_line("I", "0/10", columns={"id": "1", "title": "one", "content": "body1", "author": "a"}),
+        _wal_line("I", "0/20", columns={"id": "2", "title": "two", "content": "body2", "author": "b"}),
+        _wal_line("U", "0/30", columns={"id": "1", "title": "one-v2", "content": "body1", "author": "a"},
+                  identity={"id": "1"}),
+    ]
+    torn = _wal_line("I", "0/40", columns={"id": "3", "title": "three", "content": "body3", "author": "c"})
+    wal.write_text("\n".join(seg1) + "\n" + torn[: len(torn) // 2])
+    assert bridge.pump() == 3  # torn line excluded
+    assert bridge.pump() == 0  # nothing new and torn still incomplete
+
+    # finish the torn line + a delete; a NEW bridge instance must resume
+    # from the persisted offset (restart semantics)
+    with open(wal, "a") as f:
+        f.write(torn[len(torn) // 2 :] + "\n")
+        f.write(_wal_line("D", "0/50", identity={"id": "2"}) + "\n")
+    bridge2 = pg.PostgresBridge(
+        spark, str(wal), str(chunks), "id", ["title", "content", "author"]
+    )
+    assert bridge2.pump() == 2
+
+    flat = spark.read.parquet(*[str(p) for p in chunks.glob("chunk_*")])
+    query, coll, _ = runner.boot(
+        spark,
+        config=None,  # DEFAULT_CONFIG: public.documents mapping
+        changes_dir=str(chunks),
+        changes_schema=flat.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    live = {r["id"]: r["metadata"] for r in coll.live().collect()}
+    # id 2 deleted; 1 and 3 live with last-write-wins metadata
+    assert set(live) == {"public.documents:1", "public.documents:3"}
+    assert live["public.documents:1"]["after_author"] == "a"
