@@ -335,13 +335,29 @@ def minhash_neardup(
     if cache:
         sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, bands, rows, id_col)
+    out = _verify_jaccard(cands, hashed, threshold, id_col)
+    if cache:
+        # materialize the (small) result eagerly so the big intermediates
+        # can be unpersisted NOW instead of leaking until driver GC
+        out = out.localCheckpoint(eager=True)
+        hashed.unpersist()
+        sigs.unpersist()
+    return out
+
+
+def _verify_jaccard(
+    cands: DataFrame, hashed: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the shingle-
+    hash sets — candidates are few (bucket collisions), so this is an
+    array_intersect over the candidates only, no pair blowup."""
     nonempty = hashed.where(F.size("sh") > 0)
     sh_a = nonempty.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sa"))
     sh_b = nonempty.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size(F.array_union("_sa", "_sb"))
     jac = F.round(inter.cast("double") / union, 4)
-    out = (
+    return (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .where(union > 0)
@@ -349,12 +365,37 @@ def minhash_neardup(
         .where(F.col("jac") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def lsh_exact_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    cache: bool = True,
+) -> DataFrame:
+    """Degenerate LSH: the banding runs on the IDENTITY signature — one
+    band per distinct shingle hash (bands=|shingles|, rows=1) — so a pair
+    is a candidate iff it shares ≥ 1 shingle, i.e. candidate recall is
+    exactly 1 for any pair with Jaccard > 0. The output (candidates →
+    exact-Jaccard verify ≥ threshold) is therefore fully SQL-expressible:
+    it equals ALL pairs with true Jaccard ≥ threshold, which the DuckDB
+    oracle checks hash-exactly. Exercises the same code path as
+    d2_minhash_lsh (banded inverted index → bucket self-join → verify
+    join) with the probabilistic signature swapped out — the
+    hash-checked anchor for the rows-only probabilistic entries."""
+    hashed = shingle_hashes(df, n, text_col)
     if cache:
-        # materialize the (small) result eagerly so the big intermediates
-        # can be unpersisted NOW instead of leaking until driver GC
+        hashed = hashed.persist()
+    banded = hashed.where(F.size("sh") > 0).select(
+        id_col, F.lit(0).alias("band"), F.explode("sh").alias("bv")
+    )
+    cands = banded_candidate_pairs(banded, id_col, bv_col="bv")
+    out = _verify_jaccard(cands, hashed, threshold, id_col)
+    if cache:
         out = out.localCheckpoint(eager=True)
         hashed.unpersist()
-        sigs.unpersist()
     return out
 
 
@@ -457,6 +498,12 @@ def d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup(neardup_corpus(spark, sf_dir), max_hamming=6)
 
 
+def d2_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-banding LSH (recall-1 candidates) over the derived
+    corpus — the hash-checked twin of d2_minhash_lsh."""
+    return lsh_exact_pairs(neardup_corpus(spark, sf_dir), threshold=0.5)
+
+
 def d9_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup pipeline: pairs → clusters → one survivor per
     cluster; returns the surviving doc_ids. Rows-only oracle (LSH recall
@@ -477,11 +524,24 @@ SELECT id_a, id_b, jac FROM (
 ) t WHERE jac >= 0.5 ORDER BY id_a, id_b
 """
 
+# identical Jaccard semantics, unblocked: every pair with J >= t shares a
+# shingle, which is exactly the degenerate-LSH candidate condition
+_D2_LSH_EXACT_ORACLE = _CORPUS_CTE + """
+SELECT id_a, id_b, jac FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(a.shingles || b.shingles)), 4) AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+) t WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_blocked_jaccard": d2_blocked_jaccard,
     "d2_minhash_lsh": d2_minhash_lsh,
     "d2_simhash": d2_simhash,
+    "d2_lsh_exact": d2_lsh_exact,
     "d9_keep_canonical": d9_keep_canonical,
 }
 
@@ -490,6 +550,7 @@ ORACLES = {
         "SELECT count(*) AS n FROM (SELECT DISTINCT md5(text) FROM documents) t"
     ),
     "d2_blocked_jaccard": _D2_BLOCKED_ORACLE,
+    "d2_lsh_exact": _D2_LSH_EXACT_ORACLE,
     # d2_minhash_lsh, d2_simhash: rows-only (probabilistic recall /
     # pandas_udf signatures; exactness pinned in tests/test_dedup.py)
 }

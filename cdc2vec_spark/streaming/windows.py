@@ -76,10 +76,69 @@ def c5_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_id(ev).agg(F.count(F.lit(1)).alias("n"))
 
 
+def c4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — watermark late-data drop as a GRADED artifact (rows-only; the
+    scenario is a synthetic constant, so ``sf_dir`` is unused — watermark
+    semantics don't scale with SF and SQL can't express stream progress).
+
+    Replays a fixed 4-micro-batch scenario (on-time rows → settling row →
+    a 1-hour-late row → a watermark-closing row) through a real file
+    stream with a 10-minute watermark in append mode. Deterministic
+    because chunk mtimes are stamped monotonically and maxFilesPerTrigger
+    =1 fixes the batch order: the result is exactly the two closed
+    on-time windows (10:00 s=5, 10:05 s=2) — the 09:00 late row's window
+    must never appear, and the still-open 10:30 window is not emitted.
+    Same semantics pinned batch-free in tests/test_streaming.py::
+    test_c4_watermark_drops_late."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import types as T
+
+    from .source import read_file_stream, run_to_completion
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    on_time = [(base + dt.timedelta(minutes=m), 1) for m in range(0, 6)]
+    settle = [(base + dt.timedelta(minutes=6), 1)]  # watermark lags one batch
+    late = [(base - dt.timedelta(hours=1), 99)]  # 09:00 — must be dropped
+    closer = [(base + dt.timedelta(minutes=30), 1)]  # closes the 10:0x windows
+    chunks = tempfile.mkdtemp(prefix="c4_wm_")
+    try:
+        batches = [on_time, settle, late, closer]
+        now = time.time()
+        for i, batch in enumerate(batches):
+            d = os.path.join(chunks, f"chunk_{i:04d}")
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            t = now - (len(batches) - 1 - i)
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (t, t))
+        stream = read_file_stream(spark, chunks, schema)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.sum("v").alias("s"))
+            .select(F.col("w.start").alias("w"), "s")
+        )
+        out = run_to_completion(agg, "c4_watermark_out", output_mode="append")
+        # memory-sink rows are driver-resident; safe to drop the chunk dir
+        return out.orderBy("w")
+    finally:
+        shutil.rmtree(chunks, ignore_errors=True)
+
+
 QUERIES = {
     "c1_tumbling": c1_tumbling,
     "c2_sliding": c2_sliding,
     "c3_session": c3_session,
+    "c4_watermark": c4_watermark,
     "c5_dedup_count": c5_dedup_count,
 }
 

@@ -103,9 +103,10 @@ EXPECTED_QUERIES = frozenset(
     + ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
        "a5_metadata", "a6_last_write_wins", "a7_l2_normalize",
        "a8_deterministic_embed", "a9_points_pipeline"]
-    + ["c1_tumbling", "c2_sliding", "c3_session", "c5_dedup_count",
-       "c6_cdc_apply", "c7_stateful_lww"]
-    + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_minhash_lsh", "d2_simhash",
+    + ["c1_tumbling", "c2_sliding", "c3_session", "c4_watermark",
+       "c5_dedup_count", "c6_cdc_apply", "c7_stateful_lww"]
+    + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_lsh_exact",
+       "d2_minhash_lsh", "d2_simhash",
        "d3_exact_topk", "d3_ivf_topk", "d4_text_stats", "d5_slicing",
        "d6_multimodal", "d6_features", "d7_embedding_stats",
        "d8_cosine_neardup", "d9_keep_canonical"]
