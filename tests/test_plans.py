@@ -70,13 +70,19 @@ def test_minhash_signatures_are_narrow(spark, sf):
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
 
 
-def test_exact_topk_broadcasts_query_side(spark, sf):
+def test_exact_topk_plan_is_narrow_blas_scan(spark, sf):
+    """Corpus scoring is one Arrow BLAS pass (cosine_scores), not an
+    interpreted-HOF join: plan = scan → (rebalance) → MapInPandas →
+    TakeOrderedAndProject (k-heap), with no join and at most the one
+    round-robin exchange from rebalance."""
     from cdc2vec_spark.operators import similarity
 
     plan = _plan(similarity.d3_exact_topk(spark, sf))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     # top-k must be a TakeOrderedAndProject (k-heap), not a global Sort+Limit
     assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
 
 
 def test_bucketed_join_has_no_exchange(spark, sf, tmp_path):
