@@ -122,29 +122,85 @@ def exact_topk_multi(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Batch kNN: exact cosine top-k for EVERY query row at once.
+    """Batch kNN: exact cosine top-k for EVERY query row at once — the
+    retrieval-pipeline shape (queries in the thousands, corpus in the
+    billions).
 
-    Broadcast the query set against the corpus scan (q·n similarity work,
-    partition-parallel, zero shuffle of the corpus), then a per-query
-    row_number keeps k — WindowGroupLimit (test_plans.py) prunes each
-    partition to its local top-k before the final per-query sort, so
-    state is O(q·k), not O(q·n). This is the retrieval-pipeline shape:
-    queries in the thousands, corpus in the billions."""
+    The query set is the small side: collected once and shipped via
+    ``sc.broadcast`` (the ivf_assign pattern — one torrent copy per
+    executor, not a per-task closure). Each Arrow batch then scores ALL
+    queries with ONE (batch × d)·(d × q) BLAS matmul and keeps only each
+    query's LOCAL top-k — a map-side combine for top-k that bounds the
+    Python→JVM fan-out to q·k rows per batch instead of q·batch. The
+    final per-query row_number merges the per-batch winners
+    (WindowGroupLimit prunes partition-side), so shuffled state is
+    O(q·k·partitions), never O(q·n).
+
+    Local selection orders by (np-rounded sim desc, id asc) — the same
+    order the global rank applies after F.round — so the local prune
+    never drops a row the global rank would keep."""
+    import pandas as pd
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(query_vec_col).alias("_qv")
+    qrows = sorted(
+        queries.select(query_id_col, query_vec_col).collect(), key=lambda r: r[0]
     )
-    scored = embeddings.crossJoin(F.broadcast(q)).select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(ops.cosine(vec_col, "_qv"), 6).alias("sim"),
+    spark = embeddings.sparkSession
+    out_fields = [
+        next(
+            f for f in queries.schema.fields if f.name == query_id_col
+        ),
+        next(f for f in embeddings.schema.fields if f.name == id_col),
+        T.StructField("sim", T.DoubleType(), True),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(query_id_col, out_fields[0].dataType), out_fields[1],
+         out_fields[2]]
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    if not qrows:
+        return spark.createDataFrame([], T.StructType(
+            list(out_schema.fields) + [T.StructField("rank", T.IntegerType())]
+        ))
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0.0] = np.inf  # zero query → all sims 0
+    bc = spark.sparkContext.broadcast((qids, qmat / qn[:, None]))
+
+    def score(batches):
+        b_qids, b_qmat_n = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            emat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            en = np.linalg.norm(emat, axis=1)
+            en[en == 0.0] = np.inf
+            sims = (emat / en[:, None]) @ b_qmat_n.T  # (batch × q)
+            kk = min(k, len(ids))
+            r = np.round(sims, 6)
+            out_q, out_i, out_s = [], [], []
+            for j in range(nq):
+                sel = np.lexsort((ids, -r[:, j]))[:kk]
+                out_q.extend([b_qids[j]] * len(sel))
+                out_i.extend(ids[sel])
+                out_s.extend(sims[sel, j])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_i, "sim": out_s}
+            )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round("sim", 6).desc(), F.col(id_col)
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        cand.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
-        .select(query_id_col, id_col, "sim", F.col("_rn").alias("rank"))
+        .select(
+            query_id_col, id_col,
+            F.round("sim", 6).alias("sim"), F.col("_rn").alias("rank"),
+        )
     )
 
 
@@ -421,6 +477,44 @@ def hyperplane_topk(
     )
 
 
+def d3_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN as a graded entry: exact top-5 (self-match included) for
+    the 10 lowest-id stored vectors at once — the retrieval-pipeline
+    shape (broadcast query set, WindowGroupLimit per query), hash-checked
+    against a DuckDB window-function oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return exact_topk_multi(e, qs, k=5).orderBy("query_id", "rank")
+
+
+def d3_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN as a graded entry (rows-only: approximate by
+    construction; recall pinned vs exact in tests/test_similarity.py).
+    nbits=4 keeps every bucket populated at sf0.01's 200-vector corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_topk(e, query_vec_id=0, k=10, nbits=4, multiprobe=1)
+
+
+_D3_MULTI_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 6) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
 _D3_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, sim FROM (
@@ -446,11 +540,15 @@ SELECT id_a, id_b, sim FROM (
 QUERIES = {
     "d3_exact_topk": d3_exact_topk,
     "d3_ivf_topk": d3_ivf_topk,
+    "d3_multi_topk": d3_multi_topk,
+    "d3_hyperplane_topk": d3_hyperplane_topk,
     "d8_cosine_neardup": d8_cosine_neardup,
 }
 
 ORACLES = {
     "d3_exact_topk": _D3_ORACLE,
-    # d3_ivf_topk: rows-only (approximate; pinned by tests/test_similarity.py)
+    "d3_multi_topk": _D3_MULTI_ORACLE,
+    # d3_ivf_topk, d3_hyperplane_topk: rows-only (approximate; pinned by
+    # tests/test_similarity.py)
     "d8_cosine_neardup": _D8_ORACLE,
 }

@@ -66,8 +66,12 @@ class PointsCollection:
         swap_buckets(merged, self.path, touched)
 
     def live(self) -> DataFrame | None:
+        from .cdc.apply import BUCKET_COL
+
         df = self.read()
-        return None if df is None else df.where(F.col("op") != OP_DELETE).drop("op")
+        if df is None:
+            return None
+        return df.where(F.col("op") != OP_DELETE).drop("op", BUCKET_COL)
 
 
 def _provider_from(cfg: PipelineConfig | EngineConfig):

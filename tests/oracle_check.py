@@ -107,7 +107,8 @@ EXPECTED_QUERIES = frozenset(
        "c5_dedup_count", "c6_cdc_apply", "c7_stateful_lww"]
     + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_lsh_exact",
        "d2_minhash_lsh", "d2_simhash",
-       "d3_exact_topk", "d3_ivf_topk", "d4_text_stats", "d5_slicing",
+       "d3_exact_topk", "d3_ivf_topk", "d3_multi_topk", "d3_hyperplane_topk",
+       "d4_text_stats", "d5_slicing",
        "d6_multimodal", "d6_features", "d7_embedding_stats",
        "d8_cosine_neardup", "d9_keep_canonical"]
     + ["t1_token_count", "t2_quality_score", "t3_lang_guess",

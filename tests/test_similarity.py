@@ -60,14 +60,21 @@ def test_exact_topk_multi_agrees_with_single(spark, sf_dir):
         assert batched == single
 
 
-def test_exact_topk_multi_plan_is_broadcast_with_group_limit(spark, sf_dir):
+def test_exact_topk_multi_plan_is_blas_scan_with_group_limit(spark, sf_dir):
+    """One narrow BLAS scan emitting q·k candidates per batch (map-side
+    combine), then the per-query merge: the only exchange is the window's
+    hash partition over q·k·partitions candidate rows, and
+    WindowGroupLimit prunes partition-side. No join anywhere (the query
+    set ships via sc.broadcast inside the UDF)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.limit(3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     plan = sim.exact_topk_multi(e, queries, k=5)._jdf.queryExecution().executedPlan().toString()
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan
     assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
 
 
 def test_hyperplane_topk_recall_vs_exact(spark, sf_dir):
