@@ -143,6 +143,17 @@ def load_yaml(path: str) -> "PipelineConfig":
     )
 
 
+def load_from_env() -> "PipelineConfig":
+    """≅ config.go:86-91 (LoadFromEnv): the config path comes from
+    $CONFIG_PATH; everything else is the YAML loader above."""
+    import os
+
+    path = os.environ.get("CONFIG_PATH")
+    if not path:
+        raise ValueError("CONFIG_PATH is not set")
+    return load_yaml(path)
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     """The whole config file (≅ config.go:77-84)."""

@@ -80,3 +80,19 @@ def test_zero_values_get_defaults(tmp_path):
     cfg = load_yaml(str(p))
     assert cfg.engine.batch_size == 64
     assert cfg.engine.flush_interval_ms == 500
+
+
+def test_load_from_env(tmp_path, monkeypatch):
+    """config.go:86-91 parity: $CONFIG_PATH resolves the file; unset is a
+    loud error."""
+    import pytest
+
+    from cdc2vec_spark.config import load_from_env
+
+    p = tmp_path / "c.yaml"
+    p.write_text("batching:\n  batch_size: 7\n")
+    monkeypatch.setenv("CONFIG_PATH", str(p))
+    assert load_from_env().engine.batch_size == 7
+    monkeypatch.delenv("CONFIG_PATH")
+    with pytest.raises(ValueError, match="CONFIG_PATH"):
+        load_from_env()
