@@ -270,11 +270,20 @@ class PostgresBridge:
         self._save_offset(BridgeOffset(off.byte_pos + end + 1, off.chunk_seq + 1))
         return n
 
-    def run(self, poll_interval_s: float = 0.5, max_idle_polls: int | None = None):
+    def run(
+        self,
+        poll_interval_s: float = 0.5,
+        max_idle_polls: int | None = None,
+        stop=None,
+    ):
         """Poll loop (the reference's receive loop, postgres.go:188-218).
-        ``max_idle_polls`` bounds the loop for tests; None runs forever."""
+        ``max_idle_polls`` bounds the loop for tests; ``stop`` is an
+        optional threading.Event-like object checked each cycle (the
+        reference's stopCh); None/None runs forever."""
         idle = 0
-        while max_idle_polls is None or idle < max_idle_polls:
+        while (max_idle_polls is None or idle < max_idle_polls) and (
+            stop is None or not stop.is_set()
+        ):
             if self.pump() > 0:
                 idle = 0
             else:

@@ -127,3 +127,61 @@ def boot(
 
         server = serve_healthz(query, health_port)
     return query, coll, server
+
+
+def boot_from_postgres(
+    spark: SparkSession,
+    config: PipelineConfig | str | None,
+    wal_path: str,
+    work_dir: str,
+    id_column: str,
+    after_keys: list[str],
+    health_port: int | None = None,
+    poll_interval_s: float = 0.25,
+):
+    """The reference's no-Kafka demo topology (docker-compose.yaml: bare
+    Postgres straight into the engine) end-to-end: a PostgresBridge tails
+    the wal2json NDJSON log at ``wal_path`` into ``work_dir``/chunks on a
+    daemon thread while ``boot`` consumes the chunks as a file stream.
+
+    Returns (query, collection, health_server, stop) where ``stop()``
+    halts the bridge thread then the streaming query — the reference's
+    signal-handler shutdown order (main.go:141-157: source first, then
+    pipeline)."""
+    import os
+    import threading
+
+    from .cdc.postgres import PostgresBridge, flat_changes
+
+    chunks = os.path.join(work_dir, "chunks")
+    os.makedirs(chunks, exist_ok=True)
+    bridge = PostgresBridge(spark, wal_path, chunks, id_column, after_keys)
+    # the flat chunk schema is fixed by after_keys, independent of data
+    schema = flat_changes(
+        spark.createDataFrame([], "value string"), id_column, after_keys
+    ).schema
+    query, coll, server = boot(
+        spark,
+        config,
+        changes_dir=chunks,
+        changes_schema=schema,
+        state_dir=os.path.join(work_dir, "state"),
+        checkpoint_dir=os.path.join(work_dir, "ckpt"),
+        health_port=health_port,
+    )
+    stop_ev = threading.Event()
+    t = threading.Thread(
+        target=bridge.run,
+        kwargs={"poll_interval_s": poll_interval_s, "stop": stop_ev},
+        daemon=True,
+    )
+    t.start()
+
+    def stop():
+        stop_ev.set()
+        t.join(timeout=30)
+        query.stop()
+        if server is not None:
+            server.shutdown()
+
+    return query, coll, server, stop

@@ -76,6 +76,47 @@ def test_provision_warn_and_continue():
         )
 
 
+def test_boot_from_postgres_live_tail(spark, tmp_path):
+    """Full demo topology with the bridge LIVE: WAL lines appended while
+    the engine runs must flow bridge → chunks → stream → point store
+    without a restart."""
+    import time
+
+    wal = tmp_path / "wal.ndjson"
+    wal.write_text(
+        _wal_line("I", "0/10", columns={"id": "1", "title": "one", "content": "b1", "author": "a"})
+        + "\n"
+    )
+    query, coll, _, stop = runner.boot_from_postgres(
+        spark,
+        config=None,
+        wal_path=str(wal),
+        work_dir=str(tmp_path / "wk"),
+        id_column="id",
+        after_keys=["title", "content", "author"],
+        poll_interval_s=0.1,
+    )
+    try:
+        def live_ids(timeout_s=60, want=None):
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                query.processAllAvailable()
+                df = coll.live()
+                ids = set() if df is None else {r["id"] for r in df.collect()}
+                if ids == want:
+                    return ids
+                time.sleep(0.3)
+            return ids
+
+        assert live_ids(want={"public.documents:1"}) == {"public.documents:1"}
+        with open(wal, "a") as f:
+            f.write(_wal_line("I", "0/20", columns={"id": "2", "title": "two", "content": "b2", "author": "b"}) + "\n")
+            f.write(_wal_line("D", "0/30", identity={"id": "1"}) + "\n")
+        assert live_ids(want={"public.documents:2"}) == {"public.documents:2"}
+    finally:
+        stop()
+
+
 def test_bridge_replay_through_boot(spark, tmp_path):
     """Synthetic WAL-like log → PostgresBridge chunks → runner.boot: the
     reference's no-Kafka demo topology end-to-end. Includes a torn tail
