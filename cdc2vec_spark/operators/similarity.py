@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import load_table
-from ..vector import ops
 
 
 def _query_vector(
@@ -463,15 +462,28 @@ def hyperplane_topk(
     At scale the bucket column is a partition key, so a probe prunes
     whole file partitions; multiprobe trades recall for probed buckets
     (Σ C(nbits, i) of them). Deterministic planes (md5-seeded) keep
-    results reproducible."""
+    results reproducible.
+
+    The query row (vector + bucket) is fetched once to the driver, so
+    the candidate filter is a LITERAL Hamming predicate on the bucket
+    column — no join in the plan at all — and the rerank is the BLAS
+    Arrow scorer (cosine_scores) over the filtered candidates."""
     bucketed = hyperplane_buckets(embeddings, nbits, dim, id_col, vec_col)
-    qrow = bucketed.where(F.col(id_col) == query_vec_id)
-    q = qrow.select(F.col(vec_col).alias("_qv"), F.col("bucket").alias("_qb"))
-    hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.col("_qb")))
+    qrow = (
+        bucketed.where(F.col(id_col) == query_vec_id)
+        .select(vec_col, "bucket")
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(int(qrow[1]))))
+    cand = bucketed.where(
+        (F.col(id_col) != query_vec_id) & (hamming <= multiprobe)
+    )
     return (
-        bucketed.crossJoin(F.broadcast(q))
-        .where((F.col(id_col) != query_vec_id) & (hamming <= multiprobe))
-        .select(id_col, F.round(ops.cosine(vec_col, "_qv"), 6).alias("sim"))
+        cosine_scores(cand, qv, id_col, vec_col)
+        .select(id_col, F.round("sim", 6).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )

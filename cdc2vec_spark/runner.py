@@ -83,6 +83,58 @@ def _provider_from(cfg: PipelineConfig | EngineConfig):
     return get_provider(engine.provider, url=url, model=model)
 
 
+def sink_hook_for(cfg: PipelineConfig):
+    """main.go:66-100 sink factory, config-driven: returns a per-batch
+    delivery hook (points DataFrame → external sink) or None.
+
+    - ``qdrant``: batched foreachPartition PUT upserts + POST deletes
+      (FNV-1a id parity).
+    - ``milvus``: lazily ensure the collection (reference field/index
+      constants), then batched REST v2 inserts + delete exprs.
+    - ``kafka`` / empty: None — Kafka delivery is writeStream-native
+      (``sinks.kafka.to_kafka_messages`` + format('kafka')), and the
+      engine-native keyed collection is always maintained regardless.
+    """
+    sink = getattr(cfg, "sink", None)
+    if sink is None or sink.type not in ("qdrant", "milvus"):
+        return None
+    opts = sink.options or {}
+    url = opts.get("url") or opts.get("addr") or ""
+    collection = opts.get("collection") or "points"
+    if sink.type == "qdrant":
+        from .sinks import qdrant as q
+
+        def hook(pts: DataFrame) -> None:
+            ups = q.upsert_payloads(pts.where(F.col("op") != OP_DELETE))
+            ups.foreachPartition(
+                lambda rows: q.write_partition_http(rows, url, collection)
+            )
+            pts.where(F.col("op") == OP_DELETE).select("id").foreachPartition(
+                lambda rows: q.delete_partition_http(rows, url, collection)
+            )
+
+        return hook
+
+    from .sinks import milvus as m
+
+    ensured = {"done": False}
+    dim = cfg.engine.vector_size if isinstance(cfg, PipelineConfig) else 768
+
+    def hook(pts: DataFrame) -> None:
+        if not ensured["done"]:
+            m.ensure_collection(url, collection, dim=dim)
+            ensured["done"] = True
+        ins = m.insert_payloads(pts.where(F.col("op") != OP_DELETE))
+        ins.foreachPartition(
+            lambda rows: m.write_partition_http(rows, url, collection)
+        )
+        pts.where(F.col("op") == OP_DELETE).select("id").foreachPartition(
+            lambda rows: m.delete_partition_http(rows, url, collection)
+        )
+
+    return hook
+
+
 def boot(
     spark: SparkSession,
     config: PipelineConfig | str | None,
@@ -107,11 +159,23 @@ def boot(
         cfg = config
     provider = _provider_from(cfg)
     coll = PointsCollection(spark, state_dir)
+    hook = sink_hook_for(cfg) if isinstance(cfg, PipelineConfig) else None
 
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        coll.apply_points(run_batch(batch, cfg.engine, provider), epoch_id)
+        pts = run_batch(batch, cfg.engine, provider)
+        if hook is None:
+            coll.apply_points(pts, epoch_id)
+            return
+        # the hook re-reads the batch's points: persist so the embed UDF
+        # pipeline runs once, not once per sink
+        pts = pts.persist()
+        try:
+            coll.apply_points(pts, epoch_id)
+            hook(pts)
+        finally:
+            pts.unpersist()
 
     # flush_interval_ms → processingTime trigger (B1 parity: the reference
     # flushes every 500 ms by default, config.go:106-108)

@@ -89,3 +89,24 @@ def write_partition_http(rows, url: str, collection: str, timeout_s: float = 15.
         method="PUT",
     )
     urllib.request.urlopen(req, timeout=timeout_s).read()
+
+
+def delete_partition_http(rows, url: str, collection: str, timeout_s: float = 15.0):
+    """foreachPartition delete over bare (id) rows: one batched
+    POST /collections/{collection}/points/delete?wait=true per partition
+    (qdrant.go:257-275 sends one request per id). Ids are FNV-1a hashed
+    here, Python-side — the writer is already in Python, so the UDF is
+    unnecessary."""
+    import json
+    import urllib.request
+
+    ids = [fnv1a64_py(r["id"]) for r in rows]
+    if not ids:
+        return
+    req = urllib.request.Request(
+        f"{url}/collections/{collection}/points/delete?wait=true",
+        data=json.dumps({"points": ids}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    urllib.request.urlopen(req, timeout=timeout_s).read()

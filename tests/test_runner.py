@@ -82,6 +82,87 @@ def test_boot_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     assert after == before
 
 
+def test_boot_routes_to_configured_qdrant_sink(spark, sf_dir, tmp_path):
+    """main.go:66-100 sink-factory parity: with sink.type=qdrant in the
+    config, every micro-batch's upserts AND deletes are delivered to the
+    external sink (mock HTTP server) while the engine-native collection
+    is still maintained; sink ids must equal the collection's history."""
+    import http.server
+    import json as _json
+    import threading
+
+    from cdc2vec_spark.config import (
+        DOCUMENTS_MAPPING,
+        EngineConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from cdc2vec_spark.sinks.qdrant import fnv1a64_py
+
+    upserted, deleted = [], []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _ok(self):
+            body = b'{"status":"ok"}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            n = int(self.headers["Content-Length"])
+            upserted.extend(_json.loads(self.rfile.read(n))["points"])
+            self._ok()
+
+        def do_POST(self):
+            assert self.path == "/collections/docs/points/delete?wait=true"
+            n = int(self.headers["Content-Length"])
+            deleted.extend(_json.loads(self.rfile.read(n))["points"])
+            self._ok()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    cfg = PipelineConfig(
+        engine=EngineConfig(mappings=(DOCUMENTS_MAPPING,), vector_size=8),
+        sink=SinkConfig(type="qdrant", options={"url": url, "collection": "docs"}),
+    )
+    query, coll, _ = runner.boot(
+        spark,
+        config=cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        srv.shutdown()
+
+    assert upserted and deleted
+    # every upserted point carries its ext_id and the FNV-parity id
+    for p in upserted:
+        assert p["id"] == fnv1a64_py(p["payload"]["ext_id"])
+    # the sink saw every live id the collection holds
+    live_ids = {r["id"] for r in coll.live().select("id").collect()}
+    assert live_ids <= {p["payload"]["ext_id"] for p in upserted}
+    # deletes flowed too (the fixture log always contains 'd' events)
+    want_deleted = {
+        fnv1a64_py("public.documents:" + r["pk"])
+        for r in ch.where(F.col("op") == "d").select("pk").distinct().collect()
+    }
+    assert set(deleted) == want_deleted
+
+
 def test_points_collection_replay_idempotent(spark, tmp_path):
     """Replaying the same points batch must reproduce identical state
     (foreachBatch redelivery after a crash-before-commit)."""
