@@ -395,6 +395,35 @@ def d8_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(e, threshold=0.3)
 
 
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GLOBAL embedding near-dup without a natural blocking key: the
+    hyperplane bucket IS the block. bucket assignment is one narrow BLAS
+    pass (hyperplane_buckets), then cosine_neardup_pairs runs its
+    per-block matmul with block_col='bucket' — one shuffle on the bucket,
+    quadratic work bounded by bucket size (≈ n/2^nbits; raise nbits as n
+    grows so buckets stay task-sized). Recall < 1 is inherent (a pair
+    split across buckets is missed — by construction such pairs have an
+    unfavorable hyperplane margin); precision is exact."""
+    bucketed = hyperplane_buckets(embeddings, nbits, None, id_col, vec_col)
+    return cosine_neardup_pairs(
+        bucketed, threshold, block_col="bucket", id_col=id_col, vec_col=vec_col
+    )
+
+
+def d8_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-blocked global cosine near-dup. Rows-only oracle (bucket
+    recall is probabilistic); precision + subset-of-exact pinned in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(e, threshold=0.3, nbits=4)
+
+
 # --- random-hyperplane LSH bucketing (alternative ANN scale path) -------
 
 def hyperplane_buckets(
@@ -555,6 +584,7 @@ QUERIES = {
     "d3_multi_topk": d3_multi_topk,
     "d3_hyperplane_topk": d3_hyperplane_topk,
     "d8_cosine_neardup": d8_cosine_neardup,
+    "d8_lsh_neardup": d8_lsh_neardup,
 }
 
 ORACLES = {

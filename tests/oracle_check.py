@@ -110,7 +110,7 @@ EXPECTED_QUERIES = frozenset(
        "d3_exact_topk", "d3_ivf_topk", "d3_multi_topk", "d3_hyperplane_topk",
        "d4_text_stats", "d5_slicing",
        "d6_multimodal", "d6_features", "d7_embedding_stats",
-       "d8_cosine_neardup", "d9_keep_canonical"]
+       "d8_cosine_neardup", "d8_lsh_neardup", "d9_keep_canonical"]
     + ["t1_token_count", "t2_quality_score", "t3_lang_guess",
        "t4_fingerprint", "t5_regex_tokens"]
 )

@@ -41,7 +41,7 @@ def test_every_query_callable():
     # entry to a full oracle row
     {"a8_deterministic_embed", "a9_points_pipeline", "c4_watermark",
      "d2_minhash_lsh", "d2_simhash", "d3_ivf_topk", "d3_hyperplane_topk",
-     "d6_features", "d9_keep_canonical"}
+     "d6_features", "d8_lsh_neardup", "d9_keep_canonical"}
 ])
 def test_rows_only_set_is_exactly_documented(rows_only):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()

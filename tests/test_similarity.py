@@ -90,6 +90,26 @@ def test_hyperplane_topk_recall_vs_exact(spark, sf_dir):
         assert ann[v] == exact[v]  # rerank is exact cosine
 
 
+def test_embedding_neardup_lsh_subset_of_global_exact(spark, sf_dir):
+    """Bucket-blocked global near-dup: every emitted pair must appear in
+    the global all-pairs answer with the IDENTICAL sim (precision exact),
+    and the bucket blocking must still surface pairs (recall > 0)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in sim.cosine_neardup_pairs(
+            e.withColumn("_all", F.lit(0)), 0.3, block_col="_all"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in sim.embedding_neardup_lsh(e, 0.3, nbits=4).collect()
+    }
+    assert lsh and set(lsh) <= set(exact)
+    for pair, s in lsh.items():
+        assert s == exact[pair]
+
+
 def test_hyperplane_full_probe_equals_exact(spark, sf_dir):
     """Probing every bucket (multiprobe = nbits) degenerates to exact."""
     e = load_table(spark, sf_dir, "embeddings")
