@@ -54,6 +54,36 @@ def test_wal2json_decode(spark):
     assert [r["lsn"] for r in rows] == [0x100, 0x200, 0x300]
 
 
+def test_wal2json_decode_edge_values(spark):
+    """Robustness of the decode expressions: embedded quotes, unicode,
+    TOAST-null column values (value null stays a null map entry → null
+    after_ column, the reference's 'u' tag semantics), and a delete with
+    identity only."""
+    lines = [
+        _wal_line(
+            "I", "0/1",
+            columns={"id": "1", "title": 'he said "hi" \\ there', "content": "emoji 🎈 ok"},
+        ),
+        json.dumps({
+            "action": "U", "schema": "public", "table": "documents", "lsn": "0/2",
+            "columns": [
+                {"name": "id", "value": "1"},
+                {"name": "title", "value": "t2"},
+                {"name": "content", "value": None},  # TOASTed
+            ],
+            "identity": [{"name": "id", "value": "1"}],
+        }),
+        _wal_line("D", "0/3", identity={"id": "1"}),
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    flat = pg.flat_changes(df, "id", ["title", "content"]).orderBy("lsn").collect()
+    assert flat[0]["after_title"] == 'he said "hi" \\ there'
+    assert flat[0]["after_content"] == "emoji 🎈 ok"
+    assert flat[1]["after_title"] == "t2" and flat[1]["after_content"] is None
+    assert flat[2]["op"] == "d" and flat[2]["pk"] == "1"
+    assert flat[2]["after_title"] is None
+
+
 def test_provision_warn_and_continue():
     ran = []
 
