@@ -26,11 +26,17 @@ from .envelope import OP_DELETE
 def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool = True) -> DataFrame:
     """Transform a (flattened) change log into sink-ready points."""
     df = transform.filter_mapped(changes, [mapping.table])
-    txt = transform.concat_text(list(mapping.text_columns))
-    df = df.withColumn("text", txt)
+    # configured names may be raw table columns (reference YAML: "title")
+    # while the log is flattened ("after_title") — resolve against the
+    # actual columns; metadata keys stay as configured
+    text_cols = [
+        transform.resolve_flat_column(c, changes.columns)
+        for c in mapping.text_columns
+    ]
+    df = df.withColumn("text", transform.concat_text(text_cols))
     df = transform.guard_nonempty(df, "text")
     df = df.withColumn("id", transform.derive_key()).withColumn(
-        "metadata", transform.metadata_map(mapping)
+        "metadata", transform.metadata_map(mapping, available=changes.columns)
     )
     emb = provider.udf()
     # The UDF must land in its own projection: Spark rejects a Python UDF

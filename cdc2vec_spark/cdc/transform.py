@@ -61,16 +61,32 @@ def derive_key(tbl_col: Column | str = "tbl", pk_col: Column | str = "pk") -> Co
     return F.concat(t, F.lit(":"), p.cast("string"))
 
 
+def resolve_flat_column(name: str, available: Sequence[str] | None) -> str:
+    """Map a configured source-column name onto the flattened change
+    log: reference YAMLs name raw table columns (``title``), the log
+    carries ``after_title``. A name present verbatim wins (the fixture
+    mapping already uses flattened names); otherwise the ``after_``
+    variant is used when it exists."""
+    if available is None or name in available:
+        return name
+    flat = f"after_{name}"
+    return flat if flat in available else name
+
+
 def metadata_map(mapping: Mapping, tbl_col: str = "tbl", pk_col: str = "pk",
-                 col_prefix: str = "") -> Column:
+                 col_prefix: str = "", available: Sequence[str] | None = None) -> Column:
     """P2 — metadata = {table, pk} ∪ {c: after[c] | c ∈ metadata_columns,
     present} (pipeline.go:234-241). Missing (null) columns are dropped via
-    map_filter, matching the reference's presence check."""
+    map_filter, matching the reference's presence check. Map KEYS are the
+    configured names verbatim (reference semantics); only the source
+    column resolves through ``resolve_flat_column`` when ``available``
+    is given."""
     pairs: list[Column] = [
         F.lit("table"), F.col(tbl_col),
         F.lit("pk"), F.col(pk_col).cast("string"),
     ]
     for c in mapping.metadata_columns:
         src = f"{col_prefix}{c}" if col_prefix else c
+        src = resolve_flat_column(src, available)
         pairs.extend([F.lit(c), F.col(src).cast("string")])
     return F.map_filter(F.create_map(*pairs), lambda _k, v: v.isNotNull())
