@@ -309,6 +309,58 @@ def ivf_topk(
     )
 
 
+def ivf_index_to_disk(
+    embeddings: DataFrame,
+    path: str,
+    centroid_every: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as CELL-PARTITIONED parquet — the 100 TB
+    layout: `path/cell=<i>/` holds each cell's vectors, `path`_centroids
+    the centroid rows. A probe then prunes whole cell directories at
+    planning time (PartitionFilters in the scan, zero I/O for unprobed
+    cells) instead of filtering a full scan."""
+    from ..io import write_partitioned
+
+    cents, assigned = ivf_build(embeddings, centroid_every, id_col, vec_col)
+    write_partitioned(assigned, path, "cell")
+    cents.select(id_col, vec_col).write.mode("overwrite").parquet(path + "_centroids")
+
+
+def ivf_topk_on_disk(
+    spark: SparkSession,
+    path: str,
+    qv: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k for an ARBITRARY query vector against a disk-resident
+    IVF index (ivf_index_to_disk): score the (tiny) centroid table, pick
+    nprobe cells, scan ONLY those cell directories (partition pruning —
+    plan-asserted in tests/test_plans.py), BLAS-rerank. The only driver
+    round-trip is the nprobe cell ids."""
+    qv = np.asarray(qv, dtype=np.float64)
+    cents = spark.read.parquet(path + "_centroids")
+    probed = [
+        r[0]
+        for r in cosine_scores(cents, qv, id_col, vec_col)
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(nprobe)
+        .select(id_col)
+        .collect()
+    ]
+    cand = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    return (
+        cosine_scores(cand, qv, id_col, vec_col)
+        .select(id_col, F.round("sim", 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 # Build-once index cache, keyed by (spark app, dataset): ANN query cost
 # is probe+rerank, not index construction — rebuilding per query would
 # misrepresent the operator at any scale. Entries are tiny persisted

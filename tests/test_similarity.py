@@ -90,6 +90,32 @@ def test_hyperplane_topk_recall_vs_exact(spark, sf_dir):
         assert ann[v] == exact[v]  # rerank is exact cosine
 
 
+def test_ivf_on_disk_prunes_and_matches_in_memory(spark, sf_dir, tmp_path):
+    """Disk-resident IVF: the probe scan must carry the probed cells as
+    PartitionFilters (directory pruning, not a post-scan filter), and the
+    result for a stored vector's embedding must equal the in-memory
+    ivf_topk (modulo the self-match the in-memory form excludes)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_to_disk(e, path)
+    qv = np.asarray(
+        e.where(F.col("vec_id") == 0).select("embedding").first()[0], dtype=np.float64
+    )
+    out = sim.ivf_topk_on_disk(spark, path, qv, k=11, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = [
+        (r["vec_id"], r["sim"]) for r in out.collect() if r["vec_id"] != 0
+    ][:10]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in sim.ivf_topk(e, query_vec_id=0, k=10, nprobe=4).collect()
+    ]
+    assert got == want
+
+
 def test_embedding_neardup_lsh_subset_of_global_exact(spark, sf_dir):
     """Bucket-blocked global near-dup: every emitted pair must appear in
     the global all-pairs answer with the IDENTICAL sim (precision exact),
