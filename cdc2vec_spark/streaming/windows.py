@@ -109,7 +109,13 @@ def c4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = [(base - dt.timedelta(hours=1), 99)]  # 09:00 — must be dropped
     closer = [(base + dt.timedelta(minutes=30), 1)]  # closes the 10:0x windows
     chunks = tempfile.mkdtemp(prefix="c4_wm_")
+    # a bare driver session defaults spark.sql.shuffle.partitions to 200 —
+    # that is 200 state-store partitions per micro-batch for a 9-row
+    # stream; pin to 8 for the stream's duration (restored after), the
+    # same cost bound c7 applies
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         batches = [on_time, settle, late, closer]
         now = time.time()
         for i, batch in enumerate(batches):
@@ -131,6 +137,7 @@ def c4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # memory-sink rows are driver-resident; safe to drop the chunk dir
         return out.orderBy("w")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(chunks, ignore_errors=True)
 
 
