@@ -238,12 +238,16 @@ class ParquetCollection:
     def __init__(self, spark: SparkSession, path: str,
                  text_cols: Sequence[str] = ("after_title", "after_content"),
                  key_cols: Sequence[str] = ("tbl", "pk"),
-                 n_buckets: int = 64):
+                 n_buckets: int = 64,
+                 coalesce_unchanged: bool = False):
         self.spark = spark
         self.path = path
         self.text_cols = tuple(text_cols)
         self.key_cols = tuple(key_cols)
         self.n_buckets = n_buckets
+        # opt-in TOAST repair (merge_batch docstring) — default off to
+        # keep plain whole-row LWW, the A6/C6 oracle semantics
+        self.coalesce_unchanged = coalesce_unchanged
 
     def read(self) -> DataFrame | None:
         return read_bucketed_state(self.spark, self.path)
@@ -267,6 +271,7 @@ class ParquetCollection:
             batch.withColumn(BUCKET_COL, bexpr),
             self.text_cols,
             key_cols=self.key_cols,
+            coalesce_unchanged=self.coalesce_unchanged,
             cluster_col=BUCKET_COL,
             cluster_partitions=len(touched),
         )

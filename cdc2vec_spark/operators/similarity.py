@@ -1,20 +1,23 @@
 """Similarity search over embedding columns — SURVEY §2.2 D3 plus the
-scale-path ANN (IVF-Flat) and an embedding-cosine near-dup pass.
+scale-path ANN (IVF-Flat, hyperplane LSH) and embedding-cosine near-dup.
 
 Scale design:
-- d3 exact top-k: the query side is one row → broadcast; the scan side
-  computes cosine inside the scan stage (no shuffle), then
-  TakeOrderedAndProject keeps a k-heap per partition and merges on the
-  driver — O(n) work, O(k) memory, no global sort. For q queries at once
-  the same plan is a broadcast join on the query set (q·n work
-  partition-parallel).
-- ivf_topk: IVF-Flat — deterministic centroid subset, one broadcast join
-  to assign each vector to its nearest centroid (computed once, cheap
-  narrow pass), probe the query's nprobe nearest centroids, exact rerank
-  inside the probed cells only. At 100 TB you'd persist the assignment as
-  a partition column so a probe prunes file-level partitions.
-- cosine near-dup: blocked all-pairs (block = label) — the blocking key
-  turns O(n²) into Σ O(b²) and shuffles co-partitioned blocks.
+- d3 exact top-k: corpus scoring is one narrow BLAS Arrow pass
+  (cosine_scores — no join, no shuffle), then TakeOrderedAndProject
+  keeps a k-heap per partition and merges on the driver — O(n) work,
+  O(k) memory, no global sort. For q queries at once (exact_topk_multi)
+  the query matrix ships via sc.broadcast and each batch emits only its
+  local per-query top-k (map-side combine) before one O(q·k·partitions)
+  merge exchange.
+- ivf_topk: IVF-Flat — deterministic centroid subset, centroid matrix
+  broadcast, one narrow BLAS pass to assign each vector to its nearest
+  centroid (built once, cached/persisted), probe the query's nprobe
+  nearest centroids, BLAS rerank inside the probed cells only. The
+  disk-resident form (ivf_index_to_disk / ivf_topk_on_disk) partitions
+  the index by cell so a probe prunes whole directories.
+- cosine near-dup: blocked all-pairs — the blocking key (a label, or a
+  hyperplane LSH bucket when no natural key exists) turns O(n²) into
+  Σ O(b²) and shuffles co-partitioned blocks.
 """
 
 from __future__ import annotations
