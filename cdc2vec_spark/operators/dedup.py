@@ -223,6 +223,58 @@ def _perm_constants(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
 
 
+def shingle_minhash(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused shingle-hash + MinHash-signature pass: ONE Arrow round trip
+    computing both ``sh`` (sorted distinct shingle hashes) and ``sig``
+    (the num_perm MinHash signature) per document. The split form
+    (shingle_hashes → minhash_signatures) ships the wide ``sh`` array to
+    Python and back a second time; fusing halves the Arrow traffic on
+    the LSH pipeline's hottest column. Semantics identical to composing
+    the two stand-alone functions (docs with no shingles keep sig=None
+    and are dropped by the candidate step). The raw ``text_col`` is
+    dropped from the output — downstream LSH stages only touch hashes,
+    and persisting the corpus text alongside them would double the
+    cached footprint."""
+    import hashlib
+    import struct
+
+    a, b = _perm_constants(num_perm)
+    out_t = T.StructType(
+        [
+            T.StructField("sh", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _both(texts: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for t in texts:
+            toks = t.split(" ") if t else []
+            if len(toks) < n:
+                shs.append([])
+                sigs.append(None)
+                continue
+            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            h = sorted(
+                struct.unpack("<q", hashlib.md5(g.encode()).digest()[:8])[0]
+                for g in grams
+            )
+            shs.append(h)
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            sigs.append(((hv[:, None] * a + b).min(axis=0)).astype(np.int64).tolist())
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return df.withColumn("_ss", _both(F.col(text_col))).select(
+        *[c for c in df.columns], F.col("_ss.sh").alias("sh"), F.col("_ss.sig").alias("sig")
+    ).drop(text_col)
+
+
 def minhash_signatures(
     hashed: DataFrame, num_perm: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -322,26 +374,23 @@ def minhash_neardup(
     verify join). Candidates are few (bucket collisions), so the verify
     is array_intersect on the candidates' long arrays — no pair blowup.
 
-    ``cache`` persists the two fan-out intermediates (shingle hashes feed
-    sigs + both verify sides; sigs feed both sides of the bucket
-    self-join) — without it the shingle UDF and the signature aggregation
-    re-run once per branch. Storage is LRU-evicted; in a production
-    pipeline at 100 TB you'd checkpoint signatures to a table instead."""
+    ``cache`` persists the one fused intermediate (sh + sig per doc: it
+    feeds both bucket-join sides AND both verify sides) — without it the
+    fused Arrow pass re-runs once per branch. Storage is LRU-evicted; in
+    a production pipeline at 100 TB you'd checkpoint signatures to a
+    table instead."""
     rows = num_perm // bands
-    hashed = shingle_hashes(df, n, text_col)
+    both = shingle_minhash(df, n, num_perm, text_col)
     if cache:
-        hashed = hashed.persist()
-    sigs = minhash_signatures(hashed, num_perm, id_col)
-    if cache:
-        sigs = sigs.persist()
+        both = both.persist()
+    sigs = both.where(F.col("sig").isNotNull()).select(id_col, "sig")
     cands = lsh_candidate_pairs(sigs, bands, rows, id_col)
-    out = _verify_jaccard(cands, hashed, threshold, id_col)
+    out = _verify_jaccard(cands, both, threshold, id_col)
     if cache:
-        # materialize the (small) result eagerly so the big intermediates
+        # materialize the (small) result eagerly so the big intermediate
         # can be unpersisted NOW instead of leaking until driver GC
         out = out.localCheckpoint(eager=True)
-        hashed.unpersist()
-        sigs.unpersist()
+        both.unpersist()
     return out
 
 
