@@ -83,6 +83,17 @@ def main() -> None:
     cdc_rate = round(10 * n / min(cdc_secs))
     print(f"# cdc_pipeline: {10 * n} changes, {cdc_rate}/s", file=sys.stderr)
 
+    # A BASELINE.md row nobody else measures: sink upsert rate
+    # (reference: ~500-2,000 inserts/s, one HTTP request per point).
+    # Ours batches per partition; the local Python mock server bounds
+    # the measurement from below, so the emitted number is a LOWER bound
+    # on engine-side delivery throughput. (No embed-ops/s analogue is
+    # emitted: a Python mock caps around 2k req/s, which would measure
+    # the mock — cdc_changes_per_sec above already measures the full
+    # embed pipeline at dim 768 with the in-process provider.)
+    sink_rate = _sink_upsert_rate(spark)
+    print(f"# sink_upserts_per_sec: {sink_rate}", file=sys.stderr)
+
     # Bucket-pruned CDC apply: per-batch wall must stay flat as the state
     # table grows 10x, because a batch touches O(batch) buckets, not the
     # whole state (cdc/apply.py ParquetCollection). Measured directly:
@@ -123,10 +134,80 @@ def main() -> None:
                 "delta_vs_prev": _delta_vs_prev(timings),
                 "cdc_apply_state_scale": apply_scale,
                 "cdc_changes_per_sec": cdc_rate,
+                "sink_upserts_per_sec": sink_rate,
                 "sf": sf_val,
             }
         )
     )
+
+
+def _mock_http_server(response: dict):
+    """Minimal threaded mock; drains request bodies WITHOUT parsing (the
+    reference's httptest benchmark mocks do the same — parsing 15 MB of
+    JSON in the mock would measure the mock, not the pipeline) and
+    answers every PUT/POST with ``response``. Returns (server, url)."""
+    import http.server
+    import threading
+
+    body = json.dumps(response).encode()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def _reply(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            while n > 0:
+                n -= len(self.rfile.read(min(n, 1 << 20)))
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        do_PUT = _reply
+        do_POST = _reply
+
+        def log_message(self, *a):
+            pass
+
+    class Srv(http.server.ThreadingHTTPServer):
+        # 32 tasks × 8 in-flight connections: the default listen backlog
+        # of 5 drops SYNs under load (connection-reset flakes)
+        request_queue_size = 512
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def _sink_upsert_rate(spark, n: int = 20_000, dim: int = 768) -> int:
+    """Points/s through the batched Qdrant HTTP writer against a local
+    mock (BASELINE.md: reference does ~500-2,000 inserts/s with one
+    request per point)."""
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.sinks import qdrant
+
+    srv, url = _mock_http_server({"status": "ok"})
+    try:
+        pts = spark.range(n).select(
+            F.concat(F.lit("public.documents:"), F.col("id")).alias("id"),
+            F.expr(f"transform(sequence(1, {dim}), x -> cast(0.5 as float))").alias(
+                "vector"
+            ),
+            F.create_map(F.lit("pk"), F.col("id").cast("string")).alias("metadata"),
+        )
+        payloads = qdrant.upsert_payloads(pts).repartition(32).persist()
+        payloads.count()  # materialize: time delivery, not payload build
+        secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            payloads.foreachPartition(
+                lambda rows: qdrant.write_partition_http(rows, url, "bench")
+            )
+            secs.append(time.perf_counter() - t0)
+        payloads.unpersist()
+        return round(n / min(secs))
+    finally:
+        srv.shutdown()
 
 
 def _cdc_apply_state_scale(spark) -> dict:
