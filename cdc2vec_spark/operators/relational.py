@@ -240,6 +240,26 @@ def b15_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b16_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the approximate path for 100 TB profiling:
+    HyperLogLog++ count-distinct (fixed memory vs b7's exact shuffle of
+    the distinct set) and approx_percentile (one pass, no sort). Spark's
+    sketches are deterministic for a given dataset but NOT bit-compatible
+    with DuckDB's, so this is a rows-only entry; accuracy vs the exact
+    answers is pinned in tests/test_relational_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("apx_orders"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2
+        ).alias("apx_p50_price"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 2
+        ).alias("apx_p95_price"),
+    )
+
+
 QUERIES = {
     "b1_scan_count": b1_scan_count,
     "b2_project_filter": b2_project_filter,
@@ -259,6 +279,7 @@ QUERIES = {
     "b14_array_dim": b14_array_dim,
     "b14_json_extract": b14_json_extract,
     "b15_scalar_subquery": b15_scalar_subquery,
+    "b16_sketches": b16_sketches,
 }
 
 ORACLES = {

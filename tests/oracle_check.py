@@ -98,7 +98,7 @@ EXPECTED_QUERIES = frozenset(
         (6, "hash_agg"), (7, "count_distinct"), (8, "rollup"), (8, "cube"),
         (9, "rank_window"), (10, "running_sum"), (11, "topk"),
         (12, "intersect"), (13, "scalar_funcs"), (14, "array_dim"),
-        (14, "json_extract"), (15, "scalar_subquery"),
+        (14, "json_extract"), (15, "scalar_subquery"), (16, "sketches"),
     ]]
     + ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
        "a5_metadata", "a6_last_write_wins", "a7_l2_normalize",

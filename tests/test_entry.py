@@ -39,7 +39,7 @@ def test_every_query_callable():
     # documented rows-only (no SQL oracle) set — additions to this list
     # need a pinned engine test per SURVEY §5; removals should convert the
     # entry to a full oracle row
-    {"a8_deterministic_embed", "a9_points_pipeline", "c4_watermark",
+    {"a8_deterministic_embed", "a9_points_pipeline", "b16_sketches", "c4_watermark",
      "d2_minhash_lsh", "d2_simhash", "d3_ivf_topk", "d3_hyperplane_topk",
      "d6_features", "d8_lsh_neardup", "d9_keep_canonical"}
 ])
