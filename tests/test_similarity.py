@@ -90,6 +90,45 @@ def test_hyperplane_topk_recall_vs_exact(spark, sf_dir):
         assert ann[v] == exact[v]  # rerank is exact cosine
 
 
+def test_cosine_scores_matches_expression_form(spark):
+    """The BLAS scorer must agree with the Catalyst expression cosine
+    (ops.cosine) on adversarial vectors: zeros, huge/tiny magnitudes,
+    negatives — after the shared 6-decimal round."""
+    import numpy as np
+
+    from cdc2vec_spark.vector import ops
+
+    vecs = [
+        [0.0, 0.0, 0.0],
+        [1e-30, -1e-30, 1e-30],
+        [1e30, 1e30, -1e30],
+        [1.0, 2.0, 3.0],
+        [-1.0, 2.0, -3.0],
+        [0.5, 0.0, -0.5],
+    ]
+    qv = [1.0, -2.0, 0.5]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["sim"]
+        for r in sim.cosine_scores(df, np.array(qv, dtype=np.float64))
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+        .collect()
+    }
+    want = {
+        r["vec_id"]: r["sim"]
+        for r in df.select(
+            "vec_id",
+            F.round(
+                ops.cosine("embedding", F.array(*[F.lit(float(x)) for x in qv])), 6
+            ).alias("sim"),
+        ).collect()
+    }
+    assert got == want
+    assert got[0] == 0.0  # zero vector → 0.0, not NaN
+
+
 def test_ivf_on_disk_prunes_and_matches_in_memory(spark, sf_dir, tmp_path):
     """Disk-resident IVF: the probe scan must carry the probed cells as
     PartitionFilters (directory pruning, not a post-scan filter), and the
