@@ -574,14 +574,24 @@ SELECT id_a, id_b, jac FROM (
 """
 
 # identical Jaccard semantics, unblocked: every pair with J >= t shares a
-# shingle, which is exactly the degenerate-LSH candidate condition
+# shingle, which is exactly the degenerate-LSH candidate condition. The
+# candidate step is spelled as the same inverted-index join Spark runs
+# (explode shingles, equi-join, distinct pairs) — an all-pairs
+# `len(list_intersect) > 0` predicate is O(n²) and makes the oracle
+# itself the bottleneck at sf0.1+.
 _D2_LSH_EXACT_ORACLE = _CORPUS_CTE + """
+, ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+)
 SELECT id_a, id_b, jac FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / len(list_distinct(a.shingles || b.shingles)), 4) AS jac
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jac
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
 ) t WHERE jac >= 0.5 ORDER BY id_a, id_b
 """
 
