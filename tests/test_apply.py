@@ -1,7 +1,6 @@
 """CDC apply semantics: last-write-wins, skip-empty, delete routing,
 batch merge idempotence, and incremental == batch (SURVEY §2.2 A6/C6)."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from cdc2vec_spark.cdc import apply

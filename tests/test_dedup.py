@@ -4,7 +4,6 @@ SimHash properties, exact dedup."""
 
 import itertools
 
-import pytest
 from pyspark.sql import functions as F
 
 from cdc2vec_spark.operators import dedup

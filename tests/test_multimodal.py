@@ -1,7 +1,6 @@
 """Multimodal plumbing: binary round-trip, mapInPandas feature batches,
 stubbed decode behavior, frame sampling."""
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 

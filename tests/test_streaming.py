@@ -5,7 +5,6 @@ answers; watermark late-data drop; streaming CDC apply with checkpoint.
 
 import datetime as dt
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
