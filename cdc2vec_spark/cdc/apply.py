@@ -170,27 +170,32 @@ def bucket_expr(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
 
 
-def read_bucketed_state(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read `path/bucket=<i>/` partitioned state, recovering any bucket a
+def read_bucketed_state(
+    spark: SparkSession, path: str, col: str = BUCKET_COL
+) -> DataFrame | None:
+    """Read `path/<col>=<i>/` partitioned state, recovering any partition a
     crash left stranded under `<path>.old/` (the per-bucket analogue of
-    read_state's promotion)."""
+    read_state's promotion). ``col`` is the partition column — `bucket`
+    for keyed collections, `cell` for the incremental ANN index."""
     oldroot = path + ".old"
     if os.path.isdir(oldroot):
         for name in os.listdir(oldroot):
-            if name.startswith(f"{BUCKET_COL}="):
+            if name.startswith(f"{col}="):
                 dst = os.path.join(path, name)
                 if not os.path.exists(dst):  # crashed between the renames
                     os.makedirs(path, exist_ok=True)
                     os.rename(os.path.join(oldroot, name), dst)
         shutil.rmtree(oldroot, ignore_errors=True)
     if not os.path.isdir(path) or not any(
-        n.startswith(f"{BUCKET_COL}=") for n in os.listdir(path)
+        n.startswith(f"{col}=") for n in os.listdir(path)
     ):
         return None
     return spark.read.parquet(path)
 
 
-def swap_buckets(merged: DataFrame, path: str, touched: Sequence[int]) -> None:
+def swap_buckets(
+    merged: DataFrame, path: str, touched: Sequence[int], col: str = BUCKET_COL
+) -> None:
     """Replace exactly the `touched` bucket directories of `path` with the
     corresponding partitions of `merged` (which must carry BUCKET_COL).
 
@@ -202,13 +207,13 @@ def swap_buckets(merged: DataFrame, path: str, touched: Sequence[int]) -> None:
     Delta/Iceberg prune to the same touched file set."""
     tmp = path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    merged.write.mode("overwrite").partitionBy(col).parquet(tmp)
     os.makedirs(path, exist_ok=True)
     oldroot = path + ".old"
     for b in touched:
-        src = os.path.join(tmp, f"{BUCKET_COL}={b}")
-        dst = os.path.join(path, f"{BUCKET_COL}={b}")
-        old = os.path.join(oldroot, f"{BUCKET_COL}={b}")
+        src = os.path.join(tmp, f"{col}={b}")
+        dst = os.path.join(path, f"{col}={b}")
+        old = os.path.join(oldroot, f"{col}={b}")
         os.makedirs(oldroot, exist_ok=True)
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(dst):

@@ -1,0 +1,300 @@
+"""Incrementally-maintained ANN index — the engine's whole purpose
+(CDC → embed → vector sink, pipeline.go:154-258) closed at INDEX
+granularity: the "sink" is a disk-resident IVF index whose cell
+partitions are updated in place by each CDC micro-batch.
+
+Layout (all plain parquet, Delta/Iceberg-swappable):
+- ``path/cell=<i>/``   — live point versions assigned to centroid i
+- ``path/cell=-1/``    — the tombstone log: (id, lsn) rows
+- ``path_centroids``   — the fixed centroid table (standard IVF practice:
+  centroids are trained once; re-clustering is an offline rebuild)
+
+Write protocol (per micro-batch, O(batch + touched_cells × cell_size)):
+1. assign each upserted vector to its nearest centroid — one broadcast
+   BLAS pass (the ivf_assign pattern), no shuffle;
+2. EVERY batch row (upsert or delete) also writes a tombstone (id, lsn)
+   to cell -1 — this is the Lucene/Milvus delete-bitmap design: an
+   update may move a point to a DIFFERENT cell, and the tombstone is
+   what invalidates the stale copy in the old cell without ever reading
+   that cell;
+3. per-(cell, id) max-LSN merge inside the touched cells only, then the
+   per-cell atomic swap shared with the CDC state store
+   (cdc.apply.swap_buckets) — idempotent, replay-safe, crash-safe.
+
+Read protocol (``topk``): score the centroid table for the query vector,
+scan ONLY the probed cell directories (partition pruning), drop any
+candidate whose lsn is below its id's max tombstone lsn (the tombstone
+log aggregates to one tiny (id, max_lsn) map — broadcast join), BLAS
+rerank, k-heap. A row's own tombstone has lsn equal to the row's, so a
+live row always survives its own write.
+
+``compact()`` is the offline GC: globally resolve survivors, rewrite
+every cell, clear the tombstone log. Cheap reads pay for themselves
+between compactions; this is the same contract as Lucene segment merges
+or Milvus compaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..cdc.apply import read_bucketed_state, swap_buckets
+from ..cdc.envelope import OP_DELETE
+
+CELL_COL = "cell"
+TOMB_CELL = -1
+
+
+class IncrementalIvfIndex:
+    """Disk-resident IVF index with CDC-driven in-place cell updates."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 id_col: str = "id", vec_col: str = "vector"):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    # ---------------------------------------------------------- build
+
+    def build(self, points: DataFrame, centroid_every: int = 31,
+              lsn_col: str | None = None) -> None:
+        """Offline build from an initial corpus of (id, vector[, lsn])
+        rows: pick every ``centroid_every``-th point (by id order —
+        deterministic, no RNG) as a centroid, assign all points, write
+        the cell partitions. Initial rows default to lsn 0 so ANY later
+        CDC event outranks them."""
+        src = points.select(
+            F.col(self.id_col),
+            F.col(self.vec_col),
+            (F.col(lsn_col) if lsn_col else F.lit(0)).cast("long").alias("lsn"),
+        )
+        w = Window.orderBy(self.id_col)
+        cents = (
+            src.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") % centroid_every) == 1)
+            .select(
+                F.col("_rn").alias("centroid_id"), F.col(self.vec_col)
+            )
+        )
+        cents.write.mode("overwrite").parquet(self.path + "_centroids")
+        assigned = self._assign_cells(src)
+        cells = sorted(r[0] for r in assigned.select(CELL_COL).distinct().collect())
+        swap_buckets(
+            assigned.repartition(max(len(cells), 1), CELL_COL),
+            self.path, cells, col=CELL_COL,
+        )
+
+    def _centroid_matrix(self) -> tuple[np.ndarray, np.ndarray]:
+        rows = sorted(
+            self.spark.read.parquet(self.path + "_centroids").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+        cmat = np.array([r[self.vec_col] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return cids, cmat / norms
+
+    def _assign_cells(self, pts: DataFrame) -> DataFrame:
+        """(id, vector, lsn) → + cell, one broadcast BLAS pass (narrow)."""
+        import pandas as pd
+
+        cids, cmat_n = self._centroid_matrix() if os.path.exists(
+            self.path + "_centroids"
+        ) else (None, None)
+        if cids is None:
+            raise ValueError(f"no centroid table at {self.path}_centroids — build() first")
+        bc = self.spark.sparkContext.broadcast((cids, cmat_n))
+        vec_col = self.vec_col
+        out_schema = T.StructType(
+            list(pts.schema.fields) + [T.StructField(CELL_COL, T.LongType(), False)]
+        )
+
+        def assign(batches):
+            b_cids, b_cmat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(**{CELL_COL: np.array([], dtype=np.int64)})
+                    continue
+                emat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                en = np.linalg.norm(emat, axis=1, keepdims=True)
+                en[en == 0.0] = 1.0
+                sims = (emat / en) @ b_cmat.T
+                yield pdf.assign(**{CELL_COL: b_cids[np.argmax(sims, axis=1)]})
+
+        return pts.mapInPandas(assign, schema=out_schema)
+
+    # ---------------------------------------------------------- write
+
+    def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
+        """foreachBatch hook: merge one CDC point batch — rows of
+        (id, vector, op, lsn); deletes carry a null vector. Idempotent
+        (max-LSN per (cell, id)); rewrites only the touched cells plus
+        the tombstone partition."""
+        ups = batch.where(F.col("op") != OP_DELETE).select(
+            self.id_col, self.vec_col, F.col("lsn").cast("long").alias("lsn")
+        )
+        assigned = self._assign_cells(ups)
+        # every event tombstones its id at its lsn: kills stale copies in
+        # OTHER cells for updates, kills everything older for deletes
+        tombs = batch.select(
+            self.id_col,
+            F.lit(None).cast(
+                next(f.dataType for f in batch.schema.fields if f.name == self.vec_col)
+            ).alias(self.vec_col),
+            F.col("lsn").cast("long").alias("lsn"),
+            F.lit(TOMB_CELL).cast("long").alias(CELL_COL),
+        )
+        ev = assigned.unionByName(tombs)
+        touched = sorted(r[0] for r in ev.select(CELL_COL).distinct().collect())
+        if not touched:
+            return
+        prior = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        if prior is not None:
+            ev = prior.where(F.col(CELL_COL).isin(touched)).select(
+                *ev.columns
+            ).unionByName(ev)
+        ev = ev.repartition(len(touched), CELL_COL)
+        w = Window.partitionBy(CELL_COL, self.id_col).orderBy(F.col("lsn").desc())
+        merged = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        swap_buckets(merged, self.path, touched, col=CELL_COL)
+
+    # ----------------------------------------------------------- read
+
+    def _tombstone_maxlsn(self) -> DataFrame | None:
+        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        if state is None:
+            return None
+        return (
+            state.where(F.col(CELL_COL) == TOMB_CELL)
+            .groupBy(self.id_col)
+            .agg(F.max("lsn").alias("_tlsn"))
+        )
+
+    def topk(self, qv: np.ndarray, k: int = 10, nprobe: int = 4) -> DataFrame:
+        """ANN top-k for an arbitrary query vector: probe cells → pruned
+        scan → tombstone filter (broadcast) → BLAS rerank → k-heap."""
+        from .similarity import cosine_scores
+
+        qv = np.asarray(qv, dtype=np.float64)
+        cids, cmat_n = self._centroid_matrix()
+        qn = np.linalg.norm(qv)
+        sims = cmat_n @ (qv / qn if qn else qv)
+        order = np.lexsort((cids, -sims))[:nprobe]
+        probed = [int(cids[i]) for i in order]
+
+        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        if state is None:
+            raise ValueError(f"empty index at {self.path}")
+        cand = state.where(F.col(CELL_COL).isin(probed))
+        tomb = self._tombstone_maxlsn()
+        cand = cand.join(F.broadcast(tomb), self.id_col, "left").where(
+            F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+        )
+        return (
+            cosine_scores(cand, qv, self.id_col, self.vec_col)
+            .select(self.id_col, F.round("sim", 6).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(self.id_col))
+            .limit(k)
+        )
+
+    # ------------------------------------------------------------ GC
+
+    def compact(self) -> None:
+        """Offline GC: resolve survivors globally (max-LSN per id vs the
+        tombstone log, deletes dropped), rewrite every cell, clear the
+        tombstone partition. Full rewrite by design — runs on the
+        compaction cadence, not per batch."""
+        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        if state is None:
+            return
+        live = state.where(F.col(CELL_COL) != TOMB_CELL)
+        tomb = self._tombstone_maxlsn()
+        survivors = live.join(F.broadcast(tomb), self.id_col, "left").where(
+            F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+        ).drop("_tlsn")
+        all_cells = sorted(
+            r[0] for r in state.select(CELL_COL).distinct().collect()
+        )
+        survivors = survivors.localCheckpoint(eager=True)  # read before swap
+        swap_buckets(
+            survivors.repartition(max(len(all_cells), 1), CELL_COL),
+            self.path, all_cells, col=CELL_COL,
+        )
+
+
+# --- graded entry ---------------------------------------------------------
+
+def d3_cdc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cdc2vec loop as ONE hash-checked query: build the index
+    from `embeddings`, apply a CDC batch (delete id 0; re-point id 1 at
+    vec 2's embedding — which may move it to a different cell; insert id
+    9999 with vec 3's embedding), then exact top-10 (nprobe = all cells)
+    for vec 4's embedding against the post-CDC state. With full probing
+    the result is the exact cosine top-k over the surviving point set,
+    which the DuckDB oracle reproduces relationally — index maintenance
+    itself (tombstones, cell moves, pruning) is what's under test."""
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.selectExpr("cast(vec_id as string) as id", "embedding as vector")
+    root = tempfile.mkdtemp(prefix="d3_cdc_ix_")
+    try:
+        ix = IncrementalIvfIndex(spark, f"{root}/ivf")
+        ix.build(pts, centroid_every=13)
+        grab = {
+            r["vec_id"]: r["embedding"]
+            for r in e.where(F.col("vec_id").isin(2, 3, 4)).collect()
+        }
+        batch = spark.createDataFrame(
+            [
+                ("0", None, "d", 1),
+                ("1", [float(x) for x in grab[2]], "u", 2),
+                ("9999", [float(x) for x in grab[3]], "c", 3),
+            ],
+            "id string, vector array<float>, op string, lsn long",
+        )
+        ix.apply_batch(batch)
+        qv = np.asarray(grab[4], dtype=np.float64)
+        out = ix.topk(qv, k=10, nprobe=1_000_000)
+        # materialize executor-side before the temp dir vanishes
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_D3_CDC_INDEX_ORACLE = """
+WITH pts AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+  FROM embeddings WHERE vec_id NOT IN (0, 1)
+  UNION ALL
+  SELECT '1', embedding FROM embeddings WHERE vec_id = 2
+  UNION ALL
+  SELECT '9999', embedding FROM embeddings WHERE vec_id = 3
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 4)
+SELECT id, sim FROM (
+  SELECT p.id,
+         round(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))), 6) AS sim
+  FROM pts p CROSS JOIN q
+) t ORDER BY sim DESC, id LIMIT 10
+"""
+
+QUERIES = {"d3_cdc_index": d3_cdc_index}
+ORACLES = {"d3_cdc_index": _D3_CDC_INDEX_ORACLE}

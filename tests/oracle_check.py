@@ -108,6 +108,7 @@ EXPECTED_QUERIES = frozenset(
     + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_lsh_exact",
        "d2_minhash_lsh", "d2_simhash",
        "d3_exact_topk", "d3_ivf_topk", "d3_multi_topk", "d3_hyperplane_topk",
+       "d3_cdc_index",
        "d4_text_stats", "d5_slicing",
        "d6_multimodal", "d6_features", "d7_embedding_stats",
        "d8_cosine_neardup", "d8_lsh_neardup", "d9_keep_canonical"]

@@ -1,0 +1,113 @@
+"""Incremental ANN index (operators/ann_index.py): CDC batches update
+cell partitions in place — insert/update/delete/replay/compact semantics
+plus the untouched-cells-not-rewritten proof."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators.ann_index import TOMB_CELL, IncrementalIvfIndex
+
+
+def _cell_snapshot(path):
+    import os
+
+    out = {}
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("cell="):
+            continue
+        d = os.path.join(path, name)
+        out[name] = sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        )
+    return out
+
+
+@pytest.fixture()
+def index(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "cast(vec_id as string) as id", "embedding as vector"
+    )
+    ix = IncrementalIvfIndex(spark, str(tmp_path / "ivf"))
+    ix.build(e, centroid_every=13)
+    return ix
+
+
+def _batch(spark, rows, dim):
+    return spark.createDataFrame(
+        rows, f"id string, vector array<float>, op string, lsn long"
+    )
+
+
+def test_insert_update_delete_replay_compact(spark, sf_dir, index):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = np.asarray(e.where("vec_id = 0").first()["embedding"], dtype=np.float64)
+    dim = len(qv)
+
+    base = {r["id"] for r in index.topk(qv, k=5, nprobe=100).collect()}
+    assert len(base) == 5 and "0" in base  # self-match: sim 1.0 tops
+
+    # INSERT a new point equal to the query → becomes top-1
+    b1 = _batch(spark, [("new:q", [float(x) for x in qv], "c", 100)], dim)
+    index.apply_batch(b1)
+    snap_before = _cell_snapshot(index.path)
+    top = index.topk(qv, k=2, nprobe=100).collect()
+    assert {r["id"] for r in top} >= {"new:q", "0"}
+    assert all(r["sim"] == 1.0 for r in top)
+
+    # UPDATE it to the opposite vector (moves cells or not — either way
+    # the tombstone kills the old copy) → no longer matches the query
+    b2 = _batch(spark, [("new:q", [-float(x) for x in qv], "u", 101)], dim)
+    index.apply_batch(b2)
+    ids = {r["id"] for r in index.topk(qv, k=5, nprobe=100).collect()}
+    assert "new:q" not in ids
+
+    # DELETE vector 0 → gone from results
+    b3 = _batch(spark, [("0", None, "d", 102)], dim)
+    index.apply_batch(b3)
+    ids = {r["id"] for r in index.topk(qv, k=5, nprobe=100).collect()}
+    assert "0" not in ids
+
+    # REPLAY the delete batch (foreachBatch redelivery) → same answer
+    index.apply_batch(b3)
+    ids2 = {r["id"] for r in index.topk(qv, k=5, nprobe=100).collect()}
+    assert ids2 == ids
+
+    # stale replay of b1 cannot resurrect (its lsn 100 < tombstone 101)
+    index.apply_batch(b1)
+    assert "new:q" not in {
+        r["id"] for r in index.topk(qv, k=10, nprobe=100).collect()
+    }
+
+    # COMPACT: tombstone partition cleared, results identical
+    want = [(r["id"], r["sim"]) for r in index.topk(qv, k=5, nprobe=100).collect()]
+    index.compact()
+    got = [(r["id"], r["sim"]) for r in index.topk(qv, k=5, nprobe=100).collect()]
+    assert got == want
+    import os
+
+    assert not os.path.exists(os.path.join(index.path, f"cell={TOMB_CELL}"))
+
+
+def test_small_batch_rewrites_only_touched_cells(spark, sf_dir, index):
+    e = load_table(spark, sf_dir, "embeddings")
+    v5 = [float(x) for x in e.where("vec_id = 5").first()["embedding"]]
+    before = _cell_snapshot(index.path)
+    index.apply_batch(_batch(spark, [("solo", v5, "c", 50)], len(v5)))
+    after = _cell_snapshot(index.path)
+    changed = {c for c in set(before) | set(after) if before.get(c) != after.get(c)}
+    # exactly the new point's cell + the tombstone partition
+    assert f"cell={TOMB_CELL}" in changed and len(changed) == 2
+
+
+def test_topk_prunes_probed_cells(spark, sf_dir, index):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = np.asarray(e.where("vec_id = 7").first()["embedding"], dtype=np.float64)
+    out = index.topk(qv, k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert len(out.collect()) == 5
