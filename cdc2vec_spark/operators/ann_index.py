@@ -253,6 +253,11 @@ def d3_cdc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.selectExpr("cast(vec_id as string) as id", "embedding as vector")
     root = tempfile.mkdtemp(prefix="d3_cdc_ix_")
+    # a bare driver session defaults to 200 shuffle partitions — the
+    # build's centroid window + merge shuffles don't need them; pin to 8
+    # for the entry's duration (restored after), the c7/c4 cost bound
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         ix = IncrementalIvfIndex(spark, f"{root}/ivf")
         ix.build(pts, centroid_every=13)
@@ -274,6 +279,7 @@ def d3_cdc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize executor-side before the temp dir vanishes
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -91,16 +91,45 @@ def sink_hook_for(cfg: PipelineConfig):
       (FNV-1a id parity).
     - ``milvus``: lazily ensure the collection (reference field/index
       constants), then batched REST v2 inserts + delete exprs.
+    - ``ivf_index``: maintain a disk-resident incremental IVF ANN index
+      (operators.ann_index) at ``options.path`` — centroids bootstrap
+      from the first batch's vectors, then every batch rewrites only its
+      touched cells.
     - ``kafka`` / empty: None — Kafka delivery is writeStream-native
       (``sinks.kafka.to_kafka_messages`` + format('kafka')), and the
       engine-native keyed collection is always maintained regardless.
     """
     sink = getattr(cfg, "sink", None)
-    if sink is None or sink.type not in ("qdrant", "milvus"):
+    if sink is None or sink.type not in ("qdrant", "milvus", "ivf_index"):
         return None
     opts = sink.options or {}
     url = opts.get("url") or opts.get("addr") or ""
     collection = opts.get("collection") or "points"
+
+    if sink.type == "ivf_index":
+        import os
+
+        from .operators.ann_index import IncrementalIvfIndex
+
+        path = opts.get("path")
+        if not path:
+            raise ValueError("ivf_index sink requires options.path")
+        every = int(opts.get("centroid_every", 31))
+
+        def hook(pts: DataFrame) -> None:
+            ix = IncrementalIvfIndex(pts.sparkSession, path)
+            if not os.path.exists(path + "_centroids"):
+                # cold start: train centroids on the first batch's
+                # vectors (standard IVF practice — retrain = offline
+                # rebuild); the subsequent apply supersedes the lsn-0
+                # seed rows idempotently
+                seed = pts.where(F.col("op") != OP_DELETE).select("id", "vector")
+                if seed.isEmpty():
+                    return  # all-delete first batch: nothing to index yet
+                ix.build(seed, centroid_every=every)
+            ix.apply_batch(pts.select("id", "vector", "op", "lsn"))
+
+        return hook
     if sink.type == "qdrant":
         from .sinks import qdrant as q
 

@@ -163,6 +163,64 @@ def test_boot_routes_to_configured_qdrant_sink(spark, sf_dir, tmp_path):
     assert set(deleted) == want_deleted
 
 
+def test_boot_maintains_ivf_index_sink(spark, sf_dir, tmp_path):
+    """sink.type=ivf_index: the streaming boot maintains a disk ANN index
+    incrementally — live ids retrievable by their own vector (sim 1.0),
+    deleted ids absent."""
+    import numpy as np
+
+    from cdc2vec_spark.config import (
+        DOCUMENTS_MAPPING,
+        EngineConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from cdc2vec_spark.operators.ann_index import IncrementalIvfIndex
+
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    ix_path = str(tmp_path / "ivf")
+    cfg = PipelineConfig(
+        engine=EngineConfig(mappings=(DOCUMENTS_MAPPING,), vector_size=8),
+        sink=SinkConfig(type="ivf_index", options={"path": ix_path}),
+    )
+    query, coll, _ = runner.boot(
+        spark,
+        config=cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    ix = IncrementalIvfIndex(spark, ix_path)
+    live = coll.live().select("id", "vector").collect()
+    probe = live[0]
+    top = ix.topk(
+        np.asarray(probe["vector"], dtype=np.float64), k=1, nprobe=1_000_000
+    ).first()
+    assert top["id"] == probe["id"] and top["sim"] == 1.0
+
+    # a deleted key must not be retrievable even by searching everywhere
+    deleted_pk = ch.where(F.col("op") == "d").select("pk").first()["pk"]
+    live_ids = {r["id"] for r in live}
+    dead_id = f"public.documents:{deleted_pk}"
+    if dead_id not in live_ids:  # not re-inserted later in the log
+        got = {
+            r["id"]
+            for r in ix.topk(
+                np.asarray(probe["vector"], dtype=np.float64),
+                k=10_000, nprobe=1_000_000,
+            ).collect()
+        }
+        assert dead_id not in got
+
+
 def test_points_collection_replay_idempotent(spark, tmp_path):
     """Replaying the same points batch must reproduce identical state
     (foreachBatch redelivery after a crash-before-commit)."""
