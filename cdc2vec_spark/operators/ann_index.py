@@ -66,22 +66,30 @@ class IncrementalIvfIndex:
     def build(self, points: DataFrame, centroid_every: int = 31,
               lsn_col: str | None = None) -> None:
         """Offline build from an initial corpus of (id, vector[, lsn])
-        rows: pick every ``centroid_every``-th point (by id order —
-        deterministic, no RNG) as a centroid, assign all points, write
-        the cell partitions. Initial rows default to lsn 0 so ANY later
-        CDC event outranks them."""
+        rows: centroids are a deterministic ~1/``centroid_every`` hash
+        sample of the points (xxhash64 — no RNG, retry-stable), assign
+        all points, write the cell partitions. Initial rows default to
+        lsn 0 so ANY later CDC event outranks them.
+
+        The hash-sample filter is a NARROW scan predicate; the only
+        window runs over the sampled centroid subset (k ≈ n/every rows)
+        to stamp dense centroid ids — sorting k rows in one task is the
+        k-means-scale reality, never a global sort of the corpus. A
+        production build would run k-means; determinism matters more
+        here, and IVF correctness is independent of centroid quality."""
         src = points.select(
             F.col(self.id_col),
             F.col(self.vec_col),
             (F.col(lsn_col) if lsn_col else F.lit(0)).cast("long").alias("lsn"),
         )
-        w = Window.orderBy(self.id_col)
-        cents = (
-            src.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") % centroid_every) == 1)
-            .select(
-                F.col("_rn").alias("centroid_id"), F.col(self.vec_col)
-            )
+        sampled = src.where(
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(centroid_every)) == 0
+        )
+        if sampled.isEmpty():  # tiny corpus missed by the sample: 1 centroid
+            sampled = src.orderBy(self.id_col).limit(1)
+        w = Window.orderBy(self.id_col)  # k sampled rows only
+        cents = sampled.select(
+            F.row_number().over(w).alias("centroid_id"), F.col(self.vec_col)
         )
         cents.write.mode("overwrite").parquet(self.path + "_centroids")
         assigned = self._assign_cells(src)
