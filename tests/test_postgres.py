@@ -84,6 +84,25 @@ def test_wal2json_decode_edge_values(spark):
     assert flat[2]["after_title"] is None
 
 
+def test_wal2json_schema_drift_tolerated(spark):
+    """SURVEY §2.1 D1 contract (static mapping): a column added upstream
+    mid-stream appears in the WAL but must NOT break decode — unmapped
+    columns ride along in the after-map and are simply not projected."""
+    lines = [
+        _wal_line("I", "0/1", columns={"id": "1", "title": "t", "content": "c"}),
+        # upstream ALTER TABLE ADD COLUMN rating: new field shows up
+        _wal_line("I", "0/2", columns={"id": "2", "title": "u", "content": "d",
+                                       "rating": "5"}),
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    flat = pg.flat_changes(df, "id", ["title", "content"]).orderBy("lsn").collect()
+    assert [r["after_title"] for r in flat] == ["t", "u"]
+    assert "after_rating" not in flat[0].asDict()
+    # the envelope still carries the new column for consumers that map it
+    env = pg.wal2json_changes(df, "id").orderBy("lsn").collect()
+    assert env[1]["after"]["rating"] == "5"
+
+
 def test_provision_warn_and_continue():
     ran = []
 
