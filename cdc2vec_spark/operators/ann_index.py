@@ -52,14 +52,23 @@ TOMB_CELL = -1
 
 
 class IncrementalIvfIndex:
-    """Disk-resident IVF index with CDC-driven in-place cell updates."""
+    """Disk-resident IVF index with CDC-driven in-place cell updates.
+
+    ``payload_cols`` are carried through build/apply and stored inside
+    the cell partitions, enabling FILTERED vector search: ``topk``'s
+    ``predicate`` is a plain Spark expression evaluated on the pruned
+    cell scan — pre-filtering (the Qdrant/Milvus design), so the k
+    results are the top-k OF THE FILTERED SET, not a post-filtered
+    top-k that can come back short."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 id_col: str = "id", vec_col: str = "vector"):
+                 id_col: str = "id", vec_col: str = "vector",
+                 payload_cols: tuple[str, ...] = ()):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        self.payload_cols = tuple(payload_cols)
 
     # ---------------------------------------------------------- build
 
@@ -81,6 +90,7 @@ class IncrementalIvfIndex:
             F.col(self.id_col),
             F.col(self.vec_col),
             (F.col(lsn_col) if lsn_col else F.lit(0)).cast("long").alias("lsn"),
+            *[F.col(c) for c in self.payload_cols],
         )
         sampled = src.where(
             F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(centroid_every)) == 0
@@ -147,17 +157,22 @@ class IncrementalIvfIndex:
         (max-LSN per (cell, id)); rewrites only the touched cells plus
         the tombstone partition."""
         ups = batch.where(F.col("op") != OP_DELETE).select(
-            self.id_col, self.vec_col, F.col("lsn").cast("long").alias("lsn")
+            self.id_col, self.vec_col, F.col("lsn").cast("long").alias("lsn"),
+            *[F.col(c) for c in self.payload_cols],
         )
         assigned = self._assign_cells(ups)
         # every event tombstones its id at its lsn: kills stale copies in
         # OTHER cells for updates, kills everything older for deletes
+
+        def _null_as(col: str):
+            t = next(f.dataType for f in batch.schema.fields if f.name == col)
+            return F.lit(None).cast(t).alias(col)
+
         tombs = batch.select(
             self.id_col,
-            F.lit(None).cast(
-                next(f.dataType for f in batch.schema.fields if f.name == self.vec_col)
-            ).alias(self.vec_col),
+            _null_as(self.vec_col),
             F.col("lsn").cast("long").alias("lsn"),
+            *[_null_as(c) for c in self.payload_cols],
             F.lit(TOMB_CELL).cast("long").alias(CELL_COL),
         )
         ev = assigned.unionByName(tombs)
@@ -190,9 +205,14 @@ class IncrementalIvfIndex:
             .agg(F.max("lsn").alias("_tlsn"))
         )
 
-    def topk(self, qv: np.ndarray, k: int = 10, nprobe: int = 4) -> DataFrame:
+    def topk(self, qv: np.ndarray, k: int = 10, nprobe: int = 4,
+             predicate=None) -> DataFrame:
         """ANN top-k for an arbitrary query vector: probe cells → pruned
-        scan → tombstone filter (broadcast) → BLAS rerank → k-heap."""
+        scan → payload ``predicate`` pre-filter → tombstone filter
+        (broadcast) → BLAS rerank → k-heap. ``predicate`` is a Column or
+        SQL string over the stored payload columns; filtering happens
+        BEFORE scoring, so the result is the true top-k of the filtered
+        set (with IVF's usual probed-cells recall caveat)."""
         from .similarity import cosine_scores
 
         qv = np.asarray(qv, dtype=np.float64)
@@ -206,6 +226,10 @@ class IncrementalIvfIndex:
         if state is None:
             raise ValueError(f"empty index at {self.path}")
         cand = state.where(F.col(CELL_COL).isin(probed))
+        if predicate is not None:
+            cand = cand.where(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
         tomb = self._tombstone_maxlsn()
         cand = cand.join(F.broadcast(tomb), self.id_col, "left").where(
             F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))

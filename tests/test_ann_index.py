@@ -104,6 +104,61 @@ def test_small_batch_rewrites_only_touched_cells(spark, sf_dir, index):
     assert f"cell={TOMB_CELL}" in changed and len(changed) == 2
 
 
+def test_filtered_search_with_payload_columns(spark, sf_dir, tmp_path):
+    """Pre-filtered ANN: payload columns stored in the cells, predicate
+    applied before scoring — full-probe results equal the brute-force
+    top-k WITHIN the filtered set, and a payload update via CDC moves
+    the point across the filter boundary."""
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.operators.similarity import cosine_scores
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.selectExpr(
+        "cast(vec_id as string) as id", "embedding as vector", "label"
+    )
+    ix = IncrementalIvfIndex(
+        spark, str(tmp_path / "ivf"), payload_cols=("label",)
+    )
+    ix.build(pts, centroid_every=13)
+
+    some_label = e.select("label").first()["label"]
+    qv = np.asarray(e.where("vec_id = 0").first()["embedding"], dtype=np.float64)
+    got = [
+        (r["id"], r["sim"])
+        for r in ix.topk(
+            qv, k=5, nprobe=1_000_000, predicate=f"label = {some_label}"
+        ).collect()
+    ]
+    want = [
+        (r["id"], r["sim"])
+        for r in cosine_scores(
+            pts.where(F.col("label") == some_label), qv, id_col="id", vec_col="vector"
+        )
+        .select("id", F.round("sim", 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "id")
+        .limit(5)
+        .collect()
+    ]
+    assert got == want and len(got) == 5
+
+    # CDC payload update: give vec 0 a new label; it must cross the filter
+    v0 = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    other = int(some_label) + 1000
+    batch = spark.createDataFrame(
+        [("0", v0, other, "u", 99)],
+        "id string, vector array<float>, label bigint, op string, lsn long",
+    )
+    ix.apply_batch(batch)
+    assert "0" not in {
+        r["id"]
+        for r in ix.topk(qv, k=100, nprobe=1_000_000,
+                         predicate=f"label = {some_label}").collect()
+    }
+    top = ix.topk(qv, k=1, nprobe=1_000_000, predicate=f"label = {other}").first()
+    assert top["id"] == "0" and top["sim"] == 1.0
+
+
 def test_topk_prunes_probed_cells(spark, sf_dir, index):
     e = load_table(spark, sf_dir, "embeddings")
     qv = np.asarray(e.where("vec_id = 7").first()["embedding"], dtype=np.float64)
