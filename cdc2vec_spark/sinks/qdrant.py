@@ -76,15 +76,18 @@ def write_partition_http(rows, url: str, collection: str, timeout_s: float = 15.
     connection (the reference opens a request per point; qdrant.go:42 sets
     the same 15s timeout). Import-guarded: no server in this environment.
     """
-    import json
     import urllib.request
 
-    points = [json.loads(r["point_json"]) for r in rows]
+    # the rows already carry complete point JSON (upsert_payloads built it
+    # JVM-side); splice the strings into the batch body instead of a
+    # loads/dumps round-trip — ~10× less Python per partition at dim 768
+    points = [r["point_json"] for r in rows]
     if not points:
         return
+    body = b'{"points":[' + ",".join(points).encode() + b"]}"
     req = urllib.request.Request(
         f"{url}/collections/{collection}/points?wait=true",
-        data=json.dumps({"points": points}).encode(),
+        data=body,
         headers={"Content-Type": "application/json"},
         method="PUT",
     )
