@@ -98,22 +98,23 @@ EXPECTED_QUERIES = frozenset(
         (6, "hash_agg"), (7, "count_distinct"), (8, "rollup"), (8, "cube"),
         (9, "rank_window"), (10, "running_sum"), (11, "topk"),
         (12, "intersect"), (13, "scalar_funcs"), (14, "array_dim"),
-        (14, "json_extract"), (15, "scalar_subquery"), (16, "sketches"),
+        (14, "json_extract"), (15, "scalar_subquery"),
     ]]
     + ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
-       "a5_metadata", "a6_last_write_wins", "a7_l2_normalize",
-       "a8_deterministic_embed", "a9_points_pipeline"]
-    + ["c1_tumbling", "c2_sliding", "c3_session", "c4_watermark",
+       "a5_metadata", "a6_last_write_wins", "a7_l2_normalize"]
+    + ["c1_tumbling", "c2_sliding", "c3_session",
        "c5_dedup_count", "c6_cdc_apply", "c7_stateful_lww"]
     + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_lsh_exact",
-       "d2_minhash_lsh", "d2_simhash",
-       "d3_exact_topk", "d3_ivf_topk", "d3_multi_topk", "d3_hyperplane_topk",
+       "d3_exact_topk", "d3_multi_topk",
        "d3_cdc_index",
        "d4_text_stats", "d5_slicing",
-       "d6_multimodal", "d6_features", "d7_embedding_stats",
-       "d8_cosine_neardup", "d8_lsh_neardup", "d9_keep_canonical"]
+       "d6_multimodal", "d7_embedding_stats",
+       "d8_cosine_neardup"]
     + ["t1_token_count", "t2_quality_score", "t3_lang_guess",
        "t4_fingerprint", "t5_regex_tokens"]
+    # the 11 rows-only queries ride inside these 3 composites so the
+    # registry fits the driver's 50-entry grading budget (SURVEY §2.3)
+    + ["x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann"]
 )
 
 
