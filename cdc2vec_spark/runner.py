@@ -83,6 +83,27 @@ def _provider_from(cfg: PipelineConfig | EngineConfig):
     return get_provider(engine.provider, url=url, model=model)
 
 
+def final_events(pts: DataFrame) -> DataFrame:
+    """Reduce a micro-batch to its per-id OUTCOME: the max-LSN event per
+    id — the same window merge PointsCollection/ParquetCollection apply.
+
+    External delivery must respect per-key event order (the reference
+    applies events strictly in order, pipeline.go:154-165). Delivering a
+    batch's upserts then its deletes without this reduction breaks two
+    cases: a key deleted then re-inserted in one batch (delete lsn <
+    insert lsn) would be upserted and THEN deleted — external sink loses
+    a live point; and two upserts for one id could land in concurrent
+    per-partition requests with undefined ordering — a stale vector could
+    win. After the reduction each id appears exactly once and is routed
+    to exactly one of upsert/delete by its final op."""
+    w = Window.partitionBy("id").orderBy(F.col("lsn").desc())
+    return (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def sink_hook_for(cfg: PipelineConfig):
     """main.go:66-100 sink factory, config-driven: returns a per-batch
     delivery hook (points DataFrame → external sink) or None.
@@ -134,11 +155,12 @@ def sink_hook_for(cfg: PipelineConfig):
         from .sinks import qdrant as q
 
         def hook(pts: DataFrame) -> None:
-            ups = q.upsert_payloads(pts.where(F.col("op") != OP_DELETE))
+            fin = final_events(pts)
+            ups = q.upsert_payloads(fin.where(F.col("op") != OP_DELETE))
             ups.foreachPartition(
                 lambda rows: q.write_partition_http(rows, url, collection)
             )
-            pts.where(F.col("op") == OP_DELETE).select("id").foreachPartition(
+            fin.where(F.col("op") == OP_DELETE).select("id").foreachPartition(
                 lambda rows: q.delete_partition_http(rows, url, collection)
             )
 
@@ -153,11 +175,12 @@ def sink_hook_for(cfg: PipelineConfig):
         if not ensured["done"]:
             m.ensure_collection(url, collection, dim=dim)
             ensured["done"] = True
-        ins = m.insert_payloads(pts.where(F.col("op") != OP_DELETE))
+        fin = final_events(pts)
+        ins = m.insert_payloads(fin.where(F.col("op") != OP_DELETE))
         ins.foreachPartition(
             lambda rows: m.write_partition_http(rows, url, collection)
         )
-        pts.where(F.col("op") == OP_DELETE).select("id").foreachPartition(
+        fin.where(F.col("op") == OP_DELETE).select("id").foreachPartition(
             lambda rows: m.delete_partition_http(rows, url, collection)
         )
 
