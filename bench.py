@@ -53,8 +53,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
+    from cdc2vec_spark.operators import composite
 
-    registry = entry_mod.queries()
+    # the driver registry consolidates the rows-only queries into 3
+    # composites (50-entry grading budget); bench still times the
+    # components individually so per-operator numbers stay comparable
+    # across rounds
+    registry = {**entry_mod.queries(), **composite.component_queries()}
     # Warm the JVM/file-listing paths once so q1 isn't charged for JIT/startup.
     registry["b1_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 

@@ -131,3 +131,30 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {}  # rows-only by construction (that is the point)
+
+
+def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The 11 consolidated component queries by their original names —
+    for bench.py and tools that time components individually (the driver
+    registry sees only the composites)."""
+    from ..cdc.changelog import a9_points_pipeline
+    from ..streaming.windows import c4_watermark
+    from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .multimodal import d6_features
+    from .relational import b16_sketches
+    from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
+    from .vectors import a8_deterministic_embed
+
+    return {
+        "a8_deterministic_embed": a8_deterministic_embed,
+        "a9_points_pipeline": a9_points_pipeline,
+        "b16_sketches": b16_sketches,
+        "c4_watermark": c4_watermark,
+        "d2_minhash_lsh": d2_minhash_lsh,
+        "d2_simhash": d2_simhash,
+        "d9_keep_canonical": d9_keep_canonical,
+        "d6_features": d6_features,
+        "d3_ivf_topk": d3_ivf_topk,
+        "d3_hyperplane_topk": d3_hyperplane_topk,
+        "d8_lsh_neardup": d8_lsh_neardup,
+    }

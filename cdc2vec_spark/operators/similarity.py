@@ -294,15 +294,18 @@ def ivf_topk(
         embeddings, centroid_every, id_col, vec_col
     )
     qv = _query_vector(embeddings, query_vec_id, id_col, vec_col)
-    probe_cells = (
-        cosine_scores(cents, qv, id_col, vec_col)
-        .select(F.col(id_col).alias("cell"), F.col("sim").alias("_s"))
-        .orderBy(F.col("_s").desc(), "cell")
-        .limit(nprobe)
-        .select("cell")
-    )
-    rerank_src = assigned.join(F.broadcast(probe_cells), "cell").where(
-        F.col(id_col) != query_vec_id
+    # Probe-cell selection is DRIVER-side numpy: the centroid set is tiny
+    # by construction (k ≈ √n — the IVF contract; ivf_assign already
+    # collects it to broadcast), so scoring it as a Spark job costs a full
+    # job round-trip + a Python-worker stage per query for ~√n rows of
+    # work. Collapsing probe selection to the driver removes one job and
+    # the broadcast join, leaving rerank as ONE isin-filtered scoring
+    # pass — this halved the warm d3_ivf_topk query (round-6 probe:
+    # tools/probe_ivf.py attributed the r05 2× regression to exactly
+    # these per-call mini-job overheads, not to build or cache eviction).
+    probe = _probe_cells_driver(cents, qv, nprobe, id_col, vec_col)
+    rerank_src = assigned.where(
+        F.col("cell").isin(probe) & (F.col(id_col) != query_vec_id)
     )
     return (
         cosine_scores(rerank_src, qv, id_col, vec_col)
@@ -310,6 +313,23 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _probe_cells_driver(
+    cents: DataFrame, qv: np.ndarray, nprobe: int, id_col: str, vec_col: str
+) -> list[int]:
+    """nprobe nearest centroid ids by cosine, computed driver-side
+    (ties → lowest cell id, matching the previous Spark orderBy)."""
+    crows = sorted(cents.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    qn = float(np.linalg.norm(qv))
+    denom = cn * qn
+    denom[denom == 0.0] = np.inf
+    sims = (cmat @ qv) / denom
+    order = np.lexsort((cids, -sims))  # sim desc, cell id asc on ties
+    return [int(c) for c in cids[order[:nprobe]]]
 
 
 def ivf_index_to_disk(
@@ -347,14 +367,9 @@ def ivf_topk_on_disk(
     round-trip is the nprobe cell ids."""
     qv = np.asarray(qv, dtype=np.float64)
     cents = spark.read.parquet(path + "_centroids")
-    probed = [
-        r[0]
-        for r in cosine_scores(cents, qv, id_col, vec_col)
-        .orderBy(F.col("sim").desc(), F.col(id_col))
-        .limit(nprobe)
-        .select(id_col)
-        .collect()
-    ]
+    # driver-side probe selection (see ivf_topk): one small centroid scan
+    # replaces a scoring job + TakeOrdered round-trip per query
+    probed = _probe_cells_driver(cents, qv, nprobe, id_col, vec_col)
     cand = spark.read.parquet(path).where(F.col("cell").isin(probed))
     return (
         cosine_scores(cand, qv, id_col, vec_col)
