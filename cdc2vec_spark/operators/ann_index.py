@@ -63,12 +63,27 @@ class IncrementalIvfIndex:
 
     def __init__(self, spark: SparkSession, path: str,
                  id_col: str = "id", vec_col: str = "vector",
-                 payload_cols: tuple[str, ...] = ()):
+                 payload_cols: tuple[str, ...] = (),
+                 auto_compact_ratio: float | None = 0.5,
+                 auto_compact_min: int = 4096):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
         self.payload_cols = tuple(payload_cols)
+        # Auto-compaction trigger: the tombstone partition (cell -1) is
+        # read+merged+rewritten by EVERY batch and grows O(events since
+        # last compact) — without a trigger a long-running stream degrades
+        # until an operator intervenes (round-5 verdict #3). compact()
+        # runs inline after a batch when tombstone rows exceed
+        # ``auto_compact_ratio`` × live rows AND ``auto_compact_min``
+        # (floor: a full-index rewrite must not trigger on a toy log).
+        # Ratio-based triggering amortizes the rewrite: the work per
+        # compaction is O(index), but it runs at most every
+        # ratio×index-growth events — the Lucene/Milvus cadence contract.
+        # None disables (manual compact() only).
+        self.auto_compact_ratio = auto_compact_ratio
+        self.auto_compact_min = auto_compact_min
 
     # ---------------------------------------------------------- build
 
@@ -192,6 +207,27 @@ class IncrementalIvfIndex:
             .drop("_rn")
         )
         swap_buckets(merged, self.path, touched, col=CELL_COL)
+        if self.auto_compact_ratio is not None:
+            self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """Trigger compact() when the tombstone log outgrows the live set.
+        The counts are one column-pruned scan of the cell column per
+        batch (the batch already paid several jobs; on parquet this reads
+        no vector data). Deliberately driver-simple — the decision needs
+        two longs, not a plan."""
+        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        if state is None:
+            return
+        rows = (
+            state.groupBy((F.col(CELL_COL) == TOMB_CELL).alias("_t"))
+            .count()
+            .collect()
+        )
+        tomb_n = sum(r["count"] for r in rows if r["_t"])
+        live_n = sum(r["count"] for r in rows if not r["_t"])
+        if tomb_n >= self.auto_compact_min and tomb_n > self.auto_compact_ratio * max(live_n, 1):
+            self.compact()
 
     # ----------------------------------------------------------- read
 

@@ -136,9 +136,17 @@ def sink_hook_for(cfg: PipelineConfig):
         if not path:
             raise ValueError("ivf_index sink requires options.path")
         every = int(opts.get("centroid_every", 31))
+        # auto-compaction knobs (see IncrementalIvfIndex.__init__);
+        # auto_compact_ratio: "none"/"off" disables
+        raw_ratio = opts.get("auto_compact_ratio", 0.5)
+        ratio = None if str(raw_ratio).lower() in ("none", "off") else float(raw_ratio)
+        compact_min = int(opts.get("auto_compact_min", 4096))
 
         def hook(pts: DataFrame) -> None:
-            ix = IncrementalIvfIndex(pts.sparkSession, path)
+            ix = IncrementalIvfIndex(
+                pts.sparkSession, path,
+                auto_compact_ratio=ratio, auto_compact_min=compact_min,
+            )
             if not os.path.exists(path + "_centroids"):
                 # cold start: train centroids on the first batch's
                 # vectors (standard IVF practice — retrain = offline

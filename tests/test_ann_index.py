@@ -166,3 +166,67 @@ def test_topk_prunes_probed_cells(spark, sf_dir, index):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
     assert len(out.collect()) == 5
+
+
+def test_auto_compaction_bounds_tombstone_growth(spark, sf_dir, tmp_path):
+    """Round-5 verdict #3: nothing ever triggered compact(), so the
+    tombstone partition (read+rewritten every batch) grew O(events) for
+    the life of the stream. With auto_compact_ratio set, streaming many
+    delete-heavy batches must keep the tombstone partition bounded and
+    compaction must fire without any manual compact() call."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "cast(vec_id as string) as id", "embedding as vector"
+    )
+    path = str(tmp_path / "ivf")
+    ix = IncrementalIvfIndex(
+        spark, path, auto_compact_ratio=0.25, auto_compact_min=32
+    )
+    ix.build(e, centroid_every=13)
+    n_live = e.count()
+    vec = [float(x) for x in e.first()["vector"]]
+
+    def tomb_rows():
+        d = os.path.join(path, f"cell={TOMB_CELL}")
+        if not os.path.isdir(d):
+            return 0
+        return (
+            spark.read.parquet(path)
+            .where(F.col("cell") == TOMB_CELL)
+            .count()
+        )
+
+    # 14 delete-heavy batches of 16 events each: threshold is
+    # 0.25*live (~25 rows at sf0.001's 100 embeddings) so several
+    # compactions must fire along the way
+    max_tomb, secs, compactions = 0, [], 0
+    for b in range(14):
+        rows = []
+        for i in range(16):
+            key = str((b * 16 + i) % n_live)
+            lsn = 1000 + b * 16 + i
+            if i % 4 == 0:  # mostly deletes with some re-inserts
+                rows.append((key, vec, "u", lsn))
+            else:
+                rows.append((key, None, "d", lsn))
+        before = tomb_rows()
+        t0 = time.perf_counter()
+        ix.apply_batch(_batch(spark, rows, len(vec)))
+        secs.append(time.perf_counter() - t0)
+        after = tomb_rows()
+        if after < before:
+            compactions += 1
+        max_tomb = max(max_tomb, after)
+
+    threshold = int(0.25 * n_live)
+    # bounded: never exceeds threshold + one batch of tombstones + the
+    # compaction-floor slack; without auto-compaction it would reach 14*16=224
+    assert max_tomb <= threshold + 16 + 32, f"tombstones grew to {max_tomb}"
+    assert compactions >= 1, "auto-compaction never fired"
+    # wall-clock stays flat-ish: the last batches must not be paying an
+    # O(total-events) tombstone merge (loose 5x bound — CI noise safe)
+    assert min(secs[-3:]) < 5 * max(min(secs[:3]), 0.05), secs
