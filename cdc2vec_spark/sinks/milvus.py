@@ -98,8 +98,13 @@ def ensure_collection(
                         "fieldName": "vector",
                         "indexName": "vector",
                         "metricType": metric,  # milvus.go:99: default IP
+                        # REST v2 documents indexType as a SIBLING of
+                        # metricType; nesting it inside params made a real
+                        # server fall back to AUTOINDEX (round-5 ADVICE —
+                        # the flow is mock-verified only, so the wrong
+                        # nesting went unnoticed)
+                        "indexType": index_type,  # HNSW
                         "params": {
-                            "index_type": index_type,  # HNSW
                             "M": INDEX["M"],
                             "efConstruction": INDEX["efConstruction"],
                         },
@@ -113,36 +118,53 @@ def ensure_collection(
     return not exists
 
 
+# Points per HTTP request — same rationale as sinks.qdrant: an unbounded
+# per-partition body reaches hundreds of MB at dim 768 and real servers
+# reject it (Milvus REST caps request size); 2048 ≈ 6 MB.
+MAX_POINTS_PER_REQUEST = 2048
+
+
+def _chunks(it, n: int):
+    buf = []
+    for x in it:
+        buf.append(x)
+        if len(buf) >= n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
 def write_partition_http(
     rows, url: str, collection: str, timeout_s: float = 20.0,
+    max_points: int = MAX_POINTS_PER_REQUEST,
 ) -> None:
-    """foreachPartition writer over ``insert_payloads`` rows: one batched
-    POST /v2/vectordb/entities/insert per partition (milvus.go:134-158
-    inserts one point per RPC; same 20s timeout). Insert — not upsert —
-    is the reference's documented behavior; dedup happens upstream in the
-    keyed collection merge."""
-    data = [
+    """foreachPartition writer over ``insert_payloads`` rows: chunked
+    POST /v2/vectordb/entities/insert requests of ≤ ``max_points`` rows
+    (milvus.go:134-158 inserts one point per RPC; same 20s timeout).
+    Insert — not upsert — is the reference's documented behavior; dedup
+    happens upstream in the keyed collection merge."""
+    payload_rows = (
         {
             "id": r["id"],
             "vector": [float(x) for x in r["vector"]],
             "payload": _json.loads(r["payload_json"] or "{}"),
         }
         for r in rows
-    ]
-    if not data:
-        return
-    _post(url, "/v2/vectordb/entities/insert",
-          {"collectionName": collection, "data": data}, timeout_s)
+    )
+    for data in _chunks(payload_rows, max_points):
+        _post(url, "/v2/vectordb/entities/insert",
+              {"collectionName": collection, "data": data}, timeout_s)
 
 
 def delete_partition_http(
     rows, url: str, collection: str, timeout_s: float = 20.0,
+    max_points: int = MAX_POINTS_PER_REQUEST,
 ) -> None:
-    """foreachPartition delete: batched filter expression
-    POST /v2/vectordb/entities/delete (milvus.go:160-177 sends one
-    single-id expr per RPC; ours packs the whole partition into one)."""
-    ids = [r["id"] for r in rows]
-    if not ids:
-        return
-    _post(url, "/v2/vectordb/entities/delete",
-          {"collectionName": collection, "filter": delete_expr(ids)}, timeout_s)
+    """foreachPartition delete: chunked filter-expression
+    POST /v2/vectordb/entities/delete requests (milvus.go:160-177 sends
+    one single-id expr per RPC; an unbounded in-list is its own hazard —
+    Milvus caps expression length)."""
+    for ids in _chunks((r["id"] for r in rows), max_points):
+        _post(url, "/v2/vectordb/entities/delete",
+              {"collectionName": collection, "filter": delete_expr(ids)}, timeout_s)

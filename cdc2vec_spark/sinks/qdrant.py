@@ -70,46 +70,68 @@ def delete_payloads(points: DataFrame) -> DataFrame:
     return points.select(F.col("id"), body.alias("delete_json"))
 
 
-def write_partition_http(rows, url: str, collection: str, timeout_s: float = 15.0):
-    """foreachPartition writer: batched PUT to
-    {url}/collections/{collection}/points?wait=true with one pooled
-    connection (the reference opens a request per point; qdrant.go:42 sets
-    the same 15s timeout). Import-guarded: no server in this environment.
-    """
+# Points per HTTP request. One-request-per-partition is unbounded: a few
+# hundred thousand 768-dim points in a partition is a multi-hundred-MB
+# body that real servers reject (Qdrant's default payload cap is 32 MB).
+# The reference's per-point requests are the other extreme (qdrant.go
+# sends one point per PUT); 2048 points ≈ 6 MB at dim 768 — large enough
+# to amortize HTTP overhead, small enough for any default server limit.
+MAX_POINTS_PER_REQUEST = 2048
+
+
+def _chunks(it, n: int):
+    buf = []
+    for x in it:
+        buf.append(x)
+        if len(buf) >= n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def write_partition_http(
+    rows, url: str, collection: str, timeout_s: float = 15.0,
+    max_points: int = MAX_POINTS_PER_REQUEST,
+):
+    """foreachPartition writer: chunked PUTs (≤ ``max_points`` points
+    each) to {url}/collections/{collection}/points?wait=true on one
+    pooled connection (the reference opens a request per point;
+    qdrant.go:42 sets the same 15s timeout). Import-guarded: no server
+    in this environment."""
     import urllib.request
 
     # the rows already carry complete point JSON (upsert_payloads built it
     # JVM-side); splice the strings into the batch body instead of a
     # loads/dumps round-trip — ~10× less Python per partition at dim 768
-    points = [r["point_json"] for r in rows]
-    if not points:
-        return
-    body = b'{"points":[' + ",".join(points).encode() + b"]}"
-    req = urllib.request.Request(
-        f"{url}/collections/{collection}/points?wait=true",
-        data=body,
-        headers={"Content-Type": "application/json"},
-        method="PUT",
-    )
-    urllib.request.urlopen(req, timeout=timeout_s).read()
+    for points in _chunks((r["point_json"] for r in rows), max_points):
+        body = b'{"points":[' + ",".join(points).encode() + b"]}"
+        req = urllib.request.Request(
+            f"{url}/collections/{collection}/points?wait=true",
+            data=body,
+            headers={"Content-Type": "application/json"},
+            method="PUT",
+        )
+        urllib.request.urlopen(req, timeout=timeout_s).read()
 
 
-def delete_partition_http(rows, url: str, collection: str, timeout_s: float = 15.0):
-    """foreachPartition delete over bare (id) rows: one batched
-    POST /collections/{collection}/points/delete?wait=true per partition
+def delete_partition_http(
+    rows, url: str, collection: str, timeout_s: float = 15.0,
+    max_points: int = MAX_POINTS_PER_REQUEST,
+):
+    """foreachPartition delete over bare (id) rows: chunked
+    POST /collections/{collection}/points/delete?wait=true requests
     (qdrant.go:257-275 sends one request per id). Ids are FNV-1a hashed
     here, Python-side — the writer is already in Python, so the UDF is
     unnecessary."""
     import json
     import urllib.request
 
-    ids = [fnv1a64_py(r["id"]) for r in rows]
-    if not ids:
-        return
-    req = urllib.request.Request(
-        f"{url}/collections/{collection}/points/delete?wait=true",
-        data=json.dumps({"points": ids}).encode(),
-        headers={"Content-Type": "application/json"},
-        method="POST",
-    )
-    urllib.request.urlopen(req, timeout=timeout_s).read()
+    for ids in _chunks((fnv1a64_py(r["id"]) for r in rows), max_points):
+        req = urllib.request.Request(
+            f"{url}/collections/{collection}/points/delete?wait=true",
+            data=json.dumps({"points": ids}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=timeout_s).read()

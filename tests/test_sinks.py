@@ -120,9 +120,10 @@ def test_milvus_writer_end_to_end(spark):
         assert fields["vector"]["elementTypeParams"]["dim"] == 2
         assert fields["payload"]["dataType"] == "JSON"
         idx = state["calls"][2][1]["indexParams"][0]
-        assert idx["metricType"] == "IP" and idx["params"] == {
-            "index_type": "HNSW", "M": 16, "efConstruction": 200,
-        }
+        # indexType must be a SIBLING of metricType (REST v2 contract;
+        # nested under params a real server ignores it → AUTOINDEX)
+        assert idx["metricType"] == "IP" and idx["indexType"] == "HNSW"
+        assert idx["params"] == {"M": 16, "efConstruction": 200}
         # second ensure: has → load only, no re-create
         assert not milvus.ensure_collection(url, "docs", dim=2)
         assert [p for p, _ in state["calls"][4:]] == [
@@ -197,5 +198,82 @@ def test_qdrant_http_writer_end_to_end(spark):
         }
         for p in sent:
             assert p["id"] == qdrant.fnv1a64_py(p["payload"]["ext_id"])
+    finally:
+        srv.shutdown()
+
+
+def test_sink_writers_chunk_oversized_partitions(spark):
+    """Round-5 verdict #4: one request per partition has an unbounded
+    body (hundreds of MB at dim 768) that real servers reject. A
+    partition larger than max_points must be split across >1 request,
+    with no row lost or duplicated — for the qdrant upsert/delete AND
+    milvus insert/delete writers."""
+    import http.server
+    import json as _json
+    import threading
+
+    calls = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _reply(self):
+            n = int(self.headers["Content-Length"])
+            calls.append((self.path, _json.loads(self.rfile.read(n))))
+            body = b'{"status":"ok","data":{}}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        do_PUT = _reply
+        do_POST = _reply
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        n = 10
+        pts = spark.createDataFrame(
+            [(f"doc:{i}", [float(i), 1.0], {"pk": str(i)}) for i in range(n)],
+            "id string, vector array<float>, metadata map<string,string>",
+        ).coalesce(1)  # ONE partition of 10 rows, cap 4 → 3 requests
+
+        qdrant.upsert_payloads(pts).foreachPartition(
+            lambda rows: qdrant.write_partition_http(rows, url, "docs", max_points=4)
+        )
+        bodies = [b["points"] for p, b in calls if p.endswith("/points?wait=true")]
+        assert [len(b) for b in bodies] == [4, 4, 2]
+        assert {pt["payload"]["ext_id"] for b in bodies for pt in b} == {
+            f"doc:{i}" for i in range(n)
+        }
+
+        calls.clear()
+        pts.select("id").foreachPartition(
+            lambda rows: qdrant.delete_partition_http(rows, url, "docs", max_points=4)
+        )
+        del_bodies = [b["points"] for p, b in calls if p.endswith("/points/delete?wait=true")]
+        assert [len(b) for b in del_bodies] == [4, 4, 2]
+        assert {i for b in del_bodies for i in b} == {
+            qdrant.fnv1a64_py(f"doc:{i}") for i in range(n)
+        }
+
+        calls.clear()
+        milvus.insert_payloads(pts).foreachPartition(
+            lambda rows: milvus.write_partition_http(rows, url, "docs", max_points=4)
+        )
+        ins = [b["data"] for p, b in calls if p.endswith("/entities/insert")]
+        assert [len(b) for b in ins] == [4, 4, 2]
+        assert {d["id"] for b in ins for d in b} == {f"doc:{i}" for i in range(n)}
+
+        calls.clear()
+        pts.select("id").foreachPartition(
+            lambda rows: milvus.delete_partition_http(rows, url, "docs", max_points=4)
+        )
+        dels = [b["filter"] for p, b in calls if p.endswith("/entities/delete")]
+        assert len(dels) == 3
+        got = {i for f in dels for i in _json.loads(f[len("id in "):])}
+        assert got == {f"doc:{i}" for i in range(n)}
     finally:
         srv.shutdown()
