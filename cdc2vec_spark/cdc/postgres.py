@@ -106,6 +106,13 @@ def wal2json_changes(
     - every value stays a string — the reference decodes all columns to
       strings (postgres.go:621-647), and wal2json's v2 output is already
       stringly typed here.
+    - a change row WITHOUT an lsn fails loudly: wal2json format-version 2
+      only emits per-change "lsn" when ``include-lsn`` is on (off by
+      default), and a null lsn silently breaks every max-LSN LWW merge
+      downstream (nondeterministic winner). The bridge therefore REQUIRES
+      the stream to be produced with
+      ``pg_recvlogical -o format-version=2 -o include-lsn=true``
+      (see PostgresBridge and README).
 
     All JVM expressions (from_json, map_from_entries, conv) — no Python
     on the row path, so the same decode runs unchanged over a Kafka
@@ -118,6 +125,19 @@ def wal2json_changes(
     pk = F.coalesce(
         F.element_at(after, id_column), F.element_at(before, id_column)
     )
+    lsn = lsn_to_long(rec["lsn"])
+    # the op.isNotNull() guard keeps the error off B/C/T/M records (which
+    # carry no lsn and are filtered out) regardless of where Catalyst
+    # places the filter relative to this projection
+    lsn_checked = F.when(
+        op.isNotNull() & lsn.isNull(),
+        F.raise_error(F.lit(
+            "wal2json change without 'lsn' — produce the stream with "
+            "pg_recvlogical -o format-version=2 -o include-lsn=true "
+            "(include-lsn is OFF by default and the engine's max-LSN "
+            "last-write-wins merge needs it)"
+        )),
+    ).otherwise(lsn)
     return (
         df.select(
             op.alias("op"),
@@ -125,7 +145,7 @@ def wal2json_changes(
             pk.alias("pk"),
             F.when(op != OP_INSERT, before).alias("before"),
             F.when(op != OP_DELETE, after).alias("after"),
-            lsn_to_long(rec["lsn"]).alias("lsn"),
+            lsn_checked.alias("lsn"),
         )
         .where(F.col("op").isNotNull())
     )

@@ -138,9 +138,16 @@ def exact_topk_multi(
     (WindowGroupLimit prunes partition-side), so shuffled state is
     O(q·k·partitions), never O(q·n).
 
-    Local selection orders by (np-rounded sim desc, id asc) — the same
-    order the global rank applies after F.round — so the local prune
-    never drops a row the global rank would keep."""
+    Local selection prunes on UNROUNDED sims with a one-rounding-quantum
+    slack margin: every row within 2e-6 of the batch's kth-best sim is
+    kept. The global rank orders by F.round(sim, 6) (Java HALF_UP over
+    the shortest decimal repr) — no numpy rounding reproduces that
+    bit-exactly at half-ULP boundaries (np.round is half-to-even, and
+    even a numpy half-up differs through representation error), so
+    instead of matching the rounding the prune over-keeps: any row that
+    could outrank a kept row under ANY 6-decimal rounding is ≥ 2e-6
+    above it and thus kept too (round-5 ADVICE; the margin argument is
+    in the inline comment)."""
     import pandas as pd
     from pyspark.sql.window import Window
 
@@ -181,13 +188,25 @@ def exact_topk_multi(
             en[en == 0.0] = np.inf
             sims = (emat / en[:, None]) @ b_qmat_n.T  # (batch × q)
             kk = min(k, len(ids))
-            r = np.round(sims, 6)
             out_q, out_i, out_s = [], [], []
             for j in range(nq):
-                sel = np.lexsort((ids, -r[:, j]))[:kk]
+                s = sims[:, j]
+                # keep everything within 2e-6 of the kth-best UNROUNDED
+                # sim. If a row r is dropped, the >= kk kept rows each
+                # exceed r by > 2e-6, so their 6-decimal roundings are
+                # strictly greater under any rounding mode (quantum 1e-6
+                # + sub-ulp noise < 2e-6) — r can never reach the global
+                # top-k regardless of the id tiebreak. Ties cost a few
+                # extra rows per batch, never correctness.
+                if len(ids) > kk:
+                    kth = np.partition(s, -kk)[-kk]
+                    keep = np.nonzero(s >= kth - 2e-6)[0]
+                else:
+                    keep = np.arange(len(ids))
+                sel = keep[np.lexsort((ids[keep], -s[keep]))]
                 out_q.extend([b_qids[j]] * len(sel))
                 out_i.extend(ids[sel])
-                out_s.extend(sims[sel, j])
+                out_s.extend(s[sel])
             yield pd.DataFrame(
                 {query_id_col: out_q, id_col: out_i, "sim": out_s}
             )

@@ -221,3 +221,25 @@ def test_bridge_replay_through_boot(spark, tmp_path):
     # id 2 deleted; 1 and 3 live with last-write-wins metadata
     assert set(live) == {"public.documents:1", "public.documents:3"}
     assert live["public.documents:1"]["after_author"] == "a"
+
+
+def test_wal2json_without_lsn_fails_loudly(spark):
+    """wal2json v2 emits per-change "lsn" only with include-lsn=true (OFF
+    by default). A null lsn would silently break every max-LSN LWW merge
+    downstream (nondeterministic winner), so the decode must raise, not
+    yield lsn=NULL rows — and must still drop B/C framing records (which
+    legitimately carry no lsn) without tripping the check."""
+    import pytest
+
+    no_lsn = dict(json.loads(_wal_line("I", "0/100", columns={"id": "1"})))
+    del no_lsn["lsn"]
+    lines = [json.dumps({"action": "B"}), json.dumps(no_lsn)]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    with pytest.raises(Exception, match="include-lsn"):
+        pg.wal2json_changes(df, id_column="id").collect()
+    # framing-only input (no real changes) must NOT raise
+    ok = spark.createDataFrame(
+        [(json.dumps({"action": "B"}),), (json.dumps({"action": "C"}),)],
+        "value string",
+    )
+    assert pg.wal2json_changes(ok, id_column="id").count() == 0
