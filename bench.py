@@ -266,6 +266,39 @@ def _cdc_apply_state_scale(spark) -> dict:
     out["ratio_10x_state"] = round(
         out["batch_secs_200k_state"] / max(out["batch_secs_20k_state"], 1e-9), 2
     )
+
+    # The n_buckets knob at work (the documented contract: n_buckets must
+    # scale with state so a bucket stays a few GB — cdc/apply.py
+    # docstring). Same 64-key batch, but n_buckets grows 64 → 512 with
+    # the 10x state, holding rows-per-bucket ~constant; emitted
+    # touched-bucket counts show per-batch work is bounded by
+    # touched_buckets x bucket_size = O(batch), not O(state): the
+    # touched FRACTION of the state drops ~5x while wall stays flat.
+    from cdc2vec_spark.cdc.apply import bucket_expr
+
+    for label, n, nb in (("scaled_buckets_20k_nb64", 20_000, 64),
+                         ("scaled_buckets_200k_nb512", 200_000, 512)):
+        root = tempfile.mkdtemp(prefix="bench_apply_nb_")
+        try:
+            coll = ParquetCollection(spark, f"{root}/state", n_buckets=nb)
+            coll.apply_batch(state_rows(n))
+            touched = (
+                batch.select(bucket_expr(("tbl", "pk"), nb).alias("b"))
+                .distinct()
+                .count()
+            )
+            secs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                coll.apply_batch(batch)
+                secs.append(time.perf_counter() - t0)
+            out[label] = round(min(secs), 3)
+            out[label + "_touched"] = touched
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    out["ratio_10x_state_scaled_buckets"] = round(
+        out["scaled_buckets_200k_nb512"] / max(out["scaled_buckets_20k_nb64"], 1e-9), 2
+    )
     return out
 
 
