@@ -344,13 +344,28 @@ class ReplicationTailer:
     """
 
     def __init__(self, dsn: str, slot: str, out_path: str,
-                 create_slot: bool = False, status_interval_s: float = 10.0):
+                 create_slot: bool = False, status_interval_s: float = 10.0,
+                 plugin: str = "wal2json", publication: str = "cdc2vec"):
+        if plugin not in ("wal2json", "pgoutput"):
+            raise ValueError(f"unsupported plugin {plugin!r}")
         self.dsn = dsn
         self.slot = slot
         self.out_path = out_path
         self.create_slot = create_slot
         self.status_interval_s = status_interval_s
+        # plugin="pgoutput" speaks the reference's actual wire format
+        # (postgres.go:95-221): raw frames are decoded by
+        # cdc.pgoutput.PgoutputDecoder and written as wal2json-v2 lines,
+        # so the downstream file format is identical either way. Needs a
+        # publication (postgres.go:129); wal2json needs none.
+        self.plugin = plugin
+        self.publication = publication
         self._out = None
+        self._decoder = None
+        if plugin == "pgoutput":
+            from .pgoutput import PgoutputDecoder
+
+            self._decoder = PgoutputDecoder()
 
     # ------------------------------------------------- protocol handling
 
@@ -362,20 +377,35 @@ class ReplicationTailer:
         written. Empty/keepalive payloads are not written but still
         acked — the reference likewise ACKs on keepalives
         (postgres.go:191-201)."""
-        payload = msg.payload
-        if isinstance(payload, bytes):
-            payload = payload.decode("utf-8")
+        lines = self._decode_payload(msg.payload)
         wrote = False
-        if payload and payload.strip():
+        if lines:
             if self._out is None:
                 self._out = open(self.out_path, "ab")
-            self._out.write(payload.strip().encode("utf-8") + b"\n")
+            for line in lines:
+                self._out.write(line.encode("utf-8") + b"\n")
             self._out.flush()
             os.fsync(self._out.fileno())
             wrote = True
-        # flush BEFORE ack: at-least-once, never at-most-once
+        # flush BEFORE ack: at-least-once, never at-most-once. Mid-txn
+        # acks are safe in BOTH modes: logical decoding resends any
+        # transaction whose COMMIT is past confirmed_flush in full, and
+        # the pgoutput decoder only emits at commit anyway.
         msg.cursor.send_feedback(flush_lsn=msg.data_start)
         return wrote
+
+    def _decode_payload(self, payload) -> list[str]:
+        if self._decoder is not None:  # pgoutput: binary frames
+            if not payload:
+                return []
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8")
+            from .pgoutput import changes_to_wal2json_lines
+
+            return changes_to_wal2json_lines(self._decoder.feed(payload))
+        if isinstance(payload, bytes):
+            payload = payload.decode("utf-8")
+        return [payload.strip()] if payload and payload.strip() else []
 
     def close(self) -> None:
         if self._out is not None:
@@ -408,13 +438,24 @@ class ReplicationTailer:
                 cur = conn.cursor()
                 if self.create_slot:
                     try:
-                        cur.create_replication_slot(self.slot, output_plugin="wal2json")
+                        cur.create_replication_slot(self.slot, output_plugin=self.plugin)
                     except psycopg2.errors.DuplicateObject:
                         pass  # postgres.go:145-149: already-exists tolerated
+                if self.plugin == "pgoutput":
+                    # the reference's exact START_REPLICATION options
+                    # (postgres.go:169-175); decode=False — frames are binary
+                    opts = {
+                        "proto_version": "1",
+                        "publication_names": self.publication,
+                    }
+                    decode = False
+                else:
+                    opts = {"format-version": "2", "include-lsn": "true"}
+                    decode = True
                 cur.start_replication(
                     slot_name=self.slot,
-                    decode=True,
-                    options={"format-version": "2", "include-lsn": "true"},
+                    decode=decode,
+                    options=opts,
                     status_interval=self.status_interval_s,
                 )
 
