@@ -10,9 +10,11 @@ go. This module closes that gap in two layers, both on public interfaces:
 - **Decode**: ``wal2json_changes`` parses the wal2json logical-decoding
   output (format-version 2 NDJSON — the standard contrib plugin's
   documented format) into the engine envelope, entirely with JVM
-  expressions (from_json + map_from_entries + conv). pgoutput's binary
-  protocol is intentionally NOT re-implemented: wal2json ships with every
-  managed Postgres and emits the same row images.
+  expressions (from_json + map_from_entries + conv). ``cdc.pgoutput``
+  additionally decodes pgoutput's BINARY protocol (the reference's actual
+  wire format, built into core Postgres — no contrib plugin required)
+  and renders to the same wal2json-v2 lines, so both plugins share one
+  downstream.
 - **Transport**: ``PostgresBridge`` tails a growing wal2json NDJSON file
   (what ``pg_recvlogical -f`` writes) and lands monotonic parquet chunks
   in a directory that ``streaming.source.read_file_stream`` / ``runner
