@@ -32,11 +32,14 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import ann_index as _ann_index
         from cdc2vec_spark.operators import dedup as _dedup
         from cdc2vec_spark.operators import multimodal as _multimodal
+        from cdc2vec_spark.operators import quantize as _quantize
         from cdc2vec_spark.operators import similarity as _similarity
         from cdc2vec_spark.operators import text as _text
         from cdc2vec_spark.operators import vectors as _vectors
 
-        modules.extend([_dedup, _multimodal, _similarity, _ann_index, _text, _vectors])
+        modules.extend(
+            [_dedup, _multimodal, _similarity, _quantize, _ann_index, _text, _vectors]
+        )
     except ImportError:
         pass
     try:

@@ -38,6 +38,7 @@ HEADLINE = [
     "d2_blocked_jaccard",    # exact near-dup via inverted-index join
     "d3_exact_topk",
     "d3_ivf_topk",
+    "d3_pq_topk",            # PQ-compressed ADC scan + exact rerank
     "d8_cosine_neardup",
     "t1_token_count",
     "t4_fingerprint",

@@ -23,7 +23,8 @@ Groupings:
                          b16_sketches, c4_watermark
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features
-  x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup
+  x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
+                         d3_pq_topk
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
+    "d3_pq_topk",
 )
 
 
@@ -111,6 +113,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN rows-only probes (recall pinned vs exact in
     tests/test_similarity.py)."""
+    from .quantize import d3_pq_topk
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -120,6 +123,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d3_ivf_topk", d3_ivf_topk),
             ("d3_hyperplane_topk", d3_hyperplane_topk),
             ("d8_lsh_neardup", d8_lsh_neardup),
+            ("d3_pq_topk", d3_pq_topk),
         ],
     )
 
@@ -141,6 +145,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
+    from .quantize import d3_pq_topk
     from .relational import b16_sketches
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
     from .vectors import a8_deterministic_embed
@@ -157,4 +162,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
+        "d3_pq_topk": d3_pq_topk,
     }
