@@ -42,8 +42,9 @@ def swap_write(df: DataFrame, path: str) -> None:
     leave only `<path>.old`. read_state compensates by promoting `.old`
     when `path` is missing — so the worst post-crash outcome is the
     pre-batch state (the batch replays from the checkpoint), never an
-    empty store. On a real cluster this whole protocol is a Delta/Iceberg
-    MERGE commit."""
+    empty store. Rename-based, so local-filesystem only: on object
+    stores (no rename) use cdc.manifest.ManifestCollection — the
+    manifest-generation commit protocol — or Delta/Iceberg MERGE."""
     tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
     old = path + ".old"

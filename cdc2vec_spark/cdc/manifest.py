@@ -1,0 +1,265 @@
+"""Object-store-safe state commits: a manifest-generation protocol that
+never renames and never overwrites a data object.
+
+``cdc.apply.swap_buckets`` is POSIX-rename based — correct on a local
+filesystem, impossible on S3/GCS/ABFS (object stores have no rename; a
+"rename" is copy+delete and is not atomic). This module is the standard
+object-store answer, the same design Delta Lake / Iceberg commit logs
+use, reduced to the engine's bucketed-state needs:
+
+- **Data objects are immutable and uniquely named.** Each commit writes
+  its merged buckets to a fresh ``data/commit-<version>-<nonce>/``
+  directory (``partitionBy(bucket)`` inside). Nothing ever rewrites or
+  renames an existing object — a crashed commit leaves an orphan
+  directory that no manifest references and GC later deletes.
+- **A commit IS one small manifest object.** ``_manifests/
+  manifest-<version>.json`` maps every bucket to the commit directory
+  holding its current rows. Object PUTs are atomic, which makes the
+  manifest write the commit point: readers see either the old complete
+  mapping or the new complete mapping, never a mix. Locally the file is
+  written in place WITHOUT any rename — a torn write (crash mid-PUT)
+  yields invalid JSON, and readers simply fall back to the newest
+  manifest that parses (writers then allocate past the torn version, so
+  it is never reused).
+- **Readers assemble from the manifest**, grouping buckets by commit
+  directory: one pruned parquet read per referenced directory (the
+  bucket directory column prunes inside it), unioned. At most
+  ``n_buckets`` directories are ever referenced, and GC keeps the tail
+  short.
+
+Note on the writer inside a commit directory: Spark's file committer may
+use its own task-temp renames while materializing ``data/commit-*/``.
+That is irrelevant to this protocol's atomicity — the directory is
+unreferenced until the manifest PUT, so even a completely non-atomic
+writer (e.g. the S3A magic committer, or plain uploads) is safe; a
+half-written directory is just an orphan.
+
+Single-writer by contract (a Structured Streaming query runs one
+foreachBatch at a time). Multi-writer would need a conditional-PUT /
+external lock on the manifest object — exactly what Delta's S3
+LogStore adds — and is out of scope here; the docstring is the fence.
+
+Reference parity: this replaces pipeline.go:44-53's offset-file "commit"
+(write-only, no recovery) with a real commit protocol; the bucketed
+last-write-wins semantics are identical to ``cdc.apply.ParquetCollection``
+(same merge_batch), proven by the equivalence test in
+tests/test_manifest.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .apply import BUCKET_COL, bucket_expr, eligible_events, merge_batch
+from .envelope import OP_DELETE
+
+_MANIFEST_RE = re.compile(r"^manifest-(\d{9})\.json$")
+
+
+class ManifestStore:
+    """The commit protocol alone: versioned bucket→directory mappings over
+    immutable commit directories. Knows nothing about merge semantics."""
+
+    def __init__(self, path: str, keep_manifests: int = 10):
+        self.path = path
+        self.data_root = os.path.join(path, "data")
+        self.manifest_root = os.path.join(path, "_manifests")
+        self.keep_manifests = keep_manifests
+
+    # -- read side --------------------------------------------------------
+
+    def _versions_on_disk(self) -> list[int]:
+        if not os.path.isdir(self.manifest_root):
+            return []
+        out = []
+        for name in os.listdir(self.manifest_root):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest(self) -> tuple[int, dict[int, str], int]:
+        """(latest_valid_version, its bucket→dir mapping, max_version_seen).
+
+        Scans manifests newest-first and returns the first that parses —
+        a torn/corrupt newest manifest (crash mid-PUT) is skipped, but its
+        version number is still reported in max_version_seen so the next
+        commit allocates PAST it instead of reusing it."""
+        versions = self._versions_on_disk()
+        max_seen = versions[-1] if versions else 0
+        for v in reversed(versions):
+            try:
+                with open(self._manifest_path(v), encoding="utf-8") as fh:
+                    doc = json.load(fh)
+                if doc.get("version") != v:
+                    continue
+                mapping = {int(k): str(d) for k, d in doc["buckets"].items()}
+            except (OSError, ValueError, KeyError):
+                continue  # torn write → fall back to the previous manifest
+            return v, mapping, max_seen
+        return 0, {}, max_seen
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_root, f"manifest-{version:09d}.json")
+
+    # -- write side -------------------------------------------------------
+
+    def new_commit_dir(self, version: int) -> str:
+        """Unique directory name for a commit attempt. The nonce keeps a
+        replayed attempt (crash after the data write, before the manifest
+        PUT) from colliding with its own orphan."""
+        return f"commit-{version:09d}-{uuid.uuid4().hex[:8]}"
+
+    def publish(
+        self, version: int, mapping: dict[int, str]
+    ) -> None:
+        """The commit point: one small JSON object, written in place with
+        no rename. On an object store this is a single atomic PUT; locally
+        a torn write is tolerated by latest()'s parse-or-fall-back."""
+        os.makedirs(self.manifest_root, exist_ok=True)
+        doc = {
+            "version": version,
+            "buckets": {str(b): d for b, d in sorted(mapping.items())},
+        }
+        with open(self._manifest_path(version), "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    # -- maintenance ------------------------------------------------------
+
+    def gc(self) -> tuple[int, int]:
+        """Delete commit directories no manifest ≤ latest references
+        anymore and manifests beyond keep_manifests. Returns (dirs,
+        manifests) removed. Safe any time under the single-writer
+        contract: an orphan directory is by definition unreferenced, and
+        readers only follow the manifests that remain."""
+        latest_v, mapping, _ = self.latest()
+        keep_versions = {
+            v for v in self._versions_on_disk() if v <= latest_v
+        }
+        keep_versions = set(sorted(keep_versions)[-self.keep_manifests :])
+        keep_versions.add(latest_v)
+        # every directory referenced by a retained, parseable manifest
+        live_dirs: set[str] = set()
+        for v in keep_versions:
+            try:
+                with open(self._manifest_path(v), encoding="utf-8") as fh:
+                    live_dirs.update(json.load(fh)["buckets"].values())
+            except (OSError, ValueError, KeyError):
+                continue
+        removed_dirs = 0
+        if os.path.isdir(self.data_root):
+            for name in os.listdir(self.data_root):
+                if name not in live_dirs:
+                    shutil.rmtree(
+                        os.path.join(self.data_root, name), ignore_errors=True
+                    )
+                    removed_dirs += 1
+        removed_manifests = 0
+        for v in self._versions_on_disk():
+            if v not in keep_versions:
+                try:
+                    os.remove(self._manifest_path(v))
+                    removed_manifests += 1
+                except OSError:
+                    pass
+        return removed_dirs, removed_manifests
+
+
+class ManifestCollection:
+    """`ParquetCollection` semantics over the manifest commit protocol —
+    the drop-in for object-store deployments (same merge_batch, same
+    bucket pruning, same O(batch + touched_buckets × bucket_size) cost;
+    only the commit mechanics differ: immutable commit dirs + manifest
+    PUT instead of per-bucket renames)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_cols: Sequence[str] = ("after_title", "after_content"),
+        key_cols: Sequence[str] = ("tbl", "pk"),
+        n_buckets: int = 64,
+        coalesce_unchanged: bool = False,
+        keep_manifests: int = 10,
+        auto_gc_every: int = 16,
+    ):
+        self.spark = spark
+        self.store = ManifestStore(path, keep_manifests=keep_manifests)
+        self.text_cols = tuple(text_cols)
+        self.key_cols = tuple(key_cols)
+        self.n_buckets = n_buckets
+        self.coalesce_unchanged = coalesce_unchanged
+        self.auto_gc_every = auto_gc_every
+
+    def read(self) -> DataFrame | None:
+        """Assemble current state from the latest manifest: buckets grouped
+        by commit directory, one pruned read per directory (bucket is the
+        partition directory column inside each commit dir), unioned."""
+        _, mapping, _ = self.store.latest()
+        if not mapping:
+            return None
+        by_dir: dict[str, list[int]] = {}
+        for b, d in mapping.items():
+            by_dir.setdefault(d, []).append(b)
+        out: DataFrame | None = None
+        for d in sorted(by_dir):
+            root = os.path.join(self.store.data_root, d)
+            part = (
+                self.spark.read.option("basePath", root)
+                .parquet(root)
+                .where(F.col(BUCKET_COL).isin(by_dir[d]))
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
+        bexpr = bucket_expr(self.key_cols, self.n_buckets)
+        ev = eligible_events(batch, self.text_cols).withColumn(BUCKET_COL, bexpr)
+        touched = sorted(
+            r[0] for r in ev.select(BUCKET_COL).distinct().collect()
+        )  # ≤ n_buckets ints — the one driver round-trip
+        if not touched:
+            return
+        latest_v, mapping, max_seen = self.store.latest()
+        prior = self.read()
+        if prior is not None:
+            prior = prior.where(F.col(BUCKET_COL).isin(touched))
+        merged = merge_batch(
+            prior,
+            batch.withColumn(BUCKET_COL, bexpr),
+            self.text_cols,
+            key_cols=self.key_cols,
+            coalesce_unchanged=self.coalesce_unchanged,
+            cluster_col=BUCKET_COL,
+            cluster_partitions=len(touched),
+        )
+        version = max_seen + 1  # never reuse a torn version
+        cdir = self.store.new_commit_dir(version)
+        # fresh unique directory: errorifexists, no renames, no overwrite
+        merged.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(
+            os.path.join(self.store.data_root, cdir)
+        )
+        self.store.publish(
+            version, {**mapping, **{b: cdir for b in touched}}
+        )
+        if self.auto_gc_every and version % self.auto_gc_every == 0:
+            self.store.gc()
+
+    def state(self) -> DataFrame | None:
+        """Live rows only (tombstones filtered)."""
+        df = self.read()
+        if df is None:
+            return None
+        return df.where(F.col("op") != OP_DELETE).select(
+            "pk", *[c for c in df.columns if c.startswith("after_")]
+        )
