@@ -175,6 +175,48 @@ class ManifestStore:
         return removed_dirs, removed_manifests
 
 
+def _assemble(spark: SparkSession, store: ManifestStore) -> DataFrame | None:
+    """Current state from the latest manifest: buckets grouped by commit
+    directory, one pruned read per directory (bucket is the partition
+    directory column inside each commit dir), unioned."""
+    _, mapping, _ = store.latest()
+    if not mapping:
+        return None
+    by_dir: dict[str, list[int]] = {}
+    for b, d in mapping.items():
+        by_dir.setdefault(d, []).append(b)
+    out: DataFrame | None = None
+    for d in sorted(by_dir):
+        root = os.path.join(store.data_root, d)
+        part = (
+            spark.read.option("basePath", root)
+            .parquet(root)
+            .where(F.col(BUCKET_COL).isin(by_dir[d]))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _commit(
+    store: ManifestStore,
+    merged: DataFrame,
+    touched: Sequence[int],
+    auto_gc_every: int,
+) -> None:
+    """Write the merged touched buckets to a fresh commit dir, publish the
+    next manifest, opportunistically GC."""
+    _, mapping, max_seen = store.latest()
+    version = max_seen + 1  # never reuse a torn version
+    cdir = store.new_commit_dir(version)
+    # fresh unique directory: errorifexists, no renames, no overwrite
+    merged.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(
+        os.path.join(store.data_root, cdir)
+    )
+    store.publish(version, {**mapping, **{b: cdir for b in touched}})
+    if auto_gc_every and version % auto_gc_every == 0:
+        store.gc()
+
+
 class ManifestCollection:
     """`ParquetCollection` semantics over the manifest commit protocol —
     the drop-in for object-store deployments (same merge_batch, same
@@ -202,25 +244,7 @@ class ManifestCollection:
         self.auto_gc_every = auto_gc_every
 
     def read(self) -> DataFrame | None:
-        """Assemble current state from the latest manifest: buckets grouped
-        by commit directory, one pruned read per directory (bucket is the
-        partition directory column inside each commit dir), unioned."""
-        _, mapping, _ = self.store.latest()
-        if not mapping:
-            return None
-        by_dir: dict[str, list[int]] = {}
-        for b, d in mapping.items():
-            by_dir.setdefault(d, []).append(b)
-        out: DataFrame | None = None
-        for d in sorted(by_dir):
-            root = os.path.join(self.store.data_root, d)
-            part = (
-                self.spark.read.option("basePath", root)
-                .parquet(root)
-                .where(F.col(BUCKET_COL).isin(by_dir[d]))
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+        return _assemble(self.spark, self.store)
 
     def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
         bexpr = bucket_expr(self.key_cols, self.n_buckets)
@@ -230,7 +254,6 @@ class ManifestCollection:
         )  # ≤ n_buckets ints — the one driver round-trip
         if not touched:
             return
-        latest_v, mapping, max_seen = self.store.latest()
         prior = self.read()
         if prior is not None:
             prior = prior.where(F.col(BUCKET_COL).isin(touched))
@@ -243,17 +266,7 @@ class ManifestCollection:
             cluster_col=BUCKET_COL,
             cluster_partitions=len(touched),
         )
-        version = max_seen + 1  # never reuse a torn version
-        cdir = self.store.new_commit_dir(version)
-        # fresh unique directory: errorifexists, no renames, no overwrite
-        merged.write.mode("errorifexists").partitionBy(BUCKET_COL).parquet(
-            os.path.join(self.store.data_root, cdir)
-        )
-        self.store.publish(
-            version, {**mapping, **{b: cdir for b in touched}}
-        )
-        if self.auto_gc_every and version % self.auto_gc_every == 0:
-            self.store.gc()
+        _commit(self.store, merged, touched, self.auto_gc_every)
 
     def state(self) -> DataFrame | None:
         """Live rows only (tombstones filtered)."""
@@ -263,3 +276,57 @@ class ManifestCollection:
         return df.where(F.col("op") != OP_DELETE).select(
             "pk", *[c for c in df.columns if c.startswith("after_")]
         )
+
+
+class ManifestPointsCollection:
+    """`runner.PointsCollection` semantics (sink-side points keyed by id,
+    max-LSN last-write-wins, delete tombstones) over the manifest commit
+    protocol — selected by ``sink.options.state_protocol: manifest`` for
+    object-store deployments."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        keep_manifests: int = 10,
+        auto_gc_every: int = 16,
+    ):
+        self.spark = spark
+        self.store = ManifestStore(path, keep_manifests=keep_manifests)
+        self.n_buckets = n_buckets
+        self.auto_gc_every = auto_gc_every
+
+    def read(self) -> DataFrame | None:
+        return _assemble(self.spark, self.store)
+
+    def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
+        from pyspark.sql.window import Window
+
+        bexpr = bucket_expr(("id",), self.n_buckets)
+        cols = ["id", "vector", "metadata", "op", "lsn", BUCKET_COL]
+        ev = pts.withColumn(BUCKET_COL, bexpr).select(*cols)
+        touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        state = self.read()
+        if state is not None:
+            ev = (
+                state.where(F.col(BUCKET_COL).isin(touched))
+                .select(*cols)
+                .unionByName(ev)
+            )
+        ev = ev.repartition(len(touched), BUCKET_COL)
+        w = Window.partitionBy(BUCKET_COL, "id").orderBy(F.col("lsn").desc())
+        merged = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        _commit(self.store, merged, touched, self.auto_gc_every)
+
+    def live(self) -> DataFrame | None:
+        df = self.read()
+        if df is None:
+            return None
+        return df.where(F.col("op") != OP_DELETE).drop("op", BUCKET_COL)

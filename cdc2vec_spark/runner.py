@@ -218,7 +218,20 @@ def boot(
     else:
         cfg = config
     provider = _provider_from(cfg)
-    coll = PointsCollection(spark, state_dir)
+    # engine-native keyed store: rename-swap protocol by default (local
+    # filesystems); `sink.options.state_protocol: manifest` selects the
+    # object-store-safe manifest-generation commits (cdc/manifest.py)
+    protocol = "swap"
+    if isinstance(cfg, PipelineConfig):
+        protocol = str(cfg.sink.options.get("state_protocol", "swap"))
+    if protocol == "manifest":
+        from .cdc.manifest import ManifestPointsCollection
+
+        coll = ManifestPointsCollection(spark, state_dir)
+    elif protocol == "swap":
+        coll = PointsCollection(spark, state_dir)
+    else:
+        raise ValueError(f"unknown state_protocol: {protocol!r}")
     hook = sink_hook_for(cfg) if isinstance(cfg, PipelineConfig) else None
 
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)

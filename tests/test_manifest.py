@@ -176,6 +176,43 @@ def test_read_prunes_bucket_directories(spark, tmp_path):
     assert "PartitionFilters" in s
 
 
+def test_boot_with_manifest_protocol(spark, sf_dir, tmp_path):
+    """runner.boot with sink.options.state_protocol=manifest: the whole
+    pipeline commits through the object-store-safe store and the final
+    live set equals the swap-protocol boot's."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import DEFAULT_CONFIG, PipelineConfig, SinkConfig
+    from cdc2vec_spark.streaming.source import write_chunks
+
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG,
+        sink=SinkConfig(type="", options={"state_protocol": "manifest"}),
+    )
+    q, coll, _ = runner.boot(
+        spark,
+        cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    from cdc2vec_spark.cdc.manifest import ManifestPointsCollection
+
+    assert isinstance(coll, ManifestPointsCollection)
+    got = sorted(r["id"] for r in coll.live().select("id").collect())
+    want = sorted(
+        "public.documents:" + r["pk"]
+        for r in apply.latest_state(ch).select("pk").collect()
+    )
+    assert got == want
+    assert coll.store.latest()[0] >= 2  # one manifest per micro-batch
+
+
 @pytest.mark.parametrize("n", [2])
 def test_fixture_stream_matches_batch_oracle(spark, sf_dir, tmp_path, n):
     ch, batches = _batches(spark, sf_dir, n=n)
