@@ -1,0 +1,136 @@
+"""Temporal joins — interval (stream-stream) and as-of — over event
+streams. Engine-surface additions (the reference has no joins at all:
+SURVEY §2.1 "Categories with no implementation ... joins"); these are
+the enrichment shapes every training-data/attribution pipeline needs
+(impression→click attribution, feature as-of lookup).
+
+Both builders are mode-agnostic DataFrame transformations:
+
+- ``interval_join`` compiles to Spark's native stream-stream inner join
+  when both inputs are streaming (equi-key + time-range condition;
+  watermarks on BOTH sides let the state store evict rows once the
+  range can no longer match — state is O(key-rate × interval), not
+  O(stream)). In batch mode the same plan is an equi-hash-join with a
+  range residual.
+- ``asof_join`` (batch) matches each left row to the LATEST right row
+  at-or-before it within ``tolerance`` — the standard feature-store
+  lookup. A naive theta-join (r.ts <= l.ts) is a broadcast-nested-loop
+  at best; instead the right side is banded: both sides get a
+  time-bucket of width ``tolerance``, right rows are made visible to
+  their own bucket and the next one, and the join becomes a plain
+  equi-hash-join on (key, bucket) with a range residual — every match
+  lies in bucket(t) or bucket(t)-1, so the 2× duplication buys a
+  shuffle-hash plan that scales like any keyed join. A window picks
+  the max-ts match per left row. Verified row-for-row against DuckDB's
+  native ASOF JOIN in tests/test_joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """left ⋈ right on ``key`` where right's time ∈ [left_ts + lower,
+    left_ts + upper]. Right-side columns come back ``r_``-prefixed.
+
+    With ``watermark`` set (required for streaming inputs), both sides
+    are watermarked on their time column first — Spark then derives the
+    state-eviction bound from the range condition (the documented
+    stream-stream join contract)."""
+    if watermark is not None:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    cond: Column = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (
+            F.col(f"r_{right_ts}")
+            >= F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return left.join(r, cond, "inner")
+
+
+_UNIT_SECS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """'30 minutes' → 1800. Driver-side (no session-timezone dependence);
+    single-unit intervals only, which is all the banding needs."""
+    parts = spec.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _UNIT_SECS:
+        raise ValueError(f"unsupported interval spec: {spec!r}")
+    n = int(parts[0])
+    if n <= 0:
+        raise ValueError(f"tolerance must be positive: {spec!r}")
+    return n * _UNIT_SECS[parts[1].lower()]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str = "1 hour",
+    left_id: str | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, the latest right row with the same ``key`` and
+    ``right_ts`` ∈ (left_ts - tolerance, left_ts] — DuckDB/pandas
+    ``merge_asof`` backward semantics, with a required tolerance so the
+    plan stays a keyed hash join (see module docstring). Left rows with
+    no match are kept (left outer), matched right columns ``r_``-prefixed.
+
+    ``left_id`` must uniquely identify left rows (defaults to
+    ``left_ts`` + key being unique — pass an id column when it isn't).
+    ``right_cols`` limits which right columns survive (default: all)."""
+    lid = left_id or left_ts
+    tol = F.expr(f"INTERVAL {tolerance}")
+    tol_secs = _interval_seconds(tolerance)
+    bucket = lambda ts: F.floor(F.unix_timestamp(F.col(ts)) / tol_secs)  # noqa: E731
+
+    keep = right_cols or right.columns
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in keep],
+        F.col(right_ts).alias("_rts"),
+        bucket(right_ts).alias("_rb"),
+    )
+    # a right row can match left rows in its own bucket or the next one
+    r = r.withColumn("_vis", F.explode(F.array(F.col("_rb"), F.col("_rb") + 1)))
+    l_b = left.withColumn("_lb", bucket(left_ts))
+    cond = (
+        (l_b[key] == r[f"r_{key}"])
+        & (r["_vis"] == l_b["_lb"])
+        & (r["_rts"] <= l_b[left_ts])
+        & (r["_rts"] > l_b[left_ts] - tol)
+    )
+    joined = l_b.join(r, cond, "left_outer")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key, lid).orderBy(
+        F.col("_rts").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_rb", "_vis", "_rts", "_lb")
+    )
