@@ -107,6 +107,13 @@ def main() -> None:
     apply_scale = _cdc_apply_state_scale(spark)
     print(f"# cdc_apply_state_scale: {apply_scale}", file=sys.stderr)
 
+    # Object-store commit protocol parity: the manifest-generation store
+    # (cdc/manifest.py — no renames, immutable commit dirs + manifest PUT)
+    # must cost about what the rename-swap store costs per batch; the
+    # protocols differ only in commit mechanics, not plan shape.
+    manifest_probe = _manifest_vs_swap(spark)
+    print(f"# manifest_vs_swap: {manifest_probe}", file=sys.stderr)
+
     # best-of-3 per query: single-shot numbers on a busy 32-thread box swing
     # 2-4x with GC/compilation/co-tenant noise; min is the standard
     # steady-state read. Spread (max-min) is emitted per query so a
@@ -139,6 +146,7 @@ def main() -> None:
                 "queries_spread": spread,
                 "delta_vs_prev": _delta_vs_prev(timings),
                 "cdc_apply_state_scale": apply_scale,
+                "manifest_vs_swap": manifest_probe,
                 "cdc_changes_per_sec": cdc_rate,
                 "sink_upserts_per_sec": sink_rate,
                 "sf": sf_val,
@@ -218,6 +226,58 @@ def _sink_upsert_rate(spark, n: int = 20_000, dim: int = 768) -> int:
         return round(n / min(secs))
     finally:
         srv.shutdown()
+
+
+def _manifest_vs_swap(spark) -> dict:
+    """Same 20k-key state, same 64-key batch, both commit protocols;
+    best-of-3 each. Emits per-protocol seconds + the manifest/swap ratio."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.cdc.apply import ParquetCollection
+    from cdc2vec_spark.cdc.manifest import ManifestCollection
+
+    def state_rows(n):
+        return spark.range(n).select(
+            F.col("id").alias("lsn"),
+            F.lit("c").alias("op"),
+            F.lit("public.documents").alias("tbl"),
+            F.col("id").cast("string").alias("pk"),
+            F.lit("title text").alias("after_title"),
+            F.lit("content text that is long enough to look like a row").alias(
+                "after_content"
+            ),
+            F.lit("author").alias("after_author"),
+        )
+
+    batch = (
+        state_rows(64)
+        .withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
+        .withColumn("op", F.lit("u"))
+    )
+    out: dict[str, float] = {}
+    for label, make in (
+        ("swap_apply_secs", lambda p: ParquetCollection(spark, p, n_buckets=256)),
+        ("manifest_apply_secs", lambda p: ManifestCollection(spark, p, n_buckets=256)),
+    ):
+        root = tempfile.mkdtemp(prefix="bench_proto_")
+        try:
+            coll = make(f"{root}/state")
+            coll.apply_batch(state_rows(20_000))
+            secs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                coll.apply_batch(batch)
+                secs.append(time.perf_counter() - t0)
+            out[label] = round(min(secs), 3)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    out["manifest_over_swap_ratio"] = round(
+        out["manifest_apply_secs"] / max(out["swap_apply_secs"], 1e-9), 2
+    )
+    return out
 
 
 def _cdc_apply_state_scale(spark) -> dict:
