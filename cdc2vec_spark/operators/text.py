@@ -125,6 +125,73 @@ def with_fingerprint(
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021's
+    repetition filters, the token-level forms):
+
+    - ``repeated_token_ratio`` — 1 − distinct/total tokens. Pure JVM
+      array expressions, no shuffle.
+    - ``top_ngram_fraction`` — fraction of the doc's tokens covered by
+      its single most frequent word n-gram (`count·n / tokens`). Word
+      n-grams explode to (doc, gram) rows and aggregate in two stages —
+      partial (map-side) counts collapse repeats before the shuffle, and
+      the per-doc winner is `max(struct(count, gram))` so ties break
+      deterministically to the lexicographically-largest gram.
+
+    Filters like "drop docs with top_ngram_fraction > 0.2" are the
+    standard corpus-cleaning step these feed at 100 TB; both metrics
+    shuffle at most one (doc, gram) row per DISTINCT gram occurrence."""
+    toks = F.col("_toks")
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+    # docs shorter than n tokens must produce no grams at all
+    grams_expr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "repeated_token_ratio",
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+                4,
+            ),
+        )
+    )
+    gram_counts = (
+        base.select(id_col, "n_tokens", F.explode(grams_expr).alias("gram"))
+        .groupBy(id_col, "n_tokens", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n_tokens")
+        .agg(F.max(F.struct(F.col("c"), F.col("gram"))).alias("top"))
+        .select(
+            id_col,
+            F.col("top.gram").alias("top_ngram"),
+            F.col("top.c").alias("top_ngram_count"),
+            F.round(
+                F.col("top.c") * n / F.col("n_tokens").cast("double"), 4
+            ).alias("top_ngram_fraction"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens", "repeated_token_ratio")
+        .join(gram_counts, id_col, "left")
+        .orderBy(id_col)
+    )
+
+
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance: the gram lambda is interpreted (HOF) — don't pin the
     # whole pass to the file's 1-2 input splits

@@ -1,0 +1,86 @@
+"""Repetition metrics (Gopher-style corpus filters): hand-built truth,
+python cross-check on the fixture, deterministic tie-breaks, and the
+two-stage-aggregate plan shape."""
+
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators.text import repetition_stats
+
+
+def _r4(x: float) -> float:
+    # Spark's F.round is HALF_UP over the shortest decimal repr;
+    # python's round is half-to-even — they differ at exact half-ULPs
+    # (e.g. 13/32 = 0.40625 → 0.4063 vs 0.4062)
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_built_truth(spark):
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            _docs(
+                spark,
+                [
+                    (1, "a b a b a b"),       # "a b" x3 over 6 tokens
+                    (2, "w x y z"),           # all distinct
+                    (3, "q q q q"),           # one token repeated
+                ],
+            )
+        ).collect()
+    }
+    assert out[1]["repeated_token_ratio"] == round(1 - 2 / 6, 4)
+    assert out[1]["top_ngram"] == "a b"
+    assert out[1]["top_ngram_count"] == 3
+    assert out[1]["top_ngram_fraction"] == 1.0  # 3 * 2 / 6
+    assert out[2]["repeated_token_ratio"] == 0.0
+    assert out[2]["top_ngram_count"] == 1
+    assert out[3]["repeated_token_ratio"] == 0.75
+    assert out[3]["top_ngram"] == "q q"
+    assert out[3]["top_ngram_fraction"] == round(3 * 2 / 4, 4)  # capped? no: 1.5
+
+
+def test_tie_breaks_deterministic(spark):
+    # "a b" and "b a" both occur twice; the winner must be the
+    # lexicographically-largest gram, stably across runs
+    d = _docs(spark, [(1, "a b a b a")])
+    for _ in range(2):
+        row = repetition_stats(d).collect()[0]
+        assert row["top_ngram"] == "b a"  # ("a b", 2) < ("b a", 2)
+
+
+def test_fixture_cross_check_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].split(" ")
+        grams = Counter(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+        top_c = max(grams.values())
+        want_gram = max(g for g, c in grams.items() if c == top_c)
+        row = got[r["doc_id"]]
+        assert row["n_tokens"] == len(toks)
+        assert row["repeated_token_ratio"] == _r4(1 - len(set(toks)) / len(toks))
+        assert (row["top_ngram_count"], row["top_ngram"]) == (top_c, want_gram)
+        assert row["top_ngram_fraction"] == _r4(top_c * 2 / len(toks))
+
+
+def test_short_doc_no_gram(spark):
+    row = repetition_stats(_docs(spark, [(1, "solo")])).collect()[0]
+    assert row["n_tokens"] == 1
+    assert row["top_ngram"] is None  # no bigram exists; left join keeps doc
+
+
+def test_plan_two_stage_agg_no_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final gram counts
