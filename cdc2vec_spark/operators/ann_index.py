@@ -32,6 +32,16 @@ live row always survives its own write.
 every cell, clear the tombstone log. Cheap reads pay for themselves
 between compactions; this is the same contract as Lucene segment merges
 or Milvus compaction.
+
+IVF-PQ option (``pq=(m, k)``): build() trains a product-quantization
+codebook on the initial corpus (operators/quantize.py) and every stored
+row carries an m-byte ``code`` next to its raw vector; ``topk(mode=
+"adc")`` scores the probed cells from the codes alone — the scan stage
+reads (id, lsn, code), never the vector column (parquet column pruning,
+plan-asserted in tests) — then exact-reranks the candidate cut. This is
+the Milvus/FAISS IVF_PQ memory/IO story on the same incremental index:
+the hot scan shrinks from 4·d bytes/row to m bytes/row while the rerank
+keeps reported similarities exact.
 """
 
 from __future__ import annotations
@@ -65,12 +75,22 @@ class IncrementalIvfIndex:
                  id_col: str = "id", vec_col: str = "vector",
                  payload_cols: tuple[str, ...] = (),
                  auto_compact_ratio: float | None = 0.5,
-                 auto_compact_min: int = 4096):
+                 auto_compact_min: int = 4096,
+                 pq: tuple[int, int] | None = None):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
         self.payload_cols = tuple(payload_cols)
+        # Optional PQ compression (IVF-PQ): (m sub-spaces, k codes).
+        # build() trains a codebook on the initial corpus (frozen until
+        # the next build/rebuild — the standard practice; drift degrades
+        # recall, never correctness, because ADC results are re-ranked
+        # exactly), every stored row gains an m-byte `code` column, and
+        # topk(mode="adc") scans ONLY (id, lsn, code) in the probed
+        # cells — parquet column pruning keeps the vectors unread until
+        # the candidate-cut rerank.
+        self.pq = pq
         # Auto-compaction trigger: the tombstone partition (cell -1) is
         # read+merged+rewritten by EVERY batch and grows O(events since
         # last compact) — without a trigger a long-running stream degrades
@@ -117,12 +137,51 @@ class IncrementalIvfIndex:
             F.row_number().over(w).alias("centroid_id"), F.col(self.vec_col)
         )
         cents.write.mode("overwrite").parquet(self.path + "_centroids")
-        assigned = self._assign_cells(src)
+        if self.pq is not None:
+            from .quantize import pq_train
+
+            m, kc = self.pq
+            cbs = pq_train(
+                points, m=m, k=kc, id_col=self.id_col, vec_col=self.vec_col
+            )
+            np.save(self.path + "_pq.npy", cbs)
+        assigned = self._with_codes(self._assign_cells(src))
         cells = sorted(r[0] for r in assigned.select(CELL_COL).distinct().collect())
         swap_buckets(
             assigned.repartition(max(len(cells), 1), CELL_COL),
             self.path, cells, col=CELL_COL,
         )
+
+    def _codebooks(self) -> np.ndarray:
+        p = self.path + "_pq.npy"
+        if not os.path.exists(p):
+            raise ValueError(f"no PQ codebook at {p} — build() with pq=(m, k) first")
+        return np.load(p)
+
+    def _with_codes(self, pts: DataFrame) -> DataFrame:
+        """Append the m-byte PQ `code` column (no-op when pq is off) —
+        one more BLAS step in the same narrow Arrow stage as assignment."""
+        if self.pq is None:
+            return pts
+        import pandas as pd
+
+        from .quantize import encode_matrix
+
+        bc = self.spark.sparkContext.broadcast(self._codebooks())
+        vec_col = self.vec_col
+        out_schema = T.StructType(
+            list(pts.schema.fields) + [T.StructField("code", T.BinaryType(), True)]
+        )
+
+        def enc(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(code=pd.Series([], dtype=object))
+                    continue
+                codes = encode_matrix(np.stack(pdf[vec_col].to_numpy()), bc.value)
+                yield pdf.assign(code=[c.tobytes() for c in codes])
+
+        return pts.mapInPandas(enc, schema=out_schema)
 
     def _centroid_matrix(self) -> tuple[np.ndarray, np.ndarray]:
         rows = sorted(
@@ -175,7 +234,7 @@ class IncrementalIvfIndex:
             self.id_col, self.vec_col, F.col("lsn").cast("long").alias("lsn"),
             *[F.col(c) for c in self.payload_cols],
         )
-        assigned = self._assign_cells(ups)
+        assigned = self._with_codes(self._assign_cells(ups))
         # every event tombstones its id at its lsn: kills stale copies in
         # OTHER cells for updates, kills everything older for deletes
 
@@ -189,6 +248,7 @@ class IncrementalIvfIndex:
             F.col("lsn").cast("long").alias("lsn"),
             *[_null_as(c) for c in self.payload_cols],
             F.lit(TOMB_CELL).cast("long").alias(CELL_COL),
+            *([F.lit(None).cast("binary").alias("code")] if self.pq is not None else []),
         )
         ev = assigned.unionByName(tombs)
         touched = sorted(r[0] for r in ev.select(CELL_COL).distinct().collect())
@@ -241,17 +301,9 @@ class IncrementalIvfIndex:
             .agg(F.max("lsn").alias("_tlsn"))
         )
 
-    def topk(self, qv: np.ndarray, k: int = 10, nprobe: int = 4,
-             predicate=None) -> DataFrame:
-        """ANN top-k for an arbitrary query vector: probe cells → pruned
-        scan → payload ``predicate`` pre-filter → tombstone filter
-        (broadcast) → BLAS rerank → k-heap. ``predicate`` is a Column or
-        SQL string over the stored payload columns; filtering happens
-        BEFORE scoring, so the result is the true top-k of the filtered
-        set (with IVF's usual probed-cells recall caveat)."""
-        from .similarity import cosine_scores
-
-        qv = np.asarray(qv, dtype=np.float64)
+    def _live_candidates(self, nprobe: int, qv: np.ndarray, predicate):
+        """Shared probe path: probed-cell pruned scan → payload
+        pre-filter → tombstone filter (broadcast)."""
         cids, cmat_n = self._centroid_matrix()
         qn = np.linalg.norm(qv)
         sims = cmat_n @ (qv / qn if qn else qv)
@@ -267,12 +319,76 @@ class IncrementalIvfIndex:
                 F.expr(predicate) if isinstance(predicate, str) else predicate
             )
         tomb = self._tombstone_maxlsn()
-        cand = cand.join(F.broadcast(tomb), self.id_col, "left").where(
+        return cand.join(F.broadcast(tomb), self.id_col, "left").where(
             F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
         )
+
+    def topk(self, qv: np.ndarray, k: int = 10, nprobe: int = 4,
+             predicate=None, mode: str = "exact",
+             candidates: int = 50) -> DataFrame:
+        """ANN top-k for an arbitrary query vector: probe cells → pruned
+        scan → payload ``predicate`` pre-filter → tombstone filter
+        (broadcast) → rank → k-heap. ``predicate`` is a Column or SQL
+        string over the stored payload columns; filtering happens BEFORE
+        scoring, so the result is the true top-k of the filtered set
+        (with IVF's usual probed-cells recall caveat).
+
+        ``mode="exact"`` BLAS-scores the probed cells' raw vectors.
+        ``mode="adc"`` (requires ``pq``) first scores the probed cells'
+        m-byte codes against a broadcast lookup table — that stage reads
+        ONLY (id, lsn, code) thanks to parquet column pruning — and then
+        exact-reranks the top ``candidates`` ids from the raw vectors.
+        At production cell sizes the ADC stage touches ~1% of the bytes
+        the exact scan would."""
+        from .similarity import cosine_scores
+
+        qv = np.asarray(qv, dtype=np.float64)
+        cand = self._live_candidates(nprobe, qv, predicate)
+        if mode == "exact":
+            scored = cosine_scores(cand, qv, self.id_col, self.vec_col)
+        elif mode == "adc":
+            import pandas as pd
+
+            from .quantize import adc_lut
+
+            cbs = self._codebooks()
+            m = cbs.shape[0]
+            bc = self.spark.sparkContext.broadcast(adc_lut(qv, cbs))
+            id_field = next(
+                f for f in cand.schema.fields if f.name == self.id_col
+            )
+            out_schema = T.StructType(
+                [id_field, T.StructField("score", T.DoubleType(), True)]
+            )
+            id_col = self.id_col
+
+            def adc(batches):
+                lut, rng = bc.value, np.arange(m)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    cmat = np.frombuffer(
+                        b"".join(pdf["code"].to_list()), dtype=np.uint8
+                    ).reshape(-1, m)
+                    yield pd.DataFrame(
+                        {id_col: pdf[id_col], "score": lut[rng, cmat].sum(axis=1)}
+                    )
+
+            adc_top = (
+                cand.select(self.id_col, "code")
+                .mapInPandas(adc, schema=out_schema)
+                .orderBy(F.col("score").desc(), F.col(self.id_col))
+                .limit(candidates)
+            )
+            keep = [r[0] for r in adc_top.select(self.id_col).collect()]
+            scored = cosine_scores(
+                cand.where(F.col(self.id_col).isin(keep)),
+                qv, self.id_col, self.vec_col,
+            )
+        else:
+            raise ValueError(f"unknown topk mode: {mode!r}")
         return (
-            cosine_scores(cand, qv, self.id_col, self.vec_col)
-            .select(self.id_col, F.round("sim", 6).alias("sim"))
+            scored.select(self.id_col, F.round("sim", 6).alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(self.id_col))
             .limit(k)
         )

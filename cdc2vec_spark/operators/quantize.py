@@ -110,6 +110,38 @@ def pq_train(
     return codebooks
 
 
+def encode_matrix(
+    x: np.ndarray, codebooks: np.ndarray, normalize: bool = True
+) -> np.ndarray:
+    """(n × d) float matrix → (n × m) uint8 code matrix. One BLAS
+    (batch × k) distance matrix + argmin per sub-space — the shared
+    kernel for pq_encode and the PQ-compressed incremental index."""
+    m, k, dsub = codebooks.shape
+    if normalize:
+        x = _normalized(np.asarray(x, dtype=np.float64))
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for s in range(m):
+        cb = codebooks[s]
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def adc_lut(query_vec: np.ndarray, codebooks: np.ndarray, normalize: bool = True) -> np.ndarray:
+    """(m × k) inner-product lookup table for a query:
+    LUT[s, j] = q_s · c_sj, so score(row) = Σ_s LUT[s, code_s]."""
+    m, _, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if normalize:
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+    return np.stack(
+        [codebooks[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: np.ndarray,
@@ -119,12 +151,11 @@ def pq_encode(
 ) -> DataFrame:
     """(id, code binary) for every row — one narrow Arrow pass, no shuffle.
 
-    Per batch, per sub-space: one BLAS (batch × k) distance matrix and an
-    argmin; the m uint8 codes pack into an m-byte ``binary`` cell. Null
-    vectors are dropped (they have no meaningful code)."""
+    Per batch: encode_matrix (BLAS per sub-space); the m uint8 codes pack
+    into an m-byte ``binary`` cell. Null vectors are dropped (they have
+    no meaningful code)."""
     import pandas as pd
 
-    m, k, dsub = codebooks.shape
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
     out_schema = T.StructType(
@@ -136,19 +167,11 @@ def pq_encode(
 
     def encode(batches):
         cbs = bc.value
-        # per-sub-space ||c||² once per task
-        cnorm = [(cbs[s] * cbs[s]).sum(axis=1) for s in range(m)]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if normalize:
-                x = _normalized(x)
-            codes = np.empty((len(x), m), dtype=np.uint8)
-            for s in range(m):
-                sub = x[:, s * dsub : (s + 1) * dsub]
-                d2 = cnorm[s][None, :] - 2.0 * (sub @ cbs[s].T)
-                codes[:, s] = np.argmin(d2, axis=1)
+            x = np.stack(pdf[vec_col].to_numpy())
+            codes = encode_matrix(x, cbs, normalize=normalize)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "code": [c.tobytes() for c in codes]}
             )
@@ -174,16 +197,8 @@ def pq_topk(
     the scan path; the (m × k) LUT is built once on the driver."""
     import pandas as pd
 
-    m, nk, dsub = codebooks.shape
-    q = np.asarray(query_vec, dtype=np.float64)
-    if normalize:
-        qn = np.linalg.norm(q)
-        if qn > 0:
-            q = q / qn
-    # LUT[s, j] = q_s · c_sj  → score(row) = Σ_s LUT[s, code_s]
-    lut = np.stack(
-        [codebooks[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
-    )
+    m = codebooks.shape[0]
+    lut = adc_lut(query_vec, codebooks, normalize=normalize)
     spark = codes.sparkSession
     bc = spark.sparkContext.broadcast(lut)
     out_schema = T.StructType(

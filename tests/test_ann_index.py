@@ -230,3 +230,75 @@ def test_auto_compaction_bounds_tombstone_growth(spark, sf_dir, tmp_path):
     # wall-clock stays flat-ish: the last batches must not be paying an
     # O(total-events) tombstone merge (loose 5x bound — CI noise safe)
     assert min(secs[-3:]) < 5 * max(min(secs[:3]), 0.05), secs
+
+
+# --- IVF-PQ (pq=(m, k) compressed cells + ADC search) --------------------
+
+@pytest.fixture()
+def pq_index(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "cast(vec_id as string) as id", "embedding as vector"
+    )
+    ix = IncrementalIvfIndex(spark, str(tmp_path / "ivfpq"), pq=(16, 64))
+    ix.build(e, centroid_every=13)
+    return ix
+
+
+def test_pq_adc_recall_and_exact_rerank_scores(spark, sf_dir, pq_index):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = np.asarray(e.where("vec_id = 7").first()["embedding"], dtype=np.float64)
+    exact = {
+        r["id"]: r["sim"]
+        for r in pq_index.topk(qv, k=10, nprobe=100, mode="exact").collect()
+    }
+    adc = {
+        r["id"]: r["sim"]
+        for r in pq_index.topk(
+            qv, k=10, nprobe=100, mode="adc", candidates=50
+        ).collect()
+    }
+    hits = set(adc) & set(exact)
+    assert len(hits) >= 8  # rerank recall (measured ~0.9-1.0 at m=16/k=64)
+    for i in hits:
+        assert adc[i] == exact[i]  # rerank scores are TRUE cosines
+
+
+def test_pq_adc_respects_cdc_and_tombstones(spark, sf_dir, pq_index):
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = np.asarray(e.where("vec_id = 0").first()["embedding"], dtype=np.float64)
+    dim = len(qv)
+    # insert an exact duplicate of the query, then delete vec 0
+    pq_index.apply_batch(
+        _batch(spark, [("new:q", [float(x) for x in qv], "c", 100),
+                       ("0", None, "d", 101)], dim)
+    )
+    top = pq_index.topk(qv, k=3, nprobe=100, mode="adc").collect()
+    ids = [r["id"] for r in top]
+    assert ids[0] == "new:q" and top[0]["sim"] == 1.0
+    assert "0" not in ids
+    # compact keeps codes and the ADC answer
+    want = [(r["id"], r["sim"]) for r in pq_index.topk(qv, k=5, nprobe=100, mode="adc").collect()]
+    pq_index.compact()
+    got = [(r["id"], r["sim"]) for r in pq_index.topk(qv, k=5, nprobe=100, mode="adc").collect()]
+    assert got == want
+
+
+def test_pq_adc_scan_never_reads_vectors(spark, sf_dir, pq_index):
+    """The ADC stage's plan must column-prune the vector away: only
+    (id, lsn, code) reach the probed-cell scan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cand = pq_index._live_candidates(4, np.ones(64), None)
+    adc_input = cand.select("id", "code")
+    plan = adc_input._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "vector" not in scan
+    assert "code" in scan
+
+
+def test_pq_mode_validation(spark, sf_dir, pq_index, index):
+    with pytest.raises(ValueError, match="unknown topk mode"):
+        pq_index.topk(np.ones(64), mode="bogus")
+    with pytest.raises(ValueError, match="no PQ codebook"):
+        index.topk(np.ones(64), mode="adc")  # built without pq
