@@ -141,11 +141,18 @@ def sink_hook_for(cfg: PipelineConfig):
         raw_ratio = opts.get("auto_compact_ratio", 0.5)
         ratio = None if str(raw_ratio).lower() in ("none", "off") else float(raw_ratio)
         compact_min = int(opts.get("auto_compact_min", 4096))
+        # optional IVF-PQ: options.pq = "m,k" (e.g. "16,64") — compressed
+        # code column + ADC search (ann_index module docstring)
+        raw_pq = opts.get("pq")
+        pq = tuple(int(x) for x in str(raw_pq).split(",")) if raw_pq else None
+        if pq is not None and len(pq) != 2:
+            raise ValueError(f"ivf_index options.pq must be 'm,k', got {raw_pq!r}")
 
         def hook(pts: DataFrame) -> None:
             ix = IncrementalIvfIndex(
                 pts.sparkSession, path,
                 auto_compact_ratio=ratio, auto_compact_min=compact_min,
+                pq=pq,
             )
             if not os.path.exists(path + "_centroids"):
                 # cold start: train centroids on the first batch's

@@ -337,3 +337,48 @@ def test_sink_delivery_respects_intra_batch_event_order(spark):
     assert ups["Z"]["payload"]["k"] == "z6"  # max-LSN vector won
     assert abs(ups["Z"]["vector"][0] - 0.4) < 1e-6
     assert set(deleted) == {fnv1a64_py("X")}
+
+
+def test_boot_ivf_index_sink_with_pq(spark, sf_dir, tmp_path):
+    """options.pq='4,16': the streamed index carries PQ codes and ADC
+    search works end-to-end (vector_size 8 → m=4 sub-spaces of 2)."""
+    import numpy as np
+
+    from cdc2vec_spark.config import (
+        DOCUMENTS_MAPPING,
+        EngineConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from cdc2vec_spark.operators.ann_index import IncrementalIvfIndex
+
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    ix_path = str(tmp_path / "ivfpq")
+    cfg = PipelineConfig(
+        engine=EngineConfig(mappings=(DOCUMENTS_MAPPING,), vector_size=8),
+        sink=SinkConfig(
+            type="ivf_index", options={"path": ix_path, "pq": "4,16"}
+        ),
+    )
+    query, coll, _ = runner.boot(
+        spark,
+        config=cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    ix = IncrementalIvfIndex(spark, ix_path, pq=(4, 16))
+    probe = coll.live().select("id", "vector").first()
+    top = ix.topk(
+        np.asarray(probe["vector"], dtype=np.float64),
+        k=1, nprobe=1_000_000, mode="adc", candidates=64,
+    ).first()
+    assert top["id"] == probe["id"] and top["sim"] == 1.0
