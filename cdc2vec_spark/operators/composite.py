@@ -20,7 +20,7 @@ consolidates them.
 
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
-                         b16_sketches, c4_watermark
+                         b16_sketches, c4_watermark, c8_interval_join
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
@@ -41,6 +41,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
+    "c8_interval_join",
     "d2_minhash_lsh",
     "d2_simhash",
     "d9_keep_canonical",
@@ -77,6 +78,7 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
     from .relational import b16_sketches
     from .vectors import a8_deterministic_embed
@@ -89,6 +91,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("a9_points_pipeline", a9_points_pipeline),
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
+            ("c8_interval_join", c8_interval_join),
         ],
     )
 
@@ -142,6 +145,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for bench.py and tools that time components individually (the driver
     registry sees only the composites)."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
@@ -155,6 +159,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_points_pipeline": a9_points_pipeline,
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
+        "c8_interval_join": c8_interval_join,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,

@@ -66,6 +66,27 @@ def interval_join(
     return left.join(r, cond, "inner")
 
 
+def c8_interval_join(spark, sf_dir: str) -> DataFrame:
+    """C8 — view→click attribution pairs within 30 minutes per user
+    (batch form of the stream-stream interval join; the stream replay of
+    the same builder is pinned equal in tests/test_joins.py). Rows-only
+    component of the x1 composite (registry at the 50-entry budget)."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        key="user_id",
+        upper="30 minutes",
+    )
+    return out.select(
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+        "user_id",
+    ).orderBy("view_id", "click_id")
+
+
 _UNIT_SECS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
