@@ -20,7 +20,8 @@ consolidates them.
 
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
-                         b16_sketches, c4_watermark, c8_interval_join
+                         b16_sketches, c4_watermark, c8_interval_join,
+                         d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
@@ -42,6 +43,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "b16_sketches",
     "c4_watermark",
     "c8_interval_join",
+    "d10_split",
+    "d10_pack",
     "d2_minhash_lsh",
     "d2_simhash",
     "d9_keep_canonical",
@@ -81,6 +84,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
     from .relational import b16_sketches
+    from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -92,6 +96,8 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
+            ("d10_split", d10_split),
+            ("d10_pack", d10_pack),
         ],
     )
 
@@ -151,6 +157,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .multimodal import d6_features
     from .quantize import d3_pq_topk
     from .relational import b16_sketches
+    from .sampling import d10_pack, d10_split
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
     from .vectors import a8_deterministic_embed
 
@@ -160,6 +167,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
+        "d10_split": d10_split,
+        "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,

@@ -1,0 +1,144 @@
+"""Dataset splitting and sequence packing — the two batching primitives
+every LLM training-data pipeline needs between "corpus" and "dataloader".
+North-star extensions (BASELINE.json); the reference has nothing here.
+
+- ``train_holdout_split`` — deterministic hash split. Membership is a
+  pure function of the key (xxhash64, no RNG, no state), so the split is
+  stable across runs, machines, and re-partitioning, and rows added to
+  the corpus later NEVER move existing rows between splits — the
+  property random splits lose and training pipelines silently break on.
+  Pure JVM expression: zero shuffle, evaluated in the scan stage.
+
+- ``pack_sequences`` — greedy first-fit-decreasing bin packing of
+  documents into fixed token budgets (sample packing: filling a context
+  window with whole short documents instead of padding). Packing is
+  inherently sequential, so the corpus is salted into ``n_groups``
+  deterministic hash groups and FFD runs per group inside ONE
+  applyInPandas pass — each group is a few thousand docs (driver-free,
+  one shuffle on the salt), and packing quality is unaffected because
+  fill efficiency depends on the doc-length distribution, which every
+  hash group shares. Oversized docs (> budget) get a solo pack flagged
+  ``overflow`` so the caller can truncate or drop explicitly — packing
+  never silently clips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_holdout_split(
+    df: DataFrame,
+    holdout_frac: float = 0.01,
+    key: str = "doc_id",
+    out_col: str = "split",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Adds ``split`` ∈ {'train', 'holdout'}: a row is holdout iff
+    pmod(xxhash64(key), buckets) < holdout_frac·buckets. Deterministic,
+    shuffle-free, append-stable (see module docstring)."""
+    if not 0.0 <= holdout_frac <= 1.0:
+        raise ValueError(f"holdout_frac must be in [0, 1]: {holdout_frac}")
+    cut = int(round(holdout_frac * buckets))
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)) < cut, "holdout"
+        ).otherwise("train"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    n_groups: int = 64,
+) -> DataFrame:
+    """Assign every doc to a pack of total token count ≤ ``budget``.
+
+    Returns (id, n_tokens, pack_id, overflow): ``pack_id`` is
+    '<group>/<seq>' — globally unique, deterministic; ``overflow`` marks
+    docs longer than the budget (alone in their pack). First-fit-
+    decreasing per hash group; within a group the order is (tokens desc,
+    id) so packing is reproducible bit-for-bit."""
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if tokens_col is None:
+        src = docs.select(
+            id_col, F.size(F.split(F.col(text_col), " ")).alias("_ntok")
+        )
+    else:
+        src = docs.select(id_col, F.col(tokens_col).alias("_ntok"))
+    src = src.withColumn("_grp", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["_grp"].iloc[0])
+        order = np.lexsort((pdf[id_col].to_numpy(), -pdf["_ntok"].to_numpy()))
+        ids = pdf[id_col].to_numpy()[order]
+        toks = pdf["_ntok"].to_numpy()[order]
+        # first-fit-decreasing over open bins (packing is why this is
+        # python: it is a sequential loop by nature; each group is small)
+        bin_fill: list[int] = []
+        assign = np.empty(len(ids), dtype=np.int64)
+        overflow = np.zeros(len(ids), dtype=bool)
+        for i, t in enumerate(toks):
+            if t > budget:
+                assign[i] = len(bin_fill)
+                bin_fill.append(int(t))
+                overflow[i] = True
+                continue
+            for b, fill in enumerate(bin_fill):
+                if fill + t <= budget:
+                    assign[i] = b
+                    bin_fill[b] += int(t)
+                    break
+            else:
+                assign[i] = len(bin_fill)
+                bin_fill.append(int(t))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_tokens": toks,
+                "pack_id": [f"{grp}/{b}" for b in assign],
+                "overflow": overflow,
+            }
+        )
+
+    id_type = next(f.dataType.simpleString() for f in src.schema.fields
+                   if f.name == id_col)
+    return src.groupBy("_grp").applyInPandas(
+        pack,
+        f"{id_col} {id_type}, n_tokens int, pack_id string, overflow boolean",
+    )
+
+
+# --- graded rows-only entries (components of x1_rowsonly_pipeline) -------
+
+def d10_split(spark, sf_dir: str) -> DataFrame:
+    """Split-membership summary (rows-only: xxhash64 has no DuckDB
+    counterpart; determinism + append stability pinned in
+    tests/test_sampling.py)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_holdout_split(docs, holdout_frac=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+def d10_pack(spark, sf_dir: str) -> DataFrame:
+    """Full deterministic pack assignment at budget 64 (rows-only: FFD is
+    not SQL-expressible; invariants pinned in tests/test_sampling.py)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=64).orderBy("doc_id")

@@ -1,0 +1,103 @@
+"""Splitting + sequence packing: deterministic membership, append
+stability, pack-budget invariants, FFD efficiency, hand-built truth."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators.sampling import pack_sequences, train_holdout_split
+
+
+def test_split_fraction_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = train_holdout_split(docs, holdout_frac=0.1, key="doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert 0.03 * n <= counts.get("holdout", 0) <= 0.2 * n  # ~10% ±
+    again = {r["doc_id"]: r["split"]
+             for r in train_holdout_split(docs, 0.1).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in out.collect())
+
+
+def test_split_append_stable(spark, sf_dir):
+    # membership is a pure function of the key: the split computed on a
+    # SUBSET equals the full corpus's labels restricted to that subset
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"]
+            for r in train_holdout_split(docs, 0.1).collect()}
+    sub = {r["doc_id"]: r["split"]
+           for r in train_holdout_split(docs.limit(100), 0.1).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_split_no_shuffle_and_validation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        train_holdout_split(docs, 0.05)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        train_holdout_split(docs, 1.5)
+
+
+def test_pack_hand_built(spark):
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([90, 60, 40, 30, 10, 150])],
+        "doc_id long, ntok int",
+    )
+    out = pack_sequences(docs, budget=100, tokens_col="ntok", n_groups=1).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[5]["overflow"] and by_id[5]["n_tokens"] == 150
+    # the overflow doc is ALONE in its pack
+    overflow_pack = by_id[5]["pack_id"]
+    assert [r["doc_id"] for r in out if r["pack_id"] == overflow_pack] == [5]
+    # FFD at budget 100 over [90,60,40,30,10]: 90+10, 60+40, 30 → 3 packs
+    packs = {}
+    for r in out:
+        if not r["overflow"]:
+            packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    assert sorted(sorted(v) for v in packs.values()) == [[10, 90], [30], [40, 60]]
+
+
+def test_pack_invariants_on_fixture(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 64
+    out = pack_sequences(docs, budget=budget).collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    fills = {}
+    for r in out:
+        fills.setdefault(r["pack_id"], []).append((r["n_tokens"], r["overflow"]))
+    for pid, members in fills.items():
+        total = sum(t for t, _ in members)
+        if any(o for _, o in members):
+            assert len(members) == 1  # oversize docs pack alone
+        else:
+            assert total <= budget, f"pack {pid} over budget: {total}"
+    # FFD efficiency: within each group, packs used stays near the
+    # lower bound ceil(total/budget) (FFD ≤ 11/9·OPT + 1)
+    by_grp = {}
+    for r in out:
+        if not r["overflow"]:
+            g = r["pack_id"].split("/")[0]
+            by_grp.setdefault(g, []).append(r)
+    for g, rows in by_grp.items():
+        total = sum(r["n_tokens"] for r in rows)
+        used = len({r["pack_id"] for r in rows})
+        lb = math.ceil(total / budget)
+        assert used <= math.ceil(11 / 9 * lb) + 1, f"group {g}: {used} vs lb {lb}"
+
+
+def test_pack_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = {r["doc_id"]: r["pack_id"] for r in pack_sequences(docs, 128).collect()}
+    b = {r["doc_id"]: r["pack_id"] for r in pack_sequences(docs, 128).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
