@@ -1,0 +1,210 @@
+"""Dedup at ingestion: an incrementally-maintained MinHash-LSH index so
+each micro-batch of new documents is near-dup-checked against EVERYTHING
+ingested before it — without ever rescanning the corpus.
+
+The batch operators (operators/dedup.py) answer "which pairs in this
+corpus are near-dups"; a 100 TB training-data pipeline also needs the
+streaming form — "is this incoming doc a near-dup of anything we
+already have" — at ingestion time, touching O(batch) state. This module
+closes that gap with the engine's bucketed-state machinery:
+
+- ``path/index``  — the banded LSH inverted index: (band, bv, doc_id)
+  rows partitioned by ``bucket = pmod(xxhash64(band, bv), n_buckets)``.
+  A batch's band keys prune the read to their buckets (the same
+  O(batch + touched_buckets × bucket_size) contract as the CDC state
+  store).
+- ``path/docs``   — (doc_id, sh) shingle-hash sets for exact-Jaccard
+  verification, partitioned by ``dbucket = pmod(xxhash64(doc_id),
+  n_buckets)`` — read only for the candidate ids' buckets.
+
+Per batch: ONE fused Arrow pass computes shingles + signatures
+(dedup.shingle_minhash), band keys join against the pruned prior index
+(new-vs-old) and self-join within the batch (new-vs-new), exact Jaccard
+verifies candidates only, and both state tables merge idempotently
+(distinct ∪ prior, per-bucket swap) — replaying a batch emits the same
+pairs and leaves state unchanged.
+
+Equivalence: banding is deterministic and a pair sharing a band bucket
+is discovered either in the arrival batch of its later doc (new-vs-old)
+or within one batch (new-vs-new) — so streaming the corpus in ANY batch
+split emits exactly the pairs the batch operator finds on the full
+corpus (pinned in tests/test_neardup_stream.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.apply import read_bucketed_state, swap_buckets
+from ..operators.dedup import (
+    _verify_jaccard,
+    banded_candidate_pairs,
+    shingle_minhash,
+)
+
+BUCKET = "bucket"
+DBUCKET = "dbucket"
+
+
+class StreamingNearDup:
+    """foreachBatch-shaped incremental near-dup filter (see module doc)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 threshold: float = 0.5, num_perm: int = 64,
+                 bands: int = 16, shingle_n: int = 3,
+                 n_buckets: int = 64,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        if num_perm % bands:
+            raise ValueError(f"bands {bands} must divide num_perm {num_perm}")
+        self.spark = spark
+        self.index_path = path.rstrip("/") + "/index"
+        self.docs_path = path.rstrip("/") + "/docs"
+        self.threshold = threshold
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.shingle_n = shingle_n
+        self.n_buckets = n_buckets
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # ------------------------------------------------------------ write
+
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        """(id, sig) → (id, band, bv, bucket) — the same banding as
+        dedup.lsh_candidate_pairs, plus the state partition key."""
+        rows = self.rows
+        banded = sigs.select(
+            self.id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", b * rows + r + 1)
+                                    for r in range(rows)
+                                ]
+                            ).alias("bv"),
+                        )
+                        for b in range(self.bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(self.id_col, "bk.band", "bk.bv")
+        return banded.withColumn(
+            BUCKET, F.pmod(F.xxhash64("band", "bv"), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> DataFrame:
+        """Ingest one batch; returns the verified near-dup pairs it
+        surfaced, as (id_a, id_b, jac) with id_a < id_b — new-vs-old and
+        new-vs-new alike. Idempotent: a replayed batch returns the same
+        pairs and leaves both state tables unchanged."""
+        both = shingle_minhash(
+            batch.select(self.id_col, self.text_col),
+            self.shingle_n, self.num_perm, self.text_col,
+        ).persist()
+        sigs = both.where(F.col("sig").isNotNull()).select(self.id_col, "sig")
+        new_banded = self._banded(sigs).persist()
+        touched = sorted(
+            r[0] for r in new_banded.select(BUCKET).distinct().collect()
+        )
+        if not touched:
+            new_banded.unpersist()
+            both.unpersist()
+            return self.spark.createDataFrame(
+                [], f"id_a {self._id_type(batch)}, id_b {self._id_type(batch)}, jac double"
+            )
+
+        prior_idx = read_bucketed_state(self.spark, self.index_path, col=BUCKET)
+        cross = None
+        if prior_idx is not None:
+            old = prior_idx.where(F.col(BUCKET).isin(touched)).select(
+                "band", "bv", F.col(self.id_col).alias("_old_id")
+            )
+            cross = (
+                new_banded.join(old, ["band", "bv"])
+                .where(F.col("_old_id") != F.col(self.id_col))
+                .select(
+                    F.least(self.id_col, "_old_id").alias("id_a"),
+                    F.greatest(self.id_col, "_old_id").alias("id_b"),
+                )
+                .distinct()
+            )
+        within = banded_candidate_pairs(
+            new_banded.select(self.id_col, "band", "bv"), self.id_col, bv_col="bv"
+        )
+        cands = within if cross is None else within.unionByName(cross).distinct()
+
+        # shingle sets for verification: the batch's own + the candidate
+        # old ids' pruned doc-table buckets
+        sh_sources = both.select(self.id_col, "sh")
+        prior_docs = read_bucketed_state(self.spark, self.docs_path, col=DBUCKET)
+        if prior_docs is not None and cross is not None:
+            cand_ids = cands.select(
+                F.explode(F.array("id_a", "id_b")).alias(self.id_col)
+            ).distinct()
+            dbuckets = sorted(
+                r[0]
+                for r in cand_ids.select(
+                    F.pmod(F.xxhash64(self.id_col), F.lit(self.n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            old_sh = (
+                prior_docs.where(F.col(DBUCKET).isin(dbuckets))
+                .join(cand_ids, self.id_col, "left_semi")
+                .select(self.id_col, "sh")
+            )
+            sh_sources = sh_sources.unionByName(old_sh).dropDuplicates([self.id_col])
+        pairs = _verify_jaccard(
+            cands, sh_sources, self.threshold, self.id_col
+        ).localCheckpoint(eager=True)
+
+        # ---- idempotent state merge (distinct ∪ prior, per-bucket swap)
+        idx_merged = new_banded
+        if prior_idx is not None:
+            idx_merged = prior_idx.where(F.col(BUCKET).isin(touched)).select(
+                *new_banded.columns
+            ).unionByName(new_banded)
+        swap_buckets(
+            idx_merged.distinct().repartition(len(touched), BUCKET),
+            self.index_path, touched, col=BUCKET,
+        )
+
+        new_docs = both.where(F.size("sh") > 0).select(
+            self.id_col, "sh"
+        ).withColumn(
+            DBUCKET, F.pmod(F.xxhash64(self.id_col), F.lit(self.n_buckets)).cast("int")
+        )
+        dtouched = sorted(
+            r[0] for r in new_docs.select(DBUCKET).distinct().collect()
+        )
+        if dtouched:
+            docs_merged = new_docs
+            prior_docs_all = read_bucketed_state(self.spark, self.docs_path, col=DBUCKET)
+            if prior_docs_all is not None:
+                docs_merged = prior_docs_all.where(
+                    F.col(DBUCKET).isin(dtouched)
+                ).select(*new_docs.columns).unionByName(new_docs)
+            swap_buckets(
+                docs_merged.dropDuplicates([self.id_col]).repartition(
+                    len(dtouched), DBUCKET
+                ),
+                self.docs_path, dtouched, col=DBUCKET,
+            )
+        new_banded.unpersist()
+        both.unpersist()
+        return pairs
+
+    def _id_type(self, df: DataFrame) -> str:
+        return next(
+            f.dataType.simpleString() for f in df.schema.fields
+            if f.name == self.id_col
+        )
