@@ -48,14 +48,18 @@ def delete_expr(ids: list[str]) -> str:
 
 
 def _post(url: str, path: str, body: dict, timeout_s: float) -> dict:
+    # transient failures retry with backoff (sinks/http.py); Milvus
+    # upsert/delete bodies are idempotent, ensure-collection tolerates
+    # already-exists — at-least-once is safe everywhere _post is used
+    from .http import send_with_retry
+
     req = urllib.request.Request(
         url.rstrip("/") + path,
         data=_json.dumps(body).encode(),
         headers={"Content-Type": "application/json"},
         method="POST",
     )
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-        return _json.loads(resp.read() or b"{}")
+    return _json.loads(send_with_retry(req, timeout_s) or b"{}")
 
 
 def ensure_collection(

@@ -97,9 +97,12 @@ def write_partition_http(
     """foreachPartition writer: chunked PUTs (≤ ``max_points`` points
     each) to {url}/collections/{collection}/points?wait=true on one
     pooled connection (the reference opens a request per point;
-    qdrant.go:42 sets the same 15s timeout). Import-guarded: no server
-    in this environment."""
+    qdrant.go:42 sets the same 15s timeout). Transient failures retry
+    with backoff (sinks/http.py — PUT upserts are idempotent).
+    Import-guarded: no server in this environment."""
     import urllib.request
+
+    from .http import send_with_retry
 
     # the rows already carry complete point JSON (upsert_payloads built it
     # JVM-side); splice the strings into the batch body instead of a
@@ -112,7 +115,7 @@ def write_partition_http(
             headers={"Content-Type": "application/json"},
             method="PUT",
         )
-        urllib.request.urlopen(req, timeout=timeout_s).read()
+        send_with_retry(req, timeout_s)
 
 
 def delete_partition_http(
@@ -123,9 +126,11 @@ def delete_partition_http(
     POST /collections/{collection}/points/delete?wait=true requests
     (qdrant.go:257-275 sends one request per id). Ids are FNV-1a hashed
     here, Python-side — the writer is already in Python, so the UDF is
-    unnecessary."""
+    unnecessary. Deletes are idempotent → retried with backoff."""
     import json
     import urllib.request
+
+    from .http import send_with_retry
 
     for ids in _chunks((fnv1a64_py(r["id"]) for r in rows), max_points):
         req = urllib.request.Request(
@@ -134,4 +139,4 @@ def delete_partition_http(
             headers={"Content-Type": "application/json"},
             method="POST",
         )
-        urllib.request.urlopen(req, timeout=timeout_s).read()
+        send_with_retry(req, timeout_s)

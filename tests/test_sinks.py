@@ -277,3 +277,102 @@ def test_sink_writers_chunk_oversized_partitions(spark):
         assert got == {f"doc:{i}" for i in range(n)}
     finally:
         srv.shutdown()
+
+
+def test_retry_absorbs_transient_errors_and_fails_fast_on_4xx():
+    """sinks/http.py: 5xx/429/network errors retry with backoff; other
+    4xx fail immediately (resending a malformed body never heals)."""
+    import http.server
+    import threading
+    import urllib.error
+    import urllib.request
+
+    import pytest as _pytest
+
+    from cdc2vec_spark.sinks.http import send_with_retry
+
+    calls = {"n": 0, "codes": []}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            calls["n"] += 1
+            code = calls["codes"].pop(0) if calls["codes"] else 200
+            self.send_response(code)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/x"
+    try:
+        # two transient failures, then success — absorbed by retries
+        calls["codes"] = [503, 429]
+        req = urllib.request.Request(url, data=b"{}", method="POST")
+        assert send_with_retry(req, timeout_s=5, backoff_s=0.01) == b"ok"
+        assert calls["n"] == 3
+
+        # a 400 fails fast: exactly ONE request
+        calls["n"], calls["codes"] = 0, [400]
+        with _pytest.raises(urllib.error.HTTPError):
+            send_with_retry(
+                urllib.request.Request(url, data=b"{}", method="POST"),
+                timeout_s=5, backoff_s=0.01,
+            )
+        assert calls["n"] == 1
+
+        # retries exhausted: the final 503 propagates after 1+3 attempts
+        calls["n"], calls["codes"] = 0, [503, 503, 503, 503]
+        with _pytest.raises(urllib.error.HTTPError):
+            send_with_retry(
+                urllib.request.Request(url, data=b"{}", method="POST"),
+                timeout_s=5, retries=3, backoff_s=0.01,
+            )
+        assert calls["n"] == 4
+    finally:
+        srv.shutdown()
+
+
+def test_qdrant_writer_survives_transient_503(spark):
+    """End-to-end: the partition writer lands its points even when the
+    server 503s the first attempt of each request."""
+    import http.server
+    import json
+    import threading
+
+    from cdc2vec_spark.sinks import qdrant as q
+
+    seen = {"points": [], "fail_next": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if seen["fail_next"] > 0:
+                seen["fail_next"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            seen["points"].extend(json.loads(body)["points"])
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        pts = _points(spark)
+        payloads = q.upsert_payloads(pts).collect()
+        seen["fail_next"] = 1
+        q.write_partition_http(payloads, url, "c")
+        assert len(seen["points"]) == len(payloads)
+    finally:
+        srv.shutdown()
