@@ -160,3 +160,71 @@ def test_tailer_pgoutput_mode_writes_at_commit(tmp_path):
     assert rec["columns"] == [
         {"name": "id", "value": "1"}, {"name": "title", "value": "x"},
     ]
+
+
+# --- property: arbitrary transactions round-trip through the decoder -----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_name = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+    min_size=1, max_size=8,
+)
+# column values: SQL null, unchanged-TOAST, or arbitrary text (no NULs —
+# pgoutput carries length-prefixed bytes, but our builder goes via str())
+_val = st.one_of(
+    st.none(),
+    st.just(TOAST),
+    st.text(max_size=24).filter(lambda s: "\x00" not in s),
+)
+
+
+@st.composite
+def _txn(draw):
+    cols = draw(st.lists(_name, min_size=1, max_size=5, unique=True))
+    ops = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from("iud"),
+                st.lists(_val, min_size=len(cols), max_size=len(cols)),
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    lsn = draw(st.integers(min_value=1, max_value=2**63 - 1))
+    return cols, ops, lsn
+
+
+@given(_txn())
+@settings(max_examples=150, deadline=None)
+def test_decoder_roundtrips_arbitrary_transactions(txn):
+    """Encode an arbitrary transaction with the spec-shaped frame
+    builders, decode it, and check the Change list against the
+    independent model: op order preserved, t→value / n→None / u→None
+    per column, nothing emitted before Commit, commit-LSN stamped on
+    every change."""
+    cols, ops, lsn = txn
+    dec = P.PgoutputDecoder()
+    assert dec.feed(rel_msg(42, "public", "t", cols)) == []
+    assert dec.feed(begin()) == []
+    for kind, vals in ops:
+        if kind == "i":
+            msg = ins(42, vals)
+        elif kind == "u":
+            msg = upd(42, vals)
+        else:
+            msg = dele(42, vals)
+        assert dec.feed(msg) == []  # commit barrier: nothing early
+    changes = dec.feed(commit(lsn))
+    assert len(changes) == len(ops)
+    for (kind, vals), ch in zip(ops, changes):
+        assert ch.op == {"i": "c", "u": "u", "d": "d"}[kind]
+        assert ch.lsn == lsn and ch.schema == "public" and ch.table == "t"
+        want = {
+            c: (None if v is None or v is TOAST else str(v))
+            for c, v in zip(cols, vals)
+        }
+        img = ch.before if kind == "d" else ch.after
+        assert img == want
+    assert dec.pending == []  # barrier drained
