@@ -145,7 +145,10 @@ def b9_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per customer: row_number over (custkey, price desc).
     Shuffles once on the partition key; at scale the per-key state is
     bounded by the rank cutoff (WindowGroupLimit pushes rn<=2 down in
-    Spark 3.5+, so the sort never materializes whole partitions)."""
+    Spark 3.5+, so the sort never materializes whole partitions).
+    Deliberately rank-ONLY: mixing offset functions (lag/lead/ntile)
+    into this window would disable WindowGroupLimit — they live in b10,
+    where no group-limit pruning is claimed."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -159,16 +162,20 @@ def b9_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- B10: analytic window with frame ------------------------------------
 def b10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum with ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW."""
+    """Analytic window families in one pass over one (custkey, date)
+    ordering: a running-sum frame (ROWS UNBOUNDED PRECEDING..CURRENT),
+    the lag/lead offset functions, and ntile bucketing. All share the
+    partition+order, so Spark plans a single sort + Window operator;
+    offset/frame functions carry O(1)-per-row state at any scale."""
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         o.withColumn("running", F.round(F.sum("o_totalprice").over(w), 2))
-        .select("o_orderkey", "running")
+        .withColumn("prev_price", F.round(F.lag("o_totalprice").over(base), 2))
+        .withColumn("next_key", F.lead("o_orderkey").over(base))
+        .withColumn("quartile", F.ntile(4).over(base))
+        .select("o_orderkey", "running", "prev_price", "next_key", "quartile")
         .orderBy("o_orderkey")
         .limit(200)
     )
@@ -188,10 +195,13 @@ def b11_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- B12: set ops --------------------------------------------------------
 def b12_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct semantics) = dedup + semi-join under the hood."""
+    """Set ops in one tagged result: INTERSECT (dedup + semi-join under
+    the hood) and EXCEPT (dedup + anti-join), 'i'/'e'-tagged rows."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.intersect(s).orderBy("k")
+    both = c.intersect(s).withColumn("op", F.lit("i"))
+    only_c = c.subtract(s).withColumn("op", F.lit("e"))  # EXCEPT DISTINCT
+    return both.unionByName(only_c).select("op", "k").orderBy("op", "k")
 
 
 # --- B13: scalar functions ----------------------------------------------
@@ -204,7 +214,12 @@ def b13_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.substring("p_name", 1, 5)).alias("pfx"),
             F.length("p_name").alias("len"),
             F.year(F.lit("1995-03-15").cast("date")).alias("yr"),
+            F.month(F.lit("1995-03-15").cast("date")).alias("mo"),
             F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+            (F.col("p_partkey") % 13).alias("bucket13"),
+            F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("dist1k"),
         )
         .orderBy("p_partkey")
         .limit(100)
@@ -332,22 +347,38 @@ ORACLES = {
         "FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 200"
     ),
     "b10_running_sum": (
-        "SELECT o_orderkey, round(sum(o_totalprice) OVER ("
-        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running "
-        "FROM orders ORDER BY o_orderkey LIMIT 200"
+        "SELECT o_orderkey, "
+        "round(sum(o_totalprice) OVER "
+        "(w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running, "
+        "round(lag(o_totalprice) OVER w, 2) AS prev_price, "
+        "lead(o_orderkey) OVER w AS next_key, "
+        "ntile(4) OVER w AS quartile "
+        "FROM orders WINDOW w AS "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+        "ORDER BY o_orderkey LIMIT 200"
     ),
     "b11_topk": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
     "b12_intersect": (
-        "SELECT c_nationkey AS k FROM customer INTERSECT "
-        "SELECT s_nationkey AS k FROM supplier ORDER BY 1"
+        "SELECT 'i' AS op, k FROM "
+        "(SELECT c_nationkey AS k FROM customer INTERSECT "
+        "SELECT s_nationkey FROM supplier) "
+        "UNION ALL "
+        "SELECT 'e' AS op, k FROM "
+        "(SELECT c_nationkey AS k FROM customer EXCEPT "
+        "SELECT s_nationkey FROM supplier) "
+        "ORDER BY op, k"
     ),
     "b13_scalar_funcs": (
         "SELECT p_partkey, upper(substr(p_name, 1, 5)) AS pfx, length(p_name) AS len, "
-        "year(DATE '1995-03-15') AS yr, round(p_retailprice * 1.1, 2) AS bumped "
+        "year(DATE '1995-03-15') AS yr, month(DATE '1995-03-15') AS mo, "
+        "round(p_retailprice * 1.1, 2) AS bumped, "
+        "replace(p_name, ' ', '_') AS snake, "
+        "lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded, "
+        "p_partkey % 13 AS bucket13, "
+        "round(abs(p_retailprice - 1000.0), 2) AS dist1k "
         "FROM part ORDER BY p_partkey LIMIT 100"
     ),
     "b14_array_dim": (
