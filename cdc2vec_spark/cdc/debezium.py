@@ -96,6 +96,80 @@ def parse_debezium(df: DataFrame, value_col: str = "value", id_column: str = "id
     return out.where(F.col("op").isin(OP_INSERT, "u", OP_DELETE))
 
 
+def parse_debezium_quarantine(
+    df: DataFrame, value_col: str = "value", id_column: str = "id"
+) -> tuple[DataFrame, DataFrame]:
+    """parse_debezium with a dead-letter side: returns (good, quarantined).
+
+    parse_debezium drops undecodable records silently (from_json yields
+    null, the op filter discards the row) — faithful to the reference's
+    skip-unknown decode (postgres.go:316-320) but a silent-data-loss
+    hazard in production. This variant classifies every input row:
+
+    - good          — op ∈ {c,u,d} (after r→c) with a non-null pk
+    - malformed_json — the value failed from_json entirely
+    - missing_op    — JSON parsed but carries no op field
+    - unsupported_op — an op outside c/u/d/r (Debezium truncate 't',
+      message 'm', ...) — the reference's silent-skip class, preserved
+      with a reason instead of dropped
+    - missing_pk    — a row change whose image lacks ``id_column``
+
+    The quarantine frame keeps the RAW value string plus the reason so a
+    fixed decoder can replay it later (the dead-letter contract). Both
+    frames derive from one shared from_json pass; works batch or
+    streaming (pure projections)."""
+    parsed = F.from_json(F.col(value_col).cast("string"), _FULL_SCHEMA)
+    unwrapped = F.when(parsed["payload"].isNotNull(), parsed["payload"]).otherwise(
+        F.struct(
+            parsed["op"].alias("op"),
+            parsed["before"].alias("before"),
+            parsed["after"].alias("after"),
+            parsed["source"].alias("source"),
+            parsed["ts_ms"].alias("ts_ms"),
+        )
+    )
+    staged = df.withColumn("_p", unwrapped)
+    p = F.col("_p")
+    op = F.when(p["op"] == "r", F.lit(OP_INSERT)).otherwise(p["op"])
+    pk = F.when(
+        op == OP_DELETE, F.element_at(p["before"], id_column)
+    ).otherwise(F.element_at(p["after"], id_column))
+    # from_json is PERMISSIVE (malformed input → all-null struct, not a
+    # null struct), so malformed-ness needs its own check: try_parse_json
+    # returns null exactly when the value is not valid JSON
+    reason = (
+        F.when(
+            F.try_parse_json(F.col(value_col).cast("string")).isNull(),
+            "malformed_json",
+        )
+        .when(p["op"].isNull(), "missing_op")
+        .when(~op.isin(OP_INSERT, "u", OP_DELETE), "unsupported_op")
+        .when(pk.isNull(), "missing_pk")
+    )
+    flagged = staged.withColumn("_reason", reason)
+    bad = flagged.where(F.col("_reason").isNotNull()).select(
+        F.col(value_col).cast("string").alias("raw_value"),
+        F.col("_reason").alias("reason"),
+    )
+    good = parse_debezium(
+        flagged.where(F.col("_reason").isNull()).drop("_p", "_reason"),
+        value_col,
+        id_column,
+    ).where(F.col("pk").isNotNull())
+    return good, bad
+
+
+def write_quarantine(bad: DataFrame, path: str) -> int:
+    """Append a quarantine batch as parquet under ``path`` (foreachBatch
+    hook shape). Returns the row count; appends are unique part files, so
+    a replayed batch at worst duplicates dead letters — never loses them
+    (at-least-once is the right failure mode for a dead-letter log)."""
+    n = bad.count()
+    if n:
+        bad.write.mode("append").parquet(path)
+    return n
+
+
 def split_pk_changes(env: DataFrame, id_column: str = "id") -> DataFrame:
     """Expand pk-changing updates into delete(old pk) + insert(new pk).
 

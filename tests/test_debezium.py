@@ -128,3 +128,39 @@ def test_debezium_to_apply_end_to_end(spark):
         ).collect()
     }
     assert state == {"9": "two"}  # 1 deleted; 2 renamed away; 9 live
+
+
+def test_quarantine_classifies_and_preserves_raw(spark, tmp_path):
+    """parse_debezium_quarantine: good rows match parse_debezium; every
+    undecodable record lands in the dead-letter frame with its RAW value
+    and a reason — nothing silently vanishes."""
+    values = [
+        _event("c", after={"id": 1, "title": "a"}, lsn=1),          # good
+        _event("r", after={"id": 2, "title": "b"}, lsn=2),          # good (r→c)
+        "{definitely not json",                                      # malformed
+        json.dumps({"before": None, "after": {"id": 9}}),            # no op
+        _event("t", after=None, lsn=3),                              # truncate
+        _event("c", after={"title": "no id here"}, lsn=4),           # no pk
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "value string")
+    good, bad = debezium.parse_debezium_quarantine(df, "value", "id")
+
+    assert sorted((r["op"], r["pk"]) for r in good.collect()) == [("c", "1"), ("c", "2")]
+    # good frame ≡ the plain parser's non-null-pk output
+    plain = debezium.parse_debezium(df, "value", "id").where(F.col("pk").isNotNull())
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, plain.collect()))
+
+    reasons = {r["raw_value"]: r["reason"] for r in bad.collect()}
+    assert len(reasons) == 4  # every non-good input accounted for
+    assert reasons["{definitely not json"] == "malformed_json"
+    assert any(v == "missing_op" for v in reasons.values())
+    assert any(v == "unsupported_op" for v in reasons.values())
+    assert any(v == "missing_pk" for v in reasons.values())
+
+    # dead-letter write is append-shaped and replayable
+    p = str(tmp_path / "dlq")
+    assert debezium.write_quarantine(bad, p) == 4
+    assert debezium.write_quarantine(bad, p) == 4  # replay appends
+    stored = spark.read.parquet(p)
+    assert stored.count() == 8
+    assert set(stored.columns) == {"raw_value", "reason"}
