@@ -228,14 +228,40 @@ def b13_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- B14: array / json functions ----------------------------------------
 def b14_array_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions (widened round 6): size, 1-based element access,
+    and element arithmetic — all JVM expressions on the array column."""
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select("vec_id", F.size("embedding").alias("dim")).orderBy("vec_id").limit(100)
+    # cast each element BEFORE adding — the oracle adds doubles, and a
+    # float32-accumulated sum can differ by an ULP at a rounding boundary
+    first3 = (
+        F.element_at("embedding", 1).cast("double")
+        + F.element_at("embedding", 2).cast("double")
+        + F.element_at("embedding", 3).cast("double")
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+            F.round(first3, 6).alias("sum3"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
 
 
 def b14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions (widened round 6): path extraction, missing-path
+    null semantics, and string→int cast arithmetic."""
     ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
     return (
-        ev.select("event_id", F.get_json_object("props", "$.k").alias("k"))
+        ev.select(
+            "event_id",
+            k.alias("k"),
+            F.get_json_object("props", "$.missing").alias("absent"),
+            (k.cast("int") + 1).alias("k_plus_one"),
+        )
         .orderBy("event_id")
         .limit(100)
     )
@@ -382,11 +408,17 @@ ORACLES = {
         "FROM part ORDER BY p_partkey LIMIT 100"
     ),
     "b14_array_dim": (
-        "SELECT vec_id, len(embedding) AS dim FROM embeddings ORDER BY vec_id LIMIT 100"
+        "SELECT vec_id, len(embedding) AS dim, "
+        "round(CAST(embedding[1] AS DOUBLE), 6) AS e1, "
+        "round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) "
+        "+ CAST(embedding[3] AS DOUBLE), 6) AS sum3 "
+        "FROM embeddings ORDER BY vec_id LIMIT 100"
     ),
     "b14_json_extract": (
-        "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events "
-        "ORDER BY event_id LIMIT 100"
+        "SELECT event_id, json_extract_string(props, '$.k') AS k, "
+        "json_extract_string(props, '$.missing') AS absent, "
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) + 1 AS k_plus_one "
+        "FROM events ORDER BY event_id LIMIT 100"
     ),
     "b15_scalar_subquery": (
         "SELECT c_custkey FROM customer "
