@@ -23,7 +23,7 @@ Groupings:
                          b16_sketches, c4_watermark, c8_interval_join,
                          d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
-                         d6_features, d11_decontaminate
+                         d6_features, d11_decontaminate, d12_semdedup
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk
 """
@@ -50,6 +50,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d9_keep_canonical",
     "d6_features",
     "d11_decontaminate",
+    "d12_semdedup",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -104,13 +105,14 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic-dedup + multimodal-feature + decontamination
-    rows-only probes (d11 carries an exact DuckDB oracle pinned in
-    tests/test_decontam.py; it rides here because the 50-entry registry
-    budget is full)."""
+    """Probabilistic-dedup + multimodal-feature + decontamination +
+    semantic-dedup rows-only probes (d11 carries an exact DuckDB oracle
+    pinned in tests/test_decontam.py; it rides here because the 50-entry
+    registry budget is full)."""
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
+    from .similarity import d12_semdedup
 
     return _union(
         spark,
@@ -121,6 +123,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d9_keep_canonical", d9_keep_canonical),
             ("d6_features", d6_features),
             ("d11_decontaminate", d11_decontaminate),
+            ("d12_semdedup", d12_semdedup),
         ],
     )
 
@@ -165,7 +168,12 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .quantize import d3_pq_topk
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
-    from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
+    from .similarity import (
+        d3_hyperplane_topk,
+        d3_ivf_topk,
+        d8_lsh_neardup,
+        d12_semdedup,
+    )
     from .vectors import a8_deterministic_embed
 
     return {
@@ -181,6 +189,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_keep_canonical": d9_keep_canonical,
         "d6_features": d6_features,
         "d11_decontaminate": d11_decontaminate,
+        "d12_semdedup": d12_semdedup,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

@@ -607,6 +607,68 @@ def hyperplane_topk(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    eps: float = 0.3,
+    centroid_every: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning near-identical
+    points WITHIN each cluster — the trick that makes embedding-space
+    dedup tractable at corpus scale, because the quadratic pair work is
+    confined to cluster-sized blocks instead of all-pairs.
+
+    Spark-first composition of two existing scale paths:
+    - cluster assignment = ``ivf_assign`` (broadcast centroid matrix,
+      one narrow BLAS argmax pass, NO shuffle);
+    - within-cluster pairs = ``cosine_neardup_pairs`` with the cluster
+      id as the blocking key (one shuffle on ``cell``, one BLAS matmul
+      per cluster inside applyInPandas).
+
+    Keep rule: deterministic greedy min-id — a point is ``dropped`` iff
+    its cluster holds a lower-id point with cosine >= eps (the paper
+    keeps one representative per duplicate group; min-id makes the
+    choice reproducible). Returns one row per vector:
+    ``(id_col, cell, dropped)``. Production use filters
+    ``WHERE NOT dropped``.
+
+    Rows-only by design (cluster assignment is float argmax — not
+    SQL-portable at ULP level); pinned in tests/test_similarity.py:
+    single-cluster semdedup ≡ the global exact rule, multi-cluster
+    precision verified pair-by-pair against exact cosines, determinism.
+    """
+    cents, assigned = ivf_build(embeddings, centroid_every, id_col, vec_col)
+    pairs = cosine_neardup_pairs(
+        assigned, eps, block_col="cell", id_col=id_col, vec_col=vec_col
+    )
+    # pairs emit id_a < id_b, so the greedy min-id rule is exactly
+    # "dropped = every id that ever appears as id_b"
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("dropped", F.lit(False)).alias("dropped"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as a graded entry (rows-only inside x2_rowsonly_dedup):
+    one row per stored vector with its cluster and keep/drop verdict."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e, eps=0.3)
+
+
 def d3_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN as a graded entry: exact top-5 (self-match included) for
     the 10 lowest-id stored vectors at once — the retrieval-pipeline
@@ -674,6 +736,7 @@ QUERIES = {
     "d3_hyperplane_topk": d3_hyperplane_topk,
     "d8_cosine_neardup": d8_cosine_neardup,
     "d8_lsh_neardup": d8_lsh_neardup,
+    "d12_semdedup": d12_semdedup,
 }
 
 ORACLES = {

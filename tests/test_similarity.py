@@ -184,3 +184,55 @@ def test_hyperplane_full_probe_equals_exact(spark, sf_dir):
         for r in sim.hyperplane_topk(e, 0, k=10, nbits=8, multiprobe=8).collect()
     ]
     assert ann == exact
+
+
+def test_semdedup_single_cluster_equals_global_rule(spark, sf_dir):
+    """With one centroid (centroid_every larger than any id) every point
+    lands in one cluster, so SemDeDup must reproduce the global greedy
+    min-id rule exactly: dropped == all ids appearing as id_b in the
+    all-pairs cosine near-dup output."""
+    e = load_table(spark, sf_dir, "embeddings")
+    global_pairs = sim.cosine_neardup_pairs(
+        e.withColumn("_all", F.lit(0)), 0.3, block_col="_all"
+    ).collect()
+    expect_dropped = {r["id_b"] for r in global_pairs}
+    rows = sim.semdedup(e, eps=0.3, centroid_every=10**9).collect()
+    got_dropped = {r["vec_id"] for r in rows if r["dropped"]}
+    assert got_dropped == expect_dropped
+    assert len(rows) == e.count()  # one verdict per vector
+
+
+def test_semdedup_multicluster_precision_and_determinism(spark, sf_dir):
+    """Every dropped point must have a same-cluster lower-id neighbor
+    with exact cosine >= eps (precision 1 pair-by-pair vs numpy), and
+    two runs must agree row-for-row (fixed centroids, no RNG)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = sim.semdedup(e, eps=0.3, centroid_every=31).collect()
+    again = sim.semdedup(e, eps=0.3, centroid_every=31).collect()
+    assert rows == again
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in e.select("vec_id", "embedding").collect()}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(float(a @ b / (na * nb)), 6)
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    n_dropped = 0
+    for cell_rows in by_cell.values():
+        ids = sorted(r["vec_id"] for r in cell_rows)
+        for r in cell_rows:
+            if not r["dropped"]:
+                continue
+            n_dropped += 1
+            assert any(
+                cos(vecs[r["vec_id"]], vecs[j]) >= 0.3
+                for j in ids if j < r["vec_id"]
+            ), f"vec {r['vec_id']} dropped with no qualifying neighbor"
+    assert n_dropped > 0  # the fixture does contain semantic near-dups
