@@ -172,12 +172,23 @@ def bucket_expr(key_cols: Sequence[str], n_buckets: int):
 
 
 def read_bucketed_state(
-    spark: SparkSession, path: str, col: str = BUCKET_COL
+    spark: SparkSession,
+    path: str,
+    col: str = BUCKET_COL,
+    buckets: Sequence[int] | None = None,
 ) -> DataFrame | None:
     """Read `path/<col>=<i>/` partitioned state, recovering any partition a
     crash left stranded under `<path>.old/` (the per-bucket analogue of
     read_state's promotion). ``col`` is the partition column — `bucket`
-    for keyed collections, `cell` for the incremental ANN index."""
+    for keyed collections, `cell` for the incremental ANN index.
+
+    ``buckets`` prunes the read to exactly those partition DIRECTORIES:
+    Spark's file index then never lists the untouched ones. A whole-table
+    read + `.where(col.isin(...))` prunes the SCAN but still pays a full
+    partition-discovery listing per call — at the production bucket count
+    (10^4-10^5 dirs on an object store) that listing alone dominates a
+    small batch, exactly the touched-file-set economy a Delta/Iceberg
+    MERGE gets from its transaction log."""
     oldroot = path + ".old"
     if os.path.isdir(oldroot):
         for name in os.listdir(oldroot):
@@ -187,6 +198,16 @@ def read_bucketed_state(
                     os.makedirs(path, exist_ok=True)
                     os.rename(os.path.join(oldroot, name), dst)
         shutil.rmtree(oldroot, ignore_errors=True)
+    if buckets is not None:
+        dirs = [
+            d
+            for b in buckets
+            if os.path.isdir(d := os.path.join(path, f"{col}={b}"))
+        ]
+        if not dirs:
+            return None
+        # basePath keeps <col> as a real column parsed from the dir name
+        return spark.read.option("basePath", path).parquet(*dirs)
     if not os.path.isdir(path) or not any(
         n.startswith(f"{col}=") for n in os.listdir(path)
     ):
@@ -268,10 +289,9 @@ class ParquetCollection:
         )  # ≤ n_buckets ints — the one driver round-trip
         if not touched:
             return
-        prior = self.read()
-        if prior is not None:
-            # bucket is the partition directory column → pruned scan
-            prior = prior.where(F.col(BUCKET_COL).isin(touched))
+        # directory-level prune: only the touched bucket dirs are listed
+        # or read (read_bucketed_state docstring)
+        prior = read_bucketed_state(self.spark, self.path, buckets=touched)
         merged = merge_batch(
             prior,
             batch.withColumn(BUCKET_COL, bexpr),

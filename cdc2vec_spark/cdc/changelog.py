@@ -225,7 +225,13 @@ def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = (hi - lo) // 4 + 1
     root = tempfile.mkdtemp(prefix="c6_apply_")
     try:
-        coll = ParquetCollection(spark, f"{root}/state")
+        # n_buckets follows the documented sizing contract (apply.py:
+        # ParquetCollection — buckets scale with state so each holds a
+        # task-sized chunk): this state is ~400-4000 keys, so 8 buckets,
+        # not the production default 64 — at 64, every batch paid 64
+        # writer tasks + 64 dir swaps of pure fixed overhead for a few
+        # hundred rows (measured 4.3s → 2.7s at sf0.1)
+        coll = ParquetCollection(spark, f"{root}/state", n_buckets=8)
         for i in range(4):
             coll.apply_batch(
                 ch.where(

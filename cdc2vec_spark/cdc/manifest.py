@@ -175,24 +175,35 @@ class ManifestStore:
         return removed_dirs, removed_manifests
 
 
-def _assemble(spark: SparkSession, store: ManifestStore) -> DataFrame | None:
+def _assemble(
+    spark: SparkSession,
+    store: ManifestStore,
+    buckets: Sequence[int] | None = None,
+) -> DataFrame | None:
     """Current state from the latest manifest: buckets grouped by commit
-    directory, one pruned read per directory (bucket is the partition
-    directory column inside each commit dir), unioned."""
+    directory, read as their exact ``bucket=<i>`` partition directories
+    (never the whole commit dir — a commit dir can hold stale versions
+    of buckets a later commit superseded), unioned. ``buckets`` prunes
+    the assembly to just those buckets — the manifest IS the file index,
+    so a pruned read lists nothing at all beyond the touched dirs."""
     _, mapping, _ = store.latest()
     if not mapping:
         return None
+    if buckets is not None:
+        want = set(buckets)
+        mapping = {b: d for b, d in mapping.items() if b in want}
+        if not mapping:
+            return None
     by_dir: dict[str, list[int]] = {}
     for b, d in mapping.items():
         by_dir.setdefault(d, []).append(b)
     out: DataFrame | None = None
     for d in sorted(by_dir):
         root = os.path.join(store.data_root, d)
-        part = (
-            spark.read.option("basePath", root)
-            .parquet(root)
-            .where(F.col(BUCKET_COL).isin(by_dir[d]))
-        )
+        dirs = [
+            os.path.join(root, f"{BUCKET_COL}={b}") for b in sorted(by_dir[d])
+        ]
+        part = spark.read.option("basePath", root).parquet(*dirs)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -254,9 +265,8 @@ class ManifestCollection:
         )  # ≤ n_buckets ints — the one driver round-trip
         if not touched:
             return
-        prior = self.read()
-        if prior is not None:
-            prior = prior.where(F.col(BUCKET_COL).isin(touched))
+        # manifest-pruned read: only the touched buckets' dirs assembled
+        prior = _assemble(self.spark, self.store, buckets=touched)
         merged = merge_batch(
             prior,
             batch.withColumn(BUCKET_COL, bexpr),
@@ -309,13 +319,9 @@ class ManifestPointsCollection:
         touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
         if not touched:
             return
-        state = self.read()
+        state = _assemble(self.spark, self.store, buckets=touched)
         if state is not None:
-            ev = (
-                state.where(F.col(BUCKET_COL).isin(touched))
-                .select(*cols)
-                .unionByName(ev)
-            )
+            ev = state.select(*cols).unionByName(ev)
         ev = ev.repartition(len(touched), BUCKET_COL)
         w = Window.partitionBy(BUCKET_COL, "id").orderBy(F.col("lsn").desc())
         merged = (

@@ -137,6 +137,15 @@ class IncrementalIvfIndex:
             F.row_number().over(w).alias("centroid_id"), F.col(self.vec_col)
         )
         cents.write.mode("overwrite").parquet(self.path + "_centroids")
+        # the build freezes the state schema; apply_batch conforms every
+        # CDC batch to it (a batch arriving with e.g. long where the
+        # corpus had int would otherwise write mixed parquet physical
+        # types across cell dirs — unreadable once a pruned read infers
+        # its schema from the other kind of file)
+        import json as _json
+
+        with open(self.path + "_schema.json", "w") as fh:
+            _json.dump(src.schema.jsonValue(), fh)
         if self.pq is not None:
             from .quantize import pq_train
 
@@ -151,6 +160,16 @@ class IncrementalIvfIndex:
             assigned.repartition(max(len(cells), 1), CELL_COL),
             self.path, cells, col=CELL_COL,
         )
+
+    def _stored_schema(self) -> T.StructType | None:
+        """The (id, vector, lsn, *payload) schema frozen by build()."""
+        p = self.path + "_schema.json"
+        if not os.path.exists(p):
+            return None
+        import json as _json
+
+        with open(p) as fh:
+            return T.StructType.fromJson(_json.load(fh))
 
     def _codebooks(self) -> np.ndarray:
         p = self.path + "_pq.npy"
@@ -234,12 +253,19 @@ class IncrementalIvfIndex:
             self.id_col, self.vec_col, F.col("lsn").cast("long").alias("lsn"),
             *[F.col(c) for c in self.payload_cols],
         )
+        stored = self._stored_schema()
+        if stored is not None:
+            # conform the batch to the build-time schema (see build())
+            ups = ups.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in stored.fields]
+            )
         assigned = self._with_codes(self._assign_cells(ups))
         # every event tombstones its id at its lsn: kills stale copies in
         # OTHER cells for updates, kills everything older for deletes
 
         def _null_as(col: str):
-            t = next(f.dataType for f in batch.schema.fields if f.name == col)
+            src_fields = (stored or batch.schema).fields
+            t = next(f.dataType for f in src_fields if f.name == col)
             return F.lit(None).cast(t).alias(col)
 
         tombs = batch.select(
@@ -254,11 +280,13 @@ class IncrementalIvfIndex:
         touched = sorted(r[0] for r in ev.select(CELL_COL).distinct().collect())
         if not touched:
             return
-        prior = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        # directory-level prune: only touched cell dirs are listed/read
+        # (read_bucketed_state docstring — the Delta-MERGE file economy)
+        prior = read_bucketed_state(
+            self.spark, self.path, col=CELL_COL, buckets=touched
+        )
         if prior is not None:
-            ev = prior.where(F.col(CELL_COL).isin(touched)).select(
-                *ev.columns
-            ).unionByName(ev)
+            ev = prior.select(*ev.columns).unionByName(ev)
         ev = ev.repartition(len(touched), CELL_COL)
         w = Window.partitionBy(CELL_COL, self.id_col).orderBy(F.col("lsn").desc())
         merged = (
@@ -292,14 +320,15 @@ class IncrementalIvfIndex:
     # ----------------------------------------------------------- read
 
     def _tombstone_maxlsn(self) -> DataFrame | None:
-        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
-        if state is None:
-            return None
-        return (
-            state.where(F.col(CELL_COL) == TOMB_CELL)
-            .groupBy(self.id_col)
-            .agg(F.max("lsn").alias("_tlsn"))
+        """Max delete-LSN per id from the tombstone log — reads ONLY the
+        cell=-1 directory; None when no tombstones exist (common case
+        after compact())."""
+        tombs = read_bucketed_state(
+            self.spark, self.path, col=CELL_COL, buckets=[TOMB_CELL]
         )
+        if tombs is None:
+            return None
+        return tombs.groupBy(self.id_col).agg(F.max("lsn").alias("_tlsn"))
 
     def _live_candidates(self, nprobe: int, qv: np.ndarray, predicate):
         """Shared probe path: probed-cell pruned scan → payload
@@ -310,15 +339,23 @@ class IncrementalIvfIndex:
         order = np.lexsort((cids, -sims))[:nprobe]
         probed = [int(cids[i]) for i in order]
 
-        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
-        if state is None:
-            raise ValueError(f"empty index at {self.path}")
-        cand = state.where(F.col(CELL_COL).isin(probed))
+        cand = read_bucketed_state(
+            self.spark, self.path, col=CELL_COL, buckets=probed
+        )
+        if cand is None:
+            # none of the probed cells has rows; empty candidates is a
+            # valid answer, a missing index is not
+            state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+            if state is None:
+                raise ValueError(f"empty index at {self.path}")
+            cand = state.limit(0)
         if predicate is not None:
             cand = cand.where(
                 F.expr(predicate) if isinstance(predicate, str) else predicate
             )
         tomb = self._tombstone_maxlsn()
+        if tomb is None:
+            return cand
         return cand.join(F.broadcast(tomb), self.id_col, "left").where(
             F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
         )
@@ -405,9 +442,12 @@ class IncrementalIvfIndex:
             return
         live = state.where(F.col(CELL_COL) != TOMB_CELL)
         tomb = self._tombstone_maxlsn()
-        survivors = live.join(F.broadcast(tomb), self.id_col, "left").where(
-            F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
-        ).drop("_tlsn")
+        if tomb is None:
+            survivors = live
+        else:
+            survivors = live.join(F.broadcast(tomb), self.id_col, "left").where(
+                F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+            ).drop("_tlsn")
         all_cells = sorted(
             r[0] for r in state.select(CELL_COL).distinct().collect()
         )

@@ -119,10 +119,14 @@ class StreamingNearDup:
                 [], f"id_a {self._id_type(batch)}, id_b {self._id_type(batch)}, jac double"
             )
 
-        prior_idx = read_bucketed_state(self.spark, self.index_path, col=BUCKET)
+        # touched-dir pruned read (read_bucketed_state docstring): only
+        # the batch's buckets are ever listed or scanned
+        prior_idx = read_bucketed_state(
+            self.spark, self.index_path, col=BUCKET, buckets=touched
+        )
         cross = None
         if prior_idx is not None:
-            old = prior_idx.where(F.col(BUCKET).isin(touched)).select(
+            old = prior_idx.select(
                 "band", "bv", F.col(self.id_col).alias("_old_id")
             )
             cross = (
@@ -142,8 +146,7 @@ class StreamingNearDup:
         # shingle sets for verification: the batch's own + the candidate
         # old ids' pruned doc-table buckets
         sh_sources = both.select(self.id_col, "sh")
-        prior_docs = read_bucketed_state(self.spark, self.docs_path, col=DBUCKET)
-        if prior_docs is not None and cross is not None:
+        if cross is not None:
             cand_ids = cands.select(
                 F.explode(F.array("id_a", "id_b")).alias(self.id_col)
             ).distinct()
@@ -157,12 +160,16 @@ class StreamingNearDup:
                 .distinct()
                 .collect()
             )
-            old_sh = (
-                prior_docs.where(F.col(DBUCKET).isin(dbuckets))
-                .join(cand_ids, self.id_col, "left_semi")
-                .select(self.id_col, "sh")
+            prior_docs = read_bucketed_state(
+                self.spark, self.docs_path, col=DBUCKET, buckets=dbuckets
             )
-            sh_sources = sh_sources.unionByName(old_sh).dropDuplicates([self.id_col])
+            if prior_docs is not None:
+                old_sh = prior_docs.join(
+                    cand_ids, self.id_col, "left_semi"
+                ).select(self.id_col, "sh")
+                sh_sources = sh_sources.unionByName(old_sh).dropDuplicates(
+                    [self.id_col]
+                )
         pairs = _verify_jaccard(
             cands, sh_sources, self.threshold, self.id_col
         ).localCheckpoint(eager=True)
@@ -170,9 +177,9 @@ class StreamingNearDup:
         # ---- idempotent state merge (distinct ∪ prior, per-bucket swap)
         idx_merged = new_banded
         if prior_idx is not None:
-            idx_merged = prior_idx.where(F.col(BUCKET).isin(touched)).select(
-                *new_banded.columns
-            ).unionByName(new_banded)
+            idx_merged = prior_idx.select(*new_banded.columns).unionByName(
+                new_banded
+            )
         swap_buckets(
             idx_merged.distinct().repartition(len(touched), BUCKET),
             self.index_path, touched, col=BUCKET,
@@ -188,11 +195,13 @@ class StreamingNearDup:
         )
         if dtouched:
             docs_merged = new_docs
-            prior_docs_all = read_bucketed_state(self.spark, self.docs_path, col=DBUCKET)
+            prior_docs_all = read_bucketed_state(
+                self.spark, self.docs_path, col=DBUCKET, buckets=dtouched
+            )
             if prior_docs_all is not None:
-                docs_merged = prior_docs_all.where(
-                    F.col(DBUCKET).isin(dtouched)
-                ).select(*new_docs.columns).unionByName(new_docs)
+                docs_merged = prior_docs_all.select(
+                    *new_docs.columns
+                ).unionByName(new_docs)
             swap_buckets(
                 docs_merged.dropDuplicates([self.id_col]).repartition(
                     len(dtouched), DBUCKET
