@@ -34,12 +34,14 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import dedup as _dedup
         from cdc2vec_spark.operators import multimodal as _multimodal
         from cdc2vec_spark.operators import quantize as _quantize
+        from cdc2vec_spark.operators import selection as _selection
         from cdc2vec_spark.operators import similarity as _similarity
         from cdc2vec_spark.operators import text as _text
         from cdc2vec_spark.operators import vectors as _vectors
 
         modules.extend(
-            [_dedup, _decontam, _multimodal, _similarity, _quantize, _ann_index, _text, _vectors]
+            [_dedup, _decontam, _multimodal, _similarity, _quantize,
+             _selection, _ann_index, _text, _vectors]
         )
     except ImportError:
         pass

@@ -21,7 +21,7 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         d10_split, d10_pack
+                         d10_split, d10_pack, d13_dsir
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d11_decontaminate, d12_semdedup
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
@@ -45,6 +45,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "c8_interval_join",
     "d10_split",
     "d10_pack",
+    "d13_dsir",
     "d2_minhash_lsh",
     "d2_simhash",
     "d9_keep_canonical",
@@ -87,6 +88,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import c4_watermark
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
+    from .selection import d13_dsir
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -100,6 +102,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c8_interval_join", c8_interval_join),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
+            ("d13_dsir", d13_dsir),
         ],
     )
 
@@ -168,6 +171,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .quantize import d3_pq_topk
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
+    from .selection import d13_dsir
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
@@ -184,6 +188,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_interval_join": c8_interval_join,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
+        "d13_dsir": d13_dsir,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,
