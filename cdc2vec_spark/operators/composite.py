@@ -21,7 +21,8 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         d10_split, d10_pack, d13_dsir
+                         d10_split, d10_pack, d13_dsir, d14_stratified,
+                         b17_pivot
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d11_decontaminate, d12_semdedup
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
@@ -46,6 +47,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d10_split",
     "d10_pack",
     "d13_dsir",
+    "d14_stratified",
+    "b17_pivot",
     "d2_minhash_lsh",
     "d2_simhash",
     "d9_keep_canonical",
@@ -86,8 +89,8 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
-    from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split
+    from .relational import b16_sketches, b17_pivot
+    from .sampling import d10_pack, d10_split, d14_stratified
     from .selection import d13_dsir
     from .vectors import a8_deterministic_embed
 
@@ -98,11 +101,13 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("a8_deterministic_embed", a8_deterministic_embed),
             ("a9_points_pipeline", a9_points_pipeline),
             ("b16_sketches", b16_sketches),
+            ("b17_pivot", b17_pivot),
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
             ("d13_dsir", d13_dsir),
+            ("d14_stratified", d14_stratified),
         ],
     )
 
@@ -169,8 +174,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
     from .quantize import d3_pq_topk
-    from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split
+    from .relational import b16_sketches, b17_pivot
+    from .sampling import d10_pack, d10_split, d14_stratified
     from .selection import d13_dsir
     from .similarity import (
         d3_hyperplane_topk,
@@ -189,6 +194,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d13_dsir": d13_dsir,
+        "d14_stratified": d14_stratified,
+        "b17_pivot": b17_pivot,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,

@@ -301,6 +301,37 @@ def b16_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def b17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): source rows × per-language count
+    columns. The language list is FIXED so the output schema is
+    deterministic — `pivot(col)` without values would launch a distinct
+    job and make the schema data-dependent, which a graded query (and
+    any production job compiled once) must not be. Missing combinations
+    fill 0 to match the oracle's `count(*) FILTER` form. Delivered
+    rows-only inside x1 (registry at budget); exact DuckDB oracle pinned
+    in tests/test_relational_pivot.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .count()
+        .na.fill(0)
+        .orderBy("source")
+    )
+
+
+B17_ORACLE_SQL = (
+    "SELECT source, "
+    + ", ".join(
+        f"count(*) FILTER (lang = '{lg}') AS \"{lg}\"" for lg in PIVOT_LANGS
+    )
+    + " FROM documents GROUP BY source ORDER BY source"
+)
+
+
 QUERIES = {
     "b1_scan_count": b1_scan_count,
     "b2_project_filter": b2_project_filter,

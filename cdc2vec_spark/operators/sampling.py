@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def train_holdout_split(
@@ -118,6 +119,37 @@ def pack_sequences(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    frac: float,
+    strata_cols: tuple[str, ...] = ("source",),
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic proportional stratified sample: within every
+    stratum, rank rows by md5 of the key and keep ``ceil(frac · n)`` —
+    so each stratum contributes exactly its proportional share (the
+    corpus-mixing primitive; plain ``sample()`` drifts per stratum and
+    is RNG/partitioning dependent). One shuffle on the strata columns;
+    md5 rank (not xxhash64) keeps the operator portable SQL, so the
+    exact DuckDB oracle is pinned in tests/test_sampling.py.
+
+    ``ceil`` over the IEEE double product is engine-identical: both
+    engines multiply the same doubles, so the (occasionally surprising)
+    0.2·35 → 7.000…001 → 8 edge rounds the same way everywhere."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1]: {frac}")
+    rank_w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    cnt_w = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(rank_w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt_w))
+        .where(F.col("_rk") <= F.ceil(F.lit(frac) * F.col("_n")))
+        .drop("_rk", "_n")
+    )
+
+
 # --- graded rows-only entries (components of x1_rowsonly_pipeline) -------
 
 def d10_split(spark, sf_dir: str) -> DataFrame:
@@ -133,6 +165,32 @@ def d10_split(spark, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split")
     )
+
+
+def d14_stratified(spark, sf_dir: str) -> DataFrame:
+    """20% proportional sample of documents stratified by source
+    (delivered rows-only inside x1; exact DuckDB oracle pinned in
+    tests/test_sampling.py at two scale factors)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, 0.2)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+D14_ORACLE_SQL = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+) t WHERE rk <= ceil(0.2 * n)
+ORDER BY doc_id
+"""
 
 
 def d10_pack(spark, sf_dir: str) -> DataFrame:

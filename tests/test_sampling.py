@@ -101,3 +101,42 @@ def test_pack_deterministic(spark, sf_dir):
     assert a == b
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_d14_stratified_matches_duckdb_oracle(spark):
+    """d14 rides inside x1 (registry at budget): the exact DuckDB oracle
+    is pinned here at two scale factors via the driver's comparator."""
+    from oracle_check import compare_one, duckdb_conn
+    from tests.conftest import SF0001, SF001
+
+    from cdc2vec_spark.operators import sampling
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d14_stratified",
+            sampling.d14_stratified, sampling.D14_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_stratified_sample_is_proportional_and_deterministic(spark, sf_dir):
+    """Every stratum contributes exactly ceil(frac * n) rows, and two
+    runs (and a repartitioned input) agree row-for-row."""
+    import math
+
+    from cdc2vec_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = stratified_sample(docs, 0.25).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    for r in got:
+        assert r["n"] == math.ceil(0.25 * per[r["source"]]), r
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, 0.25).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(17), 0.25).collect()
+    )
+    assert a == b
