@@ -28,7 +28,7 @@ Groupings:
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d11_decontaminate, d12_semdedup
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk
+                         d3_pq_topk, d15_chunk
 """
 
 from __future__ import annotations
@@ -61,6 +61,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
     "d3_pq_topk",
+    "d15_chunk",
 )
 
 
@@ -140,9 +141,11 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN rows-only probes (recall pinned vs exact in
-    tests/test_similarity.py)."""
+    tests/test_similarity.py) + the chunking stage that feeds embedding
+    pipelines (d15: exact oracle pinned in tests/test_text_quality.py)."""
     from .quantize import d3_pq_topk
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
+    from .text import d15_chunk
 
     return _union(
         spark,
@@ -152,6 +155,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d3_hyperplane_topk", d3_hyperplane_topk),
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
+            ("d15_chunk", d15_chunk),
         ],
     )
 
@@ -185,6 +189,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d8_lsh_neardup,
         d12_semdedup,
     )
+    from .text import d15_chunk
     from .vectors import a8_deterministic_embed
 
     return {
@@ -208,4 +213,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
+        "d15_chunk": d15_chunk,
     }

@@ -192,6 +192,90 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    embedding/RAG pipeline primitive (a doc longer than the embedder's
+    context embeds as chunks; ``chunk_tokens - stride`` tokens of
+    overlap preserve cross-boundary context).
+
+    Pure JVM expressions end to end: tokenize once, compute the chunk
+    count arithmetically, `transform(sequence(...))` + `slice` builds
+    every chunk, then ONE explode — a narrow map over the scan, no
+    Python, no shuffle. Returns (id, chunk_id, n_tokens, chunk_text)
+    ordered within each doc; a doc at or under ``chunk_tokens`` yields
+    exactly one chunk of itself.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(f"need 0 < stride <= chunk_tokens: {stride}, {chunk_tokens}")
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # K = 1 covering chunk for short docs; else 1 + ceil((n - C) / S)
+    k_expr = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k_expr - 1),
+        lambda k: F.struct(
+            k.alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), n - k * stride).alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(toks, k * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select(
+            id_col, F.split(F.col(text_col), " ").alias("_toks")
+        )
+        .select(id_col, F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def d15_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking as a graded component (rows-only inside x3; exact DuckDB
+    oracle pinned in tests/test_text_quality.py): chunk hash instead of
+    text keeps the graded rows narrow."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return (
+        chunk_documents(d)
+        .select(
+            "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+D15_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), counted AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE 1 + CAST(ceil((len(t) - 32) / 24.0) AS INT) END AS k
+  FROM toks
+), expanded AS (
+  SELECT doc_id, t, unnest(range(0, k)) AS ki FROM counted
+)
+SELECT doc_id, ki AS chunk_id,
+       least(32, len(t) - ki * 24) AS n_tokens,
+       md5(array_to_string(t[ki * 24 + 1 : ki * 24 + 32], ' ')) AS chunk_md5
+FROM expanded
+ORDER BY doc_id, chunk_id
+"""
+
+
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rebalance: the gram lambda is interpreted (HOF) — don't pin the
     # whole pass to the file's 1-2 input splits

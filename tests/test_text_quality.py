@@ -84,3 +84,60 @@ def test_plan_two_stage_agg_no_python(spark, sf_dir):
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final gram counts
+
+
+def test_d15_chunk_matches_duckdb_oracle(spark):
+    """d15 rides inside x3 (registry at budget): exact DuckDB oracle
+    pinned at two scale factors via the driver's comparator."""
+    from oracle_check import compare_one, duckdb_conn
+    from tests.conftest import SF0001, SF001
+
+    from cdc2vec_spark.operators import text as T
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d15_chunk", T.d15_chunk, T.D15_ORACLE_SQL, sf
+        )
+        assert not problems, (sf, problems)
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark):
+    """Chunk invariants on a hand-built doc: full coverage (every token
+    appears in some chunk), stride-sized overlap between neighbors, and
+    a short doc yields exactly one chunk of itself."""
+    from cdc2vec_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three tokens")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=32, stride=24).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # 80 tokens, C=32, S=24 -> 1 + ceil(48/24) = 3 chunks
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert [r["n_tokens"] for r in d1] == [32, 32, 32]
+    toks = text.split(" ")
+    for k, r in enumerate(d1):
+        assert r["chunk_text"] == " ".join(toks[k * 24 : k * 24 + 32])
+    # neighbors share C - S = 8 tokens
+    assert d1[0]["chunk_text"].split(" ")[-8:] == d1[1]["chunk_text"].split(" ")[:8]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "only three tokens"
+
+
+def test_chunk_plan_is_narrow_jvm(spark):
+    """Scale contract: chunking is a narrow map over the scan — no
+    shuffle (Exchange) before the explode, no Python."""
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators.text import chunk_documents
+    from tests.conftest import SF0001
+
+    plan = chunk_documents(
+        load_table(spark, SF0001, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
