@@ -23,8 +23,25 @@ from . import transform
 from .envelope import OP_DELETE
 
 
-def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool = True) -> DataFrame:
-    """Transform a (flattened) change log into sink-ready points."""
+def build_points(
+    changes: DataFrame,
+    mapping: Mapping,
+    provider,
+    normalize: bool = True,
+    chunk: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Transform a (flattened) change log into sink-ready points.
+
+    ``chunk=(chunk_tokens, stride)`` switches on CHUNKED mode: each
+    upsert's text splits into overlapping token windows (the embed/RAG
+    primitive — operators.text.chunk_documents) and every chunk becomes
+    its own point with id ``<base>#<chunk_id>`` plus a ``base_id``
+    column; deletes stay one row with the base id. Chunked points have
+    REPLACE-SET semantics per base key (a shorter re-embedded doc must
+    drop its stale tail chunks, a delete drops them all) — apply them
+    with runner.ChunkedPointsCollection, never the per-id LWW
+    collection. Default None: byte-identical to the unchunked pipeline.
+    """
     df = transform.filter_mapped(changes, [mapping.table])
     # configured names may be raw table columns (reference YAML: "title")
     # while the log is flattened ("after_title") — resolve against the
@@ -38,6 +55,8 @@ def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool
     df = df.withColumn("id", transform.derive_key()).withColumn(
         "metadata", transform.metadata_map(mapping, available=changes.columns)
     )
+    if chunk is not None:
+        df = _chunk_events(df, chunk)
     emb = provider.udf()
     # The UDF must land in its own projection: Spark rejects a Python UDF
     # nested inside a higher-order-function lambda (the normalize step), so
@@ -59,21 +78,59 @@ def build_points(changes: DataFrame, mapping: Mapping, provider, normalize: bool
         df = ops.with_l2_normalized(df, "_raw_vec", "vector")
     else:
         df = df.withColumn("vector", F.col("_raw_vec"))
-    return df.select(
-        "id",
-        "vector",
-        "metadata",
-        "op",
-        "tbl",
-        "pk",
-        "lsn",
+    out_cols = ["id", "vector", "metadata", "op", "tbl", "pk", "lsn"]
+    if chunk is not None:
+        out_cols.append("base_id")
+    return df.select(*out_cols)
+
+
+def _chunk_events(df: DataFrame, chunk: tuple[int, int]) -> DataFrame:
+    """Explode upsert events into per-chunk events (narrow JVM map, same
+    expressions as operators.text.chunk_documents); deletes pass through
+    as one base-id row. Every row keeps ``base_id`` so a collection can
+    apply replace-set semantics per source key."""
+    c, s = chunk
+    if not 0 < s <= c:
+        raise ValueError(f"need 0 < stride <= chunk_tokens: {s}, {c}")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    k_expr = F.when(n <= c, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - c) / F.lit(float(s))).cast("int")
     )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k_expr - 1),
+        lambda k: F.struct(
+            k.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, k * s + 1, c)).alias("chunk_text"),
+        ),
+    )
+    base_cols = [col for col in df.columns if col != "text"]
+    ups = (
+        df.where(F.col("op") != OP_DELETE)
+        .select(*base_cols, F.explode(chunks).alias("_c"))
+        .select(
+            *[c2 for c2 in base_cols if c2 != "id"],
+            F.col("id").alias("base_id"),
+            F.concat_ws("#", "id", F.col("_c.chunk_id")).alias("id"),
+            F.col("_c.chunk_text").alias("text"),
+        )
+    )
+    dels = df.where(F.col("op") == OP_DELETE).select(
+        *[c2 for c2 in base_cols if c2 != "id"],
+        F.col("id").alias("base_id"),
+        F.col("id"),
+        F.col("text"),
+    )
+    return ups.unionByName(dels)
 
 
 def run_batch(changes: DataFrame, config: EngineConfig, provider) -> DataFrame:
     """All configured mappings unioned — the whole-engine batch pass."""
     outs = [
-        build_points(changes, m, provider, normalize=config.normalize)
+        build_points(
+            changes, m, provider,
+            normalize=config.normalize, chunk=config.chunk,
+        )
         for m in config.mappings
     ]
     df = outs[0]

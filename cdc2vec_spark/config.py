@@ -33,6 +33,21 @@ class EngineConfig:
     vector_size: int = 768  # embed dim hint (config.go:112-114)
     normalize: bool = True  # L2-normalize vectors (pipeline.go:230-232)
     provider: str = "deterministic"  # embeddings provider name
+    # chunked mode (engine extension; reference embeds whole docs):
+    # chunk_tokens > 0 splits each upsert into overlapping token windows
+    # before embedding — one point per chunk, replace-set state semantics
+    # (pipeline._chunk_events / runner.ChunkedPointsCollection)
+    chunk_tokens: int = 0  # 0 = off
+    chunk_stride: int = 0  # defaulted to chunk_tokens*3//4 when off
+
+    @property
+    def chunk(self) -> tuple[int, int] | None:
+        if self.chunk_tokens <= 0:
+            return None
+        stride = self.chunk_stride if self.chunk_stride > 0 else max(
+            1, self.chunk_tokens * 3 // 4
+        )
+        return (self.chunk_tokens, stride)
 
     def mapping_for(self, table: str) -> Mapping | None:
         for m in self.mappings:
@@ -121,6 +136,8 @@ def load_yaml(path: str) -> "PipelineConfig":
         vector_size=_pos(embed.get("vector_size"), 768),  # :112-114
         normalize=bool(embed.get("normalize", True)),
         provider=embed.get("provider") or "deterministic",
+        chunk_tokens=int(embed.get("chunk_tokens") or 0),
+        chunk_stride=int(embed.get("chunk_stride") or 0),
     )
     sink_type = sink.get("type", "")
     return PipelineConfig(

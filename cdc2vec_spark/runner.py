@@ -49,7 +49,12 @@ class PointsCollection:
         return read_bucketed_state(self.spark, self.path)
 
     def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
-        from .cdc.apply import BUCKET_COL, bucket_expr, swap_buckets
+        from .cdc.apply import (
+            BUCKET_COL,
+            bucket_expr,
+            read_bucketed_state,
+            swap_buckets,
+        )
 
         bexpr = bucket_expr(("id",), self.n_buckets)
         cols = ["id", "vector", "metadata", "op", "lsn", BUCKET_COL]
@@ -57,12 +62,76 @@ class PointsCollection:
         touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
         if not touched:
             return
-        state = self.read()
+        # directory-level prune (read_bucketed_state docstring)
+        state = read_bucketed_state(self.spark, self.path, buckets=touched)
         if state is not None:
-            ev = state.where(F.col(BUCKET_COL).isin(touched)).select(*cols).unionByName(ev)
+            ev = state.select(*cols).unionByName(ev)
         ev = ev.repartition(len(touched), BUCKET_COL)
         w = Window.partitionBy(BUCKET_COL, "id").orderBy(F.col("lsn").desc())
         merged = ev.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        swap_buckets(merged, self.path, touched)
+
+    def live(self) -> DataFrame | None:
+        from .cdc.apply import BUCKET_COL
+
+        df = self.read()
+        if df is None:
+            return None
+        return df.where(F.col("op") != OP_DELETE).drop("op", BUCKET_COL)
+
+
+class ChunkedPointsCollection:
+    """Keyed points state for CHUNKED pipelines (build_points(chunk=...)):
+    points arrive as (id='<base>#<k>', base_id, ...) and the correct
+    merge is REPLACE-SET per base key, not per-id last-write-wins — a
+    re-embedded doc that shrank from 3 chunks to 2 must drop its stale
+    chunk #2, and a delete must drop every chunk of the key.
+
+    Mechanics: rows of one event share its lsn, so the merge keeps, per
+    base_id, exactly the rows carrying the MAX lsn (all chunks of the
+    winning upsert, or the single tombstone of a winning delete).
+    Buckets hash base_id — all chunks of a key co-locate, so both the
+    pruned read and the rewrite stay O(batch + touched_buckets), and a
+    delete never needs to know how many chunks the key used to have
+    (the classic chunked-sync failure when sinks key by chunk id)."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+
+    def read(self) -> DataFrame | None:
+        from .cdc.apply import read_bucketed_state
+
+        return read_bucketed_state(self.spark, self.path)
+
+    def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
+        from .cdc.apply import (
+            BUCKET_COL,
+            bucket_expr,
+            read_bucketed_state,
+            swap_buckets,
+        )
+
+        bexpr = bucket_expr(("base_id",), self.n_buckets)
+        cols = ["id", "base_id", "vector", "metadata", "op", "lsn", BUCKET_COL]
+        ev = pts.withColumn(BUCKET_COL, bexpr).select(*cols)
+        touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        state = read_bucketed_state(self.spark, self.path, buckets=touched)
+        if state is not None:
+            ev = state.select(*cols).unionByName(ev)
+        ev = ev.repartition(len(touched), BUCKET_COL)
+        w = Window.partitionBy(BUCKET_COL, "base_id")
+        # replace-set: keep the winning event's rows; dedup exact id
+        # replays within it (max-LSN rows of an idempotent re-apply)
+        merged = (
+            ev.withColumn("_mx", F.max("lsn").over(w))
+            .where(F.col("lsn") == F.col("_mx"))
+            .drop("_mx")
+            .dropDuplicates(["id", "lsn"])
+        )
         swap_buckets(merged, self.path, touched)
 
     def live(self) -> DataFrame | None:
@@ -231,15 +300,35 @@ def boot(
     protocol = "swap"
     if isinstance(cfg, PipelineConfig):
         protocol = str(cfg.sink.options.get("state_protocol", "swap"))
+    chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
     if protocol == "manifest":
         from .cdc.manifest import ManifestPointsCollection
 
+        if chunked:
+            raise ValueError(
+                "chunked mode currently requires state_protocol: swap "
+                "(ChunkedPointsCollection has no manifest variant yet)"
+            )
         coll = ManifestPointsCollection(spark, state_dir)
     elif protocol == "swap":
-        coll = PointsCollection(spark, state_dir)
+        coll = (
+            ChunkedPointsCollection(spark, state_dir)
+            if chunked
+            else PointsCollection(spark, state_dir)
+        )
     else:
         raise ValueError(f"unknown state_protocol: {protocol!r}")
     hook = sink_hook_for(cfg) if isinstance(cfg, PipelineConfig) else None
+    if chunked and hook is not None:
+        # external sinks delete by exact point id; a chunked delete knows
+        # only the BASE id, so it cannot clear the key's chunk points —
+        # supporting this needs delete-by-payload-filter, not a silent
+        # partial delete
+        raise ValueError(
+            "chunked mode supports the engine-native collection (and the "
+            "writeStream-native kafka sink) only; qdrant/milvus/ivf_index "
+            "delete by exact id and would strand chunk points"
+        )
 
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 

@@ -382,3 +382,79 @@ def test_boot_ivf_index_sink_with_pq(spark, sf_dir, tmp_path):
         k=1, nprobe=1_000_000, mode="adc", candidates=64,
     ).first()
     assert top["id"] == probe["id"] and top["sim"] == 1.0
+
+
+def test_boot_chunked_mode_end_to_end(spark, sf_dir, tmp_path):
+    """embed.chunk_tokens switches the whole pipeline to chunked points:
+    every live point id is '<base>#<k>', the chunk set per key matches
+    the final text's chunk count, and deleted keys have no chunks."""
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    import dataclasses
+
+    engine = dataclasses.replace(DEFAULT_CONFIG, chunk_tokens=16, chunk_stride=12)
+    cfg = PipelineConfig(engine=engine, source=SourceConfig(), sink=SinkConfig())
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+
+    query, coll, _ = runner.boot(
+        spark,
+        config=cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    assert isinstance(coll, runner.ChunkedPointsCollection)
+    live = coll.live().collect()
+    assert live and all("#" in r["id"] for r in live)
+    # per surviving key, the chunk count must match the FINAL text
+    want = cdc_apply.latest_state(ch)
+    import math as _math
+
+    def n_chunks(txt):
+        n = len(txt.split(" "))
+        return 1 if n <= 16 else 1 + _math.ceil((n - 16) / 12)
+
+    want_counts = {
+        "public.documents:" + r["pk"]: n_chunks(
+            " ".join(x for x in (r["after_title"], r["after_content"]) if x)
+        )
+        for r in want.collect()
+    }
+    got_counts: dict[str, int] = {}
+    for r in live:
+        got_counts[r["base_id"]] = got_counts.get(r["base_id"], 0) + 1
+    assert got_counts == want_counts
+
+
+def test_boot_chunked_rejects_id_keyed_external_sinks(spark, sf_dir, tmp_path):
+    import dataclasses
+
+    import pytest as _pytest
+
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    engine = dataclasses.replace(DEFAULT_CONFIG, chunk_tokens=16)
+    cfg = PipelineConfig(
+        engine=engine, source=SourceConfig(),
+        sink=SinkConfig(type="qdrant", options={"url": "http://x"}),
+    )
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=1, order_col="lsn")
+    with _pytest.raises(ValueError, match="chunked mode"):
+        runner.boot(
+            spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
