@@ -173,6 +173,19 @@ def final_events(pts: DataFrame) -> DataFrame:
     )
 
 
+def final_events_chunked(pts: DataFrame) -> DataFrame:
+    """Chunked analogue of final_events: the winning EVENT per base key —
+    all chunk rows of the max-LSN upsert, or the single tombstone of a
+    winning delete (ChunkedPointsCollection's replace-set rule)."""
+    w = Window.partitionBy("base_id")
+    return (
+        pts.withColumn("_mx", F.max("lsn").over(w))
+        .where(F.col("lsn") == F.col("_mx"))
+        .drop("_mx")
+        .dropDuplicates(["id", "lsn"])
+    )
+
+
 def sink_hook_for(cfg: PipelineConfig):
     """main.go:66-100 sink factory, config-driven: returns a per-batch
     delivery hook (points DataFrame → external sink) or None.
@@ -238,7 +251,27 @@ def sink_hook_for(cfg: PipelineConfig):
     if sink.type == "qdrant":
         from .sinks import qdrant as q
 
+        chunked_cfg = (
+            isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
+        )
+
         def hook(pts: DataFrame) -> None:
+            if chunked_cfg:
+                # replace-set delivery: clear every affected key's chunk
+                # set server-side (delete-by-filter on ext_base_id —
+                # neither we nor the server needs the old chunk count),
+                # THEN land the winning upserts' chunk points
+                fin = final_events_chunked(pts).localCheckpoint(eager=True)
+                fin.select("base_id").distinct().foreachPartition(
+                    lambda rows: q.delete_by_filter_partition_http(
+                        rows, url, collection
+                    )
+                )
+                ups = q.upsert_payloads(fin.where(F.col("op") != OP_DELETE))
+                ups.foreachPartition(
+                    lambda rows: q.write_partition_http(rows, url, collection)
+                )
+                return
             fin = final_events(pts)
             ups = q.upsert_payloads(fin.where(F.col("op") != OP_DELETE))
             ups.foreachPartition(
@@ -319,15 +352,15 @@ def boot(
     else:
         raise ValueError(f"unknown state_protocol: {protocol!r}")
     hook = sink_hook_for(cfg) if isinstance(cfg, PipelineConfig) else None
-    if chunked and hook is not None:
-        # external sinks delete by exact point id; a chunked delete knows
-        # only the BASE id, so it cannot clear the key's chunk points —
-        # supporting this needs delete-by-payload-filter, not a silent
-        # partial delete
+    if chunked and hook is not None and cfg.sink.type != "qdrant":
+        # qdrant's chunked hook clears a key's whole chunk set via
+        # delete-by-payload-filter; milvus/ivf_index delete by exact
+        # point id and would silently strand chunk points
         raise ValueError(
-            "chunked mode supports the engine-native collection (and the "
-            "writeStream-native kafka sink) only; qdrant/milvus/ivf_index "
-            "delete by exact id and would strand chunk points"
+            "chunked mode supports the engine-native collection, the "
+            "writeStream-native kafka sink, and qdrant (delete-by-filter); "
+            "milvus/ivf_index delete by exact id and would strand chunk "
+            "points"
         )
 
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)

@@ -50,10 +50,14 @@ def fnv1a64(ids: pd.Series) -> pd.Series:
 def upsert_payloads(points: DataFrame) -> DataFrame:
     """points(id, vector, metadata) → one JSON point body per row:
     {"id": fnv1a64(id), "vector": [...], "payload": metadata ∪ {"ext_id": id}}
-    (qdrant.go:196-233: payload always carries the external id)."""
-    payload = F.map_concat(
-        F.col("metadata"), F.create_map(F.lit("ext_id"), F.col("id"))
-    )
+    (qdrant.go:196-233: payload always carries the external id). Chunked
+    points (a ``base_id`` column present) additionally carry
+    ``ext_base_id`` so delete_by_filter can clear a key's whole chunk
+    set server-side."""
+    id_entries = [F.lit("ext_id"), F.col("id")]
+    if "base_id" in points.columns:
+        id_entries += [F.lit("ext_base_id"), F.col("base_id")]
+    payload = F.map_concat(F.col("metadata"), F.create_map(*id_entries))
     body = F.to_json(
         F.struct(
             fnv1a64(F.col("id")).alias("id"),
@@ -136,6 +140,41 @@ def delete_partition_http(
         req = urllib.request.Request(
             f"{url}/collections/{collection}/points/delete?wait=true",
             data=json.dumps({"points": ids}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        send_with_retry(req, timeout_s)
+
+
+def delete_by_filter_partition_http(
+    rows, url: str, collection: str, timeout_s: float = 15.0,
+    max_terms: int = 1024,
+):
+    """foreachPartition delete over (base_id) rows via Qdrant's filter
+    form: POST points/delete {"filter": {"should": [{key: ext_base_id,
+    match: ...}, ...]}} — clears EVERY point whose payload carries one of
+    the base ids, however many chunk points the key currently has. The
+    chunked pipeline's delete path (a delete event knows only its base
+    id, never the historical chunk count). Idempotent → retried."""
+    import json
+    import urllib.request
+
+    from .http import send_with_retry
+
+    for bases in _chunks((r["base_id"] for r in rows), max_terms):
+        body = json.dumps(
+            {
+                "filter": {
+                    "should": [
+                        {"key": "ext_base_id", "match": {"value": b}}
+                        for b in bases
+                    ]
+                }
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{url}/collections/{collection}/points/delete?wait=true",
+            data=body,
             headers={"Content-Type": "application/json"},
             method="POST",
         )

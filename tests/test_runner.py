@@ -445,9 +445,11 @@ def test_boot_chunked_rejects_id_keyed_external_sinks(spark, sf_dir, tmp_path):
     )
 
     engine = dataclasses.replace(DEFAULT_CONFIG, chunk_tokens=16)
+    # milvus deletes by exact id — chunked mode must refuse it (qdrant is
+    # allowed: its hook deletes by payload filter)
     cfg = PipelineConfig(
         engine=engine, source=SourceConfig(),
-        sink=SinkConfig(type="qdrant", options={"url": "http://x"}),
+        sink=SinkConfig(type="milvus", options={"url": "http://x"}),
     )
     ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
     chunks = str(tmp_path / "chunks")
@@ -458,3 +460,87 @@ def test_boot_chunked_rejects_id_keyed_external_sinks(spark, sf_dir, tmp_path):
             state_dir=str(tmp_path / "state"),
             checkpoint_dir=str(tmp_path / "ckpt"),
         )
+
+
+def test_boot_chunked_qdrant_replay_matches_collection(spark, sf_dir, tmp_path):
+    """Chunked qdrant delivery: per base key the hook clears the chunk
+    set via delete-by-filter (ext_base_id) then lands the winning
+    upsert's chunk points. Replaying the captured requests in arrival
+    order must land the external sink on exactly the collection's live
+    chunk-id set — stale tail chunks cleared, deletes complete."""
+    import dataclasses
+    import http.server
+    import json as _json
+    import threading
+
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    events = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _ok(self):
+            body = b'{"status":"ok"}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            n = int(self.headers["Content-Length"])
+            for p in _json.loads(self.rfile.read(n))["points"]:
+                events.append(("up", p["payload"]["ext_base_id"],
+                               p["payload"]["ext_id"]))
+            self._ok()
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = _json.loads(self.rfile.read(n))
+            assert "filter" in body, "chunked deletes must be filter-form"
+            for term in body["filter"]["should"]:
+                assert term["key"] == "ext_base_id"
+                events.append(("delbase", term["match"]["value"], None))
+            self._ok()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    engine = dataclasses.replace(
+        DEFAULT_CONFIG, vector_size=8, chunk_tokens=16, chunk_stride=12
+    )
+    cfg = PipelineConfig(
+        engine=engine, source=SourceConfig(),
+        sink=SinkConfig(type="qdrant", options={"url": url, "collection": "docs"}),
+    )
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        srv.shutdown()
+
+    assert any(k == "delbase" for k, *_ in events)
+    # replay: delete-by-base clears the set, upserts re-add chunk ids.
+    # within a batch the delete pass precedes the upsert pass by
+    # construction (two sequential driver actions)
+    ext: dict[str, set] = {}
+    for kind, base, ext_id in events:
+        if kind == "delbase":
+            ext[base] = set()
+        else:
+            ext.setdefault(base, set()).add(ext_id)
+    ext_ids = set().union(*ext.values()) if ext else set()
+    live_ids = {r["id"] for r in coll.live().select("id").collect()}
+    assert ext_ids == live_ids
