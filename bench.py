@@ -43,6 +43,12 @@ HEADLINE = [
     "t1_token_count",
     "t4_fingerprint",
     "t5_regex_tokens",
+    # round-6 LLM-pipeline additions
+    "d11_decontaminate",     # train/eval n-gram overlap (broadcast benchmark)
+    "d12_semdedup",          # cluster-then-prune semantic dedup
+    "d13_dsir",              # hashed-n-gram importance weights
+    "d14_stratified",        # proportional per-stratum sample
+    "d15_chunk",             # overlapping token-window chunking
 ]
 
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, rebalance
 
 # fixture benchmark: every 29th doc plays the role of the eval suite
 _BENCH_MOD = 29
@@ -44,24 +44,26 @@ _N = 3  # trigram shingles (real pipelines use 8-13; 3 suits 60-token fixtures)
 _THRESHOLD = 0.2
 
 
-def gram_hashes(text_col: Column, n: int = _N) -> Column:
-    """Distinct md5 hashes of the lowercased word n-grams of ``text_col``.
+def gram_strings(text_col: Column, n: int = _N) -> Column:
+    """Distinct lowercased word n-grams of ``text_col`` (as strings —
+    hash AFTER the explode: md5 inside the transform lambda runs
+    interpreted per element, while a projection md5 over exploded rows
+    is codegen'd; with the single-split rebalance in d11 this took the
+    entry 5.1s → 1.6s at sf0.1).
 
-    Documents shorter than ``n`` tokens contribute their whole-text hash
-    as a single gram, so every doc has >= 1 gram (no divide-by-zero and
-    short eval items still match verbatim copies).
+    Documents shorter than ``n`` tokens contribute their whole lowered
+    text as a single gram, so every doc has >= 1 gram (no
+    divide-by-zero and short eval items still match verbatim copies).
     """
     toks = F.split(F.lower(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.array(F.md5(F.lower(text_col)))
-        )
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.lower(text_col)))
     )
 
 
@@ -85,13 +87,14 @@ def decontaminate(
     (doc, gram)) and aggregates once on ``id_col``.
     """
     bench_grams = (
-        benchmark.select(F.explode(gram_hashes(F.col(text_col), n)).alias("g"))
+        benchmark.select(F.explode(gram_strings(F.col(text_col), n)).alias("gs"))
+        .select(F.md5("gs").alias("g"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     train_grams = train.select(
-        F.col(id_col), F.explode(gram_hashes(F.col(text_col), n)).alias("g")
-    )
+        F.col(id_col), F.explode(gram_strings(F.col(text_col), n)).alias("gs")
+    ).select(id_col, F.md5("gs").alias("g"))
     return (
         train_grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy(id_col)
@@ -113,7 +116,9 @@ def decontaminate(
 def d11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical entry: docs with doc_id % 29 == 0 are the 'benchmark';
     the rest are the training corpus to be decontaminated against it."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance: the fixture is a single parquet split and the gram
+    # explode would otherwise run on ONE task (the t4_fingerprint lesson)
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
     train = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
     return decontaminate(train, bench)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, rebalance
 
 _N_BUCKETS = 512
 _SCALE = 1_000_000  # micro-nats per log-ratio unit
@@ -84,6 +84,14 @@ def dsir_weights(
     bt = docs.select(
         F.col(id_col), is_target.alias("_t"), F.explode(terms(F.col(text_col))).alias("term")
     ).select(id_col, "_t", hashed_bucket(F.col("term"), n_buckets).alias("b"))
+    # three downstream jobs consume bt (model counts, totals, scoring
+    # join) — materialize the explode+hash pipeline ONCE instead of
+    # re-running the interpreted bigram lambda per job (with d13's
+    # single-split rebalance: 8.5s → 1.6s at sf0.1). localCheckpoint,
+    # not persist: each call builds a fresh plan, so a bare persist
+    # would leak a new cache entry per invocation. Rows are 3 small
+    # ints — far smaller than the corpus.
+    bt = bt.localCheckpoint(eager=True)
     raw = bt.groupBy("b").agg(
         F.count(F.lit(1)).alias("rc"),
         F.count(F.when(F.col("_t"), 1)).alias("tc"),
@@ -119,7 +127,9 @@ def dsir_weights(
 def d13_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical entry: score every document against the English slice
     of the corpus (lang='en' is the target domain)."""
-    d = load_table(spark, sf_dir, "documents")
+    # rebalance: single-split fixture would pin the term explode +
+    # bigram lambda to one task (the t4_fingerprint lesson)
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     return dsir_weights(d, F.col("lang") == "en")
 
 
