@@ -57,11 +57,15 @@ def build_points(
     )
     if chunk is not None:
         df = _chunk_events(df, chunk)
-    emb = provider.udf()
-    # The UDF must land in its own projection: Spark rejects a Python UDF
-    # nested inside a higher-order-function lambda (the normalize step), so
-    # normalize must reference the materialized attribute, not the UDF expr.
-    #
+    # M1+M2 fused: L2-normalize inside the embed UDF's Arrow batch when
+    # the provider supports it (the vector is already numpy there, so
+    # the normalize is free; the Catalyst HOF form — kept as the
+    # standalone a7 operator and ops.with_l2_normalized — evaluates
+    # interpreted per element and measured 45% of this hot path at dim
+    # 768). Output type array<double> matches what the expression form
+    # produced.
+    fused = normalize and "normalize" in provider.udf.__code__.co_varnames
+    emb = provider.udf(normalize=True) if fused else provider.udf()
     # Delete short-circuit (pipeline.go:191-196): a Python UDF under
     # F.when is still EXECUTED for every row (Spark extracts UDFs out of
     # CASE WHEN and evaluates them unconditionally), so guarding the
@@ -73,8 +77,11 @@ def build_points(
     # would otherwise pin every embedding call to 1-2 cores (guarded —
     # no shuffle when the log already has >= cores partitions)
     df = rebalance(df)
+    # The UDF must land in its own projection: Spark rejects a Python UDF
+    # nested inside a higher-order-function lambda, so any downstream
+    # expression references the materialized attribute, not the UDF expr.
     df = df.withColumn("_raw_vec", emb(delete_safe_text))
-    if normalize:
+    if normalize and not fused:
         df = ops.with_l2_normalized(df, "_raw_vec", "vector")
     else:
         df = df.withColumn("vector", F.col("_raw_vec"))

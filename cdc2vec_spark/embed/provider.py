@@ -33,26 +33,41 @@ from pyspark.sql import types as T
 class DeterministicHashProvider:
     """Deterministic embedder for tests/oracles (SURVEY §2.2 A8).
 
-    vector[i] = (md5(text ∥ ':' ∥ block)[i % 16] - 127.5) / 127.5, blocks
-    of 16 bytes until `dim` is filled. Pure function of the text — no RNG
-    state, no platform dependence."""
+    vector[i] = (shake_128(text)[i] - 127.5) / 127.5 — SHAKE-128 is an
+    XOF, so ONE hash call yields all ``dim`` bytes (the previous
+    md5-per-16-byte-block form paid 48 hash calls + a Python loop per
+    row at dim 768; this is the CDC-throughput hot path's only Python).
+    Pure function of the text — no RNG state, no platform dependence."""
 
     def __init__(self, dim: int = 32):
         self.dim = dim
 
     def embed_one(self, text: str) -> np.ndarray:
-        blocks = []
-        for b in range((self.dim + 15) // 16):
-            blocks.append(
-                np.frombuffer(
-                    hashlib.md5(f"{text}:{b}".encode()).digest(), dtype=np.uint8
-                )
-            )
-        raw = np.concatenate(blocks)[: self.dim].astype(np.float64)
+        raw = np.frombuffer(
+            hashlib.shake_128(text.encode()).digest(self.dim), dtype=np.uint8
+        ).astype(np.float64)
         return ((raw - 127.5) / 127.5).astype(np.float32)
 
-    def udf(self) -> Column:
+    def udf(self, normalize: bool = False) -> Column:
+        """``normalize=True`` L2-normalizes INSIDE the Arrow batch
+        (float64 numpy, array<double> out — the same output type the
+        expression form produced). The vector is already a numpy array
+        here, so the normalize is measured-free, while the Catalyst
+        transform/aggregate HOF form runs interpreted per element and
+        cost 45% of the whole CDC hot path at dim 768 (2.4s of 5.3s on
+        the 110k-change bench batch)."""
         dim = self.dim
+
+        if normalize:
+
+            @F.pandas_udf(T.ArrayType(T.DoubleType()))
+            def embed_n(texts: pd.Series) -> pd.Series:
+                prov = DeterministicHashProvider(dim)
+                return texts.map(
+                    lambda t: None if t is None else _l2n(prov.embed_one(t))
+                )
+
+            return embed_n
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def embed(texts: pd.Series) -> pd.Series:
@@ -62,6 +77,14 @@ class DeterministicHashProvider:
             return texts.map(lambda t: None if t is None else prov.embed_one(t))
 
         return embed
+
+
+def _l2n(v) -> list[float]:
+    """v / ||v||₂ in float64; zero vector unchanged (util/text.go:44-46
+    — the same contract as vector.ops.l2_normalize)."""
+    a = np.asarray(v, dtype=np.float64)
+    n = float(np.linalg.norm(a))
+    return (a / n if n != 0.0 else a).tolist()
 
 
 class OllamaHTTPProvider:
@@ -95,11 +118,12 @@ class OllamaHTTPProvider:
             raise ValueError("empty embedding returned")  # pipeline.go:223-228
         return [float(x) for x in vec]
 
-    def udf(self) -> Column:
+    def udf(self, normalize: bool = False) -> Column:
         url, model, timeout_s = self.url, self.model, self.timeout_s
         concurrency = self.concurrency
+        ret_t = T.ArrayType(T.DoubleType() if normalize else T.FloatType())
 
-        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        @F.pandas_udf(ret_t)
         def embed(texts: pd.Series) -> pd.Series:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -107,7 +131,10 @@ class OllamaHTTPProvider:
 
             def one(t):
                 # NULL text → NULL vector, no HTTP (delete short-circuit)
-                return None if t is None else prov.embed_one(t)
+                if t is None:
+                    return None
+                v = prov.embed_one(t)
+                return _l2n(v) if normalize else v
 
             vals = list(texts)
             if concurrency == 1 or len(vals) <= 1:
