@@ -26,7 +26,8 @@ Groupings:
                          d10_split, d10_pack, d13_dsir, d14_stratified,
                          b17_pivot
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
-                         d6_features, d11_decontaminate, d12_semdedup
+                         d6_features, d11_decontaminate, d12_semdedup,
+                         d16_corpus_pipeline
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d15_chunk
 """
@@ -57,6 +58,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d6_features",
     "d11_decontaminate",
     "d12_semdedup",
+    "d16_corpus_pipeline",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -120,6 +122,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup rows-only probes (d11 carries an exact DuckDB oracle
     pinned in tests/test_decontam.py; it rides here because the 50-entry
     registry budget is full)."""
+    from .corpus import d16_corpus_pipeline
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
@@ -135,6 +138,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d6_features", d6_features),
             ("d11_decontaminate", d11_decontaminate),
             ("d12_semdedup", d12_semdedup),
+            ("d16_corpus_pipeline", d16_corpus_pipeline),
         ],
     )
 
@@ -176,6 +180,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
+    from .corpus import d16_corpus_pipeline
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
@@ -209,6 +214,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_features": d6_features,
         "d11_decontaminate": d11_decontaminate,
         "d12_semdedup": d12_semdedup,
+        "d16_corpus_pipeline": d16_corpus_pipeline,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

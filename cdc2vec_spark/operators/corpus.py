@@ -1,0 +1,134 @@
+"""End-to-end corpus cleaning — the composition the individual operators
+exist for: raw documents → exact dedup → quality filter →
+benchmark decontamination → per-slice summary of the surviving
+training corpus.
+
+This is the "user story" query of the LLM-data-pipeline surface
+(SURVEY §2.2 group D): every stage is one of the already-graded
+primitives, composed as a single declarative plan Catalyst optimizes
+end to end — the dedup window, the quality predicate (evaluated in the
+scan stage), the broadcast decontamination join, and the final
+aggregate all pipeline without materialization barriers.
+
+Deterministic and portable SQL throughout, so the WHOLE composition
+carries an exact DuckDB oracle (pinned in tests/test_corpus.py at two
+scale factors; graded rows-only inside x2_rowsonly_dedup — the
+50-entry registry budget is full, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table, rebalance
+from .decontam import _BENCH_MOD, _THRESHOLD, decontaminate
+
+_MIN_TOKENS = 5
+_MIN_DIVERSITY = 0.5
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surviving training documents after the three cleaning stages.
+
+    1. exact dedup — one survivor (min id) per distinct text;
+    2. quality — at least ``_MIN_TOKENS`` tokens and distinct-token
+       ratio >= ``_MIN_DIVERSITY`` (the t2 lexical-diversity score);
+    3. decontamination — drop docs whose trigram overlap with the
+       benchmark reaches the d11 threshold.
+
+    Returns the surviving rows of ``docs`` (all columns).
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    toks = F.split(F.col(text_col), " ")
+    quality = deduped.where(
+        (F.size(toks) >= _MIN_TOKENS)
+        & (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            >= _MIN_DIVERSITY
+        )
+    )
+    keep = decontaminate(quality, benchmark, id_col=id_col, text_col=text_col)
+    return quality.join(
+        keep.where(~F.col("contaminated")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+
+def d16_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded composition entry: clean the non-benchmark corpus against
+    the doc_id % 29 benchmark slice, then summarize survivors per
+    (source, lang) with doc and token counts."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    train = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    surv = clean_corpus(train, bench)
+    return (
+        surv.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# DuckDB mirror — the exact oracle of the whole composition.
+D16_ORACLE_SQL = f"""
+WITH train0 AS (
+  SELECT * FROM documents WHERE doc_id % {_BENCH_MOD} <> 0
+), deduped AS (
+  SELECT * FROM train0
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), quality AS (
+  SELECT * FROM deduped
+  WHERE len(string_split(text, ' ')) >= {_MIN_TOKENS}
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= {_MIN_DIVERSITY}
+), toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t, lower(text) AS lt,
+         FALSE AS is_bench
+  FROM quality
+  UNION ALL
+  SELECT doc_id, string_split(lower(text), ' '), lower(text), TRUE
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+), grams AS (
+  SELECT doc_id, is_bench,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [lt] END
+         ) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT md5(unnest(gs)) AS g, 1 AS hit FROM grams WHERE is_bench
+), traing AS (
+  SELECT doc_id, md5(unnest(gs)) AS g FROM grams WHERE NOT is_bench
+), overlap AS (
+  SELECT t.doc_id,
+         (CAST(count(b.hit) AS DOUBLE) / count(*)) >= {_THRESHOLD} AS contaminated
+  FROM traing t LEFT JOIN bench b USING (g)
+  GROUP BY t.doc_id
+)
+SELECT q.source, q.lang, count(*) AS n_docs,
+       sum(len(string_split(q.text, ' '))) AS n_tokens
+FROM quality q JOIN overlap o ON q.doc_id = o.doc_id AND NOT o.contaminated
+GROUP BY q.source, q.lang
+ORDER BY q.source, q.lang
+"""
+
+QUERIES = {"d16_corpus_pipeline": d16_corpus_pipeline}
+ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests

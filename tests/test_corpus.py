@@ -1,0 +1,49 @@
+"""End-to-end corpus cleaning composition — operators/corpus.py.
+
+d16 rides inside x2_rowsonly_dedup (registry at the 50-entry budget);
+the exact DuckDB oracle of the WHOLE composition is pinned here at two
+scale factors via the driver's comparator.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_check import compare_one, duckdb_conn
+
+from cdc2vec_spark.operators import corpus
+from tests.conftest import SF0001, SF001
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d16_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d16_corpus_pipeline",
+        corpus.d16_corpus_pipeline, corpus.D16_ORACLE_SQL, sf,
+    )
+    assert not problems, problems
+
+
+def test_clean_corpus_stage_semantics(spark):
+    """Hand-built corpus exercising each stage: an exact duplicate, a
+    low-diversity doc, a too-short doc, and a benchmark-contaminated doc
+    must each fall to exactly their stage; one clean doc survives."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "s"),
+            (2, "alpha beta gamma delta epsilon zeta", "s"),   # dup of 1
+            (3, "spam spam spam spam spam spam spam spam", "s"),  # diversity
+            (4, "too short", "s"),                              # min tokens
+            (5, "leaked eval question text appears right here verbatim", "s"),
+            (6, "fresh unique training words nobody benchmarked anywhere", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "leaked eval question text appears right here verbatim")],
+        "doc_id long, text string",
+    )
+    surv = {r["doc_id"] for r in corpus.clean_corpus(docs, bench).collect()}
+    assert surv == {1, 6}
