@@ -49,6 +49,8 @@ HEADLINE = [
     "d13_dsir",              # hashed-n-gram importance weights
     "d14_stratified",        # proportional per-stratum sample
     "d15_chunk",             # overlapping token-window chunking
+    "d16_corpus_pipeline",   # dedup + quality + decontaminate composition
+    "d17_bm25",              # BM25 lexical top-k
 ]
 
 

@@ -29,7 +29,7 @@ Groupings:
                          d6_features, d11_decontaminate, d12_semdedup,
                          d16_corpus_pipeline
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d15_chunk
+                         d3_pq_topk, d15_chunk, d17_bm25
 """
 
 from __future__ import annotations
@@ -64,6 +64,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d8_lsh_neardup",
     "d3_pq_topk",
     "d15_chunk",
+    "d17_bm25",
 )
 
 
@@ -149,7 +150,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines (d15: exact oracle pinned in tests/test_text_quality.py)."""
     from .quantize import d3_pq_topk
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
-    from .text import d15_chunk
+    from .text import d15_chunk, d17_bm25
 
     return _union(
         spark,
@@ -160,6 +161,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d15_chunk", d15_chunk),
+            ("d17_bm25", d17_bm25),
         ],
     )
 
@@ -194,7 +196,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d8_lsh_neardup,
         d12_semdedup,
     )
-    from .text import d15_chunk
+    from .text import d15_chunk, d17_bm25
     from .vectors import a8_deterministic_embed
 
     return {
@@ -220,4 +222,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d15_chunk": d15_chunk,
+        "d17_bm25": d17_bm25,
     }

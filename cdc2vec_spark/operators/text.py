@@ -283,6 +283,117 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(d).select("doc_id", "fp").orderBy("doc_id")
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "query", "window", "vector")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval (Robertson & Zaragoza 2009) — the
+    text-side complement of the vector ANN operators.
+
+    Spark-first shape for corpus scale: term frequencies explode only
+    the QUERY terms (an `isin` filter inside the scan stage prunes the
+    posting explosion to a handful of terms), the document-frequency
+    table is at most |query| rows and **broadcast**, and corpus stats
+    (N, avgdl) are a broadcast 1-row aggregate. Per-doc scores sum
+    fixed-point micro-units (like DSIR), so ranking is exactly
+    reproducible across partitionings and engines — the reason this
+    operator can carry an exact DuckDB oracle (tests/test_text_quality.py).
+
+    Returns the top ``k`` of (id, n_hit_terms, score_micro), ties broken
+    by id.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "dl", F.size("_t")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("_t").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_ts",
+            F.col("_idf")
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum(F.round(F.col("_ts") * 1e6).cast("long")).alias(
+                "score_micro"
+            ),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def d17_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed query over documents (rows-only inside
+    x3; exact DuckDB oracle pinned in tests/test_text_quality.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERY)
+
+
+D17_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl FROM base
+), expl AS (
+  SELECT doc_id, dl, unnest(t) AS term FROM base
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM expl
+  WHERE term IN ('spark', 'query', 'window', 'vector')
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (N - df + 0.5) / (df + 0.5))
+         * (tf * ({_BM25_K1} + 1))
+         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS ts
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_hit_terms,
+       CAST(sum(CAST(round(ts * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "d4_text_stats": d4_text_stats,
     "d5_slicing": d5_slicing,

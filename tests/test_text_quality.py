@@ -141,3 +141,54 @@ def test_chunk_plan_is_narrow_jvm(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_d17_bm25_matches_duckdb_oracle(spark):
+    """d17 rides inside x3 (registry at budget): exact DuckDB oracle
+    pinned at two scale factors via the driver's comparator."""
+    from oracle_check import compare_one, duckdb_conn
+    from tests.conftest import SF0001, SF001
+
+    from cdc2vec_spark.operators import text as T
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d17_bm25", T.d17_bm25, T.D17_ORACLE_SQL, sf
+        )
+        assert not problems, (sf, problems)
+
+
+def test_bm25_ranking_semantics(spark):
+    """Hand-built corpus: a doc with more query-term occurrences (and
+    rarer terms) outranks others; docs without query terms never appear;
+    a shorter doc with the same tf outranks a longer one (length
+    normalization)."""
+    from cdc2vec_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "nothing relevant here at all"),
+            (4, "spark filler filler filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ("spark",), k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids
+    assert ids[0] == 1               # highest tf wins
+    assert ids.index(2) < ids.index(4)  # same tf, shorter doc ranks higher
+
+
+def test_bm25_partitioning_invariant(spark):
+    """Fixed-point scores: identical result regardless of partitioning."""
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators.text import _BM25_QUERY, bm25_topk
+    from tests.conftest import SF001
+
+    d = load_table(spark, SF001, "documents")
+    a = [tuple(r) for r in bm25_topk(d, _BM25_QUERY).collect()]
+    b = [tuple(r) for r in bm25_topk(d.repartition(13), _BM25_QUERY).collect()]
+    assert a == b
