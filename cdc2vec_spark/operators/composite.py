@@ -29,7 +29,7 @@ Groupings:
                          d6_features, d11_decontaminate, d12_semdedup,
                          d16_corpus_pipeline
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d15_chunk, d17_bm25
+                         d3_pq_topk, d15_chunk, d17_bm25, d18_cdc_bm25
 """
 
 from __future__ import annotations
@@ -65,6 +65,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d3_pq_topk",
     "d15_chunk",
     "d17_bm25",
+    "d18_cdc_bm25",
 )
 
 
@@ -148,6 +149,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN rows-only probes (recall pinned vs exact in
     tests/test_similarity.py) + the chunking stage that feeds embedding
     pipelines (d15: exact oracle pinned in tests/test_text_quality.py)."""
+    from .lex_index import d18_cdc_bm25
     from .quantize import d3_pq_topk
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
     from .text import d15_chunk, d17_bm25
@@ -162,6 +164,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d3_pq_topk", d3_pq_topk),
             ("d15_chunk", d15_chunk),
             ("d17_bm25", d17_bm25),
+            ("d18_cdc_bm25", d18_cdc_bm25),
         ],
     )
 
@@ -183,6 +186,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
     from .corpus import d16_corpus_pipeline
+    from .lex_index import d18_cdc_bm25
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
@@ -223,4 +227,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_pq_topk": d3_pq_topk,
         "d15_chunk": d15_chunk,
         "d17_bm25": d17_bm25,
+        "d18_cdc_bm25": d18_cdc_bm25,
     }

@@ -1,0 +1,330 @@
+"""Incrementally-maintained lexical (BM25) index — the text-side twin of
+`operators.ann_index.IncrementalIvfIndex`.
+
+cdc2vec's whole premise is "keep a derived search structure fresh from
+CDC". The reference only keeps a VECTOR store fresh; this engine keeps
+the LEXICAL index fresh too, with the same disk layout and commit
+machinery (cdc.apply: hash-bucketed partitions, per-bucket atomic swap,
+touched-directory pruned reads) and the same tombstone-log design the
+ANN index uses (Lucene's delete-bitmap idea):
+
+- postings live in ``bucket = pmod(xxhash64(term), n_buckets)``
+  partition directories as (term, id, tf, lsn) rows — a query's terms
+  prune to exactly their buckets;
+- EVERY event also writes a tombstone (id, lsn) to the ``bucket=-1``
+  log. An upsert's stale postings (scattered across term buckets the
+  new text doesn't touch) are never hunted down at write time: they
+  die at query time because their lsn is below the id's tombstone lsn,
+  and are physically removed by ``compact()``;
+- per-document lengths live in ``bucket=-2`` (one row per doc version)
+  so BM25's corpus stats (N, avgdl) come from a two-column scan.
+
+Per-batch cost is O(batch + touched_buckets × bucket_size) — identical
+contract to ParquetCollection/IncrementalIvfIndex. Query-time scoring
+is the same fixed-point micro-nat BM25 as ``text.bm25_topk`` (exact
+integer ranking), so a freshly-built index must reproduce the batch
+operator bit-for-bit and the post-CDC index must match a DuckDB oracle
+computed over the reconstructed corpus — both pinned in
+tests/test_lex_index.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..cdc.apply import read_bucketed_state, swap_buckets
+from ..cdc.envelope import OP_DELETE
+
+BUCKET_COL = "bucket"
+TOMB_BUCKET = -1
+DOC_BUCKET = -2
+
+_K1, _B = 1.2, 0.75
+
+
+def _term_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+class IncrementalLexicalIndex:
+    """Disk-resident inverted index with CDC-driven in-place updates."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16,
+                 id_col: str = "id", text_col: str = "text"):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # ------------------------------------------------------------ rows
+
+    def _event_rows(self, batch: DataFrame, with_tombs: bool) -> DataFrame:
+        """(term, id, tf, dl, lsn, bucket) rows for a batch of
+        (id, text[, op], lsn): postings + docstats for upserts, plus —
+        when ``with_tombs`` — one tombstone per event id."""
+        has_op = "op" in batch.columns
+        ups = batch.where(F.col("op") != OP_DELETE) if has_op else batch
+        toks = F.split(F.lower(F.col(self.text_col)), " ")
+        base = ups.select(
+            F.col(self.id_col).alias("id"),
+            toks.alias("_t"),
+            F.col("lsn").cast("long").alias("lsn"),
+        ).withColumn("dl", F.size("_t"))
+        postings = (
+            base.select("id", "dl", "lsn", F.explode("_t").alias("term"))
+            .groupBy("id", "lsn", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select(
+                "term", "id", F.col("tf").cast("long").alias("tf"),
+                F.lit(None).cast("long").alias("dl"), "lsn",
+                _term_bucket(F.col("term"), self.n_buckets).alias(BUCKET_COL),
+            )
+        )
+        docstats = base.select(
+            F.lit(None).cast("string").alias("term"), F.col("id"),
+            F.lit(None).cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"), "lsn",
+            F.lit(DOC_BUCKET).cast("int").alias(BUCKET_COL),
+        )
+        out = postings.unionByName(docstats)
+        if with_tombs:
+            tombs = batch.select(
+                F.lit(None).cast("string").alias("term"),
+                F.col(self.id_col).alias("id"),
+                F.lit(None).cast("long").alias("tf"),
+                F.lit(None).cast("long").alias("dl"),
+                F.col("lsn").cast("long").alias("lsn"),
+                F.lit(TOMB_BUCKET).cast("int").alias(BUCKET_COL),
+            )
+            out = out.unionByName(tombs)
+        return out
+
+    # ----------------------------------------------------------- build
+
+    def build(self, docs: DataFrame, lsn_col: str | None = None) -> None:
+        """Offline build from (id, text[, lsn]) — initial rows default to
+        lsn 0 so ANY later CDC event outranks them; no tombstones."""
+        src = docs.select(
+            F.col(self.id_col),
+            F.col(self.text_col),
+            (F.col(lsn_col) if lsn_col else F.lit(0)).cast("long").alias("lsn"),
+        )
+        ev = self._event_rows(src, with_tombs=False)
+        touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
+        swap_buckets(
+            ev.repartition(max(len(touched), 1), BUCKET_COL),
+            self.path, touched, col=BUCKET_COL,
+        )
+
+    # ----------------------------------------------------------- write
+
+    def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
+        """foreachBatch hook: (id, text, op, lsn) rows. Idempotent
+        (max-LSN per key within each partition kind); rewrites only the
+        touched term buckets + the tombstone and docstats partitions."""
+        ev = self._event_rows(batch, with_tombs=True)
+        touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            return
+        prior = read_bucketed_state(
+            self.spark, self.path, col=BUCKET_COL, buckets=touched
+        )
+        if prior is not None:
+            ev = prior.select(*ev.columns).unionByName(ev)
+        ev = ev.repartition(len(touched), BUCKET_COL)
+        # one window covers all three partition kinds: postings key
+        # (bucket, id, term), tombstone/docstat key (bucket, id, null)
+        w = Window.partitionBy(
+            BUCKET_COL, "id", F.coalesce("term", F.lit(""))
+        ).orderBy(F.col("lsn").desc())
+        merged = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        swap_buckets(merged, self.path, touched, col=BUCKET_COL)
+
+    # ----------------------------------------------------------- query
+
+    def _tomb_maxlsn(self) -> DataFrame | None:
+        t = read_bucketed_state(
+            self.spark, self.path, col=BUCKET_COL, buckets=[TOMB_BUCKET]
+        )
+        if t is None:
+            return None
+        return t.groupBy("id").agg(F.max("lsn").alias("_tlsn"))
+
+    def _alive(self, df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+        """Rows whose lsn is not superseded by the id's tombstone — an
+        upsert's own rows carry the tombstone's lsn and survive; older
+        versions (and anything under a delete tombstone) die."""
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb), "id", "left").where(
+            F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+        ).drop("_tlsn")
+
+    def topk(self, query_terms: tuple[str, ...], k: int = 10) -> DataFrame:
+        """BM25 top-k over the index's LIVE state: reads exactly the
+        query terms' buckets + the tombstone and docstats partitions."""
+        tbuckets = sorted(
+            {
+                r[0]
+                for r in self.spark.createDataFrame(
+                    [(t,) for t in query_terms], "term string"
+                )
+                .select(_term_bucket(F.col("term"), self.n_buckets))
+                .collect()
+            }
+        )
+        tomb = self._tomb_maxlsn()
+        docstats = read_bucketed_state(
+            self.spark, self.path, col=BUCKET_COL, buckets=[DOC_BUCKET]
+        )
+        if docstats is None:
+            raise ValueError(f"empty lexical index at {self.path}")
+        live_docs = self._alive(docstats.select("id", "dl", "lsn"), tomb)
+        stats = live_docs.agg(
+            F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+        )
+        postings = read_bucketed_state(
+            self.spark, self.path, col=BUCKET_COL, buckets=tbuckets
+        )
+        if postings is None:
+            return live_docs.select(
+                F.col("id"), F.lit(0).alias("n_hit_terms"),
+                F.lit(0).cast("long").alias("score_micro"),
+            ).limit(0)
+        tf = self._alive(
+            postings.where(F.col("term").isin(*query_terms)).select(
+                "term", "id", "tf", "lsn"
+            ),
+            tomb,
+        ).join(live_docs.select("id", F.col("dl")), "id")
+        df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = (
+            tf.join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "_idf",
+                F.log(1.0 + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .withColumn(
+                "_ts",
+                F.col("_idf") * (F.col("tf") * (_K1 + 1))
+                / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+            )
+        )
+        return (
+            scored.groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_hit_terms"),
+                F.sum(F.round(F.col("_ts") * 1e6).cast("long")).alias("score_micro"),
+            )
+            .orderBy(F.col("score_micro").desc(), F.col("id"))
+            .limit(k)
+        )
+
+    # -------------------------------------------------------------- GC
+
+    def compact(self) -> None:
+        """Offline GC: drop dead postings/docstats, clear the tombstone
+        log, rewrite every partition (the ann_index.compact contract)."""
+        state = read_bucketed_state(self.spark, self.path, col=BUCKET_COL)
+        if state is None:
+            return
+        tomb = self._tomb_maxlsn()
+        live = self._alive(
+            state.where(F.col(BUCKET_COL) != TOMB_BUCKET), tomb
+        )
+        cells = sorted(r[0] for r in state.select(BUCKET_COL).distinct().collect())
+        live = live.localCheckpoint(eager=True)  # read before swap
+        swap_buckets(
+            live.repartition(max(len(cells), 1), BUCKET_COL),
+            self.path, cells, col=BUCKET_COL,
+        )
+
+
+# --- graded component (rows-only inside x3; oracle pinned in tests) -------
+
+_QUERY = ("spark", "query", "window", "vector")
+
+
+def d18_cdc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-lexical-index loop as one query: build from
+    `documents`, apply a CDC batch (delete doc 0; rewrite doc 1's text;
+    insert doc 9999), then BM25 top-10 — must equal BM25 over the
+    reconstructed corpus, which the DuckDB oracle computes relationally
+    (tests/test_lex_index.py pins it at two scale factors)."""
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    root = tempfile.mkdtemp(prefix="d18_lex_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ix = IncrementalLexicalIndex(spark, f"{root}/lex")
+        ix.build(d)
+        batch = spark.createDataFrame(
+            [
+                ("0", None, "d", 10),
+                ("1", "spark query window vector spark window filler words", "u", 11),
+                ("9999", "vector vector spark window query fresh document", "c", 12),
+            ],
+            "id string, text string, op string, lsn long",
+        )
+        ix.apply_batch(batch)
+        out = ix.topk(_QUERY, k=10)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+D18_ORACLE_SQL = """
+WITH corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+  WHERE doc_id NOT IN (0, 1)
+  UNION ALL
+  SELECT '1', 'spark query window vector spark window filler words'
+  UNION ALL
+  SELECT '9999', 'vector vector spark window query fresh document'
+), base AS (
+  SELECT id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM corpus
+), stats AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl FROM base
+), expl AS (
+  SELECT id, dl, unnest(t) AS term FROM base
+), tf AS (
+  SELECT id, dl, term, count(*) AS tf FROM expl
+  WHERE term IN ('spark', 'query', 'window', 'vector')
+  GROUP BY id, dl, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.id,
+         ln(1.0 + (N - df + 0.5) / (df + 0.5))
+         * (tf * (1.2 + 1))
+         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS ts
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+)
+SELECT id, count(*) AS n_hit_terms,
+       CAST(sum(CAST(round(ts * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+FROM scored GROUP BY id
+ORDER BY score_micro DESC, id LIMIT 10
+"""
+
+QUERIES = {"d18_cdc_bm25": d18_cdc_bm25}
+ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests

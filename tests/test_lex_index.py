@@ -1,0 +1,97 @@
+"""Incremental lexical (BM25) index — operators/lex_index.py.
+
+d18 rides inside x3_rowsonly_ann (registry at the 50-entry budget); the
+exact DuckDB oracle of the full build→CDC→query loop is pinned here at
+two scale factors via the driver's comparator.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_check import compare_one, duckdb_conn
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators import lex_index
+from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+from cdc2vec_spark.operators.text import bm25_topk
+from tests.conftest import SF0001, SF001
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d18_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d18_cdc_bm25",
+        lex_index.d18_cdc_bm25, lex_index.D18_ORACLE_SQL, sf,
+    )
+    assert not problems, problems
+
+
+def test_fresh_index_equals_batch_bm25(spark, tmp_path):
+    """A freshly-built index must reproduce the batch operator
+    bit-for-bit (same fixed-point scores, same order)."""
+    d = load_table(spark, SF0001, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    ix = IncrementalLexicalIndex(spark, str(tmp_path / "lex"))
+    ix.build(d)
+    got = [tuple(r) for r in ix.topk(("spark", "query", "window")).collect()]
+    want = [
+        tuple(r)
+        for r in bm25_topk(d, ("spark", "query", "window"), id_col="id").collect()
+    ]
+    assert got == want
+
+
+def test_cdc_update_delete_and_compact(spark, tmp_path):
+    """Hand-built loop: a delete disappears, an update is re-scored on
+    its new text (stale postings dead), compact() preserves results and
+    physically clears the tombstone log."""
+    import os
+
+    docs = spark.createDataFrame(
+        [("a", "spark spark filler"), ("b", "spark filler filler"),
+         ("c", "nothing here")],
+        "id string, text string",
+    )
+    path = str(tmp_path / "lex")
+    ix = IncrementalLexicalIndex(spark, path, n_buckets=4)
+    ix.build(docs)
+    assert [r["id"] for r in ix.topk(("spark",)).collect()] == ["a", "b"]
+
+    batch = spark.createDataFrame(
+        [("a", None, "d", 10),
+         ("c", "spark spark spark spark", "u", 11)],
+        "id string, text string, op string, lsn long",
+    )
+    ix.apply_batch(batch)
+    after = [r["id"] for r in ix.topk(("spark",)).collect()]
+    assert after == ["c", "b"]  # a gone; c re-scored on its new text
+
+    ix.apply_batch(batch)  # idempotent replay
+    assert [r["id"] for r in ix.topk(("spark",)).collect()] == after
+
+    want = [tuple(r) for r in ix.topk(("spark",)).collect()]
+    ix.compact()
+    assert [tuple(r) for r in ix.topk(("spark",)).collect()] == want
+    assert not os.path.isdir(os.path.join(path, "bucket=-1"))
+
+
+def test_topk_reads_only_query_and_meta_buckets(spark, tmp_path):
+    """Scale contract: a query must scan only its terms' bucket dirs
+    plus the tombstone/docstats partitions — asserted on the scan paths
+    in the executed plan."""
+    d = load_table(spark, SF0001, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    ix = IncrementalLexicalIndex(spark, str(tmp_path / "lex"), n_buckets=16)
+    ix.build(d)
+    import re
+
+    files = ix.topk(("spark",)).inputFiles()
+    scanned = {m for f in files for m in re.findall(r"bucket=(-?\d+)", f)}
+    assert "-2" in scanned  # docstats
+    posting_buckets = {b for b in scanned if int(b) >= 0}
+    assert len(posting_buckets) == 1  # exactly the one query term's bucket
