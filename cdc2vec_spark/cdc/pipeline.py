@@ -29,6 +29,7 @@ def build_points(
     provider,
     normalize: bool = True,
     chunk: tuple[int, int] | None = None,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Transform a (flattened) change log into sink-ready points.
 
@@ -88,6 +89,10 @@ def build_points(
     out_cols = ["id", "vector", "metadata", "op", "tbl", "pk", "lsn"]
     if chunk is not None:
         out_cols.append("base_id")
+    if keep_text:
+        # text-consuming sinks (lex_index) need the extracted text; the
+        # column rides along and vector-only consumers ignore it
+        out_cols.append("text")
     return df.select(*out_cols)
 
 
@@ -131,12 +136,15 @@ def _chunk_events(df: DataFrame, chunk: tuple[int, int]) -> DataFrame:
     return ups.unionByName(dels)
 
 
-def run_batch(changes: DataFrame, config: EngineConfig, provider) -> DataFrame:
+def run_batch(
+    changes: DataFrame, config: EngineConfig, provider, keep_text: bool = False
+) -> DataFrame:
     """All configured mappings unioned — the whole-engine batch pass."""
     outs = [
         build_points(
             changes, m, provider,
             normalize=config.normalize, chunk=config.chunk,
+            keep_text=keep_text,
         )
         for m in config.mappings
     ]

@@ -203,11 +203,34 @@ def sink_hook_for(cfg: PipelineConfig):
       engine-native keyed collection is always maintained regardless.
     """
     sink = getattr(cfg, "sink", None)
-    if sink is None or sink.type not in ("qdrant", "milvus", "ivf_index"):
+    if sink is None or sink.type not in (
+        "qdrant", "milvus", "ivf_index", "lex_index"
+    ):
         return None
     opts = sink.options or {}
     url = opts.get("url") or opts.get("addr") or ""
     collection = opts.get("collection") or "points"
+
+    if sink.type == "lex_index":
+        # maintain a disk BM25 inverted index from the same stream (the
+        # lexical twin of ivf_index — operators.lex_index). Requires the
+        # points to carry the extracted text (boot passes keep_text=True
+        # for this sink type); no cold-start special case: apply_batch
+        # on an empty directory IS the build
+        from .operators.lex_index import IncrementalLexicalIndex
+
+        lpath = opts.get("path")
+        if not lpath:
+            raise ValueError("lex_index sink requires options.path")
+        lbuckets = int(opts.get("n_buckets", 16))
+
+        def hook(pts: DataFrame) -> None:
+            ix = IncrementalLexicalIndex(
+                pts.sparkSession, lpath, n_buckets=lbuckets
+            )
+            ix.apply_batch(pts.select("id", "text", "op", "lsn"))
+
+        return hook
 
     if sink.type == "ivf_index":
         import os
@@ -359,14 +382,18 @@ def boot(
         raise ValueError(
             "chunked mode supports the engine-native collection, the "
             "writeStream-native kafka sink, and qdrant (delete-by-filter); "
-            "milvus/ivf_index delete by exact id and would strand chunk "
-            "points"
+            "milvus/ivf_index/lex_index key deletes by exact id and would "
+            "strand chunk entries"
         )
 
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 
+    keep_text = (
+        isinstance(cfg, PipelineConfig) and cfg.sink.type == "lex_index"
+    )
+
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        pts = run_batch(batch, cfg.engine, provider)
+        pts = run_batch(batch, cfg.engine, provider, keep_text=keep_text)
         if hook is None:
             coll.apply_points(pts, epoch_id)
             return

@@ -544,3 +544,60 @@ def test_boot_chunked_qdrant_replay_matches_collection(spark, sf_dir, tmp_path):
     ext_ids = set().union(*ext.values()) if ext else set()
     live_ids = {r["id"] for r in coll.live().select("id").collect()}
     assert ext_ids == live_ids
+
+
+def test_boot_maintains_lex_index_sink(spark, sf_dir, tmp_path):
+    """sink.type=lex_index: the streaming boot maintains a disk BM25
+    inverted index from the same stream — the final top-k must equal the
+    batch BM25 operator over the collection's surviving corpus."""
+    from cdc2vec_spark.config import (
+        DOCUMENTS_MAPPING,
+        EngineConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+    from cdc2vec_spark.operators.text import bm25_topk
+
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    lex_path = str(tmp_path / "lex")
+    cfg = PipelineConfig(
+        engine=EngineConfig(mappings=(DOCUMENTS_MAPPING,), vector_size=8),
+        sink=SinkConfig(type="lex_index", options={"path": lex_path}),
+    )
+    query, coll, _ = runner.boot(
+        spark,
+        config=cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    # surviving corpus per the engine-native collection (id, final text)
+    surv = coll.live().select("id", "metadata")
+    # reconstruct final text from the batch A6 state (title+content concat)
+    want_state = cdc_apply.latest_state(ch)
+    corpus = want_state.select(
+        F.concat(F.lit("public.documents:"), F.col("pk")).alias("id"),
+        F.concat_ws(
+            " ",
+            F.nullif(F.col("after_title"), F.lit("")),
+            F.nullif(F.col("after_content"), F.lit("")),
+        ).alias("text"),
+    )
+    ix = IncrementalLexicalIndex(spark, lex_path)
+    got = [tuple(r) for r in ix.topk(("spark", "query", "window")).collect()]
+    want = [
+        tuple(r)
+        for r in bm25_topk(corpus, ("spark", "query", "window"), id_col="id").collect()
+    ]
+    assert got and got == want
+    # engine-native collection still maintained alongside the sink
+    assert surv.count() == want_state.count()
