@@ -29,7 +29,8 @@ Groupings:
                          d6_features, d11_decontaminate, d12_semdedup,
                          d16_corpus_pipeline
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d15_chunk, d17_bm25, d18_cdc_bm25
+                         d3_pq_topk, d15_chunk, d17_bm25, d18_cdc_bm25,
+                         d19_hybrid
 """
 
 from __future__ import annotations
@@ -66,6 +67,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d15_chunk",
     "d17_bm25",
     "d18_cdc_bm25",
+    "d19_hybrid",
 )
 
 
@@ -151,6 +153,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines (d15: exact oracle pinned in tests/test_text_quality.py)."""
     from .lex_index import d18_cdc_bm25
     from .quantize import d3_pq_topk
+    from .retrieval import d19_hybrid
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
     from .text import d15_chunk, d17_bm25
 
@@ -165,6 +168,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d15_chunk", d15_chunk),
             ("d17_bm25", d17_bm25),
             ("d18_cdc_bm25", d18_cdc_bm25),
+            ("d19_hybrid", d19_hybrid),
         ],
     )
 
@@ -187,6 +191,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .corpus import d16_corpus_pipeline
     from .lex_index import d18_cdc_bm25
+    from .retrieval import d19_hybrid
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
@@ -228,4 +233,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d15_chunk": d15_chunk,
         "d17_bm25": d17_bm25,
         "d18_cdc_bm25": d18_cdc_bm25,
+        "d19_hybrid": d19_hybrid,
     }

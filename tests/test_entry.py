@@ -87,6 +87,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
             "d3_pq_topk", "d15_chunk", "d17_bm25", "d18_cdc_bm25",
+            "d19_hybrid",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)
