@@ -54,12 +54,21 @@ class IncrementalLexicalIndex:
     """Disk-resident inverted index with CDC-driven in-place updates."""
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16,
-                 id_col: str = "id", text_col: str = "text"):
+                 id_col: str = "id", text_col: str = "text",
+                 auto_compact_ratio: float | None = 0.5,
+                 auto_compact_min: int = 4096):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
         self.id_col = id_col
         self.text_col = text_col
+        # Auto-compaction: the tombstone partition is read+rewritten by
+        # every batch and grows O(events since last compact) — the same
+        # degradation the ANN index's trigger bounds (ann_index.__init__:
+        # compact when tombstones exceed ratio × live docstat rows AND
+        # the min floor). None disables (manual compact() only).
+        self.auto_compact_ratio = auto_compact_ratio
+        self.auto_compact_min = auto_compact_min
 
     # ------------------------------------------------------------ rows
 
@@ -148,6 +157,26 @@ class IncrementalLexicalIndex:
             .drop("_rn")
         )
         swap_buckets(merged, self.path, touched, col=BUCKET_COL)
+        if self.auto_compact_ratio is not None:
+            self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """Trigger compact() when the tombstone log outgrows the live doc
+        set — two count scans of pruned partitions per batch."""
+        tombs = read_bucketed_state(
+            self.spark, self.path, col=BUCKET_COL, buckets=[TOMB_BUCKET]
+        )
+        if tombs is None:
+            return
+        tomb_n = tombs.count()
+        if tomb_n < self.auto_compact_min:
+            return
+        docs = read_bucketed_state(
+            self.spark, self.path, col=BUCKET_COL, buckets=[DOC_BUCKET]
+        )
+        live_n = docs.count() if docs is not None else 0
+        if tomb_n > self.auto_compact_ratio * max(live_n, 1):
+            self.compact()
 
     # ----------------------------------------------------------- query
 

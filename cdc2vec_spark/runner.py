@@ -223,10 +223,15 @@ def sink_hook_for(cfg: PipelineConfig):
         if not lpath:
             raise ValueError("lex_index sink requires options.path")
         lbuckets = int(opts.get("n_buckets", 16))
+        # auto-compaction knobs, same contract as the ivf_index sink
+        lraw = opts.get("auto_compact_ratio", 0.5)
+        lratio = None if str(lraw).lower() in ("none", "off") else float(lraw)
+        lmin = int(opts.get("auto_compact_min", 4096))
 
         def hook(pts: DataFrame) -> None:
             ix = IncrementalLexicalIndex(
-                pts.sparkSession, lpath, n_buckets=lbuckets
+                pts.sparkSession, lpath, n_buckets=lbuckets,
+                auto_compact_ratio=lratio, auto_compact_min=lmin,
             )
             ix.apply_batch(pts.select("id", "text", "op", "lsn"))
 

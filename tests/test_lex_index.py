@@ -95,3 +95,36 @@ def test_topk_reads_only_query_and_meta_buckets(spark, tmp_path):
     assert "-2" in scanned  # docstats
     posting_buckets = {b for b in scanned if int(b) >= 0}
     assert len(posting_buckets) == 1  # exactly the one query term's bucket
+
+
+def test_auto_compaction_bounds_tombstone_log(spark, tmp_path):
+    """Delete-heavy batches must trigger compact() automatically: the
+    tombstone partition stays bounded without any manual call."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(str(i), f"tok{i} spark filler") for i in range(40)],
+        "id string, text string",
+    )
+    path = str(tmp_path / "lex")
+    ix = IncrementalLexicalIndex(
+        spark, path, n_buckets=4, auto_compact_ratio=0.5, auto_compact_min=8
+    )
+    ix.build(docs)
+    # delete 30 of 40 docs across several batches: tombstones would grow
+    # to 30 without the trigger; ratio 0.5 × live forces compactions
+    for lo in range(0, 30, 10):
+        batch = spark.createDataFrame(
+            [(str(i), None, "d", 100 + i) for i in range(lo, lo + 10)],
+            "id string, text string, op string, lsn long",
+        )
+        ix.apply_batch(batch)
+    tomb_dir = os.path.join(path, "bucket=-1")
+    from cdc2vec_spark.cdc.apply import read_bucketed_state
+
+    tombs = read_bucketed_state(spark, path, buckets=[-1])
+    n_tombs = tombs.count() if tombs is not None else 0
+    live = {r["id"] for r in ix.topk(("spark",), k=50).collect()}
+    assert live == {str(i) for i in range(30, 40)}
+    # the log was compacted at least once: far fewer than 30 tombstones
+    assert n_tombs <= 10, f"tombstone log unbounded: {n_tombs} rows, dir={tomb_dir}"
