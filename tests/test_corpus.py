@@ -47,3 +47,14 @@ def test_clean_corpus_stage_semantics(spark):
     )
     surv = {r["doc_id"] for r in corpus.clean_corpus(docs, bench).collect()}
     assert surv == {1, 6}
+
+
+def test_d16_plan_shape(spark):
+    """The composition stays one declarative JVM plan: decontamination's
+    benchmark side broadcast, no Python evaluation, no cartesian."""
+    plan = corpus.d16_corpus_pipeline(
+        spark, SF0001
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

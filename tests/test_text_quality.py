@@ -192,3 +192,17 @@ def test_bm25_partitioning_invariant(spark):
     a = [tuple(r) for r in bm25_topk(d, _BM25_QUERY).collect()]
     b = [tuple(r) for r in bm25_topk(d.repartition(13), _BM25_QUERY).collect()]
     assert a == b
+
+
+def test_bm25_plan_shape(spark):
+    """Scale contract: the posting explosion is pruned by an isin filter
+    (pushed into the scan stage), the df/stats tables join as broadcasts,
+    and no Python appears anywhere."""
+    from cdc2vec_spark.operators import text as T
+    from tests.conftest import SF0001
+
+    plan = T.d17_bm25(spark, SF0001)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "term#" in plan and " IN " in plan  # query-term prune predicate
