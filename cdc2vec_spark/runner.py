@@ -315,11 +315,27 @@ def sink_hook_for(cfg: PipelineConfig):
 
     ensured = {"done": False}
     dim = cfg.engine.vector_size if isinstance(cfg, PipelineConfig) else 768
+    m_chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
 
     def hook(pts: DataFrame) -> None:
         if not ensured["done"]:
             m.ensure_collection(url, collection, dim=dim)
             ensured["done"] = True
+        if m_chunked:
+            # replace-set delivery (same shape as the chunked qdrant
+            # hook): clear each affected key's chunk set via the
+            # JSON-field filter delete, then insert the winning chunks
+            fin = final_events_chunked(pts).localCheckpoint(eager=True)
+            fin.select("base_id").distinct().foreachPartition(
+                lambda rows: m.delete_by_base_partition_http(
+                    rows, url, collection
+                )
+            )
+            ins = m.insert_payloads(fin.where(F.col("op") != OP_DELETE))
+            ins.foreachPartition(
+                lambda rows: m.write_partition_http(rows, url, collection)
+            )
+            return
         fin = final_events(pts)
         ins = m.insert_payloads(fin.where(F.col("op") != OP_DELETE))
         ins.foreachPartition(
@@ -380,15 +396,15 @@ def boot(
     else:
         raise ValueError(f"unknown state_protocol: {protocol!r}")
     hook = sink_hook_for(cfg) if isinstance(cfg, PipelineConfig) else None
-    if chunked and hook is not None and cfg.sink.type != "qdrant":
-        # qdrant's chunked hook clears a key's whole chunk set via
-        # delete-by-payload-filter; milvus/ivf_index delete by exact
-        # point id and would silently strand chunk points
+    if chunked and hook is not None and cfg.sink.type not in ("qdrant", "milvus"):
+        # qdrant/milvus chunked hooks clear a key's whole chunk set via
+        # payload-filter deletes; ivf_index/lex_index key deletes by
+        # exact id and would strand chunk entries
         raise ValueError(
             "chunked mode supports the engine-native collection, the "
-            "writeStream-native kafka sink, and qdrant (delete-by-filter); "
-            "milvus/ivf_index/lex_index key deletes by exact id and would "
-            "strand chunk entries"
+            "writeStream-native kafka sink, and qdrant/milvus "
+            "(payload-filter deletes); ivf_index/lex_index key deletes by "
+            "exact id and would strand chunk entries"
         )
 
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)

@@ -33,11 +33,19 @@ INDEX = {"type": "HNSW", "M": 16, "efConstruction": 200, "metric": "IP"}  # milv
 
 def insert_payloads(points: DataFrame) -> DataFrame:
     """points(id, vector, metadata) → (id, vector, payload_json) rows —
-    the three column values of one Milvus insert (milvus.go:134-150)."""
+    the three column values of one Milvus insert (milvus.go:134-150).
+    Chunked points (a ``base_id`` column present) carry ``ext_base_id``
+    inside the payload JSON so base_delete_expr can clear a key's whole
+    chunk set server-side."""
+    payload = F.col("metadata")
+    if "base_id" in points.columns:
+        payload = F.map_concat(
+            payload, F.create_map(F.lit("ext_base_id"), F.col("base_id"))
+        )
     return points.select(
         F.col("id"),
         F.col("vector"),
-        F.to_json(F.col("metadata")).alias("payload_json"),
+        F.to_json(payload).alias("payload_json"),
     )
 
 
@@ -45,6 +53,18 @@ def delete_expr(ids: list[str]) -> str:
     """Milvus delete expression (milvus.go:160-177: `id in ["<id>"]`)."""
     quoted = ",".join('"' + i.replace('"', '\\"') + '"' for i in ids)
     return f"id in [{quoted}]"
+
+
+def base_delete_expr(bases: list[str]) -> str:
+    """Chunked-mode delete expression: OR of JSON-field equalities over
+    ``payload["ext_base_id"]`` — clears every chunk point of the listed
+    base keys without knowing their chunk counts. Milvus supports JSON
+    path filters since 2.3; like ensure_collection's index params this
+    flow is mock-verified only (no server in this environment)."""
+    return " or ".join(
+        'payload["ext_base_id"] == "' + b.replace('"', '\\"') + '"'
+        for b in bases
+    )
 
 
 def _post(url: str, path: str, body: dict, timeout_s: float) -> dict:
@@ -172,3 +192,16 @@ def delete_partition_http(
     for ids in _chunks((r["id"] for r in rows), max_points):
         _post(url, "/v2/vectordb/entities/delete",
               {"collectionName": collection, "filter": delete_expr(ids)}, timeout_s)
+
+
+def delete_by_base_partition_http(
+    rows, url: str, collection: str, timeout_s: float = 20.0,
+    max_terms: int = 256,
+) -> None:
+    """foreachPartition delete over (base_id) rows via JSON-field filter
+    expressions (base_delete_expr). ``max_terms`` is small: each term is
+    ~40 chars and Milvus caps expression length."""
+    for bases in _chunks((r["base_id"] for r in rows), max_terms):
+        _post(url, "/v2/vectordb/entities/delete",
+              {"collectionName": collection, "filter": base_delete_expr(bases)},
+              timeout_s)

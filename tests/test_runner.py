@@ -445,11 +445,11 @@ def test_boot_chunked_rejects_id_keyed_external_sinks(spark, sf_dir, tmp_path):
     )
 
     engine = dataclasses.replace(DEFAULT_CONFIG, chunk_tokens=16)
-    # milvus deletes by exact id — chunked mode must refuse it (qdrant is
-    # allowed: its hook deletes by payload filter)
+    # ivf_index deletes by exact id — chunked mode must refuse it
+    # (qdrant/milvus are allowed: their hooks delete by payload filter)
     cfg = PipelineConfig(
         engine=engine, source=SourceConfig(),
-        sink=SinkConfig(type="milvus", options={"url": "http://x"}),
+        sink=SinkConfig(type="ivf_index", options={"path": "/tmp/never"}),
     )
     ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
     chunks = str(tmp_path / "chunks")
@@ -601,3 +601,82 @@ def test_boot_maintains_lex_index_sink(spark, sf_dir, tmp_path):
     assert got and got == want
     # engine-native collection still maintained alongside the sink
     assert surv.count() == want_state.count()
+
+
+def test_boot_chunked_milvus_replay_matches_collection(spark, sf_dir, tmp_path):
+    """Chunked milvus delivery mirrors the qdrant shape with JSON-field
+    filter deletes: replaying the captured requests lands the mock on
+    exactly the collection's live chunk-id set."""
+    import dataclasses
+    import http.server
+    import json as _json
+    import re
+    import threading
+
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    events = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _ok(self):
+            body = b'{"code":0,"data":{}}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = _json.loads(self.rfile.read(n))
+            if self.path.endswith("/entities/insert"):
+                for row in body["data"]:
+                    events.append(
+                        ("up", row["payload"]["ext_base_id"], row["id"])
+                    )
+            elif self.path.endswith("/entities/delete"):
+                expr = body["filter"]
+                assert 'payload["ext_base_id"]' in expr, expr
+                for b in re.findall(r'payload\["ext_base_id"\] == "([^"]+)"', expr):
+                    events.append(("delbase", b, None))
+            self._ok()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    engine = dataclasses.replace(
+        DEFAULT_CONFIG, vector_size=8, chunk_tokens=16, chunk_stride=12
+    )
+    cfg = PipelineConfig(
+        engine=engine, source=SourceConfig(),
+        sink=SinkConfig(type="milvus", options={"url": url, "collection": "docs"}),
+    )
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        srv.shutdown()
+
+    assert any(k == "delbase" for k, *_ in events)
+    ext: dict[str, set] = {}
+    for kind, base, ext_id in events:
+        if kind == "delbase":
+            ext[base] = set()
+        else:
+            ext.setdefault(base, set()).add(ext_id)
+    ext_ids = set().union(*ext.values()) if ext else set()
+    live_ids = {r["id"] for r in coll.live().select("id").collect()}
+    assert ext_ids == live_ids
