@@ -55,6 +55,7 @@ class IncrementalLexicalIndex:
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16,
                  id_col: str = "id", text_col: str = "text",
+                 payload_cols: tuple[str, ...] = (),
                  auto_compact_ratio: float | None = 0.5,
                  auto_compact_min: int = 4096):
         self.spark = spark
@@ -62,6 +63,13 @@ class IncrementalLexicalIndex:
         self.n_buckets = n_buckets
         self.id_col = id_col
         self.text_col = text_col
+        # FILTERED lexical search (the ann_index.payload_cols twin):
+        # payload columns ride on the docstat rows, and topk's
+        # ``predicate`` pre-filters candidate docs before scoring — the
+        # top-k OF THE FILTERED SET, never a post-filtered short list.
+        # BM25 stats (N, avgdl, df) stay corpus-wide, the standard
+        # filtered-search semantics (scores don't change as filters do).
+        self.payload_cols = tuple(payload_cols)
         # Auto-compaction: the tombstone partition is read+rewritten by
         # every batch and grows O(events since last compact) — the same
         # degradation the ANN index's trigger bounds (ann_index.__init__:
@@ -79,10 +87,17 @@ class IncrementalLexicalIndex:
         has_op = "op" in batch.columns
         ups = batch.where(F.col("op") != OP_DELETE) if has_op else batch
         toks = F.split(F.lower(F.col(self.text_col)), " ")
+
+        def _null_payloads():
+            return [
+                F.lit(None).cast("string").alias(c) for c in self.payload_cols
+            ]
+
         base = ups.select(
             F.col(self.id_col).alias("id"),
             toks.alias("_t"),
             F.col("lsn").cast("long").alias("lsn"),
+            *[F.col(c).cast("string") for c in self.payload_cols],
         ).withColumn("dl", F.size("_t"))
         postings = (
             base.select("id", "dl", "lsn", F.explode("_t").alias("term"))
@@ -91,6 +106,7 @@ class IncrementalLexicalIndex:
             .select(
                 "term", "id", F.col("tf").cast("long").alias("tf"),
                 F.lit(None).cast("long").alias("dl"), "lsn",
+                *_null_payloads(),
                 _term_bucket(F.col("term"), self.n_buckets).alias(BUCKET_COL),
             )
         )
@@ -98,6 +114,7 @@ class IncrementalLexicalIndex:
             F.lit(None).cast("string").alias("term"), F.col("id"),
             F.lit(None).cast("long").alias("tf"),
             F.col("dl").cast("long").alias("dl"), "lsn",
+            *[F.col(c) for c in self.payload_cols],
             F.lit(DOC_BUCKET).cast("int").alias(BUCKET_COL),
         )
         out = postings.unionByName(docstats)
@@ -108,6 +125,7 @@ class IncrementalLexicalIndex:
                 F.lit(None).cast("long").alias("tf"),
                 F.lit(None).cast("long").alias("dl"),
                 F.col("lsn").cast("long").alias("lsn"),
+                *_null_payloads(),
                 F.lit(TOMB_BUCKET).cast("int").alias(BUCKET_COL),
             )
             out = out.unionByName(tombs)
@@ -122,6 +140,7 @@ class IncrementalLexicalIndex:
             F.col(self.id_col),
             F.col(self.text_col),
             (F.col(lsn_col) if lsn_col else F.lit(0)).cast("long").alias("lsn"),
+            *[F.col(c) for c in self.payload_cols],
         )
         ev = self._event_rows(src, with_tombs=False)
         touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
@@ -198,9 +217,20 @@ class IncrementalLexicalIndex:
             F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
         ).drop("_tlsn")
 
-    def topk(self, query_terms: tuple[str, ...], k: int = 10) -> DataFrame:
+    def topk(
+        self,
+        query_terms: tuple[str, ...],
+        k: int = 10,
+        predicate=None,
+    ) -> DataFrame:
         """BM25 top-k over the index's LIVE state: reads exactly the
-        query terms' buckets + the tombstone and docstats partitions."""
+        query terms' buckets + the tombstone and docstats partitions.
+
+        ``predicate`` (Column or SQL string over the configured
+        ``payload_cols``) PRE-filters the candidate documents — the
+        result is the true top-k of the filtered set. Corpus stats stay
+        corpus-wide (filtered-search semantics: a filter narrows the
+        candidates, it doesn't re-weight the model)."""
         tbuckets = sorted(
             {
                 r[0]
@@ -217,7 +247,9 @@ class IncrementalLexicalIndex:
         )
         if docstats is None:
             raise ValueError(f"empty lexical index at {self.path}")
-        live_docs = self._alive(docstats.select("id", "dl", "lsn"), tomb)
+        live_docs = self._alive(
+            docstats.select("id", "dl", "lsn", *self.payload_cols), tomb
+        )
         stats = live_docs.agg(
             F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
         )
@@ -234,8 +266,15 @@ class IncrementalLexicalIndex:
                 "term", "id", "tf", "lsn"
             ),
             tomb,
-        ).join(live_docs.select("id", F.col("dl")), "id")
+        ).join(live_docs.select("id", "dl", *self.payload_cols), "id")
+        # df over the WHOLE live corpus, before any predicate — filters
+        # narrow the candidates, they don't re-weight the model (scores
+        # must not change as filters do)
         df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if predicate is not None:
+            tf = tf.where(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
         scored = (
             tf.join(F.broadcast(df_t), "term")
             .crossJoin(F.broadcast(stats))

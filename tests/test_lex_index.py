@@ -128,3 +128,50 @@ def test_auto_compaction_bounds_tombstone_log(spark, tmp_path):
     assert live == {str(i) for i in range(30, 40)}
     # the log was compacted at least once: far fewer than 30 tombstones
     assert n_tombs <= 10, f"tombstone log unbounded: {n_tombs} rows, dir={tomb_dir}"
+
+
+def test_filtered_search_with_payload_columns(spark, tmp_path):
+    """payload_cols + predicate: the result is the true top-k OF THE
+    FILTERED SET with corpus-wide stats — i.e. exactly the unfiltered
+    ranking restricted to predicate-satisfying docs; and a CDC update
+    that changes a doc's payload filters by the NEW value."""
+    d = load_table(spark, SF0001, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "lang"
+    )
+    path = str(tmp_path / "lex")
+    ix = IncrementalLexicalIndex(
+        spark, path, n_buckets=8, payload_cols=("lang",)
+    )
+    ix.build(d)
+    q = ("spark", "query")
+    unfiltered = ix.topk(q, k=10**6).collect()  # full scored list
+    want = [
+        (r["id"], r["n_hit_terms"], r["score_micro"])
+        for r in unfiltered
+        if r["lang"] == "en"
+    ][:5] if "lang" in (unfiltered[0].asDict() if unfiltered else {}) else None
+    # topk output doesn't carry payload columns; recompute expectation
+    # from the doc table instead
+    en_ids = {r["id"] for r in d.where(F.col("lang") == "en").collect()}
+    want = [
+        (r["id"], r["n_hit_terms"], r["score_micro"])
+        for r in unfiltered if r["id"] in en_ids
+    ][:5]
+    got = [
+        (r["id"], r["n_hit_terms"], r["score_micro"])
+        for r in ix.topk(q, k=5, predicate="lang = 'en'").collect()
+    ]
+    assert got == want and got
+
+    # CDC: retag the top filtered doc to lang 'zz' — it must drop out
+    top_id = got[0][0]
+    top_text = d.where(F.col("id") == top_id).first()["text"]
+    batch = spark.createDataFrame(
+        [(top_id, top_text, "zz", "u", 99)],
+        "id string, text string, lang string, op string, lsn long",
+    )
+    ix.apply_batch(batch)
+    after = [r["id"] for r in ix.topk(q, k=5, predicate="lang = 'en'").collect()]
+    assert top_id not in after
+    zz = [r["id"] for r in ix.topk(q, k=5, predicate="lang = 'zz'").collect()]
+    assert zz == [top_id]
