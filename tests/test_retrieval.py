@@ -41,3 +41,77 @@ def test_rrf_fusion_semantics(spark):
     assert by[20]["fused_micro"] > by[10]["fused_micro"]
     assert [r["doc_id"] for r in rows][0] == 20
     assert set(by) == {10, 20, 30, 40}
+
+
+def test_hybrid_over_incremental_indexes(spark, tmp_path):
+    """The composition the engine exists for: BOTH CDC-maintained
+    indexes (IVF vector + BM25 lexical) answer one hybrid query via
+    rrf_fuse, and a CDC delete applied to both drops the doc from the
+    fused result."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators.ann_index import IncrementalIvfIndex
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    embs = load_table(spark, SF0001, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    ivf = IncrementalIvfIndex(spark, str(tmp_path / "ivf"))
+    ivf.build(embs)
+    lex = IncrementalLexicalIndex(spark, str(tmp_path / "lex"), n_buckets=8)
+    lex.build(docs)
+
+    import numpy as np
+
+    qv = np.array(
+        embs.where(F.col("id") == "3").first()["vector"], dtype=np.float64
+    )
+
+    def fused_ids():
+        dense = (
+            ivf.topk(qv, k=10, nprobe=10**6)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("sim").desc(), F.col("id"))
+                ),
+            )
+            .select("id", "rank")
+        )
+        lexr = (
+            lex.topk(("spark", "query", "window"), k=10)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("score_micro").desc(), F.col("id"))
+                ),
+            )
+            .select("id", "rank")
+        )
+        return [
+            r["id"] for r in retrieval.rrf_fuse([dense, lexr], id_col="id").collect()
+        ]
+
+    before = fused_ids()
+    assert before
+    victim = before[0]
+    batch = spark.createDataFrame(
+        [(victim, None, "d", 50)],
+        "id string, vector array<float>, op string, lsn long",
+    )
+    ivf.apply_batch(batch)
+    lex.apply_batch(
+        spark.createDataFrame(
+            [(victim, None, "d", 50)],
+            "id string, text string, op string, lsn long",
+        )
+    )
+    after = fused_ids()
+    assert victim not in after and after
