@@ -227,13 +227,19 @@ def sink_hook_for(cfg: PipelineConfig):
         lraw = opts.get("auto_compact_ratio", 0.5)
         lratio = None if str(lraw).lower() in ("none", "off") else float(lraw)
         lmin = int(opts.get("auto_compact_min", 4096))
+        # filtered search: options.payload_cols = "tbl,pk" (columns of
+        # the points frame to store on docstats for topk predicates)
+        lpay = tuple(
+            c.strip() for c in str(opts.get("payload_cols", "")).split(",") if c.strip()
+        )
 
         def hook(pts: DataFrame) -> None:
             ix = IncrementalLexicalIndex(
                 pts.sparkSession, lpath, n_buckets=lbuckets,
+                payload_cols=lpay,
                 auto_compact_ratio=lratio, auto_compact_min=lmin,
             )
-            ix.apply_batch(pts.select("id", "text", "op", "lsn"))
+            ix.apply_batch(pts.select("id", "text", "op", "lsn", *lpay))
 
         return hook
 
