@@ -115,3 +115,63 @@ def test_hybrid_over_incremental_indexes(spark, tmp_path):
     )
     after = fused_ids()
     assert victim not in after and after
+
+
+def test_filtered_hybrid_over_incremental_indexes(spark, tmp_path):
+    """Filtered hybrid: the same predicate applied on BOTH indexes'
+    payload columns — every fused result satisfies it, and the fusion is
+    the RRF of the two filtered rankings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators.ann_index import IncrementalIvfIndex
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "lang"
+    )
+    embs = load_table(spark, SF0001, "embeddings").join(
+        load_table(spark, SF0001, "documents").select("doc_id", "lang"),
+        F.col("vec_id") == F.col("doc_id"),
+    ).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        "lang",
+    )
+    ivf = IncrementalIvfIndex(
+        spark, str(tmp_path / "ivf"), payload_cols=("lang",)
+    )
+    ivf.build(embs)
+    lex = IncrementalLexicalIndex(
+        spark, str(tmp_path / "lex"), n_buckets=8, payload_cols=("lang",)
+    )
+    lex.build(docs)
+
+    import numpy as np
+
+    qv = np.array(
+        embs.where(F.col("id") == "3").first()["vector"], dtype=np.float64
+    )
+    dense = (
+        ivf.topk(qv, k=10, nprobe=10**6, predicate="lang = 'en'")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("sim").desc(), F.col("id"))),
+        )
+        .select("id", "rank")
+    )
+    lexr = (
+        lex.topk(("spark", "query"), k=10, predicate="lang = 'en'")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), F.col("id"))
+            ),
+        )
+        .select("id", "rank")
+    )
+    fused = [r["id"] for r in retrieval.rrf_fuse([dense, lexr], id_col="id").collect()]
+    en_ids = {r["id"] for r in docs.where(F.col("lang") == "en").collect()}
+    assert fused and set(fused) <= en_ids
