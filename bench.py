@@ -122,6 +122,12 @@ def main() -> None:
     manifest_probe = _manifest_vs_swap(spark)
     print(f"# manifest_vs_swap: {manifest_probe}", file=sys.stderr)
 
+    # Incremental lexical index: per-batch apply wall + query latency
+    # against a 2x-scaled corpus state (the BM25 twin of the CDC-apply
+    # probes; the index is the round-6 lex_index sink's engine)
+    lex_probe = _lex_index_probe(spark, sf_dir)
+    print(f"# lex_index: {lex_probe}", file=sys.stderr)
+
     # best-of-3 per query: single-shot numbers on a busy 32-thread box swing
     # 2-4x with GC/compilation/co-tenant noise; min is the standard
     # steady-state read. Spread (max-min) is emitted per query so a
@@ -153,6 +159,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_spread": spread,
                 "delta_vs_prev": _delta_vs_prev(timings),
+                "lex_index": lex_probe,
                 "cdc_apply_state_scale": apply_scale,
                 "manifest_vs_swap": manifest_probe,
                 "cdc_changes_per_sec": cdc_rate,
@@ -234,6 +241,58 @@ def _sink_upsert_rate(spark, n: int = 20_000, dim: int = 768) -> int:
         return round(n / min(secs))
     finally:
         srv.shutdown()
+
+
+def _lex_index_probe(spark, sf_dir: str) -> dict:
+    """Build the incremental BM25 index over documents ∪ a shifted copy
+    (2× corpus), then measure best-of-3: a 64-doc CDC batch apply and a
+    4-term top-10 query. Auto-compaction off so the numbers isolate the
+    steady-state apply/query paths."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    corpus = d.unionByName(
+        d.select(F.concat(F.lit("c"), F.col("id")).alias("id"), "text")
+    )
+    batch = d.limit(64).select(
+        "id", "text", F.lit("u").alias("op"),
+        (F.xxhash64("id") % 1000 + 10_000).alias("lsn"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_lex_")
+    out: dict[str, float | int] = {}
+    try:
+        ix = IncrementalLexicalIndex(
+            spark, f"{root}/lex", n_buckets=32, auto_compact_ratio=None
+        )
+        t0 = time.perf_counter()
+        ix.build(corpus)
+        out["build_secs"] = round(time.perf_counter() - t0, 3)
+        out["corpus_docs"] = corpus.count()
+        secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ix.apply_batch(batch)
+            secs.append(time.perf_counter() - t0)
+        out["apply_batch64_secs"] = round(min(secs), 3)
+        secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ix.topk(("spark", "query", "window", "vector"), k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            secs.append(time.perf_counter() - t0)
+        out["query_secs"] = round(min(secs), 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _manifest_vs_swap(spark) -> dict:
