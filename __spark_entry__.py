@@ -30,10 +30,14 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         pass
     try:
         from cdc2vec_spark.operators import ann_index as _ann_index
+        from cdc2vec_spark.operators import corpus as _corpus
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
+        from cdc2vec_spark.operators import lex_index as _lex_index
         from cdc2vec_spark.operators import multimodal as _multimodal
         from cdc2vec_spark.operators import quantize as _quantize
+        from cdc2vec_spark.operators import retrieval as _retrieval
+        from cdc2vec_spark.operators import sampling as _sampling
         from cdc2vec_spark.operators import selection as _selection
         from cdc2vec_spark.operators import similarity as _similarity
         from cdc2vec_spark.operators import text as _text
@@ -41,7 +45,8 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
 
         modules.extend(
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
-             _selection, _ann_index, _text, _vectors]
+             _selection, _ann_index, _text, _vectors,
+             _sampling, _corpus, _lex_index, _retrieval]
         )
     except ImportError:
         pass

@@ -131,4 +131,5 @@ ORDER BY q.source, q.lang
 """
 
 QUERIES = {"d16_corpus_pipeline": d16_corpus_pipeline}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+# round-7 rotation: individually graded (was composite-delivered in r06)
+ORACLES = {"d16_corpus_pipeline": D16_ORACLE_SQL}

@@ -156,4 +156,5 @@ ORDER BY t.doc_id
 """
 
 QUERIES = {"d11_decontaminate": d11_decontaminate}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+# round-7 rotation: individually graded (was composite-delivered in r06)
+ORACLES = {"d11_decontaminate": D11_ORACLE_SQL}

@@ -395,4 +395,5 @@ ORDER BY score_micro DESC, id LIMIT 10
 """
 
 QUERIES = {"d18_cdc_bm25": d18_cdc_bm25}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+# round-7 rotation: individually graded (was composite-delivered in r06)
+ORACLES = {"d18_cdc_bm25": D18_ORACLE_SQL}

@@ -352,9 +352,13 @@ QUERIES = {
     "b14_json_extract": b14_json_extract,
     "b15_scalar_subquery": b15_scalar_subquery,
     "b16_sketches": b16_sketches,
+    # round-7 rotation: individually graded (was composite-delivered)
+    "b17_pivot": b17_pivot,
 }
 
 ORACLES = {
+    # round-7 rotation: individually graded (was composite-delivered)
+    "b17_pivot": B17_ORACLE_SQL,
     "b1_scan_count": "SELECT count(*) AS n FROM lineitem",
     "b2_project_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "

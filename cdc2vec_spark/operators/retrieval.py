@@ -150,4 +150,5 @@ ORDER BY fused_micro DESC, doc_id LIMIT 10
 """
 
 QUERIES = {"d19_hybrid": d19_hybrid}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+# round-7 rotation: individually graded (was composite-delivered in r06)
+ORACLES = {"d19_hybrid": D19_ORACLE_SQL}

@@ -200,3 +200,14 @@ def d10_pack(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=64).orderBy("doc_id")
+
+
+QUERIES = {
+    "d10_split": d10_split,
+    "d10_pack": d10_pack,
+    "d14_stratified": d14_stratified,
+}
+# d14 individually graded since round 7; d10_split/d10_pack stay
+# rows-only (hash-rank splits / FFD packing are not SQL-expressible)
+# and ride inside the x1 composite.
+ORACLES = {"d14_stratified": D14_ORACLE_SQL}

@@ -166,4 +166,5 @@ ORDER BY bt.doc_id
 """
 
 QUERIES = {"d13_dsir": d13_dsir}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+# round-7 rotation: individually graded (was composite-delivered in r06)
+ORACLES = {"d13_dsir": D13_ORACLE_SQL}

@@ -402,9 +402,15 @@ QUERIES = {
     "t5_regex_tokens": t5_regex_tokens,
     "t3_lang_guess": t3_lang_guess,
     "t4_fingerprint": t4_fingerprint,
+    # round-7 rotation: individually graded (were composite-delivered)
+    "d15_chunk": d15_chunk,
+    "d17_bm25": d17_bm25,
 }
 
 ORACLES = {
+    # round-7 rotation: individually graded (were composite-delivered)
+    "d15_chunk": D15_ORACLE_SQL,
+    "d17_bm25": D17_ORACLE_SQL,
     "d4_text_stats": (
         "SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, "
         "round(avg(length(text)), 2) AS avg_len FROM documents "

@@ -93,12 +93,12 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list
 # shorter CORRECTNESS file. Update this set when a query is added.
 EXPECTED_QUERIES = frozenset(
     [f"b{i}_{s}" for i, s in [
-        (1, "scan_count"), (2, "project_filter"), (3, "broadcast_join"),
+        (2, "project_filter"), (3, "broadcast_join"),
         (4, "multiway_join"), (5, "semi_join"), (5, "anti_join"),
         (6, "hash_agg"), (7, "count_distinct"), (8, "rollup"), (8, "cube"),
-        (9, "rank_window"), (10, "running_sum"), (11, "topk"),
-        (12, "intersect"), (13, "scalar_funcs"), (14, "array_dim"),
-        (14, "json_extract"), (15, "scalar_subquery"),
+        (9, "rank_window"), (10, "running_sum"),
+        (14, "array_dim"), (15, "scalar_subquery"),
+        (17, "pivot"),
     ]]
     + ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
        "a5_metadata", "a6_last_write_wins", "a7_l2_normalize"]
@@ -110,11 +110,16 @@ EXPECTED_QUERIES = frozenset(
        "d4_text_stats", "d5_slicing",
        "d6_multimodal", "d7_embedding_stats",
        "d8_cosine_neardup"]
-    + ["t1_token_count", "t2_quality_score", "t3_lang_guess",
-       "t4_fingerprint", "t5_regex_tokens"]
-    # the rows-only queries ride inside these 3 composites so the
-    # registry fits the driver's 50-entry grading budget (SURVEY §2.3)
-    + ["x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann"]
+    # round-7 rotation: the nine round-6 exact-oracle operators now hold
+    # individual graded slots (VERDICT r06 ask #2)
+    + ["d11_decontaminate", "d13_dsir", "d14_stratified", "d15_chunk",
+       "d16_corpus_pipeline", "d17_bm25", "d18_cdc_bm25", "d19_hybrid"]
+    # the rows-only queries (and the ten stable queries rotated out for
+    # round 7 — t1-t5, b1, b11, b12, b13, b14_json, oracles pinned in
+    # tests/test_rotated_oracles.py) ride inside these 4 composites so
+    # the registry fits the driver's 50-entry grading budget (SURVEY §2.3)
+    + ["x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann",
+       "x4_rowsonly_stable"]
 )
 
 

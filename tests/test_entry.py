@@ -36,12 +36,14 @@ def test_every_query_callable():
 
 
 @pytest.mark.parametrize("rows_only", [
-    # documented rows-only (no SQL oracle) set — since round 6 the 11
-    # individual rows-only queries ride inside these 3 composites
-    # (operators/composite.py) so the registry fits the driver's proven
-    # 50-entry grading budget. Additions need a pinned engine test per
-    # SURVEY §5; removals should convert the entry to a full oracle row.
-    {"x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann"}
+    # documented rows-only (no SQL oracle) set — the individual
+    # rows-only queries (and, for round 7, the ten rotated-out stable
+    # queries) ride inside these 4 composites (operators/composite.py)
+    # so the registry fits the driver's proven 50-entry grading budget.
+    # Additions need a pinned engine test per SURVEY §5; removals should
+    # convert the entry to a full oracle row.
+    {"x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann",
+     "x4_rowsonly_stable"}
 ])
 def test_rows_only_set_is_exactly_documented(rows_only):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -77,17 +79,22 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
     expected = {
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
-            "b16_sketches", "b17_pivot", "c4_watermark", "c8_interval_join",
-            "d10_split", "d10_pack", "d13_dsir", "d14_stratified",
+            "b16_sketches", "c4_watermark", "c8_interval_join",
+            "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",
-            "d11_decontaminate", "d12_semdedup", "d16_corpus_pipeline",
+            "d12_semdedup",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
-            "d3_pq_topk", "d15_chunk", "d17_bm25", "d18_cdc_bm25",
-            "d19_hybrid",
+            "d3_pq_topk",
+        },
+        "x4_rowsonly_stable": {
+            "t1_token_count", "t2_quality_score", "t3_lang_guess",
+            "t4_fingerprint", "t5_regex_tokens", "b1_scan_count",
+            "b11_topk", "b12_intersect", "b13_scalar_funcs",
+            "b14_json_extract",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)
