@@ -45,6 +45,8 @@ def clean_corpus(
 
     Returns the surviving rows of ``docs`` (all columns).
     """
+    from pyspark import StorageLevel
+
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     deduped = (
         docs.withColumn("_rn", F.row_number().over(w))
@@ -59,6 +61,15 @@ def clean_corpus(
             >= _MIN_DIVERSITY
         )
     )
+    # quality feeds BOTH decontaminate's gram explode and the final
+    # left-semi join; Catalyst does not dedupe a common subplan across a
+    # join, so without a persist the dedup window + quality predicate run
+    # twice — at 100 TB that is a second full scan + shuffle of the
+    # corpus. persist() registers the canonicalized plan with the
+    # CacheManager once (repeated calls reuse the same entry; eviction is
+    # LRU), so the executed plan reads quality from InMemoryTableScan on
+    # the join side.
+    quality = quality.persist(StorageLevel.MEMORY_AND_DISK)
     keep = decontaminate(quality, benchmark, id_col=id_col, text_col=text_col)
     return quality.join(
         keep.where(~F.col("contaminated")).select(id_col),

@@ -175,3 +175,86 @@ def test_filtered_search_with_payload_columns(spark, tmp_path):
     assert top_id not in after
     zz = [r["id"] for r in ix.topk(q, k=5, predicate="lang = 'zz'").collect()]
     assert zz == [top_id]
+
+
+def test_rebuild_wipes_stale_state(spark, tmp_path):
+    """Round-7 fix (ADVICE r06): build() into a non-empty path must wipe
+    prior state — otherwise stale term buckets survive and old
+    tombstones (lsn > 0) outrank every rebuilt row (lsn 0), silently
+    dropping the whole rebuilt corpus from results."""
+    path = str(tmp_path / "lex")
+    a = spark.createDataFrame(
+        [("a1", "spark alpha"), ("a2", "spark beta")], "id string, text string"
+    )
+    ix = IncrementalLexicalIndex(spark, path, n_buckets=4)
+    ix.build(a)
+    # delete a1 → tombstone with lsn 5 survives in bucket=-1
+    ix.apply_batch(
+        spark.createDataFrame([("a1", None, "d", 5)],
+                              "id string, text string, op string, lsn long")
+    )
+    b = spark.createDataFrame(
+        [("b1", "spark gamma"), ("b2", "delta words")], "id string, text string"
+    )
+    ix2 = IncrementalLexicalIndex(spark, path, n_buckets=4)
+    ix2.build(b)
+    got = {r["id"] for r in ix2.topk(("spark",), k=10).collect()}
+    assert got == {"b1"}  # no a-corpus leftovers, no tombstone shadowing
+
+
+def test_schema_freeze_rejects_mismatched_writer(spark, tmp_path):
+    """Round-7 fix (ADVICE r06): the build-time schema freeze makes a
+    writer configured with different payload columns fail loudly instead
+    of mis-merging into the bucket files."""
+    path = str(tmp_path / "lex")
+    docs = spark.createDataFrame(
+        [("a", "spark words", "en")], "id string, text string, lang string"
+    )
+    ix = IncrementalLexicalIndex(spark, path, n_buckets=4, payload_cols=("lang",))
+    ix.build(docs)
+    bad = IncrementalLexicalIndex(spark, path, n_buckets=4)  # no payload_cols
+    with pytest.raises(ValueError, match="schema"):
+        bad.apply_batch(
+            spark.createDataFrame([("b", "more words", "c", 7)],
+                                  "id string, text string, op string, lsn long")
+        )
+
+
+def test_compaction_counters_track_disk_without_count_jobs(spark, tmp_path):
+    """Round-7 fix (VERDICT r06 #3): the compaction trigger reads
+    Observation-fed counters piggybacked on the merge write. The
+    counters must equal the on-disk partition counts after build and
+    after each batch, and the trigger check must not re-read state when
+    the counters are warm."""
+    from unittest import mock
+
+    from cdc2vec_spark.cdc.apply import read_bucketed_state
+
+    path = str(tmp_path / "lex")
+    docs = spark.createDataFrame(
+        [("a", "spark alpha"), ("b", "beta words"), ("c", "gamma spark")],
+        "id string, text string",
+    )
+    ix = IncrementalLexicalIndex(spark, path, n_buckets=4)
+    ix.build(docs)
+    assert ix._tomb_rows == 0 and ix._doc_rows == 3
+    ix.apply_batch(
+        spark.createDataFrame(
+            [("a", None, "d", 10), ("d", "fresh spark doc", "c", 11)],
+            "id string, text string, op string, lsn long",
+        )
+    )
+    tombs = read_bucketed_state(
+        spark, path, col=lex_index.BUCKET_COL, buckets=[lex_index.TOMB_BUCKET]
+    ).count()
+    docstats = read_bucketed_state(
+        spark, path, col=lex_index.BUCKET_COL, buckets=[lex_index.DOC_BUCKET]
+    ).count()
+    assert ix._tomb_rows == tombs and ix._doc_rows == docstats
+    # warm counters (below the compact floor): the trigger must decide
+    # from the cached longs, not fresh count jobs
+    with mock.patch.object(
+        lex_index, "read_bucketed_state",
+        side_effect=AssertionError("trigger must not re-read state"),
+    ):
+        ix._maybe_compact()
