@@ -140,6 +140,13 @@ def load_yaml(path: str) -> "PipelineConfig":
         chunk_stride=int(embed.get("chunk_stride") or 0),
     )
     sink_type = sink.get("type", "")
+    # engine extension: top-level `sinks:` list (same per-entry shape as
+    # `sink:`) → multi-sink fanout from one stream (PipelineConfig doc)
+    extra = tuple(
+        SinkConfig(type=t, options=dict(s.get(t) or {}))
+        for s in (raw.get("sinks") or ())
+        if (t := s.get("type", ""))
+    )
     return PipelineConfig(
         engine=engine,
         source=SourceConfig(
@@ -154,6 +161,7 @@ def load_yaml(path: str) -> "PipelineConfig":
             offset_store=src.get("offset_store", ""),
         ),
         sink=SinkConfig(type=sink_type, options=dict(sink.get(sink_type) or {})),
+        extra_sinks=extra,
         embed_url=embed.get("url", ""),
         embed_model=embed.get("model", ""),
         http_addr=http.get("addr") or ":8080",  # config.go:109-111
@@ -173,11 +181,26 @@ def load_from_env() -> "PipelineConfig":
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    """The whole config file (≅ config.go:77-84)."""
+    """The whole config file (≅ config.go:77-84).
+
+    ``extra_sinks`` is an engine extension the reference doesn't have
+    (config.go supports exactly one sink): one CDC stream fanning out to
+    several sinks per micro-batch — the production topology the
+    incremental indexes imply (vector collection + ivf_index +
+    lex_index maintained from the same change log). YAML: a top-level
+    ``sinks:`` list of the same per-sink shape as ``sink:``."""
 
     engine: EngineConfig
     source: SourceConfig = field(default_factory=SourceConfig)
     sink: SinkConfig = field(default_factory=SinkConfig)
+    extra_sinks: tuple[SinkConfig, ...] = ()
     embed_url: str = ""
     embed_model: str = ""
     http_addr: str = ":8080"
+
+    @property
+    def all_sinks(self) -> tuple[SinkConfig, ...]:
+        """Primary sink + extras, empty-typed entries dropped."""
+        return tuple(
+            s for s in (self.sink, *self.extra_sinks) if s is not None and s.type
+        )

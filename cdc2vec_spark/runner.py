@@ -186,7 +186,7 @@ def final_events_chunked(pts: DataFrame) -> DataFrame:
     )
 
 
-def sink_hook_for(cfg: PipelineConfig):
+def sink_hook_for(cfg: PipelineConfig, sink=None):
     """main.go:66-100 sink factory, config-driven: returns a per-batch
     delivery hook (points DataFrame → external sink) or None.
 
@@ -201,8 +201,12 @@ def sink_hook_for(cfg: PipelineConfig):
     - ``kafka`` / empty: None — Kafka delivery is writeStream-native
       (``sinks.kafka.to_kafka_messages`` + format('kafka')), and the
       engine-native keyed collection is always maintained regardless.
+
+    ``sink`` defaults to ``cfg.sink``; ``sink_hooks_for`` passes each
+    configured sink explicitly for the multi-sink fanout.
     """
-    sink = getattr(cfg, "sink", None)
+    if sink is None:
+        sink = getattr(cfg, "sink", None)
     if sink is None or sink.type not in (
         "qdrant", "milvus", "ivf_index", "lex_index"
     ):
@@ -233,12 +237,19 @@ def sink_hook_for(cfg: PipelineConfig):
             c.strip() for c in str(opts.get("payload_cols", "")).split(",") if c.strip()
         )
 
+        lcache: dict[str, IncrementalLexicalIndex] = {}
+
         def hook(pts: DataFrame) -> None:
-            ix = IncrementalLexicalIndex(
-                pts.sparkSession, lpath, n_buckets=lbuckets,
-                payload_cols=lpay,
-                auto_compact_ratio=lratio, auto_compact_min=lmin,
-            )
+            # one writer instance across batches: its Observation-fed
+            # compaction counters carry over, so the trigger check stays
+            # free of count jobs after the first batch
+            ix = lcache.get("ix")
+            if ix is None:
+                ix = lcache["ix"] = IncrementalLexicalIndex(
+                    pts.sparkSession, lpath, n_buckets=lbuckets,
+                    payload_cols=lpay,
+                    auto_compact_ratio=lratio, auto_compact_min=lmin,
+                )
             ix.apply_batch(pts.select("id", "text", "op", "lsn", *lpay))
 
         return hook
@@ -264,12 +275,17 @@ def sink_hook_for(cfg: PipelineConfig):
         if pq is not None and len(pq) != 2:
             raise ValueError(f"ivf_index options.pq must be 'm,k', got {raw_pq!r}")
 
+        icache: dict[str, IncrementalIvfIndex] = {}
+
         def hook(pts: DataFrame) -> None:
-            ix = IncrementalIvfIndex(
-                pts.sparkSession, path,
-                auto_compact_ratio=ratio, auto_compact_min=compact_min,
-                pq=pq,
-            )
+            # one writer instance across batches (see lex_index hook)
+            ix = icache.get("ix")
+            if ix is None:
+                ix = icache["ix"] = IncrementalIvfIndex(
+                    pts.sparkSession, path,
+                    auto_compact_ratio=ratio, auto_compact_min=compact_min,
+                    pq=pq,
+                )
             if not os.path.exists(path + "_centroids"):
                 # cold start: train centroids on the first batch's
                 # vectors (standard IVF practice — retrain = offline
@@ -354,6 +370,32 @@ def sink_hook_for(cfg: PipelineConfig):
     return hook
 
 
+def sink_hooks_for(cfg: PipelineConfig):
+    """Multi-sink fanout (engine extension; the reference's config.go
+    supports exactly one sink): one delivery hook per configured sink —
+    the primary ``sink:`` plus the ``sinks:`` list — composed into a
+    single per-batch hook. This is the production topology the two
+    incremental indexes imply: one CDC stream simultaneously maintains
+    the external vector collection, the disk IVF index, and the lexical
+    BM25 index. boot() persists the batch's points before the fanout, so
+    the embed pipeline runs once regardless of sink count."""
+    hooks = [
+        h
+        for s in cfg.all_sinks
+        if (h := sink_hook_for(cfg, s)) is not None
+    ]
+    if not hooks:
+        return None
+    if len(hooks) == 1:
+        return hooks[0]
+
+    def fanout(pts: DataFrame) -> None:
+        for h in hooks:
+            h(pts)
+
+    return fanout
+
+
 def boot(
     spark: SparkSession,
     config: PipelineConfig | str | None,
@@ -401,22 +443,28 @@ def boot(
         )
     else:
         raise ValueError(f"unknown state_protocol: {protocol!r}")
-    hook = sink_hook_for(cfg) if isinstance(cfg, PipelineConfig) else None
-    if chunked and hook is not None and cfg.sink.type not in ("qdrant", "milvus"):
-        # qdrant/milvus chunked hooks clear a key's whole chunk set via
-        # payload-filter deletes; ivf_index/lex_index key deletes by
-        # exact id and would strand chunk entries
-        raise ValueError(
-            "chunked mode supports the engine-native collection, the "
-            "writeStream-native kafka sink, and qdrant/milvus "
-            "(payload-filter deletes); ivf_index/lex_index key deletes by "
-            "exact id and would strand chunk entries"
-        )
+    hook = sink_hooks_for(cfg) if isinstance(cfg, PipelineConfig) else None
+    if chunked and isinstance(cfg, PipelineConfig):
+        bad = [
+            s.type
+            for s in cfg.all_sinks
+            if s.type in ("ivf_index", "lex_index")
+        ]
+        if bad:
+            # qdrant/milvus chunked hooks clear a key's whole chunk set
+            # via payload-filter deletes; ivf_index/lex_index key deletes
+            # by exact id and would strand chunk entries
+            raise ValueError(
+                "chunked mode supports the engine-native collection, the "
+                "writeStream-native kafka sink, and qdrant/milvus "
+                "(payload-filter deletes); these sinks key deletes by "
+                f"exact id and would strand chunk entries: {bad}"
+            )
 
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 
-    keep_text = (
-        isinstance(cfg, PipelineConfig) and cfg.sink.type == "lex_index"
+    keep_text = isinstance(cfg, PipelineConfig) and any(
+        s.type == "lex_index" for s in cfg.all_sinks
     )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:

@@ -96,3 +96,30 @@ def test_load_from_env(tmp_path, monkeypatch):
     monkeypatch.delenv("CONFIG_PATH")
     with pytest.raises(ValueError, match="CONFIG_PATH"):
         load_from_env()
+
+
+def test_multi_sink_yaml(tmp_path):
+    """Round-7: a top-level `sinks:` list (same per-entry shape as
+    `sink:`) configures the multi-sink fanout; all_sinks is primary +
+    extras with empty types dropped."""
+    p = tmp_path / "multi.yaml"
+    p.write_text(
+        "sink:\n"
+        "  type: qdrant\n"
+        "  qdrant: {url: 'http://q:6333', collection: docs}\n"
+        "sinks:\n"
+        "  - type: ivf_index\n"
+        "    ivf_index: {path: /tmp/ivf}\n"
+        "  - type: lex_index\n"
+        "    lex_index: {path: /tmp/lex, n_buckets: 8}\n"
+    )
+    cfg = load_yaml(str(p))
+    assert [s.type for s in cfg.all_sinks] == ["qdrant", "ivf_index", "lex_index"]
+    assert cfg.all_sinks[2].options == {"path": "/tmp/lex", "n_buckets": 8}
+
+
+def test_all_sinks_drops_empty(tmp_path):
+    p = tmp_path / "nosink.yaml"
+    p.write_text("embed: {vector_size: 8}\n")
+    cfg = load_yaml(str(p))
+    assert cfg.all_sinks == ()

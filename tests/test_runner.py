@@ -680,3 +680,127 @@ def test_boot_chunked_milvus_replay_matches_collection(spark, sf_dir, tmp_path):
     ext_ids = set().union(*ext.values()) if ext else set()
     live_ids = {r["id"] for r in coll.live().select("id").collect()}
     assert ext_ids == live_ids
+
+
+def test_boot_multi_sink_fanout(spark, sf_dir, tmp_path):
+    """Round-7 (VERDICT r06 #7): one boot() stream fans out to several
+    sinks — the external qdrant collection (mock), the incremental IVF
+    index, and the incremental lexical index — and all three final
+    states must be consistent with the engine-native collection."""
+    import http.server
+    import threading
+
+    import numpy as np
+
+    from cdc2vec_spark.config import (
+        DOCUMENTS_MAPPING,
+        EngineConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from cdc2vec_spark.operators.ann_index import IncrementalIvfIndex
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+    from cdc2vec_spark.operators.text import bm25_topk
+    from cdc2vec_spark.sinks.qdrant import fnv1a64_py
+
+    upserted, deleted = [], []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _ok(self):
+            body = b'{"status":"ok"}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            n = int(self.headers["Content-Length"])
+            pts = json.loads(self.rfile.read(n))["points"]
+            upserted.extend(p["payload"]["ext_id"] for p in pts)
+            self._ok()
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            deleted.extend(json.loads(self.rfile.read(n))["points"])
+            self._ok()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    ivf_path, lex_path = str(tmp_path / "ivf"), str(tmp_path / "lex")
+    cfg = PipelineConfig(
+        engine=EngineConfig(mappings=(DOCUMENTS_MAPPING,), vector_size=8),
+        sink=SinkConfig(type="qdrant", options={"url": url, "collection": "docs"}),
+        extra_sinks=(
+            SinkConfig(type="ivf_index", options={"path": ivf_path}),
+            SinkConfig(type="lex_index", options={"path": lex_path}),
+        ),
+    )
+    query, coll, _ = runner.boot(
+        spark,
+        config=cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    srv.shutdown()
+
+    live = coll.live().select("id", "vector").collect()
+    live_ids = sorted(r["id"] for r in live)
+    want_state = cdc_apply.latest_state(ch)
+    assert len(live_ids) == want_state.count()
+
+    # 1. qdrant mock: last delivery outcome per external point id must
+    # leave exactly the live set
+    ext = {}
+    for i in upserted:
+        ext[fnv1a64_py(i)] = i
+    # replay order isn't captured across PUT/POST here; assert set-level
+    # consistency instead: every live id was upserted, every dead id's
+    # point id was deleted at least once
+    assert {fnv1a64_py(i) for i in live_ids} <= set(ext)
+    dead_ids = set(ext.values()) - set(live_ids)
+    assert {fnv1a64_py(i) for i in dead_ids} <= set(deleted)
+
+    # 2. IVF index: full-probe top-5 for a live vector == exact cosine
+    # over the collection's live vectors
+    qrow = max(live, key=lambda r: r["id"])
+    qv = np.asarray(qrow["vector"], dtype=np.float64)
+    ix = IncrementalIvfIndex(spark, ivf_path)
+    got_ann = [r["id"] for r in ix.topk(qv, k=5, nprobe=1_000_000).collect()]
+    sims = []
+    for r in live:
+        v = np.asarray(r["vector"], dtype=np.float64)
+        s = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        sims.append((round(s, 6), r["id"]))
+    want_ann = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+    assert got_ann == want_ann
+
+    # 3. lexical index: top-k == batch BM25 over the reconstructed corpus
+    corpus = want_state.select(
+        F.concat(F.lit("public.documents:"), F.col("pk")).alias("id"),
+        F.concat_ws(
+            " ",
+            F.nullif(F.col("after_title"), F.lit("")),
+            F.nullif(F.col("after_content"), F.lit("")),
+        ).alias("text"),
+    )
+    lx = IncrementalLexicalIndex(spark, lex_path)
+    got_lex = [tuple(r) for r in lx.topk(("spark", "query", "window")).collect()]
+    want_lex = [
+        tuple(r)
+        for r in bm25_topk(corpus, ("spark", "query", "window"), id_col="id").collect()
+    ]
+    assert got_lex and got_lex == want_lex
