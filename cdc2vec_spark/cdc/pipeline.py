@@ -65,7 +65,9 @@ def build_points(
     # interpreted per element and measured 45% of this hot path at dim
     # 768). Output type array<double> matches what the expression form
     # produced.
-    fused = normalize and "normalize" in provider.udf.__code__.co_varnames
+    # capability flag, not introspection: co_varnames broke silently for
+    # **kwargs/non-Python callables and on a parameter rename (r06 ADVICE)
+    fused = normalize and getattr(provider, "supports_fused_normalize", False)
     emb = provider.udf(normalize=True) if fused else provider.udf()
     # Delete short-circuit (pipeline.go:191-196): a Python UDF under
     # F.when is still EXECUTED for every row (Spark extracts UDFs out of

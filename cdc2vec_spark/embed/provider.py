@@ -39,6 +39,10 @@ class DeterministicHashProvider:
     row at dim 768; this is the CDC-throughput hot path's only Python).
     Pure function of the text — no RNG state, no platform dependence."""
 
+    # capability flag read by cdc.pipeline.build_points: udf(normalize=
+    # True) L2-normalizes inside the Arrow batch (M1+M2 fusion)
+    supports_fused_normalize = True
+
     def __init__(self, dim: int = 32):
         self.dim = dim
 
@@ -97,6 +101,9 @@ class OllamaHTTPProvider:
     over ``concurrency`` in-flight requests (the Ollama embeddings API is
     single-prompt, so in-flight parallelism is the only batching lever).
     Effective parallelism = tasks × concurrency."""
+
+    # capability flag (see DeterministicHashProvider)
+    supports_fused_normalize = True
 
     def __init__(self, url: str, model: str, timeout_s: float = 30.0, concurrency: int = 8):
         self.url = url.rstrip("/")

@@ -627,37 +627,57 @@ def semdedup(
       id as the blocking key (one shuffle on ``cell``, one BLAS matmul
       per cluster inside applyInPandas).
 
-    Keep rule: deterministic greedy min-id — a point is ``dropped`` iff
-    its cluster holds a lower-id point with cosine >= eps (the paper
-    keeps one representative per duplicate group; min-id makes the
-    choice reproducible). Returns one row per vector:
-    ``(id_col, cell, dropped)``. Production use filters
-    ``WHERE NOT dropped``.
+    Keep rule: deterministic greedy in id order AGAINST THE KEPT SET —
+    a point is ``dropped`` iff an already-KEPT lower-id point in its
+    cluster has cosine >= eps (round 7: the earlier any-lower-id rule
+    was transitive, so a dropped point could lose its only
+    representative; greedy-vs-kept is the paper's keep-one-per-group
+    semantics, and guarantees every dropped point has a kept neighbor
+    within eps). Returns one row per vector: ``(id_col, cell,
+    dropped)``. Production use filters ``WHERE NOT dropped``.
+
+    Scale shape unchanged: one narrow broadcast-BLAS assignment pass +
+    one shuffle on ``cell``; the greedy runs inside applyInPandas per
+    cluster (the blocking key bounds the quadratic work to one task,
+    same contract as cosine_neardup_pairs).
 
     Rows-only by design (cluster assignment is float argmax — not
     SQL-portable at ULP level); pinned in tests/test_similarity.py:
-    single-cluster semdedup ≡ the global exact rule, multi-cluster
-    precision verified pair-by-pair against exact cosines, determinism.
+    single-cluster semdedup ≡ the global exact greedy, multi-cluster
+    precision + representative-coverage verified against exact cosines,
+    determinism.
     """
+    import pandas as pd
+
     cents, assigned = ivf_build(embeddings, centroid_every, id_col, vec_col)
-    pairs = cosine_neardup_pairs(
-        assigned, eps, block_col="cell", id_col=id_col, vec_col=vec_col
-    )
-    # pairs emit id_a < id_b, so the greedy min-id rule is exactly
-    # "dropped = every id that ever appears as id_b"
-    dropped = (
-        pairs.select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("dropped", F.lit(True))
-    )
-    return (
-        assigned.select(id_col, "cell")
-        .join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cell",
-            F.coalesce("dropped", F.lit(False)).alias("dropped"),
+
+    def cluster_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        m = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = np.inf  # zero vector → cosine 0
+        mn = (m / norms[:, None])[order]
+        n = len(ids)
+        kept: list[int] = []
+        dropped = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if kept and np.round(mn[kept] @ mn[i], 6).max() >= eps:
+                dropped[i] = True
+            else:
+                kept.append(i)
+        return pd.DataFrame(
+            {
+                id_col: ids[order],
+                "cell": pdf["cell"].iloc[0],
+                "dropped": dropped,
+            }
         )
+
+    return (
+        assigned.select("cell", id_col, vec_col)
+        .groupBy("cell")
+        .applyInPandas(cluster_greedy, f"{id_col} long, cell long, dropped boolean")
         .orderBy(id_col)
     )
 

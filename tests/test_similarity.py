@@ -189,17 +189,27 @@ def test_hyperplane_full_probe_equals_exact(spark, sf_dir):
 def test_semdedup_single_cluster_equals_global_rule(spark, sf_dir):
     """With one centroid (centroid_every larger than any id) every point
     lands in one cluster, so SemDeDup must reproduce the global greedy
-    min-id rule exactly: dropped == all ids appearing as id_b in the
-    all-pairs cosine near-dup output."""
+    rule exactly: walk ids ascending, drop iff an already-KEPT lower id
+    is within eps (round 7: greedy against the kept set, not any lower
+    id — the paper's keep-one-per-group semantics)."""
     e = load_table(spark, sf_dir, "embeddings")
     global_pairs = sim.cosine_neardup_pairs(
         e.withColumn("_all", F.lit(0)), 0.3, block_col="_all"
     ).collect()
-    expect_dropped = {r["id_b"] for r in global_pairs}
+    near = {}
+    for r in global_pairs:
+        near.setdefault(r["id_b"], set()).add(r["id_a"])
+    all_ids = sorted(r["vec_id"] for r in e.select("vec_id").collect())
+    kept, expect_dropped = set(), set()
+    for i in all_ids:
+        if near.get(i, set()) & kept:
+            expect_dropped.add(i)
+        else:
+            kept.add(i)
     rows = sim.semdedup(e, eps=0.3, centroid_every=10**9).collect()
     got_dropped = {r["vec_id"] for r in rows if r["dropped"]}
     assert got_dropped == expect_dropped
-    assert len(rows) == e.count()  # one verdict per vector
+    assert len(rows) == len(all_ids)  # one verdict per vector
 
 
 def test_semdedup_multicluster_precision_and_determinism(spark, sf_dir):
@@ -226,13 +236,17 @@ def test_semdedup_multicluster_precision_and_determinism(spark, sf_dir):
         by_cell.setdefault(r["cell"], []).append(r)
     n_dropped = 0
     for cell_rows in by_cell.values():
-        ids = sorted(r["vec_id"] for r in cell_rows)
+        kept_ids = sorted(r["vec_id"] for r in cell_rows if not r["dropped"])
         for r in cell_rows:
             if not r["dropped"]:
                 continue
             n_dropped += 1
+            # round-7 guarantee of greedy-vs-kept: every dropped point
+            # has a KEPT lower-id representative within eps (the old
+            # any-lower-id rule could drop a point whose only neighbor
+            # was itself dropped)
             assert any(
                 cos(vecs[r["vec_id"]], vecs[j]) >= 0.3
-                for j in ids if j < r["vec_id"]
-            ), f"vec {r['vec_id']} dropped with no qualifying neighbor"
+                for j in kept_ids if j < r["vec_id"]
+            ), f"vec {r['vec_id']} dropped with no kept representative"
     assert n_dropped > 0  # the fixture does contain semantic near-dups
