@@ -522,6 +522,13 @@ def _scale_curve(spark, registry) -> dict:
     try:
         for name in _CURVE_OPS:
             fn = registry[name]
+            # untimed warm-up at the smallest SF: ops outside the
+            # headline set (d18) would otherwise charge whole-session
+            # JIT/codegen/file-listing cold costs to their first curve
+            # point (measured 26.7s vs 5.4s steady)
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
             row: dict[str, float] = {}
             for label, d in (
                 ("sf0.01", "/root/testdata/sf0.01"),
@@ -541,22 +548,37 @@ def _scale_curve(spark, registry) -> dict:
 
 
 def _delta_vs_prev(timings: dict[str, float]) -> dict[str, float]:
-    """best-of-3 minus the latest BENCH_r*.json's best-of-3, per query —
-    makes round-over-round swings attributable at a glance."""
+    """best-of-3 minus the previous round's best-of-3, per query — makes
+    round-over-round swings attributable at a glance. Prefers the
+    newest usable record across BENCH_SELF_r*.json (full, repo-written)
+    and BENCH_r*.json (driver capture; `parsed` may be null when the
+    tail was truncated, as in r06)."""
     import glob
     import re
 
-    benches = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not benches:
+    def rnum(p: str) -> int:
+        return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+
+    records: list[tuple[int, dict]] = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_SELF_r*.json")):
+        try:
+            with open(p) as f:
+                q = json.load(f).get("queries") or {}
+            if q:
+                records.append((rnum(p), q))
+        except (OSError, json.JSONDecodeError, AttributeError):
+            pass
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        try:
+            with open(p) as f:
+                q = (json.load(f).get("parsed") or {}).get("queries") or {}
+            if q:
+                records.append((rnum(p), q))
+        except (OSError, json.JSONDecodeError, AttributeError):
+            pass
+    if not records:
         return {}
-    try:
-        with open(benches[-1]) as f:
-            prev = json.load(f).get("parsed", {}).get("queries", {})
-    except (OSError, json.JSONDecodeError):
-        return {}
+    prev = max(records)[1]
     return {
         q: round(t - prev[q], 3) for q, t in timings.items() if q in prev
     }
