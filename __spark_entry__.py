@@ -35,7 +35,9 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import dedup as _dedup
         from cdc2vec_spark.operators import lex_index as _lex_index
         from cdc2vec_spark.operators import multimodal as _multimodal
+        from cdc2vec_spark.operators import pii as _pii
         from cdc2vec_spark.operators import quantize as _quantize
+        from cdc2vec_spark.operators import span_dedup as _span_dedup
         from cdc2vec_spark.operators import retrieval as _retrieval
         from cdc2vec_spark.operators import sampling as _sampling
         from cdc2vec_spark.operators import selection as _selection
@@ -46,7 +48,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         modules.extend(
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
-             _sampling, _corpus, _lex_index, _retrieval]
+             _sampling, _corpus, _lex_index, _retrieval, _pii, _span_dedup]
         )
     except ImportError:
         pass

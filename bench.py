@@ -51,6 +51,9 @@ HEADLINE = [
     "d15_chunk",             # overlapping token-window chunking
     "d16_corpus_pipeline",   # dedup + quality + decontaminate composition
     "d17_bm25",              # BM25 lexical top-k
+    # round-7 additions
+    "d20_pii",               # PII detect + redact (scan-stage regexes)
+    "d21_span_dedup",        # cross-doc repeated-span removal
 ]
 
 

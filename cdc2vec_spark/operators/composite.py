@@ -62,6 +62,10 @@ CONSOLIDATED: tuple[str, ...] = (
     "d9_keep_canonical",
     "d6_features",
     "d12_semdedup",
+    # round-7 additions (exact oracles pinned in test_pii.py /
+    # test_span_dedup.py; no free individual slot at the 50 budget)
+    "d20_pii",
+    "d21_span_dedup",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -133,7 +137,9 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     own test files)."""
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
+    from .pii import d20_pii
     from .similarity import d12_semdedup
+    from .span_dedup import d21_span_dedup
 
     return _union(
         spark,
@@ -144,6 +150,8 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d9_keep_canonical", d9_keep_canonical),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
+            ("d20_pii", d20_pii),
+            ("d21_span_dedup", d21_span_dedup),
         ],
     )
 
@@ -224,7 +232,9 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
+    from .pii import d20_pii
     from .quantize import d3_pq_topk
+    from .span_dedup import d21_span_dedup
     from .relational import (
         b1_scan_count,
         b11_topk,
@@ -262,6 +272,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_keep_canonical": d9_keep_canonical,
         "d6_features": d6_features,
         "d12_semdedup": d12_semdedup,
+        "d20_pii": d20_pii,
+        "d21_span_dedup": d21_span_dedup,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

@@ -1,0 +1,94 @@
+"""Repeated-span removal (exact substring dedup) — operators/span_dedup.py.
+
+d21 rides inside the x2_rowsonly_dedup composite (registry at the
+50-entry budget), so its exact DuckDB oracle is pinned HERE at two
+scale factors via the driver's own comparator.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_check import compare_one, duckdb_conn
+
+from cdc2vec_spark.operators import span_dedup
+from tests.conftest import SF0001, SF001
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d21_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d21_span_dedup",
+        span_dedup.d21_span_dedup, span_dedup.D21_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_cross_doc_span_removed_unique_text_kept(spark):
+    """Hand-built corpus: a 4-token boilerplate block shared by two docs
+    dies in both; each doc's unique tail survives; a doc with no shared
+    span passes through byte-identical; a doc shorter than n is
+    untouched."""
+    boiler = "licensed under creative commons"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, "entirely original words appear here only"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup.remove_repeated_spans(docs, n=4).collect()
+    }
+    assert rows[1]["cleaned"] == "alpha beta gamma" and rows[1]["n_removed"] == 4
+    assert rows[2]["cleaned"] == "delta epsilon zeta" and rows[2]["n_removed"] == 4
+    assert rows[3]["cleaned"] == "entirely original words appear here only"
+    assert rows[3]["n_removed"] == 0
+    assert rows[4]["cleaned"] == "tiny doc" and rows[4]["n_removed"] == 0
+
+
+def test_overlapping_spans_mask_union(spark):
+    """Two docs sharing a 5-token run with n=4 produce two overlapping
+    duplicated spans (positions 1 and 2); the mask is their UNION — all
+    5 shared tokens die, not 4."""
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} uniqA"), (2, f"{shared} uniqB")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup.remove_repeated_spans(docs, n=4).collect()
+    }
+    assert rows[1]["cleaned"] == "uniqA" and rows[1]["n_removed"] == 5
+    assert rows[2]["cleaned"] == "uniqB" and rows[2]["n_removed"] == 5
+
+
+def test_within_doc_repeat_not_removed_by_default(spark):
+    """min_docs=2 counts DISTINCT docs: a span repeated only inside one
+    document survives (cross-doc boilerplate is the target; set
+    min_docs=1 for self-repetition removal)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d unique tail words here"),
+            (2, "totally different content in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup.remove_repeated_spans(docs, n=4).collect()
+    }
+    assert rows[1]["n_removed"] == 0
+
+
+def test_plan_has_no_python_and_no_cartesian(spark):
+    plan = span_dedup.d21_span_dedup(
+        spark, SF0001
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
