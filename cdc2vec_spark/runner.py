@@ -427,14 +427,16 @@ def boot(
         protocol = str(cfg.sink.options.get("state_protocol", "swap"))
     chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
     if protocol == "manifest":
-        from .cdc.manifest import ManifestPointsCollection
+        from .cdc.manifest import (
+            ManifestChunkedPointsCollection,
+            ManifestPointsCollection,
+        )
 
-        if chunked:
-            raise ValueError(
-                "chunked mode currently requires state_protocol: swap "
-                "(ChunkedPointsCollection has no manifest variant yet)"
-            )
-        coll = ManifestPointsCollection(spark, state_dir)
+        coll = (
+            ManifestChunkedPointsCollection(spark, state_dir)
+            if chunked
+            else ManifestPointsCollection(spark, state_dir)
+        )
     elif protocol == "swap":
         coll = (
             ChunkedPointsCollection(spark, state_dir)

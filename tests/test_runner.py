@@ -804,3 +804,56 @@ def test_boot_multi_sink_fanout(spark, sf_dir, tmp_path):
         for r in bm25_topk(corpus, ("spark", "query", "window"), id_col="id").collect()
     ]
     assert got_lex and got_lex == want_lex
+
+
+def test_boot_chunked_manifest_protocol_matches_swap(spark, sf_dir, tmp_path):
+    """Round-7: chunked mode over the object-store manifest protocol
+    (ManifestChunkedPointsCollection) — the final live state must be
+    row-for-row identical to the rename-swap chunked run on the same
+    change log (vector column included: the provider is deterministic)."""
+    import dataclasses
+
+    from cdc2vec_spark.cdc.manifest import ManifestChunkedPointsCollection
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    engine = dataclasses.replace(
+        DEFAULT_CONFIG, chunk_tokens=16, chunk_stride=12, vector_size=8
+    )
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+
+    def run(protocol, sub):
+        cfg = PipelineConfig(
+            engine=engine,
+            source=SourceConfig(),
+            sink=SinkConfig(type="", options={"state_protocol": protocol}),
+        )
+        query, coll, _ = runner.boot(
+            spark,
+            config=cfg,
+            changes_dir=chunks,
+            changes_schema=ch.schema,
+            state_dir=str(tmp_path / sub / "state"),
+            checkpoint_dir=str(tmp_path / sub / "ckpt"),
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return coll
+
+    swap_coll = run("swap", "swap")
+    man_coll = run("manifest", "manifest")
+    assert isinstance(man_coll, ManifestChunkedPointsCollection)
+
+    def canon(coll):
+        return sorted(
+            (r["id"], r["base_id"], tuple(r["vector"]), r["lsn"])
+            for r in coll.live().collect()
+        )
+
+    got_swap, got_man = canon(swap_coll), canon(man_coll)
+    assert got_man == got_swap and got_man
