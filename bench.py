@@ -151,6 +151,12 @@ def main() -> None:
     scale_curve = _scale_curve(spark, registry)
     print(f"# scale_curve: {scale_curve}", file=sys.stderr)
 
+    # Multi-sink fanout (round 7): one embedded batch delivered through
+    # 1 vs 3 sinks — the persisted points make the 3-sink wall pay only
+    # the extra index applies, never a re-run of the embed pipeline.
+    multi_sink = _multi_sink_probe(spark, sf_dir)
+    print(f"# multi_sink: {multi_sink}", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -172,6 +178,7 @@ def main() -> None:
         "cdc_apply_state_scale": apply_scale,
         "manifest_vs_swap": manifest_probe,
         "scale_curve": scale_curve,
+        "multi_sink": multi_sink,
     }
     # Full evidence to a repo file (survives regardless of how much
     # stdout the capture keeps); round inferred from existing BENCH_r*.
@@ -186,7 +193,8 @@ def main() -> None:
     # headline metrics LAST and compact, so a bounded tail capture of
     # stdout always retains the complete headline JSON line.
     for key in ("queries_spread", "delta_vs_prev", "lex_index",
-                "cdc_apply_state_scale", "manifest_vs_swap", "scale_curve"):
+                "cdc_apply_state_scale", "manifest_vs_swap", "scale_curve",
+                "multi_sink"):
         print(json.dumps({key: aux[key]}, separators=(",", ":")))
     print(json.dumps(headline, separators=(",", ":")))
 
@@ -456,6 +464,78 @@ def _cdc_apply_state_scale(spark) -> dict:
     out["secs_per_touched_bucket_20k_nb64"] = round(per64, 4)
     out["secs_per_touched_bucket_200k_nb512"] = round(per512, 4)
     out["ratio_10x_state_scaled_buckets_per_touched"] = round(per512 / max(per64, 1e-9), 2)
+    return out
+
+
+def _multi_sink_probe(spark, sf_dir: str) -> dict:
+    """Per-batch wall for one embedded CDC batch delivered through ONE
+    sink (qdrant mock) vs THREE (qdrant mock + ivf_index + lex_index,
+    the production fanout topology). Two batches per config; the second
+    (steady-state: ivf centroids built, lex state warm) is reported.
+    The ratio evidences the boot() persist contract: fanout pays only
+    the extra index applies, never a re-run of the embed pipeline."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.cdc import changelog as C
+    from cdc2vec_spark.cdc.pipeline import build_points
+    from cdc2vec_spark.config import (
+        DOCUMENTS_MAPPING,
+        EngineConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from cdc2vec_spark.embed.provider import DeterministicHashProvider
+
+    ch = C.changes_df(spark, sf_dir)
+    provider = DeterministicHashProvider(dim=256)
+    srv, url = _mock_http_server({"status": "ok"})
+    out: dict[str, float] = {}
+    try:
+        for label, extra in (("one_sink_secs", False), ("three_sinks_secs", True)):
+            root = tempfile.mkdtemp(prefix="bench_fanout_")
+            try:
+                sinks = [
+                    SinkConfig(type="qdrant", options={"url": url, "collection": "b"})
+                ]
+                if extra:
+                    sinks += [
+                        SinkConfig(type="ivf_index", options={"path": f"{root}/ivf"}),
+                        SinkConfig(
+                            type="lex_index", options={"path": f"{root}/lex"}
+                        ),
+                    ]
+                cfg = PipelineConfig(
+                    engine=EngineConfig(
+                        mappings=(DOCUMENTS_MAPPING,), vector_size=256
+                    ),
+                    sink=sinks[0],
+                    extra_sinks=tuple(sinks[1:]),
+                )
+                hook = runner.sink_hooks_for(cfg)
+                coll = runner.PointsCollection(spark, f"{root}/state", n_buckets=8)
+                secs = []
+                for i in range(2):
+                    batch = ch.withColumn("lsn", F.col("lsn") + F.lit(i * 10_000_000))
+                    pts = build_points(
+                        batch, DOCUMENTS_MAPPING, provider, keep_text=True
+                    ).persist()
+                    t0 = time.perf_counter()
+                    coll.apply_points(pts)
+                    hook(pts)
+                    secs.append(time.perf_counter() - t0)
+                    pts.unpersist()
+                out[label] = round(secs[-1], 3)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        out["three_over_one_ratio"] = round(
+            out["three_sinks_secs"] / max(out["one_sink_secs"], 1e-9), 2
+        )
+    finally:
+        srv.shutdown()
     return out
 
 
