@@ -70,6 +70,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
     "d3_pq_topk",
+    # round-7 addition (numpy-pinned in test_reduce.py; rows-only: SVD)
+    "d22_pca_topk",
     # round-7 rotation: stable long-green queries parked here so the
     # nine round-6 exact-oracle operators get individual graded slots
     "t1_token_count",
@@ -160,6 +162,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN rows-only probes (recall pinned vs exact in
     tests/test_similarity.py, tests/test_quantize.py)."""
     from .quantize import d3_pq_topk
+    from .reduce import d22_pca_topk
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -170,6 +173,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d3_hyperplane_topk", d3_hyperplane_topk),
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
+            ("d22_pca_topk", d22_pca_topk),
         ],
     )
 
@@ -234,6 +238,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .multimodal import d6_features
     from .pii import d20_pii
     from .quantize import d3_pq_topk
+    from .reduce import d22_pca_topk
     from .span_dedup import d21_span_dedup
     from .relational import (
         b1_scan_count,
@@ -278,6 +283,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
+        "d22_pca_topk": d22_pca_topk,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,
