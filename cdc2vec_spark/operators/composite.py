@@ -66,6 +66,7 @@ CONSOLIDATED: tuple[str, ...] = (
     # test_span_dedup.py; no free individual slot at the 50 budget)
     "d20_pii",
     "d21_span_dedup",
+    "d23_selfrep",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -141,7 +142,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal import d6_features
     from .pii import d20_pii
     from .similarity import d12_semdedup
-    from .span_dedup import d21_span_dedup
+    from .span_dedup import d21_span_dedup, d23_selfrep
 
     return _union(
         spark,
@@ -154,6 +155,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d12_semdedup", d12_semdedup),
             ("d20_pii", d20_pii),
             ("d21_span_dedup", d21_span_dedup),
+            ("d23_selfrep", d23_selfrep),
         ],
     )
 
@@ -239,7 +241,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .pii import d20_pii
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .span_dedup import d21_span_dedup
+    from .span_dedup import d21_span_dedup, d23_selfrep
     from .relational import (
         b1_scan_count,
         b11_topk,
@@ -279,6 +281,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_semdedup": d12_semdedup,
         "d20_pii": d20_pii,
         "d21_span_dedup": d21_span_dedup,
+        "d23_selfrep": d23_selfrep,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

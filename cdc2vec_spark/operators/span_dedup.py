@@ -37,20 +37,10 @@ _N = 8  # span length in tokens (the paper uses 50 BPE tokens; 8 suits
 _MIN_DOCS = 2
 
 
-def remove_repeated_spans(
-    docs: DataFrame,
-    n: int = _N,
-    min_docs: int = _MIN_DOCS,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """``docs`` → (id_col, n_tokens, n_removed, cleaned) where
-    ``cleaned`` is the text with every token covered by a cross-doc
-    duplicated n-token span removed.
-
-    Positions are 1-based token indices. A document shorter than ``n``
-    tokens contributes no spans and passes through unchanged.
-    """
+def _doc_grams(docs: DataFrame, n: int, id_col: str, text_col: str):
+    """(base, grams): base = (id, token array), grams = one row per
+    (id, 1-based pos, md5 gram-hash). Shared by the cross-doc and
+    within-doc span removers."""
     toks = F.split(F.col(text_col), " ")
     base = docs.select(F.col(id_col), toks.alias("_t"))
     # (doc, pos, gram-hash), 1-based pos; hash AFTER the explode would
@@ -72,6 +62,53 @@ def remove_repeated_spans(
     grams = base.select(
         id_col, F.posexplode(gram_arr).alias("_p0", "g")
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "g")
+    return base, grams
+
+
+def _mask_starts(base: DataFrame, starts: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Remove every token covered by a span start list: span starting at
+    1-based s covers 1-based positions [s, s+n-1]. Pure JVM HOF filter
+    against the doc's (tiny) start list."""
+    masked = base.join(starts, id_col, "left").withColumn(
+        "_ss", F.coalesce("_ss", F.array().cast("array<integer>"))
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, i: ~F.exists(
+            F.col("_ss"), lambda s: (i + 1 >= s) & (i + 1 <= s + (n - 1))
+        ),
+    )
+    return masked.select(
+        F.col(id_col),
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned"),
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = _N,
+    min_docs: int = _MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` → (id_col, n_tokens, n_removed, cleaned) where
+    ``cleaned`` is the text with every token covered by a cross-doc
+    duplicated n-token span removed.
+
+    Positions are 1-based token indices. A document shorter than ``n``
+    tokens contributes no spans and passes through unchanged.
+    ``min_docs`` counts DISTINCT documents and must be >= 2 (at 1 every
+    gram would trivially qualify and delete the whole corpus — use
+    ``remove_self_repeats`` for within-document repetition).
+    """
+    if min_docs < 2:
+        raise ValueError(
+            "min_docs must be >= 2 (every gram occurs in >= 1 doc; "
+            "within-doc repetition is remove_self_repeats' job)"
+        )
+    base, grams = _doc_grams(docs, n, id_col, text_col)
     dup = (
         grams.select(id_col, "g")
         .distinct()
@@ -85,23 +122,34 @@ def remove_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("_ss"))
     )
-    masked = base.join(starts, id_col, "left").withColumn(
-        "_ss", F.coalesce("_ss", F.array().cast("array<integer>"))
+    return _mask_starts(base, starts, n, id_col)
+
+
+def remove_self_repeats(
+    docs: DataFrame,
+    n: int = _N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition removal: every n-token span whose
+    gram already occurred EARLIER in the same document is removed (the
+    first occurrence survives) — the degenerate-generation /
+    scraped-page-loop cleaner that complements the cross-doc remover.
+
+    Purely per-document: the only shuffle is the per-doc window +
+    start-list aggregate (both key on ``id_col``); no cross-doc join at
+    all, so this scales embarrassingly at 100 TB."""
+    from pyspark.sql.window import Window
+
+    base, grams = _doc_grams(docs, n, id_col, text_col)
+    w = Window.partitionBy(id_col, "g").orderBy("pos")
+    starts = (
+        grams.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_ss"))
     )
-    # keep token at 0-based index i iff no duplicated span covers it:
-    # span starting at 1-based s covers 1-based positions [s, s+n-1]
-    kept = F.filter(
-        F.col("_t"),
-        lambda x, i: ~F.exists(
-            F.col("_ss"), lambda s: (i + 1 >= s) & (i + 1 <= s + (n - 1))
-        ),
-    )
-    return masked.select(
-        F.col(id_col),
-        F.size("_t").alias("n_tokens"),
-        (F.size("_t") - F.size(kept)).alias("n_removed"),
-        F.concat_ws(" ", kept).alias("cleaned"),
-    )
+    return _mask_starts(base, starts, n, id_col)
 
 
 def d21_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,5 +197,52 @@ FROM kept
 ORDER BY doc_id
 """
 
-QUERIES = {"d21_span_dedup": d21_span_dedup}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+_SELF_N = 4  # within-doc span length (shorter than the cross-doc 8:
+# self-repetition shows at smaller n on the ~60-token fixtures)
+
+
+def d23_selfrep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: within-doc repeated-span removal (keep-first) over
+    documents; emits counts + md5 of the cleaned text."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    out = remove_self_repeats(d, n=_SELF_N)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+D23_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i + {_SELF_N - 1}], ' ')) AS g
+  FROM toks, unnest(range(1, greatest(len(t) - {_SELF_N - 2}, 1))) AS u(i)
+), starts AS (
+  SELECT doc_id, list(pos) AS ss FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id, g ORDER BY pos) AS rk
+    FROM grams
+  ) WHERE rk > 1 GROUP BY doc_id
+), masked AS (
+  SELECT toks.doc_id, t, coalesce(ss, []) AS ss
+  FROM toks LEFT JOIN starts USING (doc_id)
+), kept AS (
+  SELECT doc_id, t,
+         list_filter(t, (x, i) ->
+           len(list_filter(ss, s -> i >= s AND i <= s + {_SELF_N - 1})) = 0
+         ) AS k
+  FROM masked
+)
+SELECT doc_id, len(t) AS n_tokens,
+       len(t) - len(k) AS n_removed,
+       md5(coalesce(array_to_string(k, ' '), '')) AS cleaned_md5
+FROM kept
+ORDER BY doc_id
+"""
+
+QUERIES = {"d21_span_dedup": d21_span_dedup, "d23_selfrep": d23_selfrep}
+ORACLES: dict[str, str] = {}  # delivered via composite; oracles pinned in tests

@@ -92,3 +92,44 @@ def test_plan_has_no_python_and_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d23_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d23_selfrep",
+        span_dedup.d23_selfrep, span_dedup.D23_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_self_repeat_keeps_first_occurrence(spark):
+    """'a b c d a b c d tail' with n=4: the SECOND 'a b c d' dies, the
+    first survives; a clean doc is untouched; the min_docs<2 trap on the
+    cross-doc remover raises."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d unique tail words here"),
+            (2, "all distinct tokens in this particular row"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup.remove_self_repeats(docs, n=4).collect()
+    }
+    assert rows[1]["cleaned"] == "a b c d unique tail words here"
+    assert rows[1]["n_removed"] == 4
+    assert rows[2]["n_removed"] == 0
+    with pytest.raises(ValueError, match="min_docs"):
+        span_dedup.remove_repeated_spans(docs, n=4, min_docs=1)
+
+
+def test_d23_removes_something_on_fixture(spark):
+    """The tiny-vocab fixture does contain within-doc 4-gram repeats —
+    the entry must exercise the mask path, not trivially pass through."""
+    total = span_dedup.d23_selfrep(spark, SF0001).agg(
+        {"n_removed": "sum"}
+    ).first()[0]
+    assert total and total > 0
