@@ -54,6 +54,8 @@ HEADLINE = [
     # round-7 additions
     "d20_pii",               # PII detect + redact (scan-stage regexes)
     "d21_span_dedup",        # cross-doc repeated-span removal
+    "d23_selfrep",           # within-doc repetition removal
+    "d22_pca_topk",          # PCA cut + reduced-space retrieval
 ]
 
 

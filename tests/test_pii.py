@@ -52,3 +52,35 @@ def test_plan_is_pure_jvm_scan_stage(spark):
     plan = pii.d20_pii(spark, SF0001)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_redaction_is_streaming_safe(spark, tmp_path):
+    """The scrub is a stateless scan-stage projection, so it runs
+    unchanged inside Structured Streaming — stream output must equal the
+    batch operator on the same rows."""
+    batch_df = spark.createDataFrame(
+        [
+            (1, "ping admin@example.org from 10.0.0.7"),
+            (2, "clean row"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    batch_df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(src)
+        .transform(pii.redact_pii)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM pii_stream").collect())
+    want = sorted(tuple(r) for r in pii.redact_pii(batch_df).collect())
+    assert got == want
