@@ -857,3 +857,49 @@ def test_boot_chunked_manifest_protocol_matches_swap(spark, sf_dir, tmp_path):
 
     got_swap, got_man = canon(swap_coll), canon(man_coll)
     assert got_man == got_swap and got_man
+
+
+def test_boot_index_sinks_restart_without_reapplying(spark, sf_dir, tmp_path):
+    """Checkpoint restart with the incremental-index sinks: a second
+    boot over the same checkpoint reprocesses nothing, so both disk
+    indexes are byte-stable (same tombstone count, same top-k) — the
+    replay-safety contract the per-batch LSN merges promise."""
+    from cdc2vec_spark.cdc.apply import read_bucketed_state
+    from cdc2vec_spark.config import (
+        DOCUMENTS_MAPPING,
+        EngineConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+
+    ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    lex_path = str(tmp_path / "lex")
+    cfg = PipelineConfig(
+        engine=EngineConfig(mappings=(DOCUMENTS_MAPPING,), vector_size=8),
+        sink=SinkConfig(type="lex_index", options={"path": lex_path}),
+    )
+    args = dict(
+        config=cfg,
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q1, _, _ = runner.boot(spark, **args)
+    q1.processAllAvailable()
+    q1.stop()
+
+    def lex_fingerprint():
+        ix = IncrementalLexicalIndex(spark, lex_path)
+        top = [tuple(r) for r in ix.topk(("spark", "query", "window")).collect()]
+        tombs = read_bucketed_state(spark, lex_path, col="bucket", buckets=[-1])
+        return top, (tombs.count() if tombs is not None else 0)
+
+    before = lex_fingerprint()
+    q2, _, _ = runner.boot(spark, **args)
+    q2.processAllAvailable()
+    q2.stop()
+    assert lex_fingerprint() == before and before[0]

@@ -133,3 +133,64 @@ def test_d23_removes_something_on_fixture(spark):
         {"n_removed": "sum"}
     ).first()[0]
     assert total and total > 0
+
+
+def test_randomized_corpus_matches_python_reference(spark):
+    """Seeded random corpus (tiny vocab to force collisions) vs a
+    straightforward Python reference implementation of BOTH operators —
+    catches off-by-ones in position bases and mask boundaries that the
+    hand-built cases might miss."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    n = 3
+
+    def grams(tokens):
+        return [
+            (p + 1, " ".join(tokens[p:p + n]))
+            for p in range(len(tokens) - n + 1)
+        ]
+
+    # reference: cross-doc
+    gram_docs: dict[str, set[int]] = {}
+    for i, text in docs:
+        for _, g in grams(text.split(" ")):
+            gram_docs.setdefault(g, set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+
+    def apply_mask(tokens, starts):
+        dead = set()
+        for s in starts:
+            dead.update(range(s, s + n))  # 1-based positions s..s+n-1
+        return [t for k, t in enumerate(tokens, start=1) if k not in dead]
+
+    want_cross, want_self = {}, {}
+    for i, text in docs:
+        toks = text.split(" ")
+        cross_starts = [p for p, g in grams(toks) if g in dup]
+        want_cross[i] = " ".join(apply_mask(toks, cross_starts))
+        seen: set[str] = set()
+        self_starts = []
+        for p, g in grams(toks):
+            if g in seen:
+                self_starts.append(p)
+            else:
+                seen.add(g)
+        want_self[i] = " ".join(apply_mask(toks, self_starts))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_cross = {
+        r["doc_id"]: r["cleaned"]
+        for r in span_dedup.remove_repeated_spans(df, n=n).collect()
+    }
+    got_self = {
+        r["doc_id"]: r["cleaned"]
+        for r in span_dedup.remove_self_repeats(df, n=n).collect()
+    }
+    assert got_cross == want_cross
+    assert got_self == want_self
