@@ -40,6 +40,10 @@ NOTES = {
     "d16_corpus_pipeline": "dedup window + scan-stage quality predicates + broadcast decontamination join; round 7: the dedup+quality subtree is persisted, so the semi-join side reads InMemoryTableScan instead of re-running the corpus scan + window shuffle (one pass over documents per side).",
     "d17_bm25": "posting explosion pruned to the query terms by an isin filter; df table and corpus stats broadcast; fixed-point score sum.",
     "d19_hybrid": "RRF fusion of two <=20-row ranked frames — all heavy lifting inside the audited rankers.",
+    "d20_pii": "detection + redaction are scan-stage regexp projections: no Python, no join, no aggregate — the scrub runs at scan throughput.",
+    "d21_span_dedup": "gram explode is narrow; dup-gram aggregate + join back + per-doc start list are the only shuffles (O(tokens)); the token mask is a JVM HOF filter against the doc's tiny start list.",
+    "d23_selfrep": "purely per-document: the window and start-list aggregate both key on doc_id — no cross-doc join anywhere.",
+    "d22_pca_topk": "projection is ONE narrow broadcast-BLAS MapInPandas pass (no shuffle), then the audited exact-top-k k-heap in the reduced space.",
 }
 
 HEADLINE = list(NOTES)
