@@ -77,6 +77,25 @@ def main() -> None:
     # Warm the JVM/file-listing paths once so q1 isn't charged for JIT/startup.
     registry["b1_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Progressive evidence: every completed section is immediately
+    # (a) printed to stdout as its own compact JSON line and (b) folded
+    # into BENCH_SELF_r{N}.json on disk — a mid-run kill (driver timeout,
+    # OOM) leaves every finished section's numbers recoverable instead
+    # of an empty stdout (the all-at-the-end failure mode).
+    evidence: dict = {}
+    self_path = os.path.join(REPO, f"BENCH_SELF_r{_round_number()}.json")
+
+    def record(key, value, emit: bool = True) -> None:
+        evidence[key] = value
+        try:
+            with open(self_path, "w") as f:
+                json.dump(evidence, f, indent=1)
+                f.write("\n")
+        except OSError as e:
+            print(f"# BENCH_SELF write failed: {e}", file=sys.stderr)
+        if emit:
+            print(json.dumps({key: value}, separators=(",", ":")), flush=True)
+
     # CDC-apply sustained throughput (BASELINE.md target: >= 5,000 changes/s;
     # the reference publishes 1,000-5,000). 10x-replicated change log at the
     # reference's default dim 768 to amortize fixed job overhead. Measured
@@ -101,6 +120,7 @@ def main() -> None:
         cdc_secs.append(time.perf_counter() - t0)
     cdc_rate = round(10 * n / min(cdc_secs))
     print(f"# cdc_pipeline: {10 * n} changes, {cdc_rate}/s", file=sys.stderr)
+    record("cdc_changes_per_sec", cdc_rate)
 
     # A BASELINE.md row nobody else measures: sink upsert rate
     # (reference: ~500-2,000 inserts/s, one HTTP request per point).
@@ -112,6 +132,7 @@ def main() -> None:
     # embed pipeline at dim 768 with the in-process provider.)
     sink_rate = _sink_upsert_rate(spark)
     print(f"# sink_upserts_per_sec: {sink_rate}", file=sys.stderr)
+    record("sink_upserts_per_sec", sink_rate)
 
     # Bucket-pruned CDC apply: per-batch wall must stay flat as the state
     # table grows 10x, because a batch touches O(batch) buckets, not the
@@ -119,6 +140,7 @@ def main() -> None:
     # same 64-key batch applied against a 20k-key and a 200k-key state.
     apply_scale = _cdc_apply_state_scale(spark)
     print(f"# cdc_apply_state_scale: {apply_scale}", file=sys.stderr)
+    record("cdc_apply_state_scale", apply_scale)
 
     # Object-store commit protocol parity: the manifest-generation store
     # (cdc/manifest.py — no renames, immutable commit dirs + manifest PUT)
@@ -126,12 +148,14 @@ def main() -> None:
     # protocols differ only in commit mechanics, not plan shape.
     manifest_probe = _manifest_vs_swap(spark)
     print(f"# manifest_vs_swap: {manifest_probe}", file=sys.stderr)
+    record("manifest_vs_swap", manifest_probe)
 
     # Incremental lexical index: per-batch apply wall + query latency
     # against a 2x-scaled corpus state (the BM25 twin of the CDC-apply
     # probes; the index is the round-6 lex_index sink's engine)
     lex_probe = _lex_index_probe(spark, sf_dir)
     print(f"# lex_index: {lex_probe}", file=sys.stderr)
+    record("lex_index", lex_probe)
 
     # best-of-3 per query: single-shot numbers on a busy 32-thread box swing
     # 2-4x with GC/compilation/co-tenant noise; min is the standard
@@ -149,15 +173,18 @@ def main() -> None:
         timings[name] = round(min(secs), 3)
         spread[name] = round(max(secs) - min(secs), 3)
         print(f"# {name}: {timings[name]}s (+{spread[name]} spread)", file=sys.stderr)
+        record("queries", dict(timings), emit=False)  # file only, per query
 
     scale_curve = _scale_curve(spark, registry)
     print(f"# scale_curve: {scale_curve}", file=sys.stderr)
+    record("scale_curve", scale_curve)
 
     # Multi-sink fanout (round 7): one embedded batch delivered through
     # 1 vs 3 sinks — the persisted points make the 3-sink wall pay only
     # the extra index applies, never a re-run of the embed pipeline.
     multi_sink = _multi_sink_probe(spark, sf_dir)
     print(f"# multi_sink: {multi_sink}", file=sys.stderr)
+    record("multi_sink", multi_sink)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -173,32 +200,14 @@ def main() -> None:
         "sink_upserts_per_sec": sink_rate,
         "sf": sf_val,
     }
-    aux = {
-        "queries_spread": spread,
-        "delta_vs_prev": _delta_vs_prev(timings),
-        "lex_index": lex_probe,
-        "cdc_apply_state_scale": apply_scale,
-        "manifest_vs_swap": manifest_probe,
-        "scale_curve": scale_curve,
-        "multi_sink": multi_sink,
-    }
-    # Full evidence to a repo file (survives regardless of how much
-    # stdout the capture keeps); round inferred from existing BENCH_r*.
-    full = {**headline, **aux}
-    try:
-        with open(os.path.join(REPO, f"BENCH_SELF_r{_round_number()}.json"), "w") as f:
-            json.dump(full, f, indent=1)
-            f.write("\n")
-    except OSError as e:
-        print(f"# BENCH_SELF write failed: {e}", file=sys.stderr)
-    # stdout: auxiliary sections first (truncation-tolerant), the judged
-    # headline metrics LAST and compact, so a bounded tail capture of
-    # stdout always retains the complete headline JSON line.
-    for key in ("queries_spread", "delta_vs_prev", "lex_index",
-                "cdc_apply_state_scale", "manifest_vs_swap", "scale_curve",
-                "multi_sink"):
-        print(json.dumps({key: aux[key]}, separators=(",", ":")))
-    print(json.dumps(headline, separators=(",", ":")))
+    record("queries_spread", spread)
+    record("delta_vs_prev", _delta_vs_prev(timings))
+    for k, v in headline.items():
+        evidence[k] = v
+    record("value", headline["value"], emit=False)  # flush merged evidence
+    # the judged headline metrics LAST and compact, so a bounded tail
+    # capture of stdout always retains the complete headline JSON line
+    print(json.dumps(headline, separators=(",", ":")), flush=True)
 
 
 def _mock_http_server(response: dict):
