@@ -164,3 +164,36 @@ def test_quarantine_classifies_and_preserves_raw(spark, tmp_path):
     stored = spark.read.parquet(p)
     assert stored.count() == 8
     assert set(stored.columns) == {"raw_value", "reason"}
+
+
+def test_source_schema_drift_new_column_flows_through(spark):
+    """Source-table schema drift (a column added mid-stream) needs no
+    engine change: before/after are schema-free maps, so an event
+    carrying a brand-new column decodes fine and the new key is
+    immediately visible in `after` — mapping it into text/metadata is
+    purely a config decision, by design (the reference behaves the same
+    way: postgres.go decodes tuples positionally into maps keyed by the
+    relation message's CURRENT column names)."""
+    import json as _json
+
+    from cdc2vec_spark.cdc.debezium import parse_debezium
+
+    old = {
+        "op": "c", "before": None,
+        "after": {"id": "1", "title": "t"},
+        "source": {"schema": "public", "table": "documents", "lsn": 10},
+        "ts_ms": 1,
+    }
+    new = {
+        "op": "u", "before": None,
+        "after": {"id": "1", "title": "t2", "brand_new_col": "x"},
+        "source": {"schema": "public", "table": "documents", "lsn": 11},
+        "ts_ms": 2,
+    }
+    df = spark.createDataFrame(
+        [(_json.dumps(old),), (_json.dumps(new),)], "value string"
+    )
+    rows = {r["lsn"]: r for r in parse_debezium(df).collect()}
+    assert rows[10]["after"] == {"id": "1", "title": "t"}
+    assert rows[11]["after"]["brand_new_col"] == "x"
+    assert rows[11]["pk"] == "1"
