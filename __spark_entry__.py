@@ -39,6 +39,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import quantize as _quantize
         from cdc2vec_spark.operators import reduce as _reduce
         from cdc2vec_spark.operators import span_dedup as _span_dedup
+        from cdc2vec_spark.operators import winnow as _winnow
         from cdc2vec_spark.operators import retrieval as _retrieval
         from cdc2vec_spark.operators import sampling as _sampling
         from cdc2vec_spark.operators import selection as _selection
@@ -50,7 +51,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _retrieval, _pii, _span_dedup,
-             _reduce]
+             _reduce, _winnow]
         )
     except ImportError:
         pass

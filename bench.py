@@ -55,6 +55,7 @@ HEADLINE = [
     "d20_pii",               # PII detect + redact (scan-stage regexes)
     "d21_span_dedup",        # cross-doc repeated-span removal
     "d23_selfrep",           # within-doc repetition removal
+    "d24_winnow",            # winnowing fingerprints (MOSS)
     "d22_pca_topk",          # PCA cut + reduced-space retrieval
 ]
 

@@ -32,9 +32,13 @@ Groupings:
                          b16_sketches, c4_watermark, c8_interval_join,
                          d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
-                         d6_features, d12_semdedup
+                         d6_features, d12_semdedup, and the round-7
+                         corpus-cleaning additions d20_pii,
+                         d21_span_dedup, d23_selfrep, d24_winnow (each
+                         with an exact DuckDB oracle pinned in its own
+                         test file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk
+                         d3_pq_topk, d22_pca_topk
   x4_rowsonly_stable   — t1–t5, b1_scan_count, b11_topk, b12_intersect,
                          b13_scalar_funcs, b14_json_extract (rotated out
                          for round 7; oracles pinned in tests)
@@ -67,6 +71,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d20_pii",
     "d21_span_dedup",
     "d23_selfrep",
+    "d24_winnow",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -143,6 +148,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pii import d20_pii
     from .similarity import d12_semdedup
     from .span_dedup import d21_span_dedup, d23_selfrep
+    from .winnow import d24_winnow
 
     return _union(
         spark,
@@ -156,6 +162,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d20_pii", d20_pii),
             ("d21_span_dedup", d21_span_dedup),
             ("d23_selfrep", d23_selfrep),
+            ("d24_winnow", d24_winnow),
         ],
     )
 
@@ -242,6 +249,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .span_dedup import d21_span_dedup, d23_selfrep
+    from .winnow import d24_winnow
     from .relational import (
         b1_scan_count,
         b11_topk,
@@ -282,6 +290,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d20_pii": d20_pii,
         "d21_span_dedup": d21_span_dedup,
         "d23_selfrep": d23_selfrep,
+        "d24_winnow": d24_winnow,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
