@@ -56,6 +56,7 @@ HEADLINE = [
     "d21_span_dedup",        # cross-doc repeated-span removal
     "d23_selfrep",           # within-doc repetition removal
     "d24_winnow",            # winnowing fingerprints (MOSS)
+    "d25_token_mix",         # per-source token-budget corpus mixing
     "d22_pca_topk",          # PCA cut + reduced-space retrieval
 ]
 

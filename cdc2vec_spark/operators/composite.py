@@ -61,6 +61,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "c8_interval_join",
     "d10_split",
     "d10_pack",
+    "d25_token_mix",
     "d2_minhash_lsh",
     "d2_simhash",
     "d9_keep_canonical",
@@ -121,7 +122,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
     from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split
+    from .sampling import d10_pack, d10_split, d25_token_mix
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -135,6 +136,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c8_interval_join", c8_interval_join),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
+            ("d25_token_mix", d25_token_mix),
         ],
     )
 
@@ -258,7 +260,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b14_json_extract,
         b16_sketches,
     )
-    from .sampling import d10_pack, d10_split
+    from .sampling import d10_pack, d10_split, d25_token_mix
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
@@ -282,6 +284,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_interval_join": c8_interval_join,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
+        "d25_token_mix": d25_token_mix,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,

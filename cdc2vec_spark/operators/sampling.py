@@ -202,10 +202,84 @@ def d10_pack(spark, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=64).orderBy("doc_id")
 
 
+def mix_by_token_budget(
+    docs: DataFrame,
+    budget,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus mixing (the Dolma/FineWeb re-weighting step):
+    per source, keep documents in deterministic md5-rank order until the
+    source's token budget is consumed. A doc is kept iff the cumulative
+    token count BEFORE it is < the budget, so every non-empty source
+    reaches (and the last kept doc may overshoot) its budget — the
+    greedy prefix rule, order-stable across runs and partitionings.
+
+    ``budget`` is either a Column expression (evaluated per row — e.g.
+    derived from the source name) or a (source, budget) DataFrame, which
+    is **broadcast**-joined (budget tables are tiny by construction; the
+    corpus side never shuffles for the join).
+
+    Plan shape at 100 TB: one window shuffle on ``source_col`` (the same
+    partitioning d14's stratified sampler uses — skewed sources are the
+    caller's salting concern, exactly as with any per-stratum window).
+
+    Returns kept rows: (id_col, source_col, n_tokens, cum_tokens).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    d = docs.select(F.col(id_col), F.col(source_col), n_tok.alias("n_tokens"))
+    if isinstance(budget, DataFrame):
+        d = d.join(F.broadcast(budget), source_col)
+        budget_col = F.col("budget")
+    else:
+        budget_col = budget
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        d.where(F.col("cum_tokens") - F.col("n_tokens") < budget_col)
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
+    )
+
+
+def d25_token_mix(spark, sf_dir: str) -> DataFrame:
+    """Graded entry: mix documents to per-source token budgets derived
+    from the source name (400/600/800 by last-digit mod 3 — three real
+    budget classes on the fixture's src0..src19)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 400 + 200 * (F.substring("source", -1, 1).cast("int") % 3)
+    return mix_by_token_budget(docs, budget).orderBy("doc_id")
+
+
+D25_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         400 + 200 * (CAST(source[-1] AS INT) % 3) AS budget,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM t WHERE cum_tokens - n_tokens < budget
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d10_split": d10_split,
     "d10_pack": d10_pack,
     "d14_stratified": d14_stratified,
+    "d25_token_mix": d25_token_mix,
 }
 # d14 individually graded since round 7; d10_split/d10_pack stay
 # rows-only (hash-rank splits / FFD packing are not SQL-expressible)

@@ -7,7 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators import sampling
 from cdc2vec_spark.operators.sampling import pack_sequences, train_holdout_split
+from tests.conftest import SF0001, SF001
 
 
 def test_split_fraction_and_determinism(spark, sf_dir):
@@ -140,3 +142,68 @@ def test_stratified_sample_is_proportional_and_deterministic(spark, sf_dir):
         for r in stratified_sample(docs.repartition(17), 0.25).collect()
     )
     assert a == b
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d25_matches_duckdb_oracle(spark, sf):
+    """d25 rides inside x1 (registry at budget): the exact DuckDB oracle
+    is pinned here via the driver's comparator."""
+    from oracle_check import compare_one, duckdb_conn
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d25_token_mix",
+        sampling.d25_token_mix, sampling.D25_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_token_mix_greedy_prefix_semantics(spark):
+    """Hand-built: the greedy prefix keeps docs until the budget is
+    reached; the overshooting doc is KEPT (cum_before < budget rule); a
+    budget smaller than the first doc keeps exactly that one doc; and
+    the budgets-DataFrame variant (broadcast join) matches the
+    column-expression variant row for row."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "s1"),      # 4 tokens
+            (2, "b b b b b b", "s1"),  # 6 tokens
+            (3, "c c", "s1"),          # 2 tokens
+            (4, "d d d d d", "s2"),    # 5 tokens, budget 1 -> kept alone
+            (5, "e e", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    budgets = spark.createDataFrame(
+        [("s1", 7), ("s2", 1)], "source string, budget int"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in sampling.mix_by_token_budget(docs, budgets).collect()
+    }
+    # s1 md5-rank order for ids 1..3 is deterministic; total kept tokens
+    # must reach >= 7 and dropping the last kept doc must be < 7
+    s1 = sorted(
+        (r["cum_tokens"], r["doc_id"]) for r in got.values() if r["source"] == "s1"
+    )
+    assert s1[-1][0] >= 7 and (len(s1) == 1 or s1[-2][0] < 7)
+    s2 = [r for r in got.values() if r["source"] == "s2"]
+    assert len(s2) == 1  # budget 1: exactly the first-ranked doc
+    # column-expression variant with equivalent budgets agrees
+    bexpr = F.when(F.col("source") == "s1", 7).otherwise(1)
+    alt = {
+        r["doc_id"]: tuple(r)
+        for r in sampling.mix_by_token_budget(docs, bexpr).collect()
+    }
+    assert alt == {k: tuple(v) for k, v in got.items()}
+
+
+def test_token_mix_budget_join_is_broadcast(spark):
+    budgets = spark.createDataFrame([("s", 10)], "source string, budget int")
+    docs = spark.createDataFrame([(1, "a b", "s")], "doc_id long, text string, source string")
+    plan = sampling.mix_by_token_budget(
+        docs, budgets
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
