@@ -57,6 +57,7 @@ HEADLINE = [
     "d23_selfrep",           # within-doc repetition removal
     "d24_winnow",            # winnowing fingerprints (MOSS)
     "d25_token_mix",         # per-source token-budget corpus mixing
+    "d26_winnow_pairs",      # winnow-fingerprint near-dup pairs
     "d22_pca_topk",          # PCA cut + reduced-space retrieval
 ]
 

@@ -73,6 +73,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d21_span_dedup",
     "d23_selfrep",
     "d24_winnow",
+    "d26_winnow_pairs",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -150,7 +151,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pii import d20_pii
     from .similarity import d12_semdedup
     from .span_dedup import d21_span_dedup, d23_selfrep
-    from .winnow import d24_winnow
+    from .winnow import d24_winnow, d26_winnow_pairs
 
     return _union(
         spark,
@@ -165,6 +166,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d21_span_dedup", d21_span_dedup),
             ("d23_selfrep", d23_selfrep),
             ("d24_winnow", d24_winnow),
+            ("d26_winnow_pairs", d26_winnow_pairs),
         ],
     )
 
@@ -251,7 +253,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .span_dedup import d21_span_dedup, d23_selfrep
-    from .winnow import d24_winnow
+    from .winnow import d24_winnow, d26_winnow_pairs
     from .relational import (
         b1_scan_count,
         b11_topk,
@@ -294,6 +296,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d21_span_dedup": d21_span_dedup,
         "d23_selfrep": d23_selfrep,
         "d24_winnow": d24_winnow,
+        "d26_winnow_pairs": d26_winnow_pairs,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

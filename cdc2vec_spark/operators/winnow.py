@@ -130,5 +130,91 @@ FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
 ORDER BY doc_id, pos, fp
 """
 
-QUERIES = {"d24_winnow": d24_winnow}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+def winnow_neardup_pairs(
+    docs: DataFrame,
+    min_shared: int = 3,
+    max_df: int = 50,
+    k: int = _K,
+    w: int = _W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the MOSS match step on top of ``winnow_fingerprints``.
+
+    Fingerprints occurring in more than ``max_df`` documents are dropped
+    BEFORE the self-join (stop-fingerprint removal): corpus-wide
+    boilerplate grams would otherwise create quadratic hot keys — the
+    same economy d2_blocked gets from its blocking key. The join is an
+    inverted-index equi-join on the fingerprint hash, so pairs sharing
+    nothing never materialize; the shuffle is bounded by fingerprint
+    count (≈ 2/(w+1) of token count), not pairs.
+    """
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def d26_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: winnow-fingerprint near-dup pairs over documents
+    (min_shared=3, stop-fingerprints at df > 50)."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    return winnow_neardup_pairs(d).orderBy("id_a", "id_b")
+
+
+D26_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), keys AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_K} THEN
+           list_transform(range(1, len(t) - {_K - 2}),
+             i -> md5(array_to_string(t[i:i + {_K - 1}], ' '))
+                  || lpad(CAST({_POS_CAP} - i AS VARCHAR), 7, '0'))
+         ELSE
+           [md5(array_to_string(t, ' '))
+            || lpad(CAST({_POS_CAP - 1} AS VARCHAR), 7, '0')]
+         END AS ks
+  FROM toks
+), fps AS (
+  SELECT DISTINCT doc_id, s[1:32] AS fp FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             list_transform(range(1, greatest(len(ks) - {_W - 1}, 1) + 1),
+               j -> list_aggregate(ks[j:j + {_W - 1}], 'min'))
+           )) AS s
+    FROM keys
+  )
+), rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+  WHERE df <= 50
+), kept AS (
+  SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+QUERIES = {"d24_winnow": d24_winnow, "d26_winnow_pairs": d26_winnow_pairs}
+ORACLES: dict[str, str] = {}  # delivered via composite; oracles pinned in tests

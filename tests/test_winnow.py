@@ -78,3 +78,38 @@ def test_plan_is_narrow_jvm(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d26_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d26_winnow_pairs",
+        winnow.d26_winnow_pairs, winnow.D26_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_pair_detection_and_stop_fingerprints(spark):
+    """Two docs sharing a long run pair up; the stop-fingerprint cut
+    (max_df) removes corpus-wide boilerplate fingerprints so a gram
+    shared by EVERY doc creates no pairs on its own."""
+    shared = "one two three four five six seven eight nine ten"
+    boiler = "common header line appears everywhere always today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {shared} tail one"),
+            (2, f"{boiler} {shared} other end"),
+            (3, f"{boiler} completely different body text here now"),
+            (4, f"{boiler} yet another unrelated body of words"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_df=2: the boilerplate fingerprints (df=4) are dropped; docs 1,2
+    # still pair via the shared run; 3,4 share only boilerplate -> no pair
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow.winnow_neardup_pairs(docs, min_shared=2, max_df=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs
