@@ -58,6 +58,7 @@ HEADLINE = [
     "d24_winnow",            # winnowing fingerprints (MOSS)
     "d25_token_mix",         # per-source token-budget corpus mixing
     "d26_winnow_pairs",      # winnow-fingerprint near-dup pairs
+    "d27_full_prep",         # full prep composition (scrub->clean->mix->split)
     "d22_pca_topk",          # PCA cut + reduced-space retrieval
 ]
 

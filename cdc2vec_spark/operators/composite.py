@@ -62,6 +62,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "d10_split",
     "d10_pack",
     "d25_token_mix",
+    "d27_full_prep",
     "d2_minhash_lsh",
     "d2_simhash",
     "d9_keep_canonical",
@@ -122,6 +123,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
+    from .corpus import d27_full_prep
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split, d25_token_mix
     from .vectors import a8_deterministic_embed
@@ -138,6 +140,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
             ("d25_token_mix", d25_token_mix),
+            ("d27_full_prep", d27_full_prep),
         ],
     )
 
@@ -247,6 +250,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
+    from .corpus import d27_full_prep
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
     from .pii import d20_pii
@@ -287,6 +291,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d25_token_mix": d25_token_mix,
+        "d27_full_prep": d27_full_prep,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,

@@ -141,6 +141,129 @@ GROUP BY q.source, q.lang
 ORDER BY q.source, q.lang
 """
 
-QUERIES = {"d16_corpus_pipeline": d16_corpus_pipeline}
-# round-7 rotation: individually graded (was composite-delivered in r06)
+def d27_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data preparation story as ONE declarative
+    plan: PII scrub (with the d20 synthesized-PII device so the stage is
+    non-vacuous on the fixtures) → exact dedup → quality filter →
+    benchmark decontamination → per-source token-budget mixing →
+    deterministic train/holdout split → per-(split, source) summary.
+
+    Every stage is one of the already-audited primitives (pii.redact,
+    clean_corpus, sampling.mix_by_token_budget) composed so Catalyst
+    optimizes end to end; the split here uses an md5-prefix rule
+    (``substr(md5(id), 1, 2) < '1a'`` ≈ 10.2% holdout) instead of
+    d10_split's xxhash64 so the WHOLE composition stays exactly
+    DuckDB-portable — the oracle reproduces every stage bit-for-bit.
+    """
+    from .pii import _with_synth_pii, redact
+    from .sampling import mix_by_token_budget
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    d = d.withColumn("text", redact(_with_synth_pii(d)))
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    train = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    surv = clean_corpus(train, bench)
+    budget = 400 + 200 * (F.substring("source", -1, 1).cast("int") % 3)
+    mixed = mix_by_token_budget(surv, budget)
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a",
+        F.lit("holdout"),
+    ).otherwise(F.lit("train"))
+    return (
+        mixed.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _d27_oracle() -> str:
+    from .pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(regexp_replace(
+           CASE WHEN doc_id % 7 = 0 THEN
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.1 phone +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text END,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM documents
+), train0 AS (
+  SELECT * FROM base WHERE doc_id % {_BENCH_MOD} <> 0
+), deduped AS (
+  SELECT * FROM train0
+  QUALIFY row_number() OVER (PARTITION BY md5(t2) ORDER BY doc_id) = 1
+), quality AS (
+  SELECT * FROM deduped
+  WHERE len(string_split(t2, ' ')) >= {_MIN_TOKENS}
+    AND CAST(len(list_distinct(string_split(t2, ' '))) AS DOUBLE)
+        / len(string_split(t2, ' ')) >= {_MIN_DIVERSITY}
+), toks AS (
+  SELECT doc_id, string_split(lower(t2), ' ') AS t, lower(t2) AS lt,
+         FALSE AS is_bench
+  FROM quality
+  UNION ALL
+  SELECT doc_id, string_split(lower(t2), ' '), lower(t2), TRUE
+  FROM base WHERE doc_id % {_BENCH_MOD} = 0
+), grams AS (
+  SELECT doc_id, is_bench,
+         list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [lt] END
+         ) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT md5(unnest(gs)) AS g, 1 AS hit FROM grams WHERE is_bench
+), traing AS (
+  SELECT doc_id, md5(unnest(gs)) AS g FROM grams WHERE NOT is_bench
+), overlap AS (
+  SELECT t.doc_id,
+         (CAST(count(b.hit) AS DOUBLE) / count(*)) >= {_THRESHOLD} AS contaminated
+  FROM traing t LEFT JOIN bench b USING (g)
+  GROUP BY t.doc_id
+), surv AS (
+  SELECT q.* FROM quality q
+  JOIN overlap o ON q.doc_id = o.doc_id AND NOT o.contaminated
+), mixed AS (
+  SELECT doc_id, source,
+         len(string_split(t2, ' ')) AS n_tokens,
+         400 + 200 * (CAST(source[-1] AS INT) % 3) AS budget,
+         sum(len(string_split(t2, ' '))) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM surv
+), kept AS (
+  SELECT * FROM mixed WHERE cum - n_tokens < budget
+)
+SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR))[1:2] < '1a'
+            THEN 'holdout' ELSE 'train' END AS split,
+       source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM kept
+GROUP BY 1, source
+ORDER BY split, source
+"""
+
+
+D27_ORACLE_SQL = _d27_oracle()
+
+QUERIES = {
+    "d16_corpus_pipeline": d16_corpus_pipeline,
+    "d27_full_prep": d27_full_prep,
+}
+# round-7 rotation: d16 individually graded; d27 composite-delivered
+# (oracle pinned in tests/test_corpus.py)
 ORACLES = {"d16_corpus_pipeline": D16_ORACLE_SQL}

@@ -70,3 +70,26 @@ def test_d16_quality_subtree_computed_once(spark):
         spark, SF0001
     )._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d27_full_prep_matches_duckdb_oracle(spark, sf):
+    """Round-7 capstone: the WHOLE prep composition (PII scrub → dedup →
+    quality → decontaminate → token mix → split → summary) against one
+    exact end-to-end DuckDB oracle, via the driver's comparator."""
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d27_full_prep",
+        corpus.d27_full_prep, corpus.D27_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_d27_both_splits_and_all_sources_present(spark):
+    """Sanity on sf0.01: the summary covers both splits and every source
+    survives mixing with a non-zero token count."""
+    rows = corpus.d27_full_prep(spark, SF001).collect()
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "holdout"} or splits == {"train"}
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert len({r["source"] for r in rows}) >= 15
