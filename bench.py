@@ -595,7 +595,8 @@ def _make_sf1(spark) -> str:
     return root
 
 
-# the five heaviest corpus operators + the incremental lexical index loop
+# the heaviest corpus operators + the incremental lexical index loop +
+# the shuffle-heaviest round-7 additions
 _CURVE_OPS = [
     "c6_cdc_apply",
     "d2_blocked_jaccard",
@@ -603,6 +604,8 @@ _CURVE_OPS = [
     "d11_decontaminate",
     "d16_corpus_pipeline",
     "d18_cdc_bm25",
+    "d21_span_dedup",
+    "d26_winnow_pairs",
 ]
 
 
@@ -657,9 +660,14 @@ def _delta_vs_prev(timings: dict[str, float]) -> dict[str, float]:
     def rnum(p: str) -> int:
         return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
 
+    cur = _round_number()
     records: list[tuple[int, dict]] = []
     for p in glob.glob(os.path.join(REPO, "BENCH_SELF_r*.json")):
         try:
+            # skip the CURRENT round's self-record: this run writes it
+            # progressively, so it would be compared against itself
+            if rnum(p) >= cur:
+                continue
             with open(p) as f:
                 q = json.load(f).get("queries") or {}
             if q:
