@@ -508,7 +508,7 @@ def _multi_sink_probe(spark, sf_dir: str) -> dict:
     ch = C.changes_df(spark, sf_dir)
     provider = DeterministicHashProvider(dim=256)
     srv, url = _mock_http_server({"status": "ok"})
-    out: dict[str, float] = {}
+    out: dict = {}
     try:
         for label, extra in (("one_sink_secs", False), ("three_sinks_secs", True)):
             root = tempfile.mkdtemp(prefix="bench_fanout_")
@@ -530,20 +530,36 @@ def _multi_sink_probe(spark, sf_dir: str) -> dict:
                     sink=sinks[0],
                     extra_sinks=tuple(sinks[1:]),
                 )
-                hook = runner.sink_hooks_for(cfg)
+                # per-sink hooks timed individually so the fanout ratio
+                # is attributable (the extra cost is the two index
+                # merges, not a re-run of the embed pipeline)
+                hooks = [
+                    (s.type, runner.sink_hook_for(cfg, s))
+                    for s in cfg.all_sinks
+                ]
                 coll = runner.PointsCollection(spark, f"{root}/state", n_buckets=8)
                 secs = []
+                parts: dict[str, float] = {}
                 for i in range(2):
                     batch = ch.withColumn("lsn", F.col("lsn") + F.lit(i * 10_000_000))
                     pts = build_points(
                         batch, DOCUMENTS_MAPPING, provider, keep_text=True
                     ).persist()
                     t0 = time.perf_counter()
+                    tc0 = time.perf_counter()
                     coll.apply_points(pts)
-                    hook(pts)
+                    parts["collection"] = time.perf_counter() - tc0
+                    for stype, h in hooks:
+                        th0 = time.perf_counter()
+                        h(pts)
+                        parts[stype] = time.perf_counter() - th0
                     secs.append(time.perf_counter() - t0)
                     pts.unpersist()
                 out[label] = round(secs[-1], 3)
+                if extra:
+                    out["three_sinks_breakdown"] = {
+                        k: round(v, 3) for k, v in parts.items()
+                    }
             finally:
                 shutil.rmtree(root, ignore_errors=True)
         out["three_over_one_ratio"] = round(
