@@ -44,6 +44,10 @@ NOTES = {
     "d21_span_dedup": "gram explode is narrow; dup-gram aggregate + join back + per-doc start list are the only shuffles (O(tokens)); the token mask is a JVM HOF filter against the doc's tiny start list.",
     "d23_selfrep": "purely per-document: the window and start-list aggregate both key on doc_id — no cross-doc join anywhere.",
     "d22_pca_topk": "projection is ONE narrow broadcast-BLAS MapInPandas pass (no shuffle), then the audited exact-top-k k-heap in the reduced space.",
+    "d24_winnow": "selection is pure JVM array HOFs over the scan (per-position comparable keys, window minima via transform+slice) — no shuffle before the tiny per-doc explode.",
+    "d25_token_mix": "one window shuffle on source (md5-rank cumulative sum); budget evaluated per row — no join in the expression form.",
+    "d26_winnow_pairs": "inverted-index equi-join on fingerprint hashes with stop-fingerprint removal before the join; shuffles bounded by fingerprint count, never pairs.",
+    "d27_full_prep": "seven stages, one plan: scan-stage regex scrub, persisted dedup+quality subtree (InMemoryTableScan on the semi-join side), broadcast decontamination, per-source window mix, md5-prefix split, final aggregate.",
 }
 
 HEADLINE = list(NOTES)
