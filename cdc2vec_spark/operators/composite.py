@@ -93,6 +93,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "b12_intersect",
     "b13_scalar_funcs",
     "b14_json_extract",
+    # round-7 addition (exact oracle in tests/test_text_quality.py)
+    "t6_length_percentiles",
 )
 
 
@@ -213,6 +215,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t3_lang_guess,
         t4_fingerprint,
         t5_regex_tokens,
+        t6_length_percentiles,
     )
 
     return _union(
@@ -229,6 +232,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b12_intersect", b12_intersect),
             ("b13_scalar_funcs", b13_scalar_funcs),
             ("b14_json_extract", b14_json_extract),
+            ("t6_length_percentiles", t6_length_percentiles),
         ],
     )
 
@@ -279,6 +283,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t3_lang_guess,
         t4_fingerprint,
         t5_regex_tokens,
+        t6_length_percentiles,
     )
     from .vectors import a8_deterministic_embed
 
@@ -317,4 +322,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b12_intersect": b12_intersect,
         "b13_scalar_funcs": b13_scalar_funcs,
         "b14_json_extract": b14_json_extract,
+        "t6_length_percentiles": t6_length_percentiles,
     }

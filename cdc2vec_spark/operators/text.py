@@ -283,6 +283,36 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(d).select("doc_id", "fp").orderBy("doc_id")
 
 
+def t6_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT token-length percentiles (p50/p90) + counts —
+    exact distributed order statistics via Spark's `percentile` sorted
+    aggregate (vs b16's fixed-memory sketches: `percentile` materializes
+    each group's values, so it is the right tool when group counts are
+    bounded — per-SOURCE stats over any corpus, since sources number in
+    the thousands — while approx_percentile is the 100 TB default for
+    high-cardinality groups). Interpolation matches DuckDB's
+    quantile_cont bit-for-bit, so the entry is hash-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = "size(split(text, ' '))"
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr(f"percentile({ntok}, 0.5)"), 2).alias("p50_tokens"),
+            F.round(F.expr(f"percentile({ntok}, 0.9)"), 2).alias("p90_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+T6_ORACLE_SQL = """
+SELECT source, count(*) AS n,
+       round(quantile_cont(len(string_split(text, ' ')), 0.5), 2) AS p50_tokens,
+       round(quantile_cont(len(string_split(text, ' ')), 0.9), 2) AS p90_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY = ("spark", "query", "window", "vector")
@@ -405,12 +435,14 @@ QUERIES = {
     # round-7 rotation: individually graded (were composite-delivered)
     "d15_chunk": d15_chunk,
     "d17_bm25": d17_bm25,
+    "t6_length_percentiles": t6_length_percentiles,
 }
 
 ORACLES = {
     # round-7 rotation: individually graded (were composite-delivered)
     "d15_chunk": D15_ORACLE_SQL,
     "d17_bm25": D17_ORACLE_SQL,
+    "t6_length_percentiles": T6_ORACLE_SQL,
     "d4_text_stats": (
         "SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, "
         "round(avg(length(text)), 2) AS avg_len FROM documents "

@@ -206,3 +206,21 @@ def test_bm25_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "term#" in plan and " IN " in plan  # query-term prune predicate
+
+
+def test_t6_percentiles_match_duckdb_oracle(spark):
+    """t6 rides inside x4 (registry at budget): exact distributed order
+    statistics — Spark's `percentile` sorted aggregate must match
+    DuckDB's quantile_cont bit-for-bit at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators import text as T
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "t6_length_percentiles",
+            T.t6_length_percentiles, T.T6_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
