@@ -60,6 +60,7 @@ HEADLINE = [
     "d26_winnow_pairs",      # winnow-fingerprint near-dup pairs
     "d27_full_prep",         # full prep composition (scrub->clean->mix->split)
     "d22_pca_topk",          # PCA cut + reduced-space retrieval
+    "d28_lm_perplexity",     # CCNet bigram-LM perplexity terciles
 ]
 
 

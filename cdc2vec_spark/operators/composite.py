@@ -34,9 +34,9 @@ Groupings:
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, and the round-7
                          corpus-cleaning additions d20_pii,
-                         d21_span_dedup, d23_selfrep, d24_winnow (each
-                         with an exact DuckDB oracle pinned in its own
-                         test file)
+                         d21_span_dedup, d23_selfrep, d24_winnow,
+                         d28_lm_perplexity (each with an exact DuckDB
+                         oracle pinned in its own test file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk
   x4_rowsonly_stable   — t1–t5, b1_scan_count, b11_topk, b12_intersect,
@@ -95,6 +95,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "b14_json_extract",
     # round-7 addition (exact oracle in tests/test_text_quality.py)
     "t6_length_percentiles",
+    # round-7 addition (exact oracle in tests/test_lm.py)
+    "d28_lm_perplexity",
 )
 
 
@@ -152,6 +154,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files)."""
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .lm import d28_lm_perplexity
     from .multimodal import d6_features
     from .pii import d20_pii
     from .similarity import d12_semdedup
@@ -172,6 +175,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d23_selfrep", d23_selfrep),
             ("d24_winnow", d24_winnow),
             ("d26_winnow_pairs", d26_winnow_pairs),
+            ("d28_lm_perplexity", d28_lm_perplexity),
         ],
     )
 
@@ -256,6 +260,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .corpus import d27_full_prep
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .lm import d28_lm_perplexity
     from .multimodal import d6_features
     from .pii import d20_pii
     from .quantize import d3_pq_topk
@@ -307,6 +312,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d23_selfrep": d23_selfrep,
         "d24_winnow": d24_winnow,
         "d26_winnow_pairs": d26_winnow_pairs,
+        "d28_lm_perplexity": d28_lm_perplexity,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
