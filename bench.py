@@ -61,6 +61,7 @@ HEADLINE = [
     "d27_full_prep",         # full prep composition (scrub->clean->mix->split)
     "d22_pca_topk",          # PCA cut + reduced-space retrieval
     "d28_lm_perplexity",     # CCNet bigram-LM perplexity terciles
+    "d29_shards",            # deterministic global shuffle + shard assign
 ]
 
 

@@ -30,7 +30,7 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         d10_split, d10_pack
+                         d10_split, d10_pack, d29_shards
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, and the round-7
                          corpus-cleaning additions d20_pii,
@@ -97,6 +97,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "t6_length_percentiles",
     # round-7 addition (exact oracle in tests/test_lm.py)
     "d28_lm_perplexity",
+    # round-7 addition (exact oracle in tests/test_sampling.py)
+    "d29_shards",
 )
 
 
@@ -129,7 +131,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import c4_watermark
     from .corpus import d27_full_prep
     from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split, d25_token_mix
+    from .sampling import d10_pack, d10_split, d25_token_mix, d29_shards
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -145,6 +147,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d10_pack", d10_pack),
             ("d25_token_mix", d25_token_mix),
             ("d27_full_prep", d27_full_prep),
+            ("d29_shards", d29_shards),
         ],
     )
 
@@ -275,7 +278,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b14_json_extract,
         b16_sketches,
     )
-    from .sampling import d10_pack, d10_split, d25_token_mix
+    from .sampling import d10_pack, d10_split, d25_token_mix, d29_shards
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
@@ -313,6 +316,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d24_winnow": d24_winnow,
         "d26_winnow_pairs": d26_winnow_pairs,
         "d28_lm_perplexity": d28_lm_perplexity,
+        "d29_shards": d29_shards,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

@@ -275,13 +275,84 @@ ORDER BY doc_id
 """
 
 
+def shard_corpus(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final
+    "materialize the training corpus as N shard files" step every
+    dataloader expects (fixed shard count, pseudo-random document order,
+    reproducible bit-for-bit across runs).
+
+    Each document gets an md5 order key (seeded by a fixed prefix so the
+    order is unrelated to d14/d25's rank keys), its shard = first 32
+    bits of that key mod ``n_shards`` (balanced in expectation, append-
+    stable: new docs never move existing docs between shards), and its
+    position within the shard = rank by (key, id).
+
+    Plan shape at 100 TB: ONE hash shuffle on the shard id + a per-shard
+    sort — exactly the ``repartition(shard).sortWithinPartitions`` write
+    path Spark would execute for ``partitionBy(shard)`` output, with
+    shard sizes corpus/n_shards by construction (no skew: md5 is
+    uniform). The row_number window keys on the shard, so no global
+    single-partition sort exists anywhere.
+
+    Returns (id_col, shard, pos, n_tokens) — the exact write manifest:
+    ``pos`` is the document's position inside its shard file, n_tokens
+    lets the caller build per-shard token accounting with one aggregate.
+    """
+    key = F.md5(F.concat_ws(":", F.lit("shard"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            key.alias("key"),
+            shard.alias("shard"),
+            F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos", "n_tokens")
+    )
+
+
+def d29_shards(spark, sf_dir: str) -> DataFrame:
+    """Graded entry: the full shard assignment at n_shards=8 — every
+    document's (shard, pos) placement, hash-checkable end to end."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_corpus(docs, n_shards=8).orderBy("shard", "pos")
+
+
+D29_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS key,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos,
+       n_tokens
+FROM t ORDER BY shard, pos
+"""
+
+
 QUERIES = {
     "d10_split": d10_split,
     "d10_pack": d10_pack,
     "d14_stratified": d14_stratified,
     "d25_token_mix": d25_token_mix,
+    "d29_shards": d29_shards,
 }
 # d14 individually graded since round 7; d10_split/d10_pack stay
 # rows-only (hash-rank splits / FFD packing are not SQL-expressible)
-# and ride inside the x1 composite.
+# and ride inside the x1 composite, as does d29 (exact oracle pinned
+# in tests/test_sampling.py; registry at the 50-entry budget).
 ORACLES = {"d14_stratified": D14_ORACLE_SQL}

@@ -207,3 +207,68 @@ def test_token_mix_budget_join_is_broadcast(spark):
         docs, budgets
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d29_matches_duckdb_oracle(spark, sf):
+    """d29 rides inside x1 (registry at budget): the exact DuckDB oracle
+    of the full (shard, pos) placement is pinned HERE at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d29_shards",
+        sampling.d29_shards, sampling.D29_ORACLE_SQL, sf,
+    )
+    assert not problems, problems
+
+
+def test_shard_append_stable_and_balanced(spark):
+    """Appending new documents never moves an existing document to a
+    different shard and never reorders existing documents within their
+    shard (their positions may shift by insertions before them, but
+    relative order is fixed) — the property a reproducible training run
+    relies on. Shards stay balanced within expected md5 variance."""
+    from cdc2vec_spark.io import load_table
+
+    docs = load_table(spark, SF001, "documents")
+    base = docs.where("doc_id < 400")
+    a = {r["doc_id"]: r for r in sampling.shard_corpus(base, 8).collect()}
+    b = {r["doc_id"]: r for r in sampling.shard_corpus(docs, 8).collect()}
+    for did, ra in a.items():
+        assert b[did]["shard"] == ra["shard"]
+    for s in range(8):
+        old_order = [d for d, r in sorted(a.items(), key=lambda kv: kv[1]["pos"])
+                     if a[d]["shard"] == s]
+        new_order = [d for d, r in sorted(b.items(), key=lambda kv: kv[1]["pos"])
+                     if b[d]["shard"] == s and d in a]
+        assert old_order == new_order
+    counts = sorted(
+        sampling.shard_corpus(docs, 8).groupBy("shard").count().rdd
+        .map(lambda r: r["count"]).collect()
+    )
+    assert len(counts) == 8 and counts[0] > 0.5 * counts[-1]
+
+
+def test_shard_is_partitioning_invariant(spark):
+    from cdc2vec_spark.io import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    a = sampling.shard_corpus(docs, 4).collect()
+    b = sampling.shard_corpus(docs.repartition(13), 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_shard_window_keys_on_shard_not_global(spark):
+    """Scale contract: the position window partitions BY SHARD (one hash
+    exchange), never a single-partition global sort; no Python eval."""
+    from cdc2vec_spark.io import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    plan = (
+        sampling.shard_corpus(docs, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
