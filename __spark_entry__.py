@@ -33,6 +33,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import corpus as _corpus
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
+        from cdc2vec_spark.operators import html_extract as _html_extract
         from cdc2vec_spark.operators import lex_index as _lex_index
         from cdc2vec_spark.operators import lm as _lm
         from cdc2vec_spark.operators import multimodal as _multimodal
@@ -52,7 +53,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _retrieval, _pii, _span_dedup,
-             _reduce, _winnow, _lm]
+             _reduce, _winnow, _lm, _html_extract]
         )
     except ImportError:
         pass

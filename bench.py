@@ -62,6 +62,7 @@ HEADLINE = [
     "d22_pca_topk",          # PCA cut + reduced-space retrieval
     "d28_lm_perplexity",     # CCNet bigram-LM perplexity terciles
     "d29_shards",            # deterministic global shuffle + shard assign
+    "d30_html_extract",      # HTML -> text + boilerplate removal
 ]
 
 

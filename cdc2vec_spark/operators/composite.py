@@ -35,8 +35,9 @@ Groupings:
                          d6_features, d12_semdedup, and the round-7
                          corpus-cleaning additions d20_pii,
                          d21_span_dedup, d23_selfrep, d24_winnow,
-                         d28_lm_perplexity (each with an exact DuckDB
-                         oracle pinned in its own test file)
+                         d28_lm_perplexity, d30_html_extract (each with
+                         an exact DuckDB oracle pinned in its own test
+                         file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk
   x4_rowsonly_stable   — t1–t5, b1_scan_count, b11_topk, b12_intersect,
@@ -99,6 +100,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d28_lm_perplexity",
     # round-7 addition (exact oracle in tests/test_sampling.py)
     "d29_shards",
+    # round-7 addition (exact oracle in tests/test_html.py)
+    "d30_html_extract",
 )
 
 
@@ -157,6 +160,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files)."""
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .html_extract import d30_html_extract
     from .lm import d28_lm_perplexity
     from .multimodal import d6_features
     from .pii import d20_pii
@@ -179,6 +183,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d24_winnow", d24_winnow),
             ("d26_winnow_pairs", d26_winnow_pairs),
             ("d28_lm_perplexity", d28_lm_perplexity),
+            ("d30_html_extract", d30_html_extract),
         ],
     )
 
@@ -263,6 +268,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .corpus import d27_full_prep
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .html_extract import d30_html_extract
     from .lm import d28_lm_perplexity
     from .multimodal import d6_features
     from .pii import d20_pii
@@ -317,6 +323,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d26_winnow_pairs": d26_winnow_pairs,
         "d28_lm_perplexity": d28_lm_perplexity,
         "d29_shards": d29_shards,
+        "d30_html_extract": d30_html_extract,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
