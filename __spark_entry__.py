@@ -47,13 +47,14 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import selection as _selection
         from cdc2vec_spark.operators import similarity as _similarity
         from cdc2vec_spark.operators import text as _text
+        from cdc2vec_spark.operators import urls as _urls
         from cdc2vec_spark.operators import vectors as _vectors
 
         modules.extend(
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _retrieval, _pii, _span_dedup,
-             _reduce, _winnow, _lm, _html_extract]
+             _reduce, _winnow, _lm, _html_extract, _urls]
         )
     except ImportError:
         pass

@@ -63,6 +63,7 @@ HEADLINE = [
     "d28_lm_perplexity",     # CCNet bigram-LM perplexity terciles
     "d29_shards",            # deterministic global shuffle + shard assign
     "d30_html_extract",      # HTML -> text + boilerplate removal
+    "d31_domain_cap",        # URL normalize + per-domain caps
 ]
 
 

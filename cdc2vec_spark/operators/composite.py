@@ -30,14 +30,15 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         d10_split, d10_pack, d29_shards
+                         d10_split, d10_pack, d25_token_mix,
+                         d27_full_prep, d29_shards
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, and the round-7
                          corpus-cleaning additions d20_pii,
                          d21_span_dedup, d23_selfrep, d24_winnow,
-                         d28_lm_perplexity, d30_html_extract (each with
-                         an exact DuckDB oracle pinned in its own test
-                         file)
+                         d28_lm_perplexity, d30_html_extract,
+                         d31_domain_cap (each with an exact DuckDB
+                         oracle pinned in its own test file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk
   x4_rowsonly_stable   — t1–t5, b1_scan_count, b11_topk, b12_intersect,
@@ -102,6 +103,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d29_shards",
     # round-7 addition (exact oracle in tests/test_html.py)
     "d30_html_extract",
+    # round-7 addition (exact oracle in tests/test_urls.py)
+    "d31_domain_cap",
 )
 
 
@@ -166,6 +169,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pii import d20_pii
     from .similarity import d12_semdedup
     from .span_dedup import d21_span_dedup, d23_selfrep
+    from .urls import d31_domain_cap
     from .winnow import d24_winnow, d26_winnow_pairs
 
     return _union(
@@ -184,6 +188,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d26_winnow_pairs", d26_winnow_pairs),
             ("d28_lm_perplexity", d28_lm_perplexity),
             ("d30_html_extract", d30_html_extract),
+            ("d31_domain_cap", d31_domain_cap),
         ],
     )
 
@@ -275,6 +280,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .span_dedup import d21_span_dedup, d23_selfrep
+    from .urls import d31_domain_cap
     from .winnow import d24_winnow, d26_winnow_pairs
     from .relational import (
         b1_scan_count,
@@ -324,6 +330,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d28_lm_perplexity": d28_lm_perplexity,
         "d29_shards": d29_shards,
         "d30_html_extract": d30_html_extract,
+        "d31_domain_cap": d31_domain_cap,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

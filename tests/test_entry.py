@@ -87,7 +87,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",
             "d12_semdedup", "d20_pii", "d21_span_dedup", "d23_selfrep",
             "d24_winnow", "d26_winnow_pairs", "d28_lm_perplexity",
-            "d30_html_extract",
+            "d30_html_extract", "d31_domain_cap",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
