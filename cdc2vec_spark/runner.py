@@ -396,6 +396,44 @@ def sink_hooks_for(cfg: PipelineConfig):
     return fanout
 
 
+def _resolve_config(config: PipelineConfig | str | None):
+    if config is None:
+        return PipelineConfig(engine=DEFAULT_CONFIG)
+    if isinstance(config, str):
+        return load_yaml(config)
+    return config
+
+
+def _collection_for(spark: SparkSession, cfg, state_dir: str):
+    """The engine-native keyed store the config selects: rename-swap
+    protocol by default (local filesystems); ``sink.options.
+    state_protocol: manifest`` selects the object-store-safe
+    manifest-generation commits (cdc/manifest.py); chunked configs get
+    the replace-set collections."""
+    protocol = "swap"
+    if isinstance(cfg, PipelineConfig):
+        protocol = str(cfg.sink.options.get("state_protocol", "swap"))
+    chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
+    if protocol == "manifest":
+        from .cdc.manifest import (
+            ManifestChunkedPointsCollection,
+            ManifestPointsCollection,
+        )
+
+        return (
+            ManifestChunkedPointsCollection(spark, state_dir)
+            if chunked
+            else ManifestPointsCollection(spark, state_dir)
+        )
+    if protocol == "swap":
+        return (
+            ChunkedPointsCollection(spark, state_dir)
+            if chunked
+            else PointsCollection(spark, state_dir)
+        )
+    raise ValueError(f"unknown state_protocol: {protocol!r}")
+
+
 def boot(
     spark: SparkSession,
     config: PipelineConfig | str | None,
@@ -412,39 +450,10 @@ def boot(
     chunks — the file-stream stand-in for the Kafka/Debezium topic (swap in
     cdc.debezium.read_kafka_stream for production). Caller stops the query
     (or wraps this in streaming.health.run_supervised)."""
-    if config is None:
-        cfg = PipelineConfig(engine=DEFAULT_CONFIG)
-    elif isinstance(config, str):
-        cfg = load_yaml(config)
-    else:
-        cfg = config
+    cfg = _resolve_config(config)
     provider = _provider_from(cfg)
-    # engine-native keyed store: rename-swap protocol by default (local
-    # filesystems); `sink.options.state_protocol: manifest` selects the
-    # object-store-safe manifest-generation commits (cdc/manifest.py)
-    protocol = "swap"
-    if isinstance(cfg, PipelineConfig):
-        protocol = str(cfg.sink.options.get("state_protocol", "swap"))
     chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
-    if protocol == "manifest":
-        from .cdc.manifest import (
-            ManifestChunkedPointsCollection,
-            ManifestPointsCollection,
-        )
-
-        coll = (
-            ManifestChunkedPointsCollection(spark, state_dir)
-            if chunked
-            else ManifestPointsCollection(spark, state_dir)
-        )
-    elif protocol == "swap":
-        coll = (
-            ChunkedPointsCollection(spark, state_dir)
-            if chunked
-            else PointsCollection(spark, state_dir)
-        )
-    else:
-        raise ValueError(f"unknown state_protocol: {protocol!r}")
+    coll = _collection_for(spark, cfg, state_dir)
     hook = sink_hooks_for(cfg) if isinstance(cfg, PipelineConfig) else None
     if chunked and isinstance(cfg, PipelineConfig):
         bad = [
@@ -497,6 +506,71 @@ def boot(
 
         server = serve_healthz(query, health_port)
     return query, coll, server
+
+
+def boot_with_snapshot(
+    spark: SparkSession,
+    config: PipelineConfig | str | None,
+    snapshots: list,
+    snapshot_lsn: int,
+    changes_dir: str,
+    changes_schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    snapshot_id_col: str = "pk",
+    health_port: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Bootstrap a brand-new deployment from the source tables' CURRENT
+    state, then start streaming (cdc/snapshot.py protocol — the
+    reference can't do this at all: rows that predate the slot are
+    never indexed).
+
+    ``snapshots`` is a list of ``(table_df, mapping)`` pairs (one per
+    mapped table); each is pushed through the audited build_points
+    pipeline at ``lsn=snapshot_lsn`` into the config-selected collection
+    AND through the configured external-sink hooks (qdrant/milvus/
+    kafka/ivf_index/lex_index all receive the pre-existing rows — the
+    point of the bootstrap), then ``boot`` takes over. The LWW merge
+    makes the handoff coordination-free: streaming may replay from any
+    offset at or before the snapshot without corruption.
+
+    Returns boot's (query, collection, health_server)."""
+    from .cdc.pipeline import build_points
+    from .cdc.snapshot import snapshot_events
+
+    cfg = _resolve_config(config)
+    provider = _provider_from(cfg)
+    coll = _collection_for(spark, cfg, state_dir)
+    hook = sink_hooks_for(cfg) if isinstance(cfg, PipelineConfig) else None
+    keep_text = isinstance(cfg, PipelineConfig) and any(
+        s.type == "lex_index" for s in cfg.all_sinks
+    )
+    chunk = cfg.engine.chunk if isinstance(cfg, PipelineConfig) else None
+    for table, mapping in snapshots:
+        ev = snapshot_events(table, mapping.table, snapshot_id_col, snapshot_lsn)
+        pts = build_points(
+            ev, mapping, provider, chunk=chunk, keep_text=keep_text
+        )
+        if hook is None:
+            coll.apply_points(pts, None)
+            continue
+        pts = pts.persist()
+        try:
+            coll.apply_points(pts, None)
+            hook(pts)
+        finally:
+            pts.unpersist()
+    return boot(
+        spark,
+        cfg,
+        changes_dir,
+        changes_schema,
+        state_dir,
+        checkpoint_dir,
+        health_port,
+        max_files_per_trigger,
+    )
 
 
 def boot_from_postgres(

@@ -117,3 +117,99 @@ def test_empty_snapshot_is_noop(spark, tmp_path):
         t, DOCUMENTS_MAPPING, _PROVIDER, coll, snapshot_lsn=1, id_col="doc_id"
     )
     assert coll.live() is None or coll.live().count() == 0
+
+
+def test_boot_with_snapshot_end_to_end(spark, tmp_path):
+    """The full production story: bootstrap from the table's current
+    state (collection AND external sink), then stream the post-snapshot
+    changes — final engine state equals a from-scratch full replay, and
+    the external sink saw the pre-existing rows (the reference cannot
+    deliver those at all)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from cdc2vec_spark.cdc.transform import filter_mapped
+    from cdc2vec_spark.cdc.changelog import MAPPED
+    from cdc2vec_spark.config import EngineConfig, PipelineConfig, SinkConfig
+    from cdc2vec_spark.streaming.source import write_chunks
+
+    upserted = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _ok(self):
+            body = b'{"status":"ok"}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            n = int(self.headers["Content-Length"])
+            upserted.extend(_json.loads(self.rfile.read(n))["points"])
+            self._ok()
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            self.rfile.read(n)
+            self._ok()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    ch = filter_mapped(changes_df(spark, SF0001), MAPPED)
+    cut = 600
+    suffix = ch.where(F.col("lsn") > cut)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(suffix, chunks, n_chunks=2, order_col="lsn")
+
+    cfg = PipelineConfig(
+        engine=EngineConfig(mappings=(DOCUMENTS_MAPPING,), vector_size=8),
+        sink=SinkConfig(type="qdrant", options={"url": url, "collection": "docs"}),
+    )
+    table = _snapshot_table(ch.where(F.col("lsn") <= cut))
+    n_snapshot = table.count()
+    assert n_snapshot > 0
+
+    query, coll, _ = runner.boot_with_snapshot(
+        spark,
+        config=cfg,
+        snapshots=[(table, DOCUMENTS_MAPPING)],
+        snapshot_lsn=cut,
+        changes_dir=chunks,
+        changes_schema=suffix.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        snapshot_id_col="doc_id",
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        srv.shutdown()
+    # the bootstrap's deliveries all happen before boot() starts the
+    # stream, so the FIRST n_snapshot arrivals are exactly the snapshot
+    # rows (race-free: asserted on arrival order, not on a timing read)
+    snap_ids = {
+        "public.documents:" + str(r["doc_id"]) for r in table.collect()
+    }
+    first = {p["payload"]["ext_id"] for p in upserted[:n_snapshot]}
+    assert first == snap_ids
+    assert len(upserted) > n_snapshot  # and then the stream delivered
+
+    # engine state ≡ from-scratch full replay
+    full = runner.PointsCollection(spark, str(tmp_path / "full3"))
+    full.apply_points(
+        build_points(ch, DOCUMENTS_MAPPING, DeterministicHashProvider(dim=8)), None
+    )
+    coll_live = sorted(
+        (r["id"], tuple(r["vector"])) for r in coll.live().select("id", "vector").collect()
+    )
+    full_live = sorted(
+        (r["id"], tuple(r["vector"])) for r in full.live().select("id", "vector").collect()
+    )
+    assert coll_live == full_live
