@@ -626,6 +626,7 @@ _CURVE_OPS = [
     "d18_cdc_bm25",
     "d21_span_dedup",
     "d26_winnow_pairs",
+    "d28_lm_perplexity",
 ]
 
 
