@@ -64,6 +64,7 @@ HEADLINE = [
     "d29_shards",            # deterministic global shuffle + shard assign
     "d30_html_extract",      # HTML -> text + boilerplate removal
     "d31_domain_cap",        # URL normalize + per-domain caps
+    "d32_web_prep",          # web-ingestion composition (extract->cap->dedup->LM)
 ]
 
 

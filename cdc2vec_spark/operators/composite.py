@@ -31,7 +31,7 @@ Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
                          d10_split, d10_pack, d25_token_mix,
-                         d27_full_prep, d29_shards
+                         d27_full_prep, d29_shards, d32_web_prep
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, and the round-7
                          corpus-cleaning additions d20_pii,
@@ -105,6 +105,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d30_html_extract",
     # round-7 addition (exact oracle in tests/test_urls.py)
     "d31_domain_cap",
+    # round-7 addition (exact oracle in tests/test_corpus.py)
+    "d32_web_prep",
 )
 
 
@@ -135,7 +137,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
-    from .corpus import d27_full_prep
+    from .corpus import d27_full_prep, d32_web_prep
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split, d25_token_mix, d29_shards
     from .vectors import a8_deterministic_embed
@@ -154,6 +156,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d25_token_mix", d25_token_mix),
             ("d27_full_prep", d27_full_prep),
             ("d29_shards", d29_shards),
+            ("d32_web_prep", d32_web_prep),
         ],
     )
 
@@ -271,7 +274,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
-    from .corpus import d27_full_prep
+    from .corpus import d27_full_prep, d32_web_prep
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .html_extract import d30_html_extract
     from .lm import d28_lm_perplexity
@@ -331,6 +334,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d29_shards": d29_shards,
         "d30_html_extract": d30_html_extract,
         "d31_domain_cap": d31_domain_cap,
+        "d32_web_prep": d32_web_prep,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

@@ -260,10 +260,162 @@ ORDER BY split, source
 
 D27_ORACLE_SQL = _d27_oracle()
 
+
+def d32_web_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-INGESTION composition — d27's front half for crawled
+    input, every stage an already-audited primitive in ONE declarative
+    plan: synthesized HTML page + URL per document (the d20/d30/d31
+    fixture device) → d30 extraction (tag strip, boilerplate segments,
+    entities) → d31 URL curation (normalize, blocklist, per-domain cap)
+    → exact dedup on the EXTRACTED text → d28 LM-perplexity terciles
+    over the surviving corpus (reference slice lang='en').
+
+    Returns one row per surviving document: (doc_id, domain, n_tokens,
+    ppl_bucket, keep). Plan shape: scan-stage synthesis+extraction, one
+    domain window, one dedup window, the broadcast LM + one aggregate —
+    nothing quadratic, nothing driver-side."""
+    from .html_extract import extract_text, synthesize_page
+    from .lm import lm_perplexity
+    from .urls import cap_domains, synthesize_url
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    pages = d.select(
+        "doc_id",
+        "lang",
+        synthesize_page(F.col("doc_id"), F.col("text")).alias("html"),
+        synthesize_url(F.col("doc_id")).alias("url"),
+    )
+    ext = extract_text(pages)
+    cap = cap_domains(ext)
+    corpus = cap.where("kept").select(
+        "doc_id", "lang", "domain", F.col("clean_text").alias("text")
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    scored = lm_perplexity(deduped, F.col("lang") == "en")
+    return (
+        deduped.select(
+            "doc_id",
+            "domain",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .join(scored.select("doc_id", "ppl_bucket", "keep"), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _d32_oracle() -> str:
+    from .html_extract import _BLOCK_SPLIT, _MIN_WORDS
+    from .lm import _N_BUCKETS as _LM_BUCKETS
+    from .lm import _SCALE as _LM_SCALE
+    from .urls import _BLOCKED, _CAP, _N_DOMAINS
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id, lang,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p {{ margin: 0; }}</style></head><body>'
+         || '<ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul>'
+         || '<p>' || text || '</p>'
+         || '<p>Extra block: Tom &amp; Jerry say &quot;hi&quot; &lt;here&gt;</p>'
+         || '<div>Copyright 2024</div></body></html>' AS html,
+         'https://www.site' || CAST(doc_id % {_N_DOMAINS} AS VARCHAR) || '.'
+         || CASE WHEN doc_id % 3 = 0 THEN 'com'
+                 WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END
+         || '/Doc/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed#frag' AS url
+  FROM documents
+), extracted AS (
+  SELECT doc_id, lang, url,
+         coalesce(array_to_string(list_filter(
+           list_transform(
+             regexp_split_to_array(
+               regexp_replace(html,
+                 '<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>', ' ', 'g'),
+               '{_BLOCK_SPLIT}'),
+             s -> trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(s, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '  *', ' ', 'g'))),
+           s -> len(string_split(s, ' ')) >= {_MIN_WORDS}), ' '), '') AS text
+  FROM pages
+), capped AS (
+  SELECT doc_id, lang, text, domain FROM (
+    SELECT doc_id, lang, text,
+           regexp_extract(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+             '[?].*$', ''), '^https?://', ''), '^www[.]', ''), '/$', ''),
+             '^([^/]+)', 1) AS domain,
+           row_number() OVER (
+             PARTITION BY regexp_extract(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(lower(url),
+               '#.*$', ''), '[?].*$', ''), '^https?://', ''), '^www[.]', ''),
+               '/$', ''), '^([^/]+)', 1)
+             ORDER BY md5('domcap:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM extracted
+  ) t WHERE domain NOT IN {_BLOCKED!r} AND rk <= {_CAP}
+), deduped AS (
+  SELECT * FROM capped
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), toks AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM deduped
+), bg AS (
+  SELECT doc_id, lang = 'en' AS _r,
+         unnest(list_transform(range(1, len(t)),
+                i -> ('0x' || substr(md5(t[i]), 1, 8))::BIGINT % {_LM_BUCKETS})) AS cb,
+         unnest(list_transform(range(1, len(t)),
+                i -> ('0x' || substr(md5(t[i+1]), 1, 8))::BIGINT % {_LM_BUCKETS})) AS wb
+  FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT cb, wb, count(*) AS c2 FROM bg WHERE _r GROUP BY cb, wb
+), ctxs AS (
+  SELECT cb, count(*) AS c1 FROM bg WHERE _r GROUP BY cb
+), nlls AS (
+  SELECT bg.doc_id,
+         CAST(round(-(ln(coalesce(c2, 0) + 1.0)
+                      - ln(coalesce(c1, 0) + {_LM_BUCKETS})) * {_LM_SCALE}) AS BIGINT) AS nll
+  FROM bg LEFT JOIN pairs USING (cb, wb) LEFT JOIN ctxs USING (cb)
+), scored AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS nll_micro FROM nlls GROUP BY doc_id
+), perdoc AS (
+  SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         coalesce(nll_micro, 0) AS nll_micro,
+         CASE WHEN coalesce(n_bigrams, 0) > 0
+              THEN coalesce(nll_micro, 0) // coalesce(n_bigrams, 0) END AS mean_nll_micro
+  FROM deduped d LEFT JOIN scored USING (doc_id)
+), cuts AS (
+  SELECT quantile_cont(mean_nll_micro,
+                       [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS c
+  FROM perdoc WHERE n_bigrams > 0
+), labeled AS (
+  SELECT doc_id,
+         CASE WHEN n_bigrams = 0 THEN 'short'
+              WHEN mean_nll_micro <= c[1] THEN 'head'
+              WHEN mean_nll_micro <= c[2] THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM perdoc CROSS JOIN cuts
+)
+SELECT d.doc_id, d.domain,
+       len(string_split(d.text, ' ')) AS n_tokens,
+       l.ppl_bucket, l.ppl_bucket != 'tail' AS keep
+FROM deduped d JOIN labeled l USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+D32_ORACLE_SQL = _d32_oracle()
+
 QUERIES = {
     "d16_corpus_pipeline": d16_corpus_pipeline,
     "d27_full_prep": d27_full_prep,
+    "d32_web_prep": d32_web_prep,
 }
-# round-7 rotation: d16 individually graded; d27 composite-delivered
-# (oracle pinned in tests/test_corpus.py)
+# round-7 rotation: d16 individually graded; d27/d32 composite-delivered
+# (oracles pinned in tests/test_corpus.py)
 ORACLES = {"d16_corpus_pipeline": D16_ORACLE_SQL}

@@ -93,3 +93,31 @@ def test_d27_both_splits_and_all_sources_present(spark):
     assert splits == {"train", "holdout"} or splits == {"train"}
     assert all(r["n_tokens"] > 0 for r in rows)
     assert len({r["source"] for r in rows}) >= 15
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d32_web_prep_matches_duckdb_oracle(spark, sf):
+    """The web-ingestion composition (synthesized page+URL -> extraction
+    -> domain cap -> exact dedup -> LM terciles) rides inside x1; its
+    end-to-end exact oracle is pinned HERE at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d32_web_prep", corpus.d32_web_prep, corpus.D32_ORACLE_SQL, sf
+    )
+    assert not problems, problems
+
+
+def test_d32_stages_are_not_vacuous(spark):
+    """Each stage must actually do work on the fixture: the domain cap
+    and blocklist drop docs, the LM stage drops the tail tercile."""
+    out = corpus.d32_web_prep(spark, SF001).collect()
+    from cdc2vec_spark.io import load_table
+
+    n_docs = load_table(spark, SF001, "documents").count()
+    assert 0 < len(out) < n_docs  # curation dropped something
+    buckets = {r["ppl_bucket"] for r in out}
+    assert {"head", "middle", "tail"} <= buckets
+    kept = [r for r in out if r["keep"]]
+    assert 0 < len(kept) < len(out)  # tail dropped, head/middle kept
