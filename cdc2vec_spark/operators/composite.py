@@ -95,8 +95,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "b12_intersect",
     "b13_scalar_funcs",
     "b14_json_extract",
-    # round-7 addition (exact oracle in tests/test_text_quality.py)
+    # round-7 additions (exact oracles in tests/test_text_quality.py)
     "t6_length_percentiles",
+    "t7_vocab_topdf",
     # round-7 addition (exact oracle in tests/test_lm.py)
     "d28_lm_perplexity",
     # round-7 addition (exact oracle in tests/test_sampling.py)
@@ -236,6 +237,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t4_fingerprint,
         t5_regex_tokens,
         t6_length_percentiles,
+        t7_vocab_topdf,
     )
 
     return _union(
@@ -253,6 +255,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b13_scalar_funcs", b13_scalar_funcs),
             ("b14_json_extract", b14_json_extract),
             ("t6_length_percentiles", t6_length_percentiles),
+            ("t7_vocab_topdf", t7_vocab_topdf),
         ],
     )
 
@@ -307,6 +310,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t4_fingerprint,
         t5_regex_tokens,
         t6_length_percentiles,
+        t7_vocab_topdf,
     )
     from .vectors import a8_deterministic_embed
 
@@ -351,4 +355,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_scalar_funcs": b13_scalar_funcs,
         "b14_json_extract": b14_json_extract,
         "t6_length_percentiles": t6_length_percentiles,
+        "t7_vocab_topdf": t7_vocab_topdf,
     }

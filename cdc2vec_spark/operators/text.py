@@ -313,6 +313,34 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+_VOCAB_K = 20
+
+
+def t7_vocab_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostic: the top-k terms by DOCUMENT
+    frequency (every tokenizer/stopword/boilerplate decision starts
+    from this report). `array_distinct` BEFORE the explode bounds the
+    shuffle by per-doc vocabulary (the d11 discipline); the aggregate
+    is one exchange; the top-k is a TakeOrderedAndProject, never a
+    global sort. Deterministic order: df desc, then term."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(_VOCAB_K)
+    )
+
+
+T7_ORACLE_SQL = f"""
+SELECT term, count(*) AS df FROM (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+  FROM documents
+) GROUP BY term ORDER BY df DESC, term LIMIT {_VOCAB_K}
+"""
+
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY = ("spark", "query", "window", "vector")
@@ -436,6 +464,7 @@ QUERIES = {
     "d15_chunk": d15_chunk,
     "d17_bm25": d17_bm25,
     "t6_length_percentiles": t6_length_percentiles,
+    "t7_vocab_topdf": t7_vocab_topdf,
 }
 
 ORACLES = {
@@ -443,6 +472,7 @@ ORACLES = {
     "d15_chunk": D15_ORACLE_SQL,
     "d17_bm25": D17_ORACLE_SQL,
     "t6_length_percentiles": T6_ORACLE_SQL,
+    "t7_vocab_topdf": T7_ORACLE_SQL,
     "d4_text_stats": (
         "SELECT lang, count(*) AS n, round(avg(n_chars), 2) AS avg_chars, "
         "round(avg(length(text)), 2) AS avg_len FROM documents "

@@ -224,3 +224,20 @@ def test_t6_percentiles_match_duckdb_oracle(spark):
             T.t6_length_percentiles, T.T6_ORACLE_SQL, sf,
         )
         assert not problems, (sf, problems)
+
+
+def test_t7_vocab_matches_duckdb_oracle(spark):
+    """t7 rides inside x4 (registry at budget): the exact top-df
+    vocabulary oracle is pinned HERE at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators import text as text_ops
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "t7_vocab_topdf",
+            text_ops.t7_vocab_topdf, text_ops.T7_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
