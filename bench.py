@@ -65,6 +65,7 @@ HEADLINE = [
     "d30_html_extract",      # HTML -> text + boilerplate removal
     "d31_domain_cap",        # URL normalize + per-domain caps
     "d32_web_prep",          # web-ingestion composition (extract->cap->dedup->LM)
+    "d33_weighted_sample",   # A-Res deterministic weighted sampling
 ]
 
 

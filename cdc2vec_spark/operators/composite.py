@@ -31,7 +31,8 @@ Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
                          d10_split, d10_pack, d25_token_mix,
-                         d27_full_prep, d29_shards, d32_web_prep
+                         d27_full_prep, d29_shards, d32_web_prep,
+                         d33_weighted_sample
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, and the round-7
                          corpus-cleaning additions d20_pii,
@@ -108,6 +109,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d31_domain_cap",
     # round-7 addition (exact oracle in tests/test_corpus.py)
     "d32_web_prep",
+    # round-7 addition (exact oracle in tests/test_sampling.py)
+    "d33_weighted_sample",
 )
 
 
@@ -140,7 +143,13 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import c4_watermark
     from .corpus import d27_full_prep, d32_web_prep
     from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split, d25_token_mix, d29_shards
+    from .sampling import (
+        d10_pack,
+        d10_split,
+        d25_token_mix,
+        d29_shards,
+        d33_weighted_sample,
+    )
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -158,6 +167,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d27_full_prep", d27_full_prep),
             ("d29_shards", d29_shards),
             ("d32_web_prep", d32_web_prep),
+            ("d33_weighted_sample", d33_weighted_sample),
         ],
     )
 
@@ -296,7 +306,13 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b14_json_extract,
         b16_sketches,
     )
-    from .sampling import d10_pack, d10_split, d25_token_mix, d29_shards
+    from .sampling import (
+        d10_pack,
+        d10_split,
+        d25_token_mix,
+        d29_shards,
+        d33_weighted_sample,
+    )
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
@@ -339,6 +355,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d30_html_extract": d30_html_extract,
         "d31_domain_cap": d31_domain_cap,
         "d32_web_prep": d32_web_prep,
+        "d33_weighted_sample": d33_weighted_sample,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

@@ -344,12 +344,93 @@ FROM t ORDER BY shard, pos
 """
 
 
+_WS_BITS = float(2**52)
+_WS_SCALE = 1_000_000
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the A-Res
+    reservoir scheme (Efraimidis & Spirakis 2006): each row gets key
+    u^(1/w) for uniform u, and the k largest keys are an exact weighted
+    sample. Here in log form, key = ln(u)/w (monotone equivalent), with
+    u derived from md5 (52 bits → the exact mantissa width of a double,
+    so ``(v + 0.5) / 2^52`` is bit-identical across engines) and the
+    key held as a fixed-point integer (micro-units, the d13 discipline)
+    so selection never depends on partitioning, engine, or retry.
+
+    No RNG, no seed state: the sample is a pure function of the ids —
+    append-stable (new rows compete, old keys never change) and
+    reproducible bit-for-bit, which is what a training-data subsample
+    needs. Plan shape: scan-stage key expression + TakeOrderedAndProject
+    top-k — zero shuffles, no global sort, nothing driver-side.
+
+    ``weight`` is a Column of positive weights (e.g. token counts for
+    length-proportional sampling, or a quality score)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("wsample"), F.col(id_col).cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(_WS_BITS)
+    key = (
+        F.round(F.log(u) / weight.cast("double") * _WS_SCALE).cast("long")
+    )
+    return (
+        docs.withColumn("key_micro", key)
+        .orderBy(F.col("key_micro").desc(), id_col)
+        .limit(k)
+    )
+
+
+def d33_weighted_sample(spark, sf_dir: str) -> DataFrame:
+    """Graded entry: a 50-doc length-proportional sample (weight = token
+    count — longer docs proportionally likelier, the standard
+    token-budget-aware subsample)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        weighted_sample(docs.select("doc_id", n_tok.alias("n_tokens")), 50, F.col("n_tokens"))
+        .select("doc_id", "n_tokens", "key_micro")
+        .orderBy("doc_id")
+    )
+
+
+D33_ORACLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(round(
+           ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               + 0.5) / {_WS_BITS!r})
+           / len(string_split(text, ' ')) * {_WS_SCALE}
+         ) AS BIGINT) AS key_micro
+  FROM documents
+)
+SELECT doc_id, n_tokens, key_micro
+FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 50
+"""
+
+
 QUERIES = {
     "d10_split": d10_split,
     "d10_pack": d10_pack,
     "d14_stratified": d14_stratified,
     "d25_token_mix": d25_token_mix,
     "d29_shards": d29_shards,
+    "d33_weighted_sample": d33_weighted_sample,
 }
 # d14 individually graded since round 7; d10_split/d10_pack stay
 # rows-only (hash-rank splits / FFD packing are not SQL-expressible)

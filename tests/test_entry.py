@@ -81,7 +81,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c8_interval_join",
             "d10_split", "d10_pack", "d25_token_mix", "d27_full_prep",
-            "d29_shards", "d32_web_prep",
+            "d29_shards", "d32_web_prep", "d33_weighted_sample",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",

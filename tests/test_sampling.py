@@ -272,3 +272,66 @@ def test_shard_window_keys_on_shard_not_global(spark):
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d33_matches_duckdb_oracle(spark, sf):
+    """d33 rides inside x1 (registry at budget): the exact A-Res
+    weighted-sample oracle is pinned HERE at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d33_weighted_sample",
+        sampling.d33_weighted_sample, sampling.D33_ORACLE_SQL, sf,
+    )
+    assert not problems, problems
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """The statistical point of A-Res: with weight w, inclusion odds
+    scale with w. Heavy rows (w=50) must be sampled far above their
+    population share against light rows (w=1)."""
+    rows = [(i, 50 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = sampling.weighted_sample(df, 100, F.col("w")).collect()
+    heavy = sum(1 for r in out if r["w"] == 50)
+    # heavy rows are 10% of the population but carry ~85% of the total
+    # weight; their sampled share must be far above 10%
+    assert heavy > 50, heavy
+
+
+def test_weighted_sample_is_append_stable_and_partition_invariant(spark):
+    """Keys are a pure function of the id: re-sampling after appending
+    rows never changes an existing row's key, and partitioning never
+    changes the selected set."""
+    from cdc2vec_spark.io import load_table
+
+    d = load_table(spark, SF001, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("w")
+    )
+    base = d.where("doc_id < 400")
+    a = sampling.weighted_sample(base, 30, F.col("w")).collect()
+    b = sampling.weighted_sample(d, 30, F.col("w")).collect()
+    keys_a = {r["doc_id"]: r["key_micro"] for r in a}
+    keys_b = {r["doc_id"]: r["key_micro"] for r in b}
+    for did in set(keys_a) & set(keys_b):
+        assert keys_a[did] == keys_b[did]
+    c = sampling.weighted_sample(d.repartition(13), 30, F.col("w")).collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, c))
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark):
+    """Scale contract: TakeOrderedAndProject (a k-heap), never a global
+    Sort + Limit; no Python."""
+    from cdc2vec_spark.io import load_table
+
+    d = load_table(spark, SF0001, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("w")
+    )
+    plan = (
+        sampling.weighted_sample(d, 10, F.col("w"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

@@ -51,6 +51,7 @@ NOTES = {
     "d30_html_extract": "pure scan-stage expression work (regex strip, block split, HOF segment filter) — no shuffle/join/aggregate/Python; only the presentation sort follows.",
     "d31_domain_cap": "scan-stage URL normalization + ONE window shuffle keyed on the domain (md5 preference rank); blocklist is a literal isin — no join, no Python.",
     "d32_web_prep": "one plan end to end: scan-stage synthesis+extraction, one domain window, one dedup window, broadcast LM tables + one aggregate — nothing quadratic, nothing driver-side.",
+    "d33_weighted_sample": "scan-stage md5-uniform key expression + TakeOrderedAndProject top-k — zero shuffles, no global sort, nothing driver-side.",
     "d29_shards": "one hash exchange on the shard id + per-shard sort (the partitionBy write path); md5 keys uniform by construction — no skew, no global sort, no Python.",
     "d28_lm_perplexity": "both bigram-LM tables (<= n_buckets^2 rows) broadcast; tokenize+bucket-hash inside the scan; integer micro-nat NLL sums -> one aggregate exchange; tercile cutoffs are two order statistics broadcast back (no global ntile sort).",
 }
