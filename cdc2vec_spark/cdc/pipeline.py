@@ -30,6 +30,7 @@ def build_points(
     normalize: bool = True,
     chunk: tuple[int, int] | None = None,
     keep_text: bool = False,
+    ingest_filters: tuple = (),
 ) -> DataFrame:
     """Transform a (flattened) change log into sink-ready points.
 
@@ -53,6 +54,14 @@ def build_points(
     ]
     df = df.withColumn("text", transform.concat_text(text_cols))
     df = transform.guard_nonempty(df, "text")
+    if ingest_filters:
+        # configurable quality chain (cdc/filters.py): scrub rewrites
+        # text BEFORE embedding; drop rules skip failing upserts with
+        # F2 semantics (deletes always pass) — and, placed here, a
+        # dropped row never costs an embed call
+        from .filters import apply_ingest_filters
+
+        df = apply_ingest_filters(df, ingest_filters)
     df = df.withColumn("id", transform.derive_key()).withColumn(
         "metadata", transform.metadata_map(mapping, available=changes.columns)
     )
@@ -147,6 +156,7 @@ def run_batch(
             changes, m, provider,
             normalize=config.normalize, chunk=config.chunk,
             keep_text=keep_text,
+            ingest_filters=getattr(config, "ingest_filters", ()),
         )
         for m in config.mappings
     ]

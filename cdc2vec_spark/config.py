@@ -39,6 +39,9 @@ class EngineConfig:
     # (pipeline._chunk_events / runner.ChunkedPointsCollection)
     chunk_tokens: int = 0  # 0 = off
     chunk_stride: int = 0  # defaulted to chunk_tokens*3//4 when off
+    # ingest-time quality filter chain (engine extension; cdc/filters.py)
+    # — tuple of FilterSpec, applied upsert-only with F2 skip semantics
+    ingest_filters: tuple = ()
 
     @property
     def chunk(self) -> tuple[int, int] | None:
@@ -100,6 +103,16 @@ class SinkConfig:
     options: dict = field(default_factory=dict)
 
 
+def _ingest_filters_from(raw):
+    """YAML ``filters:`` list → FilterSpec chain (lazy import: the chain
+    is an engine extension most configs omit)."""
+    if not raw:
+        return ()
+    from .cdc.filters import specs_from_raw
+
+    return specs_from_raw(raw)
+
+
 def load_yaml(path: str) -> "PipelineConfig":
     """Load the reference's YAML config shape (config.go:86-117), applying
     the same defaults: batch_size 64, flush_interval_ms 500, http addr
@@ -138,6 +151,7 @@ def load_yaml(path: str) -> "PipelineConfig":
         provider=embed.get("provider") or "deterministic",
         chunk_tokens=int(embed.get("chunk_tokens") or 0),
         chunk_stride=int(embed.get("chunk_stride") or 0),
+        ingest_filters=_ingest_filters_from(raw.get("filters")),
     )
     sink_type = sink.get("type", "")
     # engine extension: top-level `sinks:` list (same per-entry shape as

@@ -123,3 +123,27 @@ def test_all_sinks_drops_empty(tmp_path):
     p.write_text("embed: {vector_size: 8}\n")
     cfg = load_yaml(str(p))
     assert cfg.all_sinks == ()
+
+
+def test_load_yaml_ingest_filters(tmp_path):
+    """Engine extension: top-level `filters:` list becomes the typed
+    ingest chain; absent section means an empty chain (reference
+    parity)."""
+    p = tmp_path / "f.yaml"
+    p.write_text(
+        "mapping:\n"
+        "  - table: public.documents\n"
+        "    id_column: id\n"
+        "    text_columns: [title]\n"
+        "filters:\n"
+        "  - type: pii_scrub\n"
+        "  - type: min_tokens\n"
+        "    n: 5\n"
+        "  - type: lang\n"
+        "    allow: [en]\n"
+    )
+    cfg = load_yaml(str(p))
+    chain = cfg.engine.ingest_filters
+    assert [s.type for s in chain] == ["pii_scrub", "min_tokens", "lang"]
+    assert chain[1].options == {"n": 5}
+    assert chain[2].options == {"allow": ["en"]}
