@@ -320,6 +320,50 @@ def shard_corpus(
     )
 
 
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the d29 assignment as actual training shard files:
+    ``path/shard=<i>/`` parquet, rows of shard i stored in their
+    deterministic pseudo-random order (``pos``), plus a ``_manifest.json``
+    with per-shard doc/token counts for the dataloader.
+
+    Plan: the shard_corpus window result repartitioned on the shard id
+    and sorted within partitions by pos — Spark's `partitionBy` write
+    path with exactly one shuffle. The manifest aggregate rides the
+    same frame. At 100 TB this is the standard bulk-write shape; shard
+    sizes are corpus/n_shards by md5 uniformity."""
+    import json as _json
+    import os as _os
+
+    assigned = shard_corpus(docs, n_shards, id_col=id_col, text_col=text_col).join(
+        docs.select(id_col, text_col), id_col
+    )
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    manifest = {
+        str(r["shard"]): {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+        for r in assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump({"n_shards": n_shards, "shards": manifest}, f, indent=1)
+    return manifest
+
+
 def d29_shards(spark, sf_dir: str) -> DataFrame:
     """Graded entry: the full shard assignment at n_shards=8 — every
     document's (shard, pos) placement, hash-checkable end to end."""

@@ -335,3 +335,37 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_write_shards_materializes_assignment_and_manifest(spark, tmp_path):
+    """write_shards = the executable form of d29: files per shard, rows
+    in deterministic pos order, manifest counts exact."""
+    import json
+    import os
+
+    from cdc2vec_spark.io import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    path = str(tmp_path / "shards")
+    manifest = sampling.write_shards(docs, path, n_shards=4)
+
+    expected = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in sampling.shard_corpus(docs, 4).collect()
+    }
+    got = set()
+    back = spark.read.parquet(path)
+    for r in back.collect():
+        got.add((r["doc_id"], r["shard"], r["pos"]))
+    assert got == expected
+    with open(os.path.join(path, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_shards"] == 4
+    assert sum(s["n_docs"] for s in m["shards"].values()) == docs.count()
+    assert manifest == m["shards"]
+    # within each shard file set, stored rows carry contiguous pos 1..n
+    for s, meta in m["shards"].items():
+        pos = sorted(
+            r["pos"] for r in back.where(F.col("shard") == int(s)).collect()
+        )
+        assert pos == list(range(1, meta["n_docs"] + 1))
