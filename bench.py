@@ -629,6 +629,7 @@ _CURVE_OPS = [
     "d21_span_dedup",
     "d26_winnow_pairs",
     "d28_lm_perplexity",
+    "d32_web_prep",
 ]
 
 
