@@ -107,6 +107,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d30_html_extract",
     # round-7 addition (exact oracle in tests/test_urls.py)
     "d31_domain_cap",
+    # round-7 addition (exact oracle in tests/test_relational_pivot.py)
+    "b18_unpivot",
     # round-7 addition (exact oracle in tests/test_corpus.py)
     "d32_web_prep",
     # round-7 addition (exact oracle in tests/test_sampling.py)
@@ -239,6 +241,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b12_intersect,
         b13_scalar_funcs,
         b14_json_extract,
+        b18_unpivot,
     )
     from .text import (
         t1_token_count,
@@ -266,6 +269,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b14_json_extract", b14_json_extract),
             ("t6_length_percentiles", t6_length_percentiles),
             ("t7_vocab_topdf", t7_vocab_topdf),
+            ("b18_unpivot", b18_unpivot),
         ],
     )
 
@@ -305,6 +309,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b13_scalar_funcs,
         b14_json_extract,
         b16_sketches,
+        b18_unpivot,
     )
     from .sampling import (
         d10_pack,
@@ -373,4 +378,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_json_extract": b14_json_extract,
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
+        "b18_unpivot": b18_unpivot,
     }

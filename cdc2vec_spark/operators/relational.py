@@ -332,6 +332,36 @@ B17_ORACLE_SQL = (
 )
 
 
+def b18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide→long reshape, b17's inverse): part metric
+    columns to (key, metric, value) rows via `DataFrame.unpivot` — a
+    narrow per-row expansion (no shuffle before the presentation sort),
+    value columns cast to a common double type as unpivot requires.
+    Delivered rows-only inside x4 (registry at budget); exact DuckDB
+    oracle (the portable UNION ALL form) pinned in
+    tests/test_relational_pivot.py."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+B18_ORACLE_SQL = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey <= 100
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice
+FROM part WHERE p_partkey <= 100
+ORDER BY p_partkey, metric
+"""
+
+
 QUERIES = {
     "b1_scan_count": b1_scan_count,
     "b2_project_filter": b2_project_filter,
@@ -354,6 +384,7 @@ QUERIES = {
     "b16_sketches": b16_sketches,
     # round-7 rotation: individually graded (was composite-delivered)
     "b17_pivot": b17_pivot,
+    "b18_unpivot": b18_unpivot,
 }
 
 ORACLES = {

@@ -30,3 +30,20 @@ def test_b17_schema_is_static(spark):
     which languages happen to appear in the data."""
     df = relational.b17_pivot(spark, SF0001)
     assert df.columns == ["source"] + relational.PIVOT_LANGS
+
+
+def test_b18_unpivot_matches_duckdb_oracle(spark):
+    """b18 (melt, b17's inverse) rides inside x4: exact oracle at two
+    SFs via the driver's comparator."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators import relational
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "b18_unpivot",
+            relational.b18_unpivot, relational.B18_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
