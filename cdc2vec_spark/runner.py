@@ -478,19 +478,39 @@ def boot(
         s.type == "lex_index" for s in cfg.all_sinks
     )
 
+    # per-batch engine metrics for /healthz (points_out via Observation:
+    # the count piggybacks on the batch's own write actions — safe to
+    # read because every collection's apply_points starts with the
+    # touched-bucket collect, an action over the observed plan)
+    batch_metrics: dict = {}
+
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        t0 = _time.perf_counter()
         pts = run_batch(batch, cfg.engine, provider, keep_text=keep_text)
+        obs = Observation()
+        pts = pts.observe(obs, F.count(F.lit(1)).alias("points_out"))
         if hook is None:
             coll.apply_points(pts, epoch_id)
-            return
-        # the hook re-reads the batch's points: persist so the embed UDF
-        # pipeline runs once, not once per sink
-        pts = pts.persist()
-        try:
-            coll.apply_points(pts, epoch_id)
-            hook(pts)
-        finally:
-            pts.unpersist()
+        else:
+            # the hook re-reads the batch's points: persist so the embed
+            # UDF pipeline runs once, not once per sink
+            pts = pts.persist()
+            try:
+                coll.apply_points(pts, epoch_id)
+                hook(pts)
+            finally:
+                pts.unpersist()
+        batch_metrics.update(
+            {
+                "epoch": epoch_id,
+                "points_out": int(obs.get.get("points_out", 0)),
+                "batch_wall_ms": round((_time.perf_counter() - t0) * 1000),
+            }
+        )
 
     # flush_interval_ms → processingTime trigger (B1 parity: the reference
     # flushes every 500 ms by default, config.go:106-108)
@@ -504,7 +524,7 @@ def boot(
     if health_port is not None:
         from .streaming.health import serve_healthz
 
-        server = serve_healthz(query, health_port)
+        server = serve_healthz(query, health_port, extra=lambda: batch_metrics)
     return query, coll, server
 
 

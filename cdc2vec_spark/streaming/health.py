@@ -42,11 +42,20 @@ def health_snapshot(query: StreamingQuery) -> dict:
     }
 
 
-def serve_healthz(query: StreamingQuery, port: int = 0) -> ThreadingHTTPServer:
+def serve_healthz(
+    query: StreamingQuery,
+    port: int = 0,
+    extra: Callable[[], dict] | None = None,
+) -> ThreadingHTTPServer:
     """Start a daemon-thread HTTP server answering GET /healthz with the
     snapshot JSON (main.go:136-151 parity). Returns the server; its bound
     port is ``server.server_address[1]``; call ``server.shutdown()`` to
-    stop (the reference's graceful HTTP shutdown, main.go:171-178)."""
+    stop (the reference's graceful HTTP shutdown, main.go:171-178).
+
+    ``extra`` (engine extension): a callable returning additional payload
+    fields — runner.boot passes its per-batch pipeline metrics (epoch,
+    points_out, batch_wall_ms) so operators see the engine-side batch
+    outcome next to Spark's own input counters."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (http.server API)
@@ -54,7 +63,13 @@ def serve_healthz(query: StreamingQuery, port: int = 0) -> ThreadingHTTPServer:
                 self.send_response(404)
                 self.end_headers()
                 return
-            body = json.dumps(health_snapshot(query)).encode()
+            snap = health_snapshot(query)
+            if extra is not None:
+                try:
+                    snap.update(extra() or {})
+                except Exception:  # noqa: BLE001 — health must never 500
+                    pass
+            body = json.dumps(snap).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

@@ -40,6 +40,15 @@ def test_boot_end_to_end(spark, sf_dir, tmp_path):
         ) as r:
             assert json.load(r)["status"] == "ok"
         query.processAllAvailable()
+        # engine per-batch metrics ride the same endpoint (Observation-
+        # counted points + batch wall, runner.boot batch_metrics)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.server_address[1]}/healthz", timeout=5
+        ) as r:
+            snap = json.load(r)
+        assert snap["points_out"] > 0
+        assert snap["batch_wall_ms"] > 0
+        assert snap["epoch"] >= 0
     finally:
         query.stop()
         server.shutdown()
