@@ -378,6 +378,51 @@ class IncrementalLexicalIndex:
 
     # -------------------------------------------------------------- GC
 
+    def stats(self, top_k: int = 20) -> dict:
+        """Incremental corpus statistics FROM the index's live state —
+        the CDC-maintained form of the batch t1/t6/t7 reports: doc
+        count, token totals and length percentiles from the docstat
+        partition, top-``top_k`` document-frequency terms from the
+        postings. The stream already paid for this state, so corpus
+        stats need NO rescan of the corpus.
+
+        Reads the docstat + tombstone partitions plus every term bucket
+        (the df report aggregates all postings — the index is far
+        smaller than the corpus; at 100 TB this is a scheduled report,
+        not a per-query call)."""
+        tomb = self._tomb_maxlsn()
+        docstats = read_bucketed_state(
+            self.spark, self.path, col=BUCKET_COL, buckets=[DOC_BUCKET]
+        )
+        if docstats is None:
+            raise ValueError(f"empty lexical index at {self.path}")
+        live = self._alive(docstats.select("id", "dl", "lsn"), tomb)
+        row = live.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            F.round(F.avg("dl"), 2).alias("avg_dl"),
+            F.expr("round(percentile(dl, 0.5), 2)").alias("p50_dl"),
+            F.expr("round(percentile(dl, 0.9), 2)").alias("p90_dl"),
+        ).collect()[0]
+        state = read_bucketed_state(self.spark, self.path, col=BUCKET_COL)
+        postings = state.where(F.col(BUCKET_COL) >= 0)
+        top = (
+            self._alive(postings.select("term", "id", "lsn"), tomb)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("df").desc(), "term")
+            .limit(top_k)
+            .collect()
+        )
+        return {
+            "n_docs": int(row["n_docs"]),
+            "total_tokens": int(row["total_tokens"] or 0),
+            "avg_dl": float(row["avg_dl"] or 0.0),
+            "p50_dl": float(row["p50_dl"] or 0.0),
+            "p90_dl": float(row["p90_dl"] or 0.0),
+            "top_terms": [(r["term"], int(r["df"])) for r in top],
+        }
+
     def compact(self) -> None:
         """Offline GC: drop dead postings/docstats, clear the tombstone
         log, rewrite every partition (the ann_index.compact contract)."""

@@ -258,3 +258,58 @@ def test_compaction_counters_track_disk_without_count_jobs(spark, tmp_path):
         side_effect=AssertionError("trigger must not re-read state"),
     ):
         ix._maybe_compact()
+
+
+def test_stats_track_live_corpus_through_cdc(spark, tmp_path):
+    """stats() = the CDC-maintained t1/t6/t7 report: after build it
+    matches batch truth over the corpus; after a delete + an update it
+    matches batch truth over the SURVIVING corpus — no rescan."""
+    docs = spark.createDataFrame(
+        [("a", "spark query spark engine"), ("b", "window query plan"),
+         ("c", "filler text here now")],
+        "id string, text string",
+    )
+    path = str(tmp_path / "lex")
+    ix = IncrementalLexicalIndex(spark, path, n_buckets=4)
+    ix.build(docs)
+
+    def batch_truth(surviving):
+        rows = surviving.select(
+            F.col("id"), F.size(F.split(F.lower("text"), " ")).alias("dl")
+        ).collect()
+        toks = {
+            r["id"]: set(t.lower() for t in r2["text"].split(" "))
+            for r, r2 in zip(rows, surviving.collect())
+        }
+        df_counts = {}
+        for ts in toks.values():
+            for t in ts:
+                df_counts[t] = df_counts.get(t, 0) + 1
+        top = sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {
+            "n_docs": len(rows),
+            "total_tokens": sum(r["dl"] for r in rows),
+            "top": top,
+        }
+
+    s = ix.stats(top_k=5)
+    want = batch_truth(docs)
+    assert s["n_docs"] == want["n_docs"]
+    assert s["total_tokens"] == want["total_tokens"]
+    assert s["top_terms"] == want["top"][:5]
+
+    # delete b, rewrite c: stats must follow the live state
+    ix.apply_batch(spark.createDataFrame(
+        [("b", None, "d", 10), ("c", "spark spark only", "u", 11)],
+        "id string, text string, op string, lsn long",
+    ))
+    surviving = spark.createDataFrame(
+        [("a", "spark query spark engine"), ("c", "spark spark only")],
+        "id string, text string",
+    )
+    s2 = ix.stats(top_k=5)
+    want2 = batch_truth(surviving)
+    assert s2["n_docs"] == want2["n_docs"]
+    assert s2["total_tokens"] == want2["total_tokens"]
+    assert s2["top_terms"] == want2["top"][:5]
+    assert s2["p50_dl"] > 0 and s2["avg_dl"] > 0
