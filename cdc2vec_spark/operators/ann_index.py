@@ -481,6 +481,45 @@ class IncrementalIvfIndex:
 
     # ------------------------------------------------------------ GC
 
+    def stats(self) -> dict:
+        """IVF health report from live index state (the lex_index.stats
+        twin): live vector count, tombstone count, cell count, and the
+        per-cell occupancy balance that governs probe cost and recall —
+        min/avg/max live vectors per cell plus the max/avg imbalance
+        ratio (a ratio far above ~3-5 says the centroids no longer fit
+        the data and an offline rebuild is due). One aggregate over the
+        index; no corpus access."""
+        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        if state is None:
+            raise ValueError(f"empty index at {self.path}")
+        live = state.where(F.col(CELL_COL) != TOMB_CELL)
+        tomb = self._tombstone_maxlsn()
+        if tomb is not None:
+            live = live.join(F.broadcast(tomb), self.id_col, "left").where(
+                F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+            ).drop("_tlsn")
+        per_cell = live.groupBy(CELL_COL).agg(F.count(F.lit(1)).alias("n"))
+        row = per_cell.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_live"),
+            F.min("n").alias("min_cell"),
+            F.round(F.avg("n"), 2).alias("avg_cell"),
+            F.max("n").alias("max_cell"),
+        ).collect()[0]
+        n_tomb = int(
+            state.where(F.col(CELL_COL) == TOMB_CELL).count()
+        )
+        avg = float(row["avg_cell"] or 0.0)
+        return {
+            "n_live": int(row["n_live"] or 0),
+            "n_tombstones": n_tomb,
+            "n_cells": int(row["n_cells"]),
+            "min_cell": int(row["min_cell"] or 0),
+            "avg_cell": avg,
+            "max_cell": int(row["max_cell"] or 0),
+            "imbalance": round(int(row["max_cell"] or 0) / avg, 2) if avg else 0.0,
+        }
+
     def compact(self) -> None:
         """Offline GC: resolve survivors globally (max-LSN per id vs the
         tombstone log, deletes dropped), rewrite every cell, clear the

@@ -357,3 +357,30 @@ def test_compaction_counters_track_disk_without_count_jobs(spark, sf_dir, index)
         side_effect=AssertionError("trigger must not re-read state"),
     ):
         index._maybe_compact()
+
+
+def test_stats_report_tracks_live_state(spark, sf_dir, index):
+    """stats() = the IVF health report from live state (lex stats twin):
+    counts follow inserts/deletes, occupancy sums to the live total,
+    compact() clears the tombstone count without changing live counts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    dim = len(e.first()["embedding"])
+
+    s = index.stats()
+    assert s["n_live"] == n and s["n_tombstones"] == 0
+    assert s["min_cell"] >= 1 and s["max_cell"] >= s["min_cell"]
+    assert s["imbalance"] >= 1.0
+    # occupancy accounting: avg * cells == live
+    assert abs(s["avg_cell"] * s["n_cells"] - s["n_live"]) < 1
+
+    qv = [float(x) for x in e.first()["embedding"]]
+    index.apply_batch(_batch(spark, [("extra:1", qv, "c", 500)], dim))
+    index.apply_batch(_batch(spark, [("0", None, "d", 501)], dim))
+    s2 = index.stats()
+    assert s2["n_live"] == n  # +1 insert, -1 delete
+    assert s2["n_tombstones"] >= 2  # both events logged tombstones
+
+    index.compact()
+    s3 = index.stats()
+    assert s3["n_live"] == n and s3["n_tombstones"] == 0
