@@ -99,3 +99,17 @@ def test_readers_are_scan_stage_only(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for bad in ("Exchange", "Join", "Aggregate", "BatchEvalPython"):
             assert bad not in plan, f"{bad} in plan"
+
+
+def test_wet_reads_gzipped_files(spark, tmp_path):
+    """CommonCrawl ships .wet.gz; the text source decodes by extension
+    (one file = one split — the many-moderate-files practice applies)."""
+    import gzip
+
+    src = _wet_file(tmp_path)
+    gz = str(tmp_path / "crawl.wet.gz")
+    with open(src, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    plain = {tuple(r) for r in ingest.read_wet(spark, src).collect()}
+    zipped = {tuple(r) for r in ingest.read_wet(spark, gz).collect()}
+    assert plain == zipped
