@@ -75,6 +75,15 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     Only ``conversion`` records carry document text (WET's payload
     type); ``warcinfo`` prologues parse with empty text and are
     filtered by the caller or the ``warc_type`` column.
+
+    Honesty note (the classic WARC-parsing hazard): delimiter-based
+    splitting mis-splits a record whose BODY contains the literal
+    ``WARC/1.0`` — correct for WET conversion payloads in practice
+    (plain extracted text) but not guaranteed by the spec; a
+    strict reader honors each record's ``Content-Length`` instead,
+    which requires a custom input format rather than the text source.
+    Mis-split fragments surface as rows with ``warc_type = ''`` — count
+    them to detect the hazard on a given crawl.
     """
     rec = (
         spark.read.option("lineSep", "WARC/1.0").text(path)
