@@ -30,6 +30,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         pass
     try:
         from cdc2vec_spark.operators import ann_index as _ann_index
+        from cdc2vec_spark.operators import bpe as _bpe
         from cdc2vec_spark.operators import corpus as _corpus
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
@@ -54,7 +55,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _retrieval, _pii, _span_dedup,
-             _reduce, _winnow, _lm, _html_extract, _urls]
+             _reduce, _winnow, _lm, _html_extract, _urls, _bpe]
         )
     except ImportError:
         pass

@@ -66,6 +66,7 @@ HEADLINE = [
     "d31_domain_cap",        # URL normalize + per-domain caps
     "d32_web_prep",          # web-ingestion composition (extract->cap->dedup->LM)
     "d33_weighted_sample",   # A-Res deterministic weighted sampling
+    "t8_bpe",                # trained-BPE tokenization (broadcast merges)
 ]
 
 

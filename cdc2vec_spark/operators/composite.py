@@ -109,6 +109,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "d31_domain_cap",
     # round-7 addition (exact oracle in tests/test_relational_pivot.py)
     "b18_unpivot",
+    # round-7 addition (rows-only: BPE merges are iterative; Spark
+    # encoding pinned vs a pure-Python reference in tests/test_bpe.py)
+    "t8_bpe",
     # round-7 addition (exact oracle in tests/test_corpus.py)
     "d32_web_prep",
     # round-7 addition (exact oracle in tests/test_sampling.py)
@@ -243,6 +246,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b14_json_extract,
         b18_unpivot,
     )
+    from .bpe import t8_bpe
     from .text import (
         t1_token_count,
         t2_quality_score,
@@ -270,6 +274,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t6_length_percentiles", t6_length_percentiles),
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("b18_unpivot", b18_unpivot),
+            ("t8_bpe", t8_bpe),
         ],
     )
 
@@ -324,6 +329,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d8_lsh_neardup,
         d12_semdedup,
     )
+    from .bpe import t8_bpe
     from .text import (
         t1_token_count,
         t2_quality_score,
@@ -379,4 +385,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
         "b18_unpivot": b18_unpivot,
+        "t8_bpe": t8_bpe,
     }

@@ -98,7 +98,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "t4_fingerprint", "t5_regex_tokens", "b1_scan_count",
             "b11_topk", "b12_intersect", "b13_scalar_funcs",
             "b14_json_extract", "t6_length_percentiles",
-            "t7_vocab_topdf", "b18_unpivot",
+            "t7_vocab_topdf", "b18_unpivot", "t8_bpe",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)
