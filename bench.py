@@ -67,6 +67,7 @@ HEADLINE = [
     "d32_web_prep",          # web-ingestion composition (extract->cap->dedup->LM)
     "d33_weighted_sample",   # A-Res deterministic weighted sampling
     "t8_bpe",                # trained-BPE tokenization (broadcast merges)
+    "d34_semantic_decontam", # embedding-space benchmark decontamination
 ]
 
 

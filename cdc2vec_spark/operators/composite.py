@@ -41,7 +41,7 @@ Groupings:
                          d31_domain_cap (each with an exact DuckDB
                          oracle pinned in its own test file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d22_pca_topk
+                         d3_pq_topk, d22_pca_topk, d34_semantic_decontam
   x4_rowsonly_stable   — t1–t5, b1_scan_count, b11_topk, b12_intersect,
                          b13_scalar_funcs, b14_json_extract (rotated out
                          for round 7; oracles pinned in tests)
@@ -116,6 +116,8 @@ CONSOLIDATED: tuple[str, ...] = (
     "d32_web_prep",
     # round-7 addition (exact oracle in tests/test_sampling.py)
     "d33_weighted_sample",
+    # round-7 addition (exact oracle in tests/test_similarity.py)
+    "d34_semantic_decontam",
 )
 
 
@@ -217,7 +219,12 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py, tests/test_quantize.py)."""
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
+    from .similarity import (
+        d3_hyperplane_topk,
+        d3_ivf_topk,
+        d8_lsh_neardup,
+        d34_semantic_decontam,
+    )
 
     return _union(
         spark,
@@ -228,6 +235,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
+            ("d34_semantic_decontam", d34_semantic_decontam),
         ],
     )
 
@@ -328,6 +336,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d3_ivf_topk,
         d8_lsh_neardup,
         d12_semdedup,
+        d34_semantic_decontam,
     )
     from .bpe import t8_bpe
     from .text import (
@@ -386,4 +395,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_vocab_topdf": t7_vocab_topdf,
         "b18_unpivot": b18_unpivot,
         "t8_bpe": t8_bpe,
+        "d34_semantic_decontam": d34_semantic_decontam,
     }

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load_table
+from ..io import load_table, rebalance
 
 
 def _query_vector(
@@ -739,6 +739,105 @@ SELECT vec_id, sim FROM (
 ) t ORDER BY sim DESC, vec_id LIMIT 10
 """
 
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    is_benchmark,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of d11's n-gram overlap (n-grams miss paraphrased or
+    translated eval leakage; embedding cosine does not). Every
+    non-benchmark vector is scored with its maximum cosine against the
+    benchmark slice; ``contaminated`` = max_sim ≥ threshold, and the
+    winning benchmark id is reported for audit (ties break to the
+    smallest benchmark id — deterministic, engine-portable).
+
+    Scale shape (the d11 stance, vector-ized): eval suites are MBs by
+    construction, so the benchmark matrix is collected once (bounded)
+    and closure-shipped; scoring is ONE narrow Arrow `mapInPandas` BLAS
+    pass over the train side — no join, no shuffle, 100 TB of train
+    embeddings stream through at scan throughput. Cosine rounded to 6
+    decimals = the d8 precedent that hash-matches DuckDB's
+    list_dot_product oracle exactly."""
+    import pandas as pd
+
+    bench_rows = (
+        embeddings.where(is_benchmark)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not bench_rows:
+        raise ValueError("empty benchmark slice")
+    bench_ids = np.asarray([r[id_col] for r in bench_rows], dtype=np.int64)
+    bm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in bench_rows])
+    bnorm = np.linalg.norm(bm, axis=1)
+    bnorm[bnorm == 0] = np.inf
+    bmn = bm / bnorm[:, None]
+
+    out_schema = (
+        f"{id_col} long, best_bench_id long, max_sim double, contaminated boolean"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            mnorm = np.linalg.norm(m, axis=1)
+            mnorm[mnorm == 0] = np.inf
+            sims = np.round((m / mnorm[:, None]) @ bmn.T, 6)
+            best = sims.max(axis=1)
+            # first max in ascending-id benchmark order = smallest id
+            arg = np.argmax(sims == best[:, None], axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "best_bench_id": bench_ids[arg],
+                    "max_sim": best,
+                    "contaminated": best >= threshold,
+                }
+            )
+
+    return (
+        embeddings.where(~is_benchmark)
+        .select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .orderBy(id_col)
+    )
+
+
+def d34_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entry: the vec_id % 29 slice is the benchmark (the d11
+    convention), every other embedding is scored against it."""
+    e = rebalance(load_table(spark, sf_dir, "embeddings"))
+    return semantic_decontaminate(e, F.col("vec_id") % 29 == 0)
+
+
+_D34_ORACLE = """
+SELECT vec_id, best_bench_id, max_sim, contaminated FROM (
+  SELECT t.vec_id, b.vec_id AS best_bench_id,
+         round(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS max_sim,
+         round(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.4 AS contaminated,
+         row_number() OVER (
+           PARTITION BY t.vec_id
+           ORDER BY round(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings t JOIN embeddings b
+    ON t.vec_id % 29 != 0 AND b.vec_id % 29 = 0
+) x WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 _D8_ORACLE = """
 SELECT id_a, id_b, sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -757,6 +856,7 @@ QUERIES = {
     "d8_cosine_neardup": d8_cosine_neardup,
     "d8_lsh_neardup": d8_lsh_neardup,
     "d12_semdedup": d12_semdedup,
+    "d34_semantic_decontam": d34_semantic_decontam,
 }
 
 ORACLES = {

@@ -91,7 +91,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
-            "d3_pq_topk", "d22_pca_topk",
+            "d3_pq_topk", "d22_pca_topk", "d34_semantic_decontam",
         },
         "x4_rowsonly_stable": {
             "t1_token_count", "t2_quality_score", "t3_lang_guess",

@@ -250,3 +250,52 @@ def test_semdedup_multicluster_precision_and_determinism(spark, sf_dir):
                 for j in kept_ids if j < r["vec_id"]
             ), f"vec {r['vec_id']} dropped with no kept representative"
     assert n_dropped > 0  # the fixture does contain semantic near-dups
+
+
+def test_d34_semantic_decontam_matches_duckdb_oracle(spark):
+    """d34 rides inside x3 (registry at budget): exact oracle of the
+    full max-cosine-vs-benchmark scoring at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d34_semantic_decontam",
+            sim.d34_semantic_decontam, sim._D34_ORACLE, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_semantic_decontam_semantics(spark):
+    """A train vector equal to a benchmark vector is flagged with
+    sim 1.0 against THAT benchmark id; orthogonal vectors are clean;
+    ties break to the smallest benchmark id."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # benchmark (0 % 29 == 0)
+        (29, [0.0, 1.0, 0.0, 0.0]),  # benchmark
+        (1, [1.0, 0.0, 0.0, 0.0]),   # duplicate of bench 0 -> contaminated
+        (2, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both -> clean
+        (3, [1.0, 1.0, 0.0, 0.0]),   # equal sim to both -> best = id 0
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in sim.semantic_decontaminate(
+        df, F.col("vec_id") % 29 == 0, threshold=0.9
+    ).collect()}
+    assert out[1]["contaminated"] and out[1]["max_sim"] == 1.0
+    assert out[1]["best_bench_id"] == 0
+    assert not out[2]["contaminated"] and out[2]["max_sim"] == 0.0
+    assert out[3]["best_bench_id"] == 0  # tie -> smallest bench id
+
+
+def test_semantic_decontam_flags_something_on_fixture(spark):
+    from tests.conftest import SF001
+
+    out = sim.d34_semantic_decontam(spark, SF001)
+    n_flagged = out.where("contaminated").count()
+    n = out.count()
+    assert 0 < n_flagged < n  # non-degenerate on the fixture

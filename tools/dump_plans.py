@@ -52,6 +52,7 @@ NOTES = {
     "d31_domain_cap": "scan-stage URL normalization + ONE window shuffle keyed on the domain (md5 preference rank); blocklist is a literal isin — no join, no Python.",
     "d32_web_prep": "one plan end to end: scan-stage synthesis+extraction, one domain window, one dedup window, broadcast LM tables + one aggregate — nothing quadratic, nothing driver-side.",
     "d33_weighted_sample": "scan-stage md5-uniform key expression + TakeOrderedAndProject top-k — zero shuffles, no global sort, nothing driver-side.",
+    "d34_semantic_decontam": "benchmark matrix collected once (eval suites are MBs) and closure-shipped; scoring is ONE narrow Arrow BLAS pass over the train side — no join, no shuffle.",
     "t8_bpe": "bounded driver-side merge training (hash-ordered sample, TakeOrderedAndProject); encoding is ONE ArrowEvalPython pass with broadcast merge ranks + per-batch word memo — no shuffle.",
     "d29_shards": "one hash exchange on the shard id + per-shard sort (the partitionBy write path); md5 keys uniform by construction — no skew, no global sort, no Python.",
     "d28_lm_perplexity": "both bigram-LM tables (<= n_buckets^2 rows) broadcast; tokenize+bucket-hash inside the scan; integer micro-nat NLL sums -> one aggregate exchange; tercile cutoffs are two order statistics broadcast back (no global ntile sort).",
