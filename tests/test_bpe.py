@@ -91,3 +91,31 @@ def test_unseen_characters_fall_back_to_chars(spark):
     # 'aaa' fully merges; 'xyz' has no learned merges -> chars + </w>
     assert out[1]["n_bpe_tokens"] <= 4
     assert out[2]["n_bpe_tokens"] == 4  # x y z </w>
+
+
+def test_bpe_counts_drive_sequence_packing(spark):
+    """The tokenizer-aware batching story end to end: pack by the
+    TRAINED tokenizer's counts (what the model actually sees), not the
+    whitespace approximation — every pack respects the budget in BPE
+    tokens, and overflow marks only docs whose BPE count exceeds it."""
+    from cdc2vec_spark.operators.sampling import pack_sequences
+
+    d = load_table(spark, SF0001, "documents")
+    merges = bpe.bpe_train(d, n_merges=40)
+    counted = bpe.bpe_apply(d, merges).select("doc_id", "n_bpe_tokens", "text")
+    packed = pack_sequences(counted, budget=120, tokens_col="n_bpe_tokens")
+    rows = packed.collect()
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        total = sum(m["n_tokens"] for m in members)
+        if any(m["overflow"] for m in members):
+            assert len(members) == 1 and total > 120
+        else:
+            assert total <= 120
+    # BPE counts genuinely differ from whitespace counts on this corpus
+    ws = {r["doc_id"]: r for r in d.collect()}
+    assert any(
+        r["n_tokens"] != len(ws[r["doc_id"]]["text"].split(" ")) for r in rows
+    )
