@@ -89,16 +89,37 @@ def _keep_condition(spec: FilterSpec, text: Column) -> Column:
 
 
 def apply_ingest_filters(
-    df: DataFrame, specs: tuple[FilterSpec, ...], text_col: str = "text"
+    df: DataFrame,
+    specs: tuple[FilterSpec, ...],
+    text_col: str = "text",
+    observe: list | None = None,
 ) -> DataFrame:
     """Apply the chain to a batch AFTER text extraction (P1) and the F2
     guard, BEFORE id derivation and embedding — so dropped rows never
     cost an embed call, and scrubbed text is what gets embedded,
-    stored, and delivered."""
+    stored, and delivered.
+
+    ``observe`` (optional): a list the caller owns; one
+    ``(stage_name, Observation)`` pair is appended for the input and
+    after each DROP stage, each counting surviving rows. The counts
+    piggyback on whatever action executes the batch (zero extra jobs —
+    the auto-compaction-counter lesson) and let the caller compute
+    per-stage drop attribution (runner.boot surfaces them on
+    /healthz)."""
     if not specs:
         return df
+    from pyspark.sql import Observation
+
+    def _observed(frame: DataFrame, name: str) -> DataFrame:
+        if observe is None:
+            return frame
+        obs = Observation()
+        observe.append((name, obs))
+        return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+
     is_delete = F.col("op") == OP_DELETE
-    for spec in specs:
+    df = _observed(df, "input")
+    for i, spec in enumerate(specs):
         if spec.type == "pii_scrub":
             from ..operators.pii import redact
 
@@ -109,7 +130,10 @@ def apply_ingest_filters(
                 ),
             )
         else:
-            df = df.where(is_delete | _keep_condition(spec, F.col(text_col)))
+            df = _observed(
+                df.where(is_delete | _keep_condition(spec, F.col(text_col))),
+                f"{i}_{spec.type}",
+            )
     return df
 
 

@@ -31,6 +31,7 @@ def build_points(
     chunk: tuple[int, int] | None = None,
     keep_text: bool = False,
     ingest_filters: tuple = (),
+    filter_observations: list | None = None,
 ) -> DataFrame:
     """Transform a (flattened) change log into sink-ready points.
 
@@ -61,7 +62,9 @@ def build_points(
         # dropped row never costs an embed call
         from .filters import apply_ingest_filters
 
-        df = apply_ingest_filters(df, ingest_filters)
+        df = apply_ingest_filters(
+            df, ingest_filters, observe=filter_observations
+        )
     df = df.withColumn("id", transform.derive_key()).withColumn(
         "metadata", transform.metadata_map(mapping, available=changes.columns)
     )
@@ -148,18 +151,29 @@ def _chunk_events(df: DataFrame, chunk: tuple[int, int]) -> DataFrame:
 
 
 def run_batch(
-    changes: DataFrame, config: EngineConfig, provider, keep_text: bool = False
+    changes: DataFrame, config: EngineConfig, provider, keep_text: bool = False,
+    filter_observations: list | None = None,
 ) -> DataFrame:
-    """All configured mappings unioned — the whole-engine batch pass."""
-    outs = [
-        build_points(
+    """All configured mappings unioned — the whole-engine batch pass.
+
+    ``filter_observations``: see filters.apply_ingest_filters — stage
+    names are prefixed with the mapping table when several mappings are
+    configured."""
+    outs = []
+    for m in config.mappings:
+        per_map: list | None = None if filter_observations is None else []
+        outs.append(build_points(
             changes, m, provider,
             normalize=config.normalize, chunk=config.chunk,
             keep_text=keep_text,
             ingest_filters=getattr(config, "ingest_filters", ()),
-        )
-        for m in config.mappings
-    ]
+            filter_observations=per_map,
+        ))
+        if per_map:
+            prefix = f"{m.table}:" if len(config.mappings) > 1 else ""
+            filter_observations.extend(
+                (prefix + name, obs) for name, obs in per_map
+            )
     df = outs[0]
     for o in outs[1:]:
         df = df.unionByName(o)

@@ -490,7 +490,11 @@ def boot(
         from pyspark.sql import Observation
 
         t0 = _time.perf_counter()
-        pts = run_batch(batch, cfg.engine, provider, keep_text=keep_text)
+        fobs: list = []
+        pts = run_batch(
+            batch, cfg.engine, provider, keep_text=keep_text,
+            filter_observations=fobs,
+        )
         obs = Observation()
         pts = pts.observe(obs, F.count(F.lit(1)).alias("points_out"))
         if hook is None:
@@ -511,6 +515,13 @@ def boot(
                 "batch_wall_ms": round((_time.perf_counter() - t0) * 1000),
             }
         )
+        if fobs:
+            # per-stage surviving-row counts of the ingest filter chain
+            # (cdc/filters.py) — consecutive stage deltas = drop
+            # attribution, at zero extra jobs
+            batch_metrics["filter_rows"] = {
+                name: int(o.get.get("rows", 0)) for name, o in fobs
+            }
 
     # flush_interval_ms → processingTime trigger (B1 parity: the reference
     # flushes every 500 ms by default, config.go:106-108)

@@ -136,3 +136,68 @@ def test_filters_reach_collection_state_through_the_pipeline(spark, tmp_path):
     assert set(live) == {"public.documents:1", "public.documents:3"}
     # the garbage update was SKIPPED: key 1 still holds lsn-1 state
     assert live["public.documents:1"]["lsn"] == 1
+
+
+def test_filter_observations_count_each_stage(spark):
+    """Per-stage surviving-row counts piggyback on the batch's own
+    action (no extra jobs): input count, then one count per drop stage
+    in chain order."""
+    specs = (
+        FilterSpec("pii_scrub"),  # scrub: no observation of its own
+        FilterSpec("min_tokens", {"n": 5}),
+        FilterSpec("regex_drop", {"pattern": "(?i)lorem ipsum"}),
+    )
+    obs: list = []
+    out = apply_ingest_filters(_batch(spark), specs, observe=obs)
+    out.write.format("noop").mode("overwrite").save()  # one action
+    names = [n for n, _ in obs]
+    assert names == ["input", "1_min_tokens", "2_regex_drop"]
+    counts = {n: int(o.get["rows"]) for n, o in obs}
+    assert counts["input"] == 6
+    # min_tokens(5) keeps 1,2,4,5 upserts + delete 6 = 5 rows
+    assert counts["1_min_tokens"] == 5
+    # regex then drops doc 5 -> 4 rows
+    assert counts["2_regex_drop"] == 4
+
+
+def test_boot_surfaces_filter_counts_on_healthz(spark, tmp_path):
+    import json
+    import urllib.request
+
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.cdc.changelog import MAPPED, changes_df
+    from cdc2vec_spark.cdc.transform import filter_mapped
+    from cdc2vec_spark.config import DEFAULT_CONFIG, PipelineConfig
+    from cdc2vec_spark.streaming.source import write_chunks
+    from dataclasses import replace
+    from tests.conftest import SF0001
+
+    ch = filter_mapped(changes_df(spark, SF0001), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    engine = replace(
+        DEFAULT_CONFIG,
+        vector_size=8,
+        ingest_filters=(FilterSpec("min_tokens", {"n": 2}),),
+    )
+    query, coll, server = runner.boot(
+        spark,
+        config=PipelineConfig(engine=engine),
+        changes_dir=chunks,
+        changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        health_port=0,
+    )
+    try:
+        query.processAllAvailable()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.server_address[1]}/healthz", timeout=5
+        ) as r:
+            snap = json.load(r)
+    finally:
+        query.stop()
+        server.shutdown()
+    fr = snap["filter_rows"]
+    assert set(fr) == {"input", "0_min_tokens"}
+    assert 0 < fr["0_min_tokens"] <= fr["input"]
