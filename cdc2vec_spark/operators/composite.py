@@ -10,18 +10,24 @@ full output, canonicalized to a uniform ``(probe, row)`` schema with the
 component name in ``probe``, so no information is lost and each
 component's rows stay distinguishable and countable downstream.
 
-Round-7 rotation (VERDICT r06 ask #2): the nine round-6 operators that
-carry exact DuckDB oracles in their own tests — b17_pivot,
-d11_decontaminate, d13_dsir, d14_stratified, d15_chunk,
-d16_corpus_pipeline, d17_bm25, d18_cdc_bm25, d19_hybrid — moved OUT of
-the composites into individually graded registry slots. To stay at the
-50-entry budget, ten ultra-stable long-green queries (t1–t5,
-b1_scan_count, b11_topk, b12_intersect, b13_scalar_funcs,
-b14_json_extract — each green in every CORRECTNESS file since round 1)
-rotated INTO a new ``x4_rowsonly_stable`` composite for this round;
-their exact oracles remain pinned at two scale factors in
-tests/test_rotated_oracles.py via the driver's own comparator
-(oracle_check.compare_one), so correctness evidence is uninterrupted.
+Round-8 rotation (VERDICT r07 ask #3): the twenty-two exact-oracle
+queries that were composite-delivered in round 7 — t1–t5 and
+b1/b11/b12/b13/b14_json (returning from their round-7 parking),
+t6_length_percentiles, t7_vocab_topdf, b18_unpivot, and the round-7
+newcomers d25_token_mix, d27_full_prep, d28_lm_perplexity, d29_shards,
+d30_html_extract, d31_domain_cap, d32_web_prep, d33_weighted_sample,
+d34_semantic_decontam — moved INTO individually graded registry slots.
+To stay at the 50-entry budget, twenty-two long-green queries rotated
+OUT into ``x4_rowsonly_stable``: the fourteen relational anchors
+b2–b17 (each green in every CORRECTNESS file since round 1),
+d4_text_stats and d5_slicing (same), and the round-7 rotation set
+d11_decontaminate, d14_stratified, d15_chunk, d17_bm25, d18_cdc_bm25,
+d19_hybrid (green in CORRECTNESS_r07). Their exact oracles remain
+pinned at two scale factors in tests/test_rotated_oracles.py via the
+driver's own comparator (oracle_check.compare_one), so correctness
+evidence is uninterrupted. d13_dsir and d16_corpus_pipeline stay
+individual: their round-7 red rows were oracle HUGEINT-typing
+artifacts, now fixed, and round 8 must show the driver-green proof.
 
 The component queries remain individually importable, unit-tested and
 benchmarked (bench.py calls them directly); only the driver registry
@@ -30,21 +36,20 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         d10_split, d10_pack, d25_token_mix,
-                         d27_full_prep, d29_shards, d32_web_prep,
-                         d33_weighted_sample
+                         d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
-                         d6_features, d12_semdedup, and the round-7
-                         corpus-cleaning additions d20_pii,
+                         d6_features, d12_semdedup, d20_pii,
                          d21_span_dedup, d23_selfrep, d24_winnow,
-                         d28_lm_perplexity, d30_html_extract,
-                         d31_domain_cap (each with an exact DuckDB
-                         oracle pinned in its own test file)
+                         d26_winnow_pairs (each pinned in its own test
+                         file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d22_pca_topk, d34_semantic_decontam
-  x4_rowsonly_stable   — t1–t5, b1_scan_count, b11_topk, b12_intersect,
-                         b13_scalar_funcs, b14_json_extract (rotated out
-                         for round 7; oracles pinned in tests)
+                         d3_pq_topk, d22_pca_topk
+  x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
+                         d14, d15, d17, d18, d19 + t8 (rotated out for
+                         round 8; oracles pinned in tests; t8 is
+                         rows-only by nature — BPE merges are
+                         iterative, pinned vs a pure-Python reference
+                         encoder in tests/test_bpe.py)
 """
 
 from __future__ import annotations
@@ -57,6 +62,8 @@ from pyspark.sql import functions as F
 # registry keys replaced by the composites (kept in their home modules'
 # QUERIES dicts for tests/bench; excluded from the driver registry)
 CONSOLIDATED: tuple[str, ...] = (
+    # permanently rows-only (not SQL-expressible / approximate):
+    # engine-side invariants pinned in their own test files
     "a8_deterministic_embed",
     "a9_points_pipeline",
     "b16_sketches",
@@ -64,60 +71,51 @@ CONSOLIDATED: tuple[str, ...] = (
     "c8_interval_join",
     "d10_split",
     "d10_pack",
-    "d25_token_mix",
-    "d27_full_prep",
     "d2_minhash_lsh",
     "d2_simhash",
     "d9_keep_canonical",
     "d6_features",
     "d12_semdedup",
-    # round-7 additions (exact oracles pinned in test_pii.py /
-    # test_span_dedup.py; no free individual slot at the 50 budget)
+    "d3_ivf_topk",
+    "d3_hyperplane_topk",
+    "d8_lsh_neardup",
+    "d3_pq_topk",
+    "d22_pca_topk",
+    "t8_bpe",
+    # exact-oracle queries awaiting an individual slot (oracles pinned
+    # in test_pii.py / test_span_dedup.py / test_winnow.py; rotate into
+    # graded slots next round as budget allows)
     "d20_pii",
     "d21_span_dedup",
     "d23_selfrep",
     "d24_winnow",
     "d26_winnow_pairs",
-    "d3_ivf_topk",
-    "d3_hyperplane_topk",
-    "d8_lsh_neardup",
-    "d3_pq_topk",
-    # round-7 addition (numpy-pinned in test_reduce.py; rows-only: SVD)
-    "d22_pca_topk",
-    # round-7 rotation: stable long-green queries parked here so the
-    # nine round-6 exact-oracle operators get individual graded slots
-    "t1_token_count",
-    "t2_quality_score",
-    "t3_lang_guess",
-    "t4_fingerprint",
-    "t5_regex_tokens",
-    "b1_scan_count",
-    "b11_topk",
-    "b12_intersect",
-    "b13_scalar_funcs",
-    "b14_json_extract",
-    # round-7 additions (exact oracles in tests/test_text_quality.py)
-    "t6_length_percentiles",
-    "t7_vocab_topdf",
-    # round-7 addition (exact oracle in tests/test_lm.py)
-    "d28_lm_perplexity",
-    # round-7 addition (exact oracle in tests/test_sampling.py)
-    "d29_shards",
-    # round-7 addition (exact oracle in tests/test_html.py)
-    "d30_html_extract",
-    # round-7 addition (exact oracle in tests/test_urls.py)
-    "d31_domain_cap",
-    # round-7 addition (exact oracle in tests/test_relational_pivot.py)
-    "b18_unpivot",
-    # round-7 addition (rows-only: BPE merges are iterative; Spark
-    # encoding pinned vs a pure-Python reference in tests/test_bpe.py)
-    "t8_bpe",
-    # round-7 addition (exact oracle in tests/test_corpus.py)
-    "d32_web_prep",
-    # round-7 addition (exact oracle in tests/test_sampling.py)
-    "d33_weighted_sample",
-    # round-7 addition (exact oracle in tests/test_similarity.py)
-    "d34_semantic_decontam",
+    # round-8 rotation: long-green queries parked in x4 so the round-7
+    # newcomers (t6/t7/b18/d25/d27–d34) and the returning round-7
+    # parking set (t1–t5/b1/b11–b14_json) get individual graded slots;
+    # oracles stay pinned at two SFs in tests/test_rotated_oracles.py
+    "b2_project_filter",
+    "b3_broadcast_join",
+    "b4_multiway_join",
+    "b5_semi_join",
+    "b5_anti_join",
+    "b6_hash_agg",
+    "b7_count_distinct",
+    "b8_rollup",
+    "b8_cube",
+    "b9_rank_window",
+    "b10_running_sum",
+    "b14_array_dim",
+    "b15_scalar_subquery",
+    "b17_pivot",
+    "d4_text_stats",
+    "d5_slicing",
+    "d11_decontaminate",
+    "d14_stratified",
+    "d15_chunk",
+    "d17_bm25",
+    "d18_cdc_bm25",
+    "d19_hybrid",
 )
 
 
@@ -148,15 +146,8 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
-    from .corpus import d27_full_prep, d32_web_prep
     from .relational import b16_sketches
-    from .sampling import (
-        d10_pack,
-        d10_split,
-        d25_token_mix,
-        d29_shards,
-        d33_weighted_sample,
-    )
+    from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -170,11 +161,6 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c8_interval_join", c8_interval_join),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
-            ("d25_token_mix", d25_token_mix),
-            ("d27_full_prep", d27_full_prep),
-            ("d29_shards", d29_shards),
-            ("d32_web_prep", d32_web_prep),
-            ("d33_weighted_sample", d33_weighted_sample),
         ],
     )
 
@@ -184,13 +170,10 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files)."""
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
-    from .html_extract import d30_html_extract
-    from .lm import d28_lm_perplexity
     from .multimodal import d6_features
     from .pii import d20_pii
     from .similarity import d12_semdedup
     from .span_dedup import d21_span_dedup, d23_selfrep
-    from .urls import d31_domain_cap
     from .winnow import d24_winnow, d26_winnow_pairs
 
     return _union(
@@ -207,9 +190,6 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d23_selfrep", d23_selfrep),
             ("d24_winnow", d24_winnow),
             ("d26_winnow_pairs", d26_winnow_pairs),
-            ("d28_lm_perplexity", d28_lm_perplexity),
-            ("d30_html_extract", d30_html_extract),
-            ("d31_domain_cap", d31_domain_cap),
         ],
     )
 
@@ -219,12 +199,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py, tests/test_quantize.py)."""
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .similarity import (
-        d3_hyperplane_topk,
-        d3_ivf_topk,
-        d8_lsh_neardup,
-        d34_semantic_decontam,
-    )
+    from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
         spark,
@@ -235,53 +210,67 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
-            ("d34_semantic_decontam", d34_semantic_decontam),
         ],
     )
 
 
 def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-7 rotation parking slot: ten ultra-stable queries (green in
-    every CORRECTNESS file since round 1) ride here so the nine round-6
-    exact-oracle operators get individual graded slots. Each component's
-    exact DuckDB oracle stays pinned at two scale factors in
-    tests/test_rotated_oracles.py via the driver's own comparator."""
-    from .relational import (
-        b1_scan_count,
-        b11_topk,
-        b12_intersect,
-        b13_scalar_funcs,
-        b14_json_extract,
-        b18_unpivot,
-    )
+    """Round-8 rotation parking slot: twenty-two long-green queries
+    (b2–b17 green since round 1; d4/d5 same; d11/d14/d15/d17/d18/d19
+    green in CORRECTNESS_r07) ride here, plus the permanently rows-only
+    t8_bpe, so the round-7 newcomers get individual graded slots. Each
+    parked component's exact DuckDB oracle stays pinned at two scale
+    factors in tests/test_rotated_oracles.py via the driver's own
+    comparator."""
     from .bpe import t8_bpe
-    from .text import (
-        t1_token_count,
-        t2_quality_score,
-        t3_lang_guess,
-        t4_fingerprint,
-        t5_regex_tokens,
-        t6_length_percentiles,
-        t7_vocab_topdf,
+    from .decontam import d11_decontaminate
+    from .lex_index import d18_cdc_bm25
+    from .relational import (
+        b2_project_filter,
+        b3_broadcast_join,
+        b4_multiway_join,
+        b5_anti_join,
+        b5_semi_join,
+        b6_hash_agg,
+        b7_count_distinct,
+        b8_cube,
+        b8_rollup,
+        b9_rank_window,
+        b10_running_sum,
+        b14_array_dim,
+        b15_scalar_subquery,
+        b17_pivot,
     )
+    from .retrieval import d19_hybrid
+    from .sampling import d14_stratified
+    from .text import d4_text_stats, d5_slicing, d15_chunk, d17_bm25
 
     return _union(
         spark,
         sf_dir,
         [
-            ("t1_token_count", t1_token_count),
-            ("t2_quality_score", t2_quality_score),
-            ("t3_lang_guess", t3_lang_guess),
-            ("t4_fingerprint", t4_fingerprint),
-            ("t5_regex_tokens", t5_regex_tokens),
-            ("b1_scan_count", b1_scan_count),
-            ("b11_topk", b11_topk),
-            ("b12_intersect", b12_intersect),
-            ("b13_scalar_funcs", b13_scalar_funcs),
-            ("b14_json_extract", b14_json_extract),
-            ("t6_length_percentiles", t6_length_percentiles),
-            ("t7_vocab_topdf", t7_vocab_topdf),
-            ("b18_unpivot", b18_unpivot),
+            ("b2_project_filter", b2_project_filter),
+            ("b3_broadcast_join", b3_broadcast_join),
+            ("b4_multiway_join", b4_multiway_join),
+            ("b5_semi_join", b5_semi_join),
+            ("b5_anti_join", b5_anti_join),
+            ("b6_hash_agg", b6_hash_agg),
+            ("b7_count_distinct", b7_count_distinct),
+            ("b8_rollup", b8_rollup),
+            ("b8_cube", b8_cube),
+            ("b9_rank_window", b9_rank_window),
+            ("b10_running_sum", b10_running_sum),
+            ("b14_array_dim", b14_array_dim),
+            ("b15_scalar_subquery", b15_scalar_subquery),
+            ("b17_pivot", b17_pivot),
+            ("d4_text_stats", d4_text_stats),
+            ("d5_slicing", d5_slicing),
+            ("d11_decontaminate", d11_decontaminate),
+            ("d14_stratified", d14_stratified),
+            ("d15_chunk", d15_chunk),
+            ("d17_bm25", d17_bm25),
+            ("d18_cdc_bm25", d18_cdc_bm25),
+            ("d19_hybrid", d19_hybrid),
             ("t8_bpe", t8_bpe),
         ],
     )
@@ -304,50 +293,42 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
-    from .corpus import d27_full_prep, d32_web_prep
+    from .bpe import t8_bpe
+    from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
-    from .html_extract import d30_html_extract
-    from .lm import d28_lm_perplexity
+    from .lex_index import d18_cdc_bm25
     from .multimodal import d6_features
     from .pii import d20_pii
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
+    from .retrieval import d19_hybrid
     from .span_dedup import d21_span_dedup, d23_selfrep
-    from .urls import d31_domain_cap
     from .winnow import d24_winnow, d26_winnow_pairs
     from .relational import (
-        b1_scan_count,
-        b11_topk,
-        b12_intersect,
-        b13_scalar_funcs,
-        b14_json_extract,
+        b2_project_filter,
+        b3_broadcast_join,
+        b4_multiway_join,
+        b5_anti_join,
+        b5_semi_join,
+        b6_hash_agg,
+        b7_count_distinct,
+        b8_cube,
+        b8_rollup,
+        b9_rank_window,
+        b10_running_sum,
+        b14_array_dim,
+        b15_scalar_subquery,
         b16_sketches,
-        b18_unpivot,
+        b17_pivot,
     )
-    from .sampling import (
-        d10_pack,
-        d10_split,
-        d25_token_mix,
-        d29_shards,
-        d33_weighted_sample,
-    )
+    from .sampling import d10_pack, d10_split, d14_stratified
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
         d8_lsh_neardup,
         d12_semdedup,
-        d34_semantic_decontam,
     )
-    from .bpe import t8_bpe
-    from .text import (
-        t1_token_count,
-        t2_quality_score,
-        t3_lang_guess,
-        t4_fingerprint,
-        t5_regex_tokens,
-        t6_length_percentiles,
-        t7_vocab_topdf,
-    )
+    from .text import d4_text_stats, d5_slicing, d15_chunk, d17_bm25
     from .vectors import a8_deterministic_embed
 
     return {
@@ -358,8 +339,6 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_interval_join": c8_interval_join,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
-        "d25_token_mix": d25_token_mix,
-        "d27_full_prep": d27_full_prep,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,
@@ -370,30 +349,32 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d23_selfrep": d23_selfrep,
         "d24_winnow": d24_winnow,
         "d26_winnow_pairs": d26_winnow_pairs,
-        "d28_lm_perplexity": d28_lm_perplexity,
-        "d29_shards": d29_shards,
-        "d30_html_extract": d30_html_extract,
-        "d31_domain_cap": d31_domain_cap,
-        "d32_web_prep": d32_web_prep,
-        "d33_weighted_sample": d33_weighted_sample,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
-        "t1_token_count": t1_token_count,
-        "t2_quality_score": t2_quality_score,
-        "t3_lang_guess": t3_lang_guess,
-        "t4_fingerprint": t4_fingerprint,
-        "t5_regex_tokens": t5_regex_tokens,
-        "b1_scan_count": b1_scan_count,
-        "b11_topk": b11_topk,
-        "b12_intersect": b12_intersect,
-        "b13_scalar_funcs": b13_scalar_funcs,
-        "b14_json_extract": b14_json_extract,
-        "t6_length_percentiles": t6_length_percentiles,
-        "t7_vocab_topdf": t7_vocab_topdf,
-        "b18_unpivot": b18_unpivot,
         "t8_bpe": t8_bpe,
-        "d34_semantic_decontam": d34_semantic_decontam,
+        "b2_project_filter": b2_project_filter,
+        "b3_broadcast_join": b3_broadcast_join,
+        "b4_multiway_join": b4_multiway_join,
+        "b5_semi_join": b5_semi_join,
+        "b5_anti_join": b5_anti_join,
+        "b6_hash_agg": b6_hash_agg,
+        "b7_count_distinct": b7_count_distinct,
+        "b8_rollup": b8_rollup,
+        "b8_cube": b8_cube,
+        "b9_rank_window": b9_rank_window,
+        "b10_running_sum": b10_running_sum,
+        "b14_array_dim": b14_array_dim,
+        "b15_scalar_subquery": b15_scalar_subquery,
+        "b17_pivot": b17_pivot,
+        "d4_text_stats": d4_text_stats,
+        "d5_slicing": d5_slicing,
+        "d11_decontaminate": d11_decontaminate,
+        "d14_stratified": d14_stratified,
+        "d15_chunk": d15_chunk,
+        "d17_bm25": d17_bm25,
+        "d18_cdc_bm25": d18_cdc_bm25,
+        "d19_hybrid": d19_hybrid,
     }

@@ -135,7 +135,7 @@ WITH train0 AS (
   GROUP BY t.doc_id
 )
 SELECT q.source, q.lang, count(*) AS n_docs,
-       sum(len(string_split(q.text, ' '))) AS n_tokens
+       CAST(sum(len(string_split(q.text, ' '))) AS BIGINT) AS n_tokens
 FROM quality q JOIN overlap o ON q.doc_id = o.doc_id AND NOT o.contaminated
 GROUP BY q.source, q.lang
 ORDER BY q.source, q.lang
@@ -416,6 +416,11 @@ QUERIES = {
     "d27_full_prep": d27_full_prep,
     "d32_web_prep": d32_web_prep,
 }
-# round-7 rotation: d16 individually graded; d27/d32 composite-delivered
-# (oracles pinned in tests/test_corpus.py)
-ORACLES = {"d16_corpus_pipeline": D16_ORACLE_SQL}
+# round-8 rotation: all three individually graded (d27/d32 moved out of
+# the composites per VERDICT r07 ask #3; oracles also pinned at two SFs
+# in tests/test_corpus.py)
+ORACLES = {
+    "d16_corpus_pipeline": D16_ORACLE_SQL,
+    "d27_full_prep": D27_ORACLE_SQL,
+    "d32_web_prep": D32_ORACLE_SQL,
+}

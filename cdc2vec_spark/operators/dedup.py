@@ -159,6 +159,7 @@ def jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs within a block with shingle-Jaccard ≥ threshold (rounded
     to 4, so the oracle threshold matches exactly).
@@ -169,7 +170,22 @@ def jaccard_pairs(
     never materialize, so the block-quadratic term is paid only for pairs
     with at least one common shingle — at 100 TB the all-pairs form is
     O(Σ block²) array comparisons and unrunnable; this is one shuffle on
-    (block, hash) + one pair-key aggregation."""
+    (block, hash) + one pair-key aggregation.
+
+    ``max_df`` (the 100 TB guard): a shingle shared by k docs in a block
+    contributes k(k−1)/2 join rows, so ONE corpus-wide boilerplate
+    shingle (license text, page header — ubiquitous in web corpora)
+    makes a single (block, hash) key quadratic. With ``max_df`` set,
+    shingles whose in-block document frequency exceeds it are treated
+    as stop-shingles (the same design as winnowing's stop-fingerprint
+    removal, winnow.py) and dropped BEFORE the self-join; per-doc sizes
+    are recomputed over the retained shingles, so the output is exact
+    Jaccard over the non-stop shingle space. True near-dup pairs share
+    many rare shingles and still surface (recall pinned in
+    tests/test_dedup.py::test_jaccard_max_df_bounds_boilerplate);
+    exact duplicates must be collapsed first (d1/exact_dedup) since a
+    large exact-dup cluster pushes ALL its shingles over the cap.
+    Default None preserves the uncapped exact semantics."""
     hashed = shingle_hashes(df, n, text_col)
     # persist: both self-join sides re-derive the shingle UDF pass
     # otherwise (a full duplicated corpus scan + Python pass)
@@ -179,6 +195,21 @@ def jaccard_pairs(
         F.size("sh").alias("_n"),
         F.explode("sh").alias("_h"),
     ).persist()
+    if max_df is not None:
+        from pyspark.sql.window import Window
+
+        # document frequency per (block, shingle) via a window over the
+        # same key the join shuffles on — the exchange is shared, and
+        # the per-doc retained-shingle count replaces the original size
+        # so Jaccard stays a true similarity over the kept space
+        wdf = Window.partitionBy("_b", "_h")
+        wdoc = Window.partitionBy("_b", "_id")
+        ex = (
+            ex.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .where(F.col("_df") <= max_df)
+            .withColumn("_n", F.count(F.lit(1)).over(wdoc))
+            .drop("_df")
+        )
     a = ex.select("_b", F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_h")
     b = ex.select("_b", F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_h")
     pairs = (
@@ -313,11 +344,33 @@ def banded_candidate_pairs(
     id_col: str = "doc_id",
     bv_col: str = "bv",
     carry: tuple[str, ...] = (),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Self-join a banded inverted index on (band, band-value): docs
     sharing ANY band bucket pair up; the shuffle fan-in is bucket size,
     never n. Shared by MinHash and SimHash candidate generation. `carry`
-    columns propagate from both sides as <c>_a / <c>_b."""
+    columns propagate from both sides as <c>_a / <c>_b.
+
+    ``max_bucket`` (the 100 TB guard): a bucket of size s emits
+    s(s−1)/2 candidate rows, so one oversized band bucket — in practice
+    an exact-duplicate cluster or corpus-wide boilerplate that survived
+    into the signatures — goes quadratic. With ``max_bucket`` set,
+    buckets larger than it are dropped before the self-join (window
+    count over the join key, so the exchange is shared). A true
+    near-dup pair collides in many independent bands and still
+    surfaces through its small buckets; exact duplicates must be
+    collapsed first (d1/exact_dedup) — an uncollapsed exact-dup
+    cluster collides in EVERY band and is exactly what the cap
+    removes. Default None preserves uncapped semantics."""
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band", bv_col)
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", F.col(bv_col).alias("_bv"),
         *[F.col(c).alias(f"{c}_a") for c in carry],
@@ -336,7 +389,11 @@ def banded_candidate_pairs(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows: int = 4, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the MinHash signature, bucket-join via banded_candidate_pairs."""
     banded = signatures.select(
@@ -355,7 +412,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bv")
-    return banded_candidate_pairs(banded, id_col)
+    return banded_candidate_pairs(banded, id_col, max_bucket=max_bucket)
 
 
 def minhash_neardup(
@@ -367,6 +424,7 @@ def minhash_neardup(
     text_col: str = "text",
     n: int = 3,
     cache: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates, then exact-Jaccard verification of candidates only.
     Output = pairs with true Jaccard ≥ threshold among LSH candidates
@@ -378,13 +436,18 @@ def minhash_neardup(
     feeds both bucket-join sides AND both verify sides) — without it the
     fused Arrow pass re-runs once per branch. Storage is LRU-evicted; in
     a production pipeline at 100 TB you'd checkpoint signatures to a
-    table instead."""
+    table instead.
+
+    ``max_bucket`` caps band-bucket size before the candidate self-join
+    (see banded_candidate_pairs) — the 100 TB guard against boilerplate
+    and uncollapsed exact-dup clusters going quadratic; run
+    d1/exact_dedup first so true duplicate mass is gone."""
     rows = num_perm // bands
     both = shingle_minhash(df, n, num_perm, text_col)
     if cache:
         both = both.persist()
     sigs = both.where(F.col("sig").isNotNull()).select(id_col, "sig")
-    cands = lsh_candidate_pairs(sigs, bands, rows, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows, id_col, max_bucket=max_bucket)
     out = _verify_jaccard(cands, both, threshold, id_col)
     if cache:
         # materialize the (small) result eagerly so the big intermediate
@@ -500,6 +563,7 @@ def simhash_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates via
     16-bit band equality (any of 4 bands equal → candidate; Hamming ≤ 3
@@ -528,7 +592,9 @@ def simhash_neardup(
     banded = sigs.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
         id_col, "simhash", "bk.band", "bk.bv"
     )
-    pairs = banded_candidate_pairs(banded, id_col, carry=("simhash",))
+    pairs = banded_candidate_pairs(
+        banded, id_col, carry=("simhash",), max_bucket=max_bucket
+    )
     hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     out = (
         pairs.select("id_a", "id_b", hamming.alias("hamming"))

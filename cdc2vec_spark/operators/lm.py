@@ -199,7 +199,8 @@ WITH toks AS (
                       - ln(coalesce(c1, 0) + {_N_BUCKETS})) * {_SCALE}) AS BIGINT) AS nll
   FROM bg LEFT JOIN pairs USING (cb, wb) LEFT JOIN ctxs USING (cb)
 ), scored AS (
-  SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS nll_micro FROM nlls GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(nll) AS BIGINT) AS nll_micro FROM nlls GROUP BY doc_id
 ), perdoc AS (
   SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
          coalesce(nll_micro, 0) AS nll_micro,

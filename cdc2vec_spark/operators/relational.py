@@ -388,8 +388,9 @@ QUERIES = {
 }
 
 ORACLES = {
-    # round-7 rotation: individually graded (was composite-delivered)
     "b17_pivot": B17_ORACLE_SQL,
+    # round-8 rotation: individually graded (was composite-delivered)
+    "b18_unpivot": B18_ORACLE_SQL,
     "b1_scan_count": "SELECT count(*) AS n FROM lineitem",
     "b2_project_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "

@@ -262,11 +262,11 @@ WITH t AS (
   SELECT doc_id, source,
          len(string_split(text, ' ')) AS n_tokens,
          400 + 200 * (CAST(source[-1] AS INT) % 3) AS budget,
-         sum(len(string_split(text, ' '))) OVER (
+         CAST(sum(len(string_split(text, ' '))) OVER (
            PARTITION BY source
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
            ROWS UNBOUNDED PRECEDING
-         ) AS cum_tokens
+         ) AS BIGINT) AS cum_tokens
   FROM documents
 )
 SELECT doc_id, source, n_tokens, cum_tokens
@@ -476,8 +476,14 @@ QUERIES = {
     "d29_shards": d29_shards,
     "d33_weighted_sample": d33_weighted_sample,
 }
-# d14 individually graded since round 7; d10_split/d10_pack stay
-# rows-only (hash-rank splits / FFD packing are not SQL-expressible)
-# and ride inside the x1 composite, as does d29 (exact oracle pinned
-# in tests/test_sampling.py; registry at the 50-entry budget).
-ORACLES = {"d14_stratified": D14_ORACLE_SQL}
+# round-8 rotation: d25/d29/d33 hold individual graded slots (their
+# exact oracles registered here); d14 parked in x4 this round (oracle
+# stays pinned in tests/test_rotated_oracles.py); d10_split/d10_pack
+# stay rows-only (hash-rank splits / FFD packing are not
+# SQL-expressible) and ride inside the x1 composite.
+ORACLES = {
+    "d14_stratified": D14_ORACLE_SQL,
+    "d25_token_mix": D25_ORACLE_SQL,
+    "d29_shards": D29_ORACLE_SQL,
+    "d33_weighted_sample": D33_ORACLE_SQL,
+}

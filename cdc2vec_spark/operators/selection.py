@@ -158,7 +158,7 @@ WITH toks AS (
                         - ln((rc + 1.0) / (R + {_N_BUCKETS}))) * {_SCALE}) AS BIGINT) AS lw
   FROM raw CROSS JOIN tot
 )
-SELECT bt.doc_id, count(*) AS n_terms, sum(lw) AS weight_micro,
+SELECT bt.doc_id, count(*) AS n_terms, CAST(sum(lw) AS BIGINT) AS weight_micro,
        sum(lw) > 0 AS selected
 FROM bt JOIN tbl USING (b)
 GROUP BY bt.doc_id

@@ -865,4 +865,6 @@ ORACLES = {
     # d3_ivf_topk, d3_hyperplane_topk: rows-only (approximate; pinned by
     # tests/test_similarity.py)
     "d8_cosine_neardup": _D8_ORACLE,
+    # round-8 rotation: individually graded (was composite-delivered)
+    "d34_semantic_decontam": _D34_ORACLE,
 }

@@ -61,6 +61,26 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]
     return sorted_cols, canon
 
 
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """Lint the oracle's DuckDB result types.
+
+    The driver's value hash is type-sensitive: an uncast integer ``sum()``
+    comes back as HUGEINT (int128) in DuckDB where Spark produces BIGINT,
+    and the hashes diverge even when every value matches (round-7 d13/d16
+    failure mode). Fail loudly here so the class of bug never reaches the
+    driver — wrap integer sums in ``CAST(... AS BIGINT)``.
+    """
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:  # noqa: BLE001 — lint must not mask the real compare
+        return [f"DESCRIBE failed: {type(e).__name__}: {e}"]
+    return [
+        f"oracle column {row[0]!r} has driver-hash-unsafe DuckDB type {row[1]}"
+        for row in desc
+        if "HUGEINT" in str(row[1]).upper() or "INT128" in str(row[1]).upper()
+    ]
+
+
 def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list[str]:
     """Returns list of problem strings; empty = match."""
     problems: list[str] = []
@@ -71,6 +91,7 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list
         if len(s_rows) == 0 and not name.startswith(("a8", "d6")):
             problems.append("rows-only check: 0 rows")
         return problems
+    problems.extend(oracle_type_problems(con, sql))
     cur = con.execute(sql)
     d_cols = [d[0] for d in cur.description]
     d_rows = [tuple(r) for r in cur.fetchall()]
@@ -92,32 +113,34 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list
 # driver-side enumeration skip, import error) must be LOUD, not a quietly
 # shorter CORRECTNESS file. Update this set when a query is added.
 EXPECTED_QUERIES = frozenset(
-    [f"b{i}_{s}" for i, s in [
-        (2, "project_filter"), (3, "broadcast_join"),
-        (4, "multiway_join"), (5, "semi_join"), (5, "anti_join"),
-        (6, "hash_agg"), (7, "count_distinct"), (8, "rollup"), (8, "cube"),
-        (9, "rank_window"), (10, "running_sum"),
-        (14, "array_dim"), (15, "scalar_subquery"),
-        (17, "pivot"),
-    ]]
-    + ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
-       "a5_metadata", "a6_last_write_wins", "a7_l2_normalize"]
+    ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
+     "a5_metadata", "a6_last_write_wins", "a7_l2_normalize"]
     + ["c1_tumbling", "c2_sliding", "c3_session",
        "c5_dedup_count", "c6_cdc_apply", "c7_stateful_lww"]
     + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_lsh_exact",
        "d3_exact_topk", "d3_multi_topk",
        "d3_cdc_index",
-       "d4_text_stats", "d5_slicing",
        "d6_multimodal", "d7_embedding_stats",
        "d8_cosine_neardup"]
-    # round-7 rotation: the nine round-6 exact-oracle operators now hold
-    # individual graded slots (VERDICT r06 ask #2)
-    + ["d11_decontaminate", "d13_dsir", "d14_stratified", "d15_chunk",
-       "d16_corpus_pipeline", "d17_bm25", "d18_cdc_bm25", "d19_hybrid"]
-    # the rows-only queries (and the ten stable queries rotated out for
-    # round 7 — t1-t5, b1, b11, b12, b13, b14_json, oracles pinned in
-    # tests/test_rotated_oracles.py) ride inside these 4 composites so
-    # the registry fits the driver's 50-entry grading budget (SURVEY §2.3)
+    # round-8: d13/d16 stay individual to show the HUGEINT-oracle fix
+    # driver-green (VERDICT r07 ask #1)
+    + ["d13_dsir", "d16_corpus_pipeline"]
+    # round-8 rotation (VERDICT r07 ask #3): the round-7
+    # composite-delivered exact-oracle queries take individual slots —
+    # the returning round-7 parking set and the round-7 newcomers
+    + ["t1_token_count", "t2_quality_score", "t3_lang_guess",
+       "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
+       "t7_vocab_topdf"]
+    + ["b1_scan_count", "b11_topk", "b12_intersect", "b13_scalar_funcs",
+       "b14_json_extract", "b18_unpivot"]
+    + ["d25_token_mix", "d27_full_prep", "d28_lm_perplexity", "d29_shards",
+       "d30_html_extract", "d31_domain_cap", "d32_web_prep",
+       "d33_weighted_sample", "d34_semantic_decontam"]
+    # the rows-only queries (and the twenty-two long-green queries
+    # rotated out for round 8 — b2–b17, d4, d5, d11, d14, d15,
+    # d17–d19; oracles pinned in tests/test_rotated_oracles.py) ride
+    # inside these 4 composites so the registry fits the driver's
+    # 50-entry grading budget (SURVEY §2.3)
     + ["x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann",
        "x4_rowsonly_stable"]
 )

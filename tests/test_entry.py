@@ -80,25 +80,25 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c8_interval_join",
-            "d10_split", "d10_pack", "d25_token_mix", "d27_full_prep",
-            "d29_shards", "d32_web_prep", "d33_weighted_sample",
+            "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",
             "d12_semdedup", "d20_pii", "d21_span_dedup", "d23_selfrep",
-            "d24_winnow", "d26_winnow_pairs", "d28_lm_perplexity",
-            "d30_html_extract", "d31_domain_cap",
+            "d24_winnow", "d26_winnow_pairs",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
-            "d3_pq_topk", "d22_pca_topk", "d34_semantic_decontam",
+            "d3_pq_topk", "d22_pca_topk",
         },
         "x4_rowsonly_stable": {
-            "t1_token_count", "t2_quality_score", "t3_lang_guess",
-            "t4_fingerprint", "t5_regex_tokens", "b1_scan_count",
-            "b11_topk", "b12_intersect", "b13_scalar_funcs",
-            "b14_json_extract", "t6_length_percentiles",
-            "t7_vocab_topdf", "b18_unpivot", "t8_bpe",
+            "b2_project_filter", "b3_broadcast_join", "b4_multiway_join",
+            "b5_semi_join", "b5_anti_join", "b6_hash_agg",
+            "b7_count_distinct", "b8_rollup", "b8_cube", "b9_rank_window",
+            "b10_running_sum", "b14_array_dim", "b15_scalar_subquery",
+            "b17_pivot", "d4_text_stats", "d5_slicing",
+            "d11_decontaminate", "d14_stratified", "d15_chunk",
+            "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "t8_bpe",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)

@@ -1,9 +1,9 @@
-"""Round-7 rotation evidence: the ten ultra-stable queries rotated out
-of individual registry slots (into x4_rowsonly_stable) keep their exact
-DuckDB oracles pinned HERE at two scale factors, via the driver's own
-comparator (oracle_check.compare_one) — so correctness evidence is
-uninterrupted while the nine round-6 exact-oracle operators use the
-freed slots (VERDICT r06 ask #2).
+"""Round-8 rotation evidence: the twenty-two long-green queries rotated
+out of individual registry slots (into x4_rowsonly_stable) keep their
+exact DuckDB oracles pinned HERE at two scale factors, via the driver's
+own comparator (oracle_check.compare_one) — so correctness evidence is
+uninterrupted while the round-7 composite-delivered exact-oracle
+queries use the freed slots (VERDICT r07 ask #3).
 """
 
 from __future__ import annotations
@@ -12,20 +12,39 @@ import pytest
 
 from oracle_check import compare_one, duckdb_conn
 
-from cdc2vec_spark.operators import relational, text
+from cdc2vec_spark.operators import (
+    decontam,
+    lex_index,
+    relational,
+    retrieval,
+    sampling,
+    text,
+)
 from tests.conftest import SF0001, SF001
 
 ROTATED = [
-    ("t1_token_count", text),
-    ("t2_quality_score", text),
-    ("t3_lang_guess", text),
-    ("t4_fingerprint", text),
-    ("t5_regex_tokens", text),
-    ("b1_scan_count", relational),
-    ("b11_topk", relational),
-    ("b12_intersect", relational),
-    ("b13_scalar_funcs", relational),
-    ("b14_json_extract", relational),
+    ("b2_project_filter", relational),
+    ("b3_broadcast_join", relational),
+    ("b4_multiway_join", relational),
+    ("b5_semi_join", relational),
+    ("b5_anti_join", relational),
+    ("b6_hash_agg", relational),
+    ("b7_count_distinct", relational),
+    ("b8_rollup", relational),
+    ("b8_cube", relational),
+    ("b9_rank_window", relational),
+    ("b10_running_sum", relational),
+    ("b14_array_dim", relational),
+    ("b15_scalar_subquery", relational),
+    ("b17_pivot", relational),
+    ("d4_text_stats", text),
+    ("d5_slicing", text),
+    ("d11_decontaminate", decontam),
+    ("d14_stratified", sampling),
+    ("d15_chunk", text),
+    ("d17_bm25", text),
+    ("d18_cdc_bm25", lex_index),
+    ("d19_hybrid", retrieval),
 ]
 
 
