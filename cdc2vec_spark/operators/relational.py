@@ -337,9 +337,8 @@ def b18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns to (key, metric, value) rows via `DataFrame.unpivot` — a
     narrow per-row expansion (no shuffle before the presentation sort),
     value columns cast to a common double type as unpivot requires.
-    Delivered rows-only inside x4 (registry at budget); exact DuckDB
-    oracle (the portable UNION ALL form) pinned in
-    tests/test_relational_pivot.py."""
+    Individually graded since round 8; exact DuckDB oracle (the portable
+    UNION ALL form) also pinned in tests/test_relational_pivot.py."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
     return (
         p.select(

@@ -56,6 +56,35 @@ NOTES = {
     "t8_bpe": "bounded driver-side merge training (hash-ordered sample, TakeOrderedAndProject); encoding is ONE ArrowEvalPython pass with broadcast merge ranks + per-batch word memo — no shuffle.",
     "d29_shards": "one hash exchange on the shard id + per-shard sort (the partitionBy write path); md5 keys uniform by construction — no skew, no global sort, no Python.",
     "d28_lm_perplexity": "both bigram-LM tables (<= n_buckets^2 rows) broadcast; tokenize+bucket-hash inside the scan; integer micro-nat NLL sums -> one aggregate exchange; tercile cutoffs are two order statistics broadcast back (no global ntile sort).",
+    # round-8: NOTES now cover every individually graded registry query
+    "a1_mapped_filter": "mapped-table isin filter evaluated in the scan stage; one partial-count exchange.",
+    "a2_guards": "empty-text/op guards are scan-stage JVM predicates; one partial-count exchange.",
+    "a3_text_concat": "text extraction is a pure codegen projection; the only exchange is the presentation sort.",
+    "a4_key_derivation": "tbl:pk key is a scan-stage concat projection — no Python, no join.",
+    "a5_metadata": "presence-filtered metadata map built and re-indexed entirely in JVM map expressions.",
+    "a6_last_write_wins": "per-pk LWW: ONE window exchange on pk (max-LSN rule) with the delete short-circuit in the same pass.",
+    "a7_l2_normalize": "normalize + norm are JVM HOF expressions (transform/aggregate) — no Python, no shuffle.",
+    "c2_sliding": "each event expands to its overlapping windows JVM-side; partial combine before the single exchange.",
+    "c3_session": "session_window aggregate keyed on user — one exchange, gap-merge inside the aggregate.",
+    "c5_dedup_count": "event-id dedup is a hash aggregate (one exchange) followed by a partial count.",
+    "c6_cdc_apply": "4 LSN-ordered micro-batches through the real foreachBatch apply; cost is touched-bucket-proportional (bucketed state swap), not state-size-proportional.",
+    "c7_stateful_lww": "applyInPandasWithState keyed fold across micro-batches; state-store partitions pinned to 8 for the stream; final reduce is one window.",
+    "d2_lsh_exact": "degenerate banding (one band per shingle hash) through the SAME bucket self-join path as d2_minhash_lsh — recall-1 candidates, exact verify; the hash-checked anchor.",
+    "d3_cdc_index": "IVF build + CDC batch + full-probe query: per-cell bucketed swap, directory-pruned reads; the oracle reproduces the post-CDC exact top-k relationally.",
+    "d3_multi_topk": "all queries score per batch in ONE BLAS MapInPandas pass; per-query k-heap — no join, no global sort.",
+    "d6_multimodal": "binary blobs inspected with JVM hex/substring expressions — media bytes never cross into Python.",
+    "d7_embedding_stats": "per-label hash aggregate with partial combine; element_at projection happens in the scan stage.",
+    "b1_scan_count": "count-star: scan → partial count per partition → single-row exchange.",
+    "b11_topk": "TakeOrderedAndProject: per-partition k-heap + driver merge — never a global sort.",
+    "b12_intersect": "INTERSECT/EXCEPT lower to dedup + (semi/anti) hash joins — no cartesian anywhere.",
+    "b13_scalar_funcs": "string/date/math scalars are all JVM built-ins inside one WholeStageCodegen span.",
+    "b14_json_extract": "get_json_object runs codegen'd in the scan projection; missing-path nulls need no special handling.",
+    "b18_unpivot": "unpivot/melt is a narrow per-row expansion (Expand node) — no shuffle before the presentation sort.",
+    "t2_quality_score": "distinct-token diversity ratio is pure JVM array expressions in the scan projection.",
+    "t3_lang_guess": "padded-LIKE stopword heuristic in the scan; one tiny group-by exchange on the guess.",
+    "t5_regex_tokens": "regexp_extract_all tokenization is pure JVM regex — no Python pre-tokenizer.",
+    "t6_length_percentiles": "exact per-source order statistics via the percentile sorted aggregate (bounded group count); one exchange.",
+    "t7_vocab_topdf": "array_distinct BEFORE the explode bounds the shuffle by per-doc vocabulary; top-k is a TakeOrderedAndProject.",
 }
 
 HEADLINE = list(NOTES)
