@@ -77,12 +77,29 @@ class IncrementalIvfIndex:
                  payload_cols: tuple[str, ...] = (),
                  auto_compact_ratio: float | None = 0.5,
                  auto_compact_min: int = 4096,
-                 pq: tuple[int, int] | None = None):
+                 pq: tuple[int, int] | None = None,
+                 chunked: bool = False):
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
         self.payload_cols = tuple(payload_cols)
+        # Chunked replace-set mode (engine chunk_tokens composing with
+        # the in-engine indexes — SURVEY D15'): point ids are
+        # "<base>#<chunk>", and tombstones key on the BASE id (the part
+        # before '#'), so ONE tombstone row supersedes every chunk of a
+        # key: a re-embedded doc that shrank from 3 chunks to 2 kills
+        # its stale chunk #2 (lsn < tombstone lsn) and a delete kills
+        # them all — the same replace-set semantics the qdrant/milvus
+        # chunked hooks get from payload-filter deletes, at the same
+        # O(touched buckets) cost (the tombstone partition was already
+        # rewritten every batch). The flag is frozen to a _meta.json
+        # sidecar so a reader attached later filters with the same key
+        # derivation.
+        self.chunked = bool(chunked)
+        meta = self._stored_meta()
+        if meta is not None:
+            self.chunked = bool(meta.get("chunked", False))
         # Optional PQ compression (IVF-PQ): (m sub-spaces, k codes).
         # build() trains a codebook on the initial corpus (frozen until
         # the next build/rebuild — the standard practice; drift degrades
@@ -164,6 +181,7 @@ class IncrementalIvfIndex:
 
         with open(self.path + "_schema.json", "w") as fh:
             _json.dump(src.schema.jsonValue(), fh)
+        self._write_meta()
         if self.pq is not None:
             from .quantize import pq_train
 
@@ -192,6 +210,27 @@ class IncrementalIvfIndex:
 
         with open(p) as fh:
             return T.StructType.fromJson(_json.load(fh))
+
+    def _write_meta(self) -> None:
+        import json as _json
+
+        with open(self.path + "_meta.json", "w") as fh:
+            _json.dump({"chunked": self.chunked}, fh)
+
+    def _stored_meta(self) -> dict | None:
+        p = self.path + "_meta.json"
+        if not os.path.exists(p):
+            return None
+        import json as _json
+
+        with open(p) as fh:
+            return _json.load(fh)
+
+    def _tomb_key(self):
+        """The tombstone join key: the id itself, or the base id (before
+        '#') in chunked replace-set mode."""
+        c = F.col(self.id_col)
+        return F.substring_index(c, "#", 1) if self.chunked else c
 
     def _codebooks(self) -> np.ndarray:
         p = self.path + "_pq.npy"
@@ -290,8 +329,12 @@ class IncrementalIvfIndex:
             t = next(f.dataType for f in src_fields if f.name == col)
             return F.lit(None).cast(t).alias(col)
 
+        if self._stored_meta() is None:
+            self._write_meta()  # sink path builds lazily on first batch
         tombs = batch.select(
-            self.id_col,
+            # chunked: the tombstone keys on the BASE id, so one row
+            # supersedes every chunk of the key (replace-set semantics)
+            self._tomb_key().alias(self.id_col),
             _null_as(self.vec_col),
             F.col("lsn").cast("long").alias("lsn"),
             *[_null_as(c) for c in self.payload_cols],
@@ -405,8 +448,23 @@ class IncrementalIvfIndex:
         tomb = self._tombstone_maxlsn()
         if tomb is None:
             return cand
-        return cand.join(F.broadcast(tomb), self.id_col, "left").where(
-            F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+        return self._drop_tombstoned(cand, tomb)
+
+    def _drop_tombstoned(self, df: DataFrame, tomb: DataFrame) -> DataFrame:
+        """Filter rows superseded by their (base) id's tombstone. A row's
+        own tombstone carries its lsn, so it survives; in chunked mode
+        the join key is the base id, so stale tail chunks and deleted
+        keys' chunks die together."""
+        if not self.chunked:
+            return df.join(F.broadcast(tomb), self.id_col, "left").where(
+                F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+            ).drop("_tlsn")
+        t = tomb.withColumnRenamed(self.id_col, "_tkey")
+        return (
+            df.withColumn("_tkey", self._tomb_key())
+            .join(F.broadcast(t), "_tkey", "left")
+            .where(F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn")))
+            .drop("_tkey", "_tlsn")
         )
 
     def topk(self, qv: np.ndarray, k: int = 10, nprobe: int = 4,
@@ -495,9 +553,7 @@ class IncrementalIvfIndex:
         live = state.where(F.col(CELL_COL) != TOMB_CELL)
         tomb = self._tombstone_maxlsn()
         if tomb is not None:
-            live = live.join(F.broadcast(tomb), self.id_col, "left").where(
-                F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
-            ).drop("_tlsn")
+            live = self._drop_tombstoned(live, tomb)
         per_cell = live.groupBy(CELL_COL).agg(F.count(F.lit(1)).alias("n"))
         row = per_cell.agg(
             F.count(F.lit(1)).alias("n_cells"),
@@ -533,9 +589,7 @@ class IncrementalIvfIndex:
         if tomb is None:
             survivors = live
         else:
-            survivors = live.join(F.broadcast(tomb), self.id_col, "left").where(
-                F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
-            ).drop("_tlsn")
+            survivors = self._drop_tombstoned(live, tomb)
         all_cells = sorted(
             r[0] for r in state.select(CELL_COL).distinct().collect()
         )

@@ -59,12 +59,23 @@ class IncrementalLexicalIndex:
                  id_col: str = "id", text_col: str = "text",
                  payload_cols: tuple[str, ...] = (),
                  auto_compact_ratio: float | None = 0.5,
-                 auto_compact_min: int = 4096):
+                 auto_compact_min: int = 4096,
+                 chunked: bool = False):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
         self.id_col = id_col
         self.text_col = text_col
+        # Chunked replace-set mode (the IncrementalIvfIndex contract —
+        # see its __init__ docstring): ids are "<base>#<chunk>" and
+        # tombstones key on the base id, so one tombstone row supersedes
+        # every chunk of a key (stale tail chunks on shrink, all chunks
+        # on delete). Frozen to _meta.json so later readers derive the
+        # same join key.
+        self.chunked = bool(chunked)
+        meta = self._stored_meta()
+        if meta is not None:
+            self.chunked = bool(meta.get("chunked", False))
         # FILTERED lexical search (the ann_index.payload_cols twin):
         # payload columns ride on the docstat rows, and topk's
         # ``predicate`` pre-filters candidate docs before scoring — the
@@ -131,7 +142,8 @@ class IncrementalLexicalIndex:
         if with_tombs:
             tombs = batch.select(
                 F.lit(None).cast("string").alias("term"),
-                F.col(self.id_col).alias("id"),
+                # chunked: the tombstone keys on the BASE id (replace-set)
+                self._tomb_key_expr(F.col(self.id_col)).alias("id"),
                 F.lit(None).cast("long").alias("tf"),
                 F.lit(None).cast("long").alias("dl"),
                 F.col("lsn").cast("long").alias("lsn"),
@@ -169,6 +181,7 @@ class IncrementalLexicalIndex:
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path + "_schema.json", "w") as fh:
             _json.dump(ev.schema.jsonValue(), fh)
+        self._write_meta()
         touched = sorted(r[0] for r in ev.select(BUCKET_COL).distinct().collect())
         obs = Observation()
         counted = ev.observe(
@@ -192,12 +205,33 @@ class IncrementalLexicalIndex:
         with open(p) as fh:
             return T.StructType.fromJson(_json.load(fh))
 
+    def _write_meta(self) -> None:
+        import json as _json
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path + "_meta.json", "w") as fh:
+            _json.dump({"chunked": self.chunked}, fh)
+
+    def _stored_meta(self) -> dict | None:
+        p = self.path + "_meta.json"
+        if not os.path.exists(p):
+            return None
+        import json as _json
+
+        with open(p) as fh:
+            return _json.load(fh)
+
+    def _tomb_key_expr(self, c):
+        return F.substring_index(c, "#", 1) if self.chunked else c
+
     # ----------------------------------------------------------- write
 
     def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
         """foreachBatch hook: (id, text, op, lsn) rows. Idempotent
         (max-LSN per key within each partition kind); rewrites only the
         touched term buckets + the tombstone and docstats partitions."""
+        if self._stored_meta() is None:
+            self._write_meta()  # sink path builds lazily on first batch
         ev = self._event_rows(batch, with_tombs=True)
         stored = self._stored_schema()
         if stored is not None:
@@ -286,14 +320,24 @@ class IncrementalLexicalIndex:
         return t.groupBy("id").agg(F.max("lsn").alias("_tlsn"))
 
     def _alive(self, df: DataFrame, tomb: DataFrame | None) -> DataFrame:
-        """Rows whose lsn is not superseded by the id's tombstone — an
-        upsert's own rows carry the tombstone's lsn and survive; older
-        versions (and anything under a delete tombstone) die."""
+        """Rows whose lsn is not superseded by the (base) id's tombstone
+        — an upsert's own rows carry the tombstone's lsn and survive;
+        older versions (and anything under a delete tombstone) die. In
+        chunked mode the join key is the base id, so stale tail chunks
+        and deleted keys' chunks die together."""
         if tomb is None:
             return df
-        return df.join(F.broadcast(tomb), "id", "left").where(
-            F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
-        ).drop("_tlsn")
+        if not self.chunked:
+            return df.join(F.broadcast(tomb), "id", "left").where(
+                F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn"))
+            ).drop("_tlsn")
+        t = tomb.withColumnRenamed("id", "_tkey")
+        return (
+            df.withColumn("_tkey", self._tomb_key_expr(F.col("id")))
+            .join(F.broadcast(t), "_tkey", "left")
+            .where(F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn")))
+            .drop("_tkey", "_tlsn")
+        )
 
     def topk(
         self,

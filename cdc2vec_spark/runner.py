@@ -215,6 +215,11 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
     url = opts.get("url") or opts.get("addr") or ""
     collection = opts.get("collection") or "points"
 
+    # chunked configs: the in-engine indexes apply replace-set semantics
+    # natively — tombstones key on the base id (before '#'), so one
+    # tombstone supersedes every chunk of a key (ann_index.__init__)
+    idx_chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
+
     if sink.type == "lex_index":
         # maintain a disk BM25 inverted index from the same stream (the
         # lexical twin of ivf_index — operators.lex_index). Requires the
@@ -249,6 +254,7 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                     pts.sparkSession, lpath, n_buckets=lbuckets,
                     payload_cols=lpay,
                     auto_compact_ratio=lratio, auto_compact_min=lmin,
+                    chunked=idx_chunked,
                 )
             ix.apply_batch(pts.select("id", "text", "op", "lsn", *lpay))
 
@@ -284,7 +290,7 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                 ix = icache["ix"] = IncrementalIvfIndex(
                     pts.sparkSession, path,
                     auto_compact_ratio=ratio, auto_compact_min=compact_min,
-                    pq=pq,
+                    pq=pq, chunked=idx_chunked,
                 )
             if not os.path.exists(path + "_centroids"):
                 # cold start: train centroids on the first batch's
@@ -452,26 +458,13 @@ def boot(
     (or wraps this in streaming.health.run_supervised)."""
     cfg = _resolve_config(config)
     provider = _provider_from(cfg)
-    chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
     coll = _collection_for(spark, cfg, state_dir)
     hook = sink_hooks_for(cfg) if isinstance(cfg, PipelineConfig) else None
-    if chunked and isinstance(cfg, PipelineConfig):
-        bad = [
-            s.type
-            for s in cfg.all_sinks
-            if s.type in ("ivf_index", "lex_index")
-        ]
-        if bad:
-            # qdrant/milvus chunked hooks clear a key's whole chunk set
-            # via payload-filter deletes; ivf_index/lex_index key deletes
-            # by exact id and would strand chunk entries
-            raise ValueError(
-                "chunked mode supports the engine-native collection, the "
-                "writeStream-native kafka sink, and qdrant/milvus "
-                "(payload-filter deletes); these sinks key deletes by "
-                f"exact id and would strand chunk entries: {bad}"
-            )
-
+    # chunked + in-engine index sinks compose since round 8: the indexes
+    # key tombstones on the base id (before '#'), giving replace-set
+    # chunk semantics natively (ann_index/lex_index chunked=True —
+    # sink_hooks_for passes the flag); qdrant/milvus get the same
+    # semantics via payload-filter deletes in their chunked hooks
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 
     keep_text = isinstance(cfg, PipelineConfig) and any(

@@ -384,3 +384,53 @@ def test_stats_report_tracks_live_state(spark, sf_dir, index):
     index.compact()
     s3 = index.stats()
     assert s3["n_live"] == n and s3["n_tombstones"] == 0
+
+
+def test_chunked_replace_set_tombstones(spark, tmp_path):
+    """chunked=True: tombstones key on the base id (before '#'), so a
+    shrink drops stale tail chunks, a delete drops every chunk, and a
+    reader attached without the flag restores it from _meta.json."""
+    dim = 4
+
+    def v(x):
+        return [float(x), 1.0, 0.0, 0.0]
+
+    ix = IncrementalIvfIndex(
+        spark, str(tmp_path / "civf"), auto_compact_ratio=None, chunked=True
+    )
+    seed = spark.createDataFrame(
+        [("A#0", v(1)), ("A#1", v(2)), ("A#2", v(3)), ("B#0", v(4)), ("B#1", v(5))],
+        "id string, vector array<float>",
+    )
+    ix.build(seed, centroid_every=2)
+    qv = np.asarray(v(1), dtype=np.float64)
+    assert {r["id"] for r in ix.topk(qv, k=100, nprobe=100).collect()} == {
+        "A#0", "A#1", "A#2", "B#0", "B#1"
+    }
+
+    # A re-embeds with FEWER chunks (3 → 2); B is deleted (one base row)
+    b = spark.createDataFrame(
+        [
+            ("A#0", v(6), "u", 10),
+            ("A#1", v(7), "u", 10),
+            ("B", None, "d", 11),
+        ],
+        "id string, vector array<float>, op string, lsn long",
+    )
+    ix.apply_batch(b)
+    got = {r["id"] for r in ix.topk(qv, k=100, nprobe=100).collect()}
+    assert got == {"A#0", "A#1"}, got  # stale A#2 and all B chunks die
+
+    # reader attach without the flag: restored from _meta.json
+    rd = IncrementalIvfIndex(spark, str(tmp_path / "civf"))
+    assert rd.chunked
+    assert {r["id"] for r in rd.topk(qv, k=100, nprobe=100).collect()} == {
+        "A#0", "A#1"
+    }
+
+    # compact physically drops the superseded rows, results unchanged
+    ix.compact()
+    assert {r["id"] for r in ix.topk(qv, k=100, nprobe=100).collect()} == {
+        "A#0", "A#1"
+    }
+    assert ix.stats()["n_live"] == 2

@@ -313,3 +313,45 @@ def test_stats_track_live_corpus_through_cdc(spark, tmp_path):
     assert s2["total_tokens"] == want2["total_tokens"]
     assert s2["top_terms"] == want2["top"][:5]
     assert s2["p50_dl"] > 0 and s2["avg_dl"] > 0
+
+
+def test_chunked_replace_set_tombstones(spark, tmp_path):
+    """chunked=True (the ann_index contract): base-id tombstones give
+    replace-set chunk semantics for the lexical index too."""
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+
+    path = str(tmp_path / "clex")
+    ix = IncrementalLexicalIndex(spark, path, auto_compact_ratio=None, chunked=True)
+    b1 = spark.createDataFrame(
+        [
+            ("A#0", "alpha beta", "c", 1),
+            ("A#1", "beta gamma", "c", 1),
+            ("A#2", "gamma delta", "c", 1),
+            ("B#0", "epsilon zeta", "c", 1),
+        ],
+        "id string, text string, op string, lsn long",
+    )
+    ix.apply_batch(b1)
+    assert {r["id"] for r in ix.topk(("beta",), k=10).collect()} == {"A#0", "A#1"}
+
+    # A shrinks to 2 chunks; B deleted as one base row
+    b2 = spark.createDataFrame(
+        [
+            ("A#0", "alpha beta", "u", 2),
+            ("A#1", "beta omega", "u", 2),
+            ("B", None, "d", 3),
+        ],
+        "id string, text string, op string, lsn long",
+    )
+    ix.apply_batch(b2)
+    assert {r["id"] for r in ix.topk(("gamma",), k=10).collect()} == set()
+    assert {r["id"] for r in ix.topk(("epsilon",), k=10).collect()} == set()
+    assert {r["id"] for r in ix.topk(("beta",), k=10).collect()} == {"A#0", "A#1"}
+
+    # reader attach restores the flag from _meta.json; stats follow live
+    rd = IncrementalLexicalIndex(spark, path)
+    assert rd.chunked
+    assert rd.stats()["n_docs"] == 2
+
+    ix.compact()
+    assert {r["id"] for r in ix.topk(("beta",), k=10).collect()} == {"A#0", "A#1"}
