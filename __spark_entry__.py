@@ -44,6 +44,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import span_dedup as _span_dedup
         from cdc2vec_spark.operators import winnow as _winnow
         from cdc2vec_spark.operators import retrieval as _retrieval
+        from cdc2vec_spark.operators import retrieval_eval as _retrieval_eval
         from cdc2vec_spark.operators import sampling as _sampling
         from cdc2vec_spark.operators import selection as _selection
         from cdc2vec_spark.operators import similarity as _similarity
@@ -54,7 +55,8 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         modules.extend(
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
-             _sampling, _corpus, _lex_index, _retrieval, _pii, _span_dedup,
+             _sampling, _corpus, _lex_index, _retrieval, _retrieval_eval,
+             _pii, _span_dedup,
              _reduce, _winnow, _lm, _html_extract, _urls, _bpe]
         )
     except ImportError:

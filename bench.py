@@ -68,6 +68,8 @@ HEADLINE = [
     "d33_weighted_sample",   # A-Res deterministic weighted sampling
     "t8_bpe",                # trained-BPE tokenization (broadcast merges)
     "d34_semantic_decontam", # embedding-space benchmark decontamination
+    # round-8 addition
+    "d35_retrieval_eval",    # recall@k / RR curve of IVF vs exact truth
 ]
 
 

@@ -43,7 +43,9 @@ Groupings:
                          d26_winnow_pairs (each pinned in its own test
                          file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d22_pca_topk
+                         d3_pq_topk, d22_pca_topk, d35_retrieval_eval
+                         (d35 carries an exact oracle in
+                         tests/test_retrieval_eval.py)
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
                          d14, d15, d17, d18, d19 + t8 (rotated out for
                          round 8; oracles pinned in tests; t8 is
@@ -90,6 +92,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "d23_selfrep",
     "d24_winnow",
     "d26_winnow_pairs",
+    # round-8 addition: exact-oracle (two SFs in test_retrieval_eval.py),
+    # awaiting an individual slot in a future rotation
+    "d35_retrieval_eval",
     # round-8 rotation: long-green queries parked in x4 so the round-7
     # newcomers (t6/t7/b18/d25/d27–d34) and the returning round-7
     # parking set (t1–t5/b1/b11–b14_json) get individual graded slots;
@@ -196,9 +201,11 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN rows-only probes (recall pinned vs exact in
-    tests/test_similarity.py, tests/test_quantize.py)."""
+    tests/test_similarity.py, tests/test_quantize.py; d35 carries an
+    exact two-SF oracle in tests/test_retrieval_eval.py)."""
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
+    from .retrieval_eval import d35_retrieval_eval
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -210,6 +217,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
+            ("d35_retrieval_eval", d35_retrieval_eval),
         ],
     )
 
@@ -302,6 +310,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .retrieval import d19_hybrid
+    from .retrieval_eval import d35_retrieval_eval
     from .span_dedup import d21_span_dedup, d23_selfrep
     from .winnow import d24_winnow, d26_winnow_pairs
     from .relational import (
@@ -354,6 +363,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
+        "d35_retrieval_eval": d35_retrieval_eval,
         "t8_bpe": t8_bpe,
         "b2_project_filter": b2_project_filter,
         "b3_broadcast_join": b3_broadcast_join,
