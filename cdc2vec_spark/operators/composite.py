@@ -51,7 +51,9 @@ Groupings:
                          round 8; oracles pinned in tests; t8 is
                          rows-only by nature — BPE merges are
                          iterative, pinned vs a pure-Python reference
-                         encoder in tests/test_bpe.py)
+                         encoder in tests/test_bpe.py) + the round-8
+                         additions b19_grouping_sets / b20_range_frame
+                         (exact oracles in test_relational_pivot.py)
 """
 
 from __future__ import annotations
@@ -121,6 +123,10 @@ CONSOLIDATED: tuple[str, ...] = (
     "d17_bm25",
     "d18_cdc_bm25",
     "d19_hybrid",
+    # round-8 additions: exact-oracle (two SFs in
+    # test_relational_pivot.py), awaiting individual slots
+    "b19_grouping_sets",
+    "b20_range_frame",
 )
 
 
@@ -248,6 +254,8 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b14_array_dim,
         b15_scalar_subquery,
         b17_pivot,
+        b19_grouping_sets,
+        b20_range_frame,
     )
     from .retrieval import d19_hybrid
     from .sampling import d14_stratified
@@ -271,6 +279,8 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b14_array_dim", b14_array_dim),
             ("b15_scalar_subquery", b15_scalar_subquery),
             ("b17_pivot", b17_pivot),
+            ("b19_grouping_sets", b19_grouping_sets),
+            ("b20_range_frame", b20_range_frame),
             ("d4_text_stats", d4_text_stats),
             ("d5_slicing", d5_slicing),
             ("d11_decontaminate", d11_decontaminate),
@@ -329,6 +339,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b15_scalar_subquery,
         b16_sketches,
         b17_pivot,
+        b19_grouping_sets,
+        b20_range_frame,
     )
     from .sampling import d10_pack, d10_split, d14_stratified
     from .similarity import (
@@ -379,6 +391,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_array_dim": b14_array_dim,
         "b15_scalar_subquery": b15_scalar_subquery,
         "b17_pivot": b17_pivot,
+        "b19_grouping_sets": b19_grouping_sets,
+        "b20_range_frame": b20_range_frame,
         "d4_text_stats": d4_text_stats,
         "d5_slicing": d5_slicing,
         "d11_decontaminate": d11_decontaminate,

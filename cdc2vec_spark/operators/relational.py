@@ -361,6 +361,87 @@ ORDER BY p_partkey, metric
 """
 
 
+def b19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — the general form rollup/cube (b8) are
+    sugar for: an ASYMMETRIC set list {(flag,status), (flag), (status)}
+    that neither rollup nor cube can express (cube would add the grand
+    total). One shuffle for all three groupings (Spark expands the sets
+    in a single Expand + hash aggregate, exactly like rollup/cube);
+    `grouping_id` disambiguates a subtotal row from a natural NULL.
+    Added round 8; exact DuckDB oracle in tests/test_relational_pivot.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# GROUPING(a, b) bit order (first-listed col = most significant bit) is
+# the same in Spark and DuckDB, so gid is portable as-is
+B19_ORACLE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n, round(sum(l_quantity), 2) AS sq
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def b20_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — the time-series sliding aggregate ROWS frames
+    (b10) cannot express: per customer, each order's trailing-30-DAY
+    spend and order count, where the frame is bounded by the ORDER DATE
+    VALUE (all orders within 30 days, however many rows that is — gaps
+    and same-day bursts handled by definition). The order key is the
+    epoch-day integer so `rangeBetween` is numeric and the DuckDB
+    oracle's `RANGE 30 PRECEDING` is byte-identical. One sort per
+    customer partition, O(frame) state per row at any scale. Added
+    round 8; exact oracle in tests/test_relational_pivot.py."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.withColumn("epoch_day", days)
+        .withColumn("spend_30d", F.round(F.sum("o_totalprice").over(w), 2))
+        .withColumn("n_30d", F.count(F.lit(1)).over(w))
+        .select("o_orderkey", "o_custkey", "epoch_day", "spend_30d", "n_30d")
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+B20_ORACLE_SQL = """
+SELECT o_orderkey, o_custkey, epoch_day,
+       round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+       count(*) OVER w AS n_30d
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey LIMIT 200
+"""
+
+
 QUERIES = {
     "b1_scan_count": b1_scan_count,
     "b2_project_filter": b2_project_filter,
@@ -384,12 +465,18 @@ QUERIES = {
     # round-7 rotation: individually graded (was composite-delivered)
     "b17_pivot": b17_pivot,
     "b18_unpivot": b18_unpivot,
+    "b19_grouping_sets": b19_grouping_sets,
+    "b20_range_frame": b20_range_frame,
 }
 
 ORACLES = {
     "b17_pivot": B17_ORACLE_SQL,
     # round-8 rotation: individually graded (was composite-delivered)
     "b18_unpivot": B18_ORACLE_SQL,
+    # round-8 additions: composite-delivered (x4), oracles pinned in
+    # tests/test_relational_pivot.py, awaiting individual slots
+    "b19_grouping_sets": B19_ORACLE_SQL,
+    "b20_range_frame": B20_ORACLE_SQL,
     "b1_scan_count": "SELECT count(*) AS n FROM lineitem",
     "b2_project_filter": (
         "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "

@@ -96,7 +96,8 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "b5_semi_join", "b5_anti_join", "b6_hash_agg",
             "b7_count_distinct", "b8_rollup", "b8_cube", "b9_rank_window",
             "b10_running_sum", "b14_array_dim", "b15_scalar_subquery",
-            "b17_pivot", "d4_text_stats", "d5_slicing",
+            "b17_pivot", "b19_grouping_sets", "b20_range_frame",
+            "d4_text_stats", "d5_slicing",
             "d11_decontaminate", "d14_stratified", "d15_chunk",
             "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "t8_bpe",
         },
