@@ -2,7 +2,7 @@
 # (/root/reference/Makefile: build/test/lint/run/run-pg) for the PySpark
 # engine, plus the bench/oracle targets this repo's grading loop uses.
 
-.PHONY: test test-fast oracle bench plans run run-pg demo demo-feed image up down lint
+.PHONY: test test-fast integration oracle bench plans run run-pg demo demo-feed image up down lint
 
 # full suite (~10-13 min on local[32]); test-fast skips the streaming-
 # heavy files for a quick inner loop
@@ -14,6 +14,13 @@ test-fast:
 	  --ignore=tests/test_streaming.py --ignore=tests/test_runner.py \
 	  --ignore=tests/test_chunked_pipeline.py --ignore=tests/test_ann_index.py \
 	  --ignore=tests/test_lex_index.py
+
+# live integration suite against the compose stack (Postgres + Qdrant):
+#   make up && pip install psycopg2-binary && make integration
+# real WAL decode, real collection ensure/upsert/search, full boot loop;
+# skips per-service when a service (or psycopg2) is absent
+integration:
+	CDC2VEC_LIVE=1 python -m pytest tests/test_integration_live.py -v
 
 # driver-parity correctness gate: every registry query vs its DuckDB oracle
 oracle:

@@ -310,8 +310,15 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
         chunked_cfg = (
             isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
         )
+        q_dim = cfg.engine.vector_size if isinstance(cfg, PipelineConfig) else 768
+        q_ensured = {"done": False}
 
         def hook(pts: DataFrame) -> None:
+            if not q_ensured["done"]:
+                # Qdrant never auto-creates collections: ensure-or-verify
+                # once per pipeline (qdrant.go:70-145 parity)
+                q.ensure_collection(url, collection, dim=q_dim)
+                q_ensured["done"] = True
             if chunked_cfg:
                 # replace-set delivery: clear every affected key's chunk
                 # set server-side (delete-by-filter on ext_base_id —

@@ -94,6 +94,68 @@ def _chunks(it, n: int):
         yield buf
 
 
+def _extract_vector_size(doc: dict) -> int:
+    """result.config.params.vectors.size from a GET /collections/{c}
+    body — the unnamed-vector layout the engine writes (the reference's
+    extractVectorSize, qdrant.go:147-172; named-vector collections
+    return 0 here and the dim check is skipped, same as the Go)."""
+    try:
+        sz = doc["result"]["config"]["params"]["vectors"]["size"]
+    except (KeyError, TypeError):
+        return 0
+    return int(sz) if isinstance(sz, (int, float)) else 0
+
+
+def ensure_collection(
+    url: str, collection: str, dim: int, distance: str = "Cosine",
+    timeout_s: float = 15.0,
+) -> int:
+    """Create the collection if absent; verify the dimension if present
+    (qdrant.go:70-145). Qdrant does NOT auto-create collections on
+    upsert, so a sink pointed at a fresh server 404s on the first batch
+    without this. Returns the effective dimension. A dim mismatch with
+    an existing collection raises — silently writing wrong-sized vectors
+    would fail every upsert with an opaque 400. Driver-side, once per
+    pipeline (the runner hook caches the call), never per batch/row."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from .http import send_with_retry
+
+    info_url = f"{url}/collections/{collection}"
+    try:
+        with urllib.request.urlopen(
+            urllib.request.Request(info_url), timeout=timeout_s
+        ) as resp:
+            existing = _extract_vector_size(json.loads(resp.read()))
+        if existing > 0 and dim > 0 and existing != dim:
+            raise ValueError(
+                f"collection {collection!r} exists with size={existing} "
+                f"but the pipeline embeds dim={dim}; drop or recreate it"
+            )
+        return existing or dim
+    except (urllib.error.HTTPError, urllib.error.URLError):
+        # reference semantics (qdrant.go:82): ONLY a 200 skips creation —
+        # any failed/absent info response falls through to the create,
+        # whose own error is the authoritative one if the server is down
+        pass
+    req = urllib.request.Request(
+        info_url,
+        data=json.dumps(
+            {"vectors": {"size": dim, "distance": distance}}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+        method="PUT",
+    )
+    try:
+        send_with_retry(req, timeout_s)
+    except urllib.error.HTTPError as e:
+        if e.code != 409:  # already exists (concurrent creator) is fine
+            raise
+    return dim
+
+
 def write_partition_http(
     rows, url: str, collection: str, timeout_s: float = 15.0,
     max_points: int = MAX_POINTS_PER_REQUEST,

@@ -119,6 +119,9 @@ def test_boot_routes_to_configured_qdrant_sink(spark, sf_dir, tmp_path):
             self.wfile.write(body)
 
         def do_PUT(self):
+            if not self.path.startswith("/collections/docs/points"):
+                self._ok()  # ensure_collection create
+                return
             n = int(self.headers["Content-Length"])
             pts = _json.loads(self.rfile.read(n))["points"]
             upserted.extend(pts)
@@ -301,6 +304,9 @@ def test_sink_delivery_respects_intra_batch_event_order(spark):
             self.wfile.write(body)
 
         def do_PUT(self):
+            if not self.path.startswith("/collections/docs/points"):
+                self._ok()  # ensure_collection create
+                return
             n = int(self.headers["Content-Length"])
             upserted.extend(_json.loads(self.rfile.read(n))["points"])
             self._ok()
@@ -546,6 +552,9 @@ def test_boot_chunked_qdrant_replay_matches_collection(spark, sf_dir, tmp_path):
             self.wfile.write(body)
 
         def do_PUT(self):
+            if not self.path.startswith("/collections/docs/points"):
+                self._ok()  # ensure_collection create
+                return
             n = int(self.headers["Content-Length"])
             for p in _json.loads(self.rfile.read(n))["points"]:
                 events.append(("up", p["payload"]["ext_base_id"],
@@ -772,6 +781,9 @@ def test_boot_multi_sink_fanout(spark, sf_dir, tmp_path):
             self.wfile.write(body)
 
         def do_PUT(self):
+            if not self.path.startswith("/collections/docs/points"):
+                self._ok()  # ensure_collection create
+                return
             n = int(self.headers["Content-Length"])
             pts = json.loads(self.rfile.read(n))["points"]
             upserted.extend(p["payload"]["ext_id"] for p in pts)

@@ -376,3 +376,68 @@ def test_qdrant_writer_survives_transient_503(spark):
         assert len(seen["points"]) == len(payloads)
     finally:
         srv.shutdown()
+
+
+def test_qdrant_ensure_collection_create_verify_and_mismatch():
+    """qdrant.go:70-145 parity: absent collection → PUT create with the
+    vectors config; present with matching dim → no create; present with a
+    DIFFERENT dim → hard error (silent wrong-dim writes 400 every
+    upsert). Only a 200 info response skips creation."""
+    import http.server
+    import json as _json
+    import threading
+
+    import pytest as _pytest
+
+    from cdc2vec_spark.sinks.qdrant import ensure_collection
+
+    state = {"exists_dim": None}
+    created = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if state["exists_dim"] is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = _json.dumps({
+                "result": {"config": {"params": {"vectors": {
+                    "size": state["exists_dim"], "distance": "Cosine"}}}}
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            n = int(self.headers["Content-Length"])
+            created.append((self.path, _json.loads(self.rfile.read(n))))
+            body = b'{"result":true,"status":"ok"}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # absent → create with the right body
+        assert ensure_collection(url, "docs", dim=4) == 4
+        assert created == [(
+            "/collections/docs",
+            {"vectors": {"size": 4, "distance": "Cosine"}},
+        )]
+        # present, matching → verified, no second create
+        state["exists_dim"] = 4
+        assert ensure_collection(url, "docs", dim=4) == 4
+        assert len(created) == 1
+        # present, mismatched → refuse
+        with _pytest.raises(ValueError, match="size=4.*dim=8"):
+            ensure_collection(url, "docs", dim=8)
+    finally:
+        srv.shutdown()

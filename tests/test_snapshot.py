@@ -145,6 +145,9 @@ def test_boot_with_snapshot_end_to_end(spark, tmp_path):
             self.wfile.write(body)
 
         def do_PUT(self):
+            if not self.path.startswith("/collections/docs/points"):
+                self._ok()  # ensure_collection create
+                return
             n = int(self.headers["Content-Length"])
             upserted.extend(_json.loads(self.rfile.read(n))["points"])
             self._ok()
