@@ -35,6 +35,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
         from cdc2vec_spark.operators import html_extract as _html_extract
+        from cdc2vec_spark.operators import layout as _layout
         from cdc2vec_spark.operators import lex_index as _lex_index
         from cdc2vec_spark.operators import lm as _lm
         from cdc2vec_spark.operators import multimodal as _multimodal
@@ -55,7 +56,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         modules.extend(
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
-             _sampling, _corpus, _lex_index, _retrieval, _retrieval_eval,
+             _sampling, _corpus, _lex_index, _layout, _retrieval, _retrieval_eval,
              _pii, _span_dedup,
              _reduce, _winnow, _lm, _html_extract, _urls, _bpe]
         )

@@ -52,8 +52,9 @@ Groupings:
                          rows-only by nature — BPE merges are
                          iterative, pinned vs a pure-Python reference
                          encoder in tests/test_bpe.py) + the round-8
-                         additions b19_grouping_sets / b20_range_frame
-                         (exact oracles in test_relational_pivot.py)
+                         additions b19_grouping_sets / b20_range_frame /
+                         b21_zorder (exact oracles in
+                         test_relational_pivot.py / test_layout.py)
 """
 
 from __future__ import annotations
@@ -124,9 +125,10 @@ CONSOLIDATED: tuple[str, ...] = (
     "d18_cdc_bm25",
     "d19_hybrid",
     # round-8 additions: exact-oracle (two SFs in
-    # test_relational_pivot.py), awaiting individual slots
+    # test_relational_pivot.py / test_layout.py), awaiting individual slots
     "b19_grouping_sets",
     "b20_range_frame",
+    "b21_zorder",
 )
 
 
@@ -257,6 +259,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b19_grouping_sets,
         b20_range_frame,
     )
+    from .layout import b21_zorder
     from .retrieval import d19_hybrid
     from .sampling import d14_stratified
     from .text import d4_text_stats, d5_slicing, d15_chunk, d17_bm25
@@ -281,6 +284,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b17_pivot", b17_pivot),
             ("b19_grouping_sets", b19_grouping_sets),
             ("b20_range_frame", b20_range_frame),
+            ("b21_zorder", b21_zorder),
             ("d4_text_stats", d4_text_stats),
             ("d5_slicing", d5_slicing),
             ("d11_decontaminate", d11_decontaminate),
@@ -314,6 +318,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .multimodal import d6_features
     from .pii import d20_pii
@@ -393,6 +398,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_pivot": b17_pivot,
         "b19_grouping_sets": b19_grouping_sets,
         "b20_range_frame": b20_range_frame,
+        "b21_zorder": b21_zorder,
         "d4_text_stats": d4_text_stats,
         "d5_slicing": d5_slicing,
         "d11_decontaminate": d11_decontaminate,

@@ -97,6 +97,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "b7_count_distinct", "b8_rollup", "b8_cube", "b9_rank_window",
             "b10_running_sum", "b14_array_dim", "b15_scalar_subquery",
             "b17_pivot", "b19_grouping_sets", "b20_range_frame",
+            "b21_zorder",
             "d4_text_stats", "d5_slicing",
             "d11_decontaminate", "d14_stratified", "d15_chunk",
             "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "t8_bpe",

@@ -1,0 +1,119 @@
+"""Z-order layout (b21 / operators/layout.py): z-value math, exact
+DuckDB oracle at two SFs, and the PHYSICAL claim — a z-ordered parquet
+write's per-file bounding boxes are dramatically tighter than a naive
+write's, which is exactly what min/max scan pruning consumes."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from oracle_check import compare_one, duckdb_conn
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators.layout import (
+    B21_ORACLE_SQL,
+    b21_zorder,
+    write_zordered,
+    zvalue,
+)
+from tests.conftest import SF0001, SF001
+
+
+def _interleave_py(x: int, y: int, bits: int = 10) -> int:
+    x = min(x, (1 << bits) - 1)
+    y = min(y, (1 << bits) - 1)
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_hand_interleave(spark):
+    from pyspark.sql import functions as F
+
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (0b1010, 0b0110),
+             (1023, 1023), (70000, 2)]  # last: clamps to the top cell
+    df = spark.createDataFrame(cases, "x long, y long").select(
+        "x", "y", zvalue(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _interleave_py(r["x"], r["y"]), r
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_b21_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "b21_zorder", b21_zorder, B21_ORACLE_SQL, sf
+    )
+    assert not problems, (sf, problems)
+
+
+def _file_bbox_area_sum(path: str, x_col: str, y_col: str) -> int:
+    """Σ over parquet files of (max_x-min_x+1)·(max_y-min_y+1) from the
+    footer statistics — the quantity min/max pruning divides by."""
+    import glob
+    import os
+
+    total = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        lo_x = lo_y = None
+        hi_x = hi_y = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                st = c.statistics
+                if st is None or name not in (x_col, y_col):
+                    continue
+                if name == x_col:
+                    lo_x = st.min if lo_x is None else min(lo_x, st.min)
+                    hi_x = st.max if hi_x is None else max(hi_x, st.max)
+                else:
+                    lo_y = st.min if lo_y is None else min(lo_y, st.min)
+                    hi_y = st.max if hi_y is None else max(hi_y, st.max)
+        assert lo_x is not None and lo_y is not None
+        total += (hi_x - lo_x + 1) * (hi_y - lo_y + 1)
+    return total
+
+
+def test_zordered_write_shrinks_file_bounding_boxes(spark, tmp_path):
+    """The layout claim, measured on disk: with the same file count, the
+    z-ordered write's summed per-file (x,y) bounding-box area must be a
+    small fraction of the naive (round-robin) write's — tighter boxes ⇒
+    more files skipped by any two-dimensional min/max filter."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF001, "documents").select(
+        "doc_id", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    naive = str(tmp_path / "naive")
+    zord = str(tmp_path / "zord")
+    d.repartition(8).write.parquet(naive)
+    write_zordered(d, zord, "n_chars", "n_tokens", n_files=8)
+
+    area_naive = _file_bbox_area_sum(naive, "n_chars", "n_tokens")
+    area_z = _file_bbox_area_sum(zord, "n_chars", "n_tokens")
+    # round-robin files all span ~the full extent; the z-curve cuts the
+    # summed area by multiples (observed ~4-6× on this corpus) — require
+    # a conservative 2× so the test pins the mechanism, not the corpus
+    assert area_z * 2 < area_naive, (area_z, area_naive)
+
+    # and the data survives the reshuffle intact
+    assert (
+        spark.read.parquet(zord).selectExpr("sum(n_chars)").first()[0]
+        == d.selectExpr("sum(n_chars)").first()[0]
+    )
+
+
+def test_consolidated_not_in_registry():
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    assert "b21_zorder" not in qs
+    assert "x4_rowsonly_stable" in qs
