@@ -72,11 +72,28 @@ _SCALE = 1_000_000
 _MARGIN = 2e-6
 
 
+def _collect_centroids(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """One collect → (ids asc, row-normalized matrix). Shared between the
+    assignment broadcast and the driver-side probe ranking so the
+    centroid scan runs as ONE Spark job per evaluation, not two."""
+    cent = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    cids = np.array([r[0] for r in cent], dtype=np.int64)
+    cmat = np.array([r[1] for r in cent], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    return cids, cmat / cn
+
+
 def _assign_cells_rounded(
     embeddings: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collected: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """(id, cell): nearest centroid by cosine where the winner is decided
     on ROUND(sim, 6), ties to the lowest centroid id — the
@@ -85,14 +102,11 @@ def _assign_cells_rounded(
     the id picks the winner with Spark's own rounding."""
     import pandas as pd
 
-    cent = sorted(
-        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    cids, cmat_n = (
+        collected if collected is not None
+        else _collect_centroids(centroids, id_col, vec_col)
     )
-    cids = np.array([r[0] for r in cent], dtype=np.int64)
-    cmat = np.array([r[1] for r in cent], dtype=np.float64)
-    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
-    cn[cn == 0.0] = 1.0
-    bc = embeddings.sparkSession.sparkContext.broadcast((cids, cmat / cn))
+    bc = embeddings.sparkSession.sparkContext.broadcast((cids, cmat_n))
 
     id_field = next(f for f in embeddings.schema.fields if f.name == id_col)
     out_schema = T.StructType(
@@ -169,14 +183,7 @@ def retrieval_eval(
     # query → probed cells with their probe rank (1 = nearest cell).
     # Driver-side BLAS over the tiny q × cells matrix, slack-kept, then
     # ranked with Spark's rounding (same discipline as assignment).
-    cent_rows = sorted(
-        cents.select(id_col, vec_col).collect(), key=lambda r: r[0]
-    )
-    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    cn = np.linalg.norm(cmat, axis=1)
-    cn[cn == 0.0] = 1.0
-    cmat_n = cmat / cn[:, None]
+    cids, cmat_n = _collect_centroids(cents, id_col, vec_col)
     spark = embeddings.sparkSession
     qrows = sorted(qdf.collect(), key=lambda r: r[0])
     probe_rows = []
@@ -205,7 +212,9 @@ def retrieval_eval(
     # candidates: corpus rows in probed cells (self excluded), vectors
     # re-attached by BROADCASTING the small candidate id set into the
     # corpus scan — the corpus is never shuffled.
-    assigned = _assign_cells_rounded(embeddings, cents, id_col, vec_col)
+    assigned = _assign_cells_rounded(
+        embeddings, cents, id_col, vec_col, collected=(cids, cmat_n)
+    )
     cand = assigned.join(F.broadcast(qprobe), "cell").where(
         F.col(id_col) != F.col("query_id")
     ).select("query_id", id_col, "probe_rank")
