@@ -36,7 +36,8 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         d10_split, d10_pack
+                         c9_stream_enrich (round 8; exact oracle in
+                         tests/test_joins.py), d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, d20_pii,
                          d21_span_dedup, d23_selfrep, d24_winnow,
@@ -74,6 +75,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "b16_sketches",
     "c4_watermark",
     "c8_interval_join",
+    "c9_stream_enrich",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -157,7 +159,7 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join
+    from ..streaming.joins import c8_interval_join, c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
@@ -172,6 +174,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
+            ("c9_stream_enrich", c9_stream_enrich),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -313,7 +316,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join
+    from ..streaming.joins import c8_interval_join, c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
@@ -363,6 +366,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
+        "c9_stream_enrich": c9_stream_enrich,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

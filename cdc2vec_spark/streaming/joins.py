@@ -66,6 +66,61 @@ def interval_join(
     return left.join(r, cond, "inner")
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    cols: tuple[str, ...] = ("c_nationkey",),
+) -> DataFrame:
+    """Stream-static dimension enrichment — Structured Streaming's third
+    join shape (after stream-stream interval and batch as-of): every
+    micro-batch of the event stream hash-joins against a STATIC (or
+    slowly-refreshed) dimension table with no streaming state at all,
+    because the static side is simply re-planned per batch. The dim is
+    broadcast explicitly: at 100 TB of events the dimension is the small
+    side by construction, and the join must never shuffle the stream.
+    Mode-agnostic like every builder in this module — the same call
+    enriches a batch DataFrame."""
+    d = dim.select(F.col(dim_key).alias(key), *cols)
+    return events.join(F.broadcast(d), key, "inner")
+
+
+def c9_stream_enrich(spark, sf_dir: str) -> DataFrame:
+    """C9 — per-nation hourly event rollup THROUGH the customer dimension
+    (the canonical stream-static enrichment: raw events carry only a
+    user id; the report needs a dimension attribute). Batch form here;
+    the stream replay of the same builders is pinned equal in
+    tests/test_joins.py. Exact DuckDB oracle; rides in x1 (registry at
+    the 50-entry budget)."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    enr = enrich_with_dim(ev, cust)
+    return (
+        enr.groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .select(F.col("w.start").alias("w"), "c_nationkey", "n", "s")
+        .orderBy("w", "c_nationkey")
+    )
+
+
+C9_ORACLE_SQL = """
+SELECT date_trunc('hour', ts) AS w, c_nationkey, count(*) AS n,
+       round(sum(value), 2) AS s
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES: dict = {}
+# c8/c9 are composite-delivered (x1); oracles pinned in tests
+ORACLES: dict = {"c9_stream_enrich": C9_ORACLE_SQL}
+
+
 def c8_interval_join(spark, sf_dir: str) -> DataFrame:
     """C8 — view→click attribution pairs within 30 minutes per user
     (batch form of the stream-stream interval join; the stream replay of

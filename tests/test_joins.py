@@ -132,3 +132,62 @@ def test_interval_spec_validation():
         joins._interval_seconds("1 fortnight")
     with pytest.raises(ValueError):
         joins._interval_seconds("-5 minutes")
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_c9_stream_enrich_matches_duckdb_oracle(spark, sf):
+    """c9 (stream-static dimension enrichment, batch form) vs the exact
+    DuckDB oracle at two SFs via the driver's comparator."""
+    from oracle_check import compare_one, duckdb_conn
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c9_stream_enrich",
+        joins.c9_stream_enrich, joins.C9_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_c9_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The SAME enrich+window builders over a replayed file stream (the
+    static customer side re-planned per micro-batch — Spark's
+    stream-static join) must produce the batch answer exactly."""
+    from cdc2vec_spark.streaming import windows  # noqa: F401 (parity w/ c1)
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def build(events_df):
+        enr = joins.enrich_with_dim(events_df, cust)
+        return (
+            enr.groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("s"),
+            )
+            .select(F.col("w.start").alias("w"), "c_nationkey", "n", "s")
+        )
+
+    want = sorted(
+        (r["w"], r["c_nationkey"], r["n"], r["s"])
+        for r in build(ev).collect()
+    )
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ev, chunks, n_chunks=4, order_col="ts")
+    stream = source.read_file_stream(spark, chunks, ev.schema)
+    got_df = source.run_to_completion(
+        build(stream), "c9_out", output_mode="complete"
+    )
+    got = sorted(
+        (r["w"], r["c_nationkey"], r["n"], r["s"]) for r in got_df.collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_c9_plan_broadcasts_the_dimension(spark, sf_dir):
+    """The stream side must never shuffle for the join: the dim join is
+    a BroadcastHashJoin in the executed plan."""
+    plan = joins.c9_stream_enrich(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
