@@ -110,6 +110,42 @@ class ManifestStore:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.manifest_root, f"manifest-{version:09d}.json")
 
+    def versions(self) -> list[int]:
+        """Readable (parseable) retained versions, oldest→newest — the
+        time-travel horizon. Bounded by ``keep_manifests`` + gc(): old
+        generations age out, exactly like Delta/Iceberg retention."""
+        out = []
+        for v in self._versions_on_disk():
+            try:
+                with open(self._manifest_path(v), encoding="utf-8") as fh:
+                    if json.load(fh).get("version") == v:
+                        out.append(v)
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def at(self, version: int) -> dict[int, str]:
+        """The bucket→dir mapping of ONE specific generation — the
+        time-travel read point. Unlike latest(), a missing or torn
+        manifest here is an ERROR, not a fall-back: silently reading a
+        neighboring generation would defeat the point of asking for a
+        version (debugging what the state looked like before a bad
+        batch)."""
+        p = self._manifest_path(version)
+        try:
+            with open(p, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            if doc.get("version") != version:
+                raise ValueError(f"manifest {p} is torn (version mismatch)")
+            return {int(k): str(d) for k, d in doc["buckets"].items()}
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} is not retained (kept: {self.versions()}"
+                f" — raise keep_manifests to widen the horizon)"
+            ) from None
+        except (OSError, KeyError) as e:
+            raise ValueError(f"manifest {p} unreadable: {e}") from e
+
     # -- write side -------------------------------------------------------
 
     def new_commit_dir(self, version: int) -> str:
@@ -179,14 +215,19 @@ def _assemble(
     spark: SparkSession,
     store: ManifestStore,
     buckets: Sequence[int] | None = None,
+    as_of: int | None = None,
 ) -> DataFrame | None:
-    """Current state from the latest manifest: buckets grouped by commit
+    """State from the latest manifest (or the ``as_of`` generation —
+    time travel over the retained window): buckets grouped by commit
     directory, read as their exact ``bucket=<i>`` partition directories
     (never the whole commit dir — a commit dir can hold stale versions
     of buckets a later commit superseded), unioned. ``buckets`` prunes
     the assembly to just those buckets — the manifest IS the file index,
     so a pruned read lists nothing at all beyond the touched dirs."""
-    _, mapping, _ = store.latest()
+    if as_of is not None:
+        mapping = store.at(as_of)
+    else:
+        _, mapping, _ = store.latest()
     if not mapping:
         return None
     if buckets is not None:
@@ -254,8 +295,13 @@ class ManifestCollection:
         self.coalesce_unchanged = coalesce_unchanged
         self.auto_gc_every = auto_gc_every
 
-    def read(self) -> DataFrame | None:
-        return _assemble(self.spark, self.store)
+    def read(self, as_of: int | None = None) -> DataFrame | None:
+        """Current state, or — with ``as_of`` — the state exactly as of
+        that committed generation (time travel over the retained
+        manifest window; ``self.store.versions()`` lists the horizon).
+        The ops answer to "what did the collection hold before the bad
+        batch landed" without restoring anything."""
+        return _assemble(self.spark, self.store, as_of=as_of)
 
     def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
         bexpr = bucket_expr(self.key_cols, self.n_buckets)
@@ -278,9 +324,9 @@ class ManifestCollection:
         )
         _commit(self.store, merged, touched, self.auto_gc_every)
 
-    def state(self) -> DataFrame | None:
-        """Live rows only (tombstones filtered)."""
-        df = self.read()
+    def state(self, as_of: int | None = None) -> DataFrame | None:
+        """Live rows only (tombstones filtered); ``as_of`` time-travels."""
+        df = self.read(as_of=as_of)
         if df is None:
             return None
         return df.where(F.col("op") != OP_DELETE).select(
@@ -307,8 +353,8 @@ class ManifestPointsCollection:
         self.n_buckets = n_buckets
         self.auto_gc_every = auto_gc_every
 
-    def read(self) -> DataFrame | None:
-        return _assemble(self.spark, self.store)
+    def read(self, as_of: int | None = None) -> DataFrame | None:
+        return _assemble(self.spark, self.store, as_of=as_of)
 
     def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
         from pyspark.sql.window import Window
@@ -331,8 +377,8 @@ class ManifestPointsCollection:
         )
         _commit(self.store, merged, touched, self.auto_gc_every)
 
-    def live(self) -> DataFrame | None:
-        df = self.read()
+    def live(self, as_of: int | None = None) -> DataFrame | None:
+        df = self.read(as_of=as_of)
         if df is None:
             return None
         return df.where(F.col("op") != OP_DELETE).drop("op", BUCKET_COL)
@@ -359,8 +405,8 @@ class ManifestChunkedPointsCollection:
         self.n_buckets = n_buckets
         self.auto_gc_every = auto_gc_every
 
-    def read(self) -> DataFrame | None:
-        return _assemble(self.spark, self.store)
+    def read(self, as_of: int | None = None) -> DataFrame | None:
+        return _assemble(self.spark, self.store, as_of=as_of)
 
     def apply_points(self, pts: DataFrame, _epoch_id: int | None = None) -> None:
         from pyspark.sql.window import Window
@@ -386,8 +432,8 @@ class ManifestChunkedPointsCollection:
         )
         _commit(self.store, merged, touched, self.auto_gc_every)
 
-    def live(self) -> DataFrame | None:
-        df = self.read()
+    def live(self, as_of: int | None = None) -> DataFrame | None:
+        df = self.read(as_of=as_of)
         if df is None:
             return None
         return df.where(F.col("op") != OP_DELETE).drop("op", BUCKET_COL)

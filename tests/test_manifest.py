@@ -225,3 +225,57 @@ def test_fixture_stream_matches_batch_oracle(spark, sf_dir, tmp_path, n):
     }
     assert _state_map(mc) == want
     ch.unpersist()
+
+
+def test_time_travel_reads_each_generation(spark, sf_dir, tmp_path):
+    """read(as_of=v)/state(as_of=v) reproduce the state EXACTLY as it was
+    after each commit (immutable commit dirs make this free); versions()
+    lists the readable horizon; a GC'd or unknown version is a loud
+    error, never a silent fall-back to a neighboring generation."""
+    import pytest as _pytest
+
+    ch, batches = _batches(spark, sf_dir)
+    mc = ManifestCollection(
+        spark, str(tmp_path / "tt"), n_buckets=8, auto_gc_every=0
+    )
+    snaps = []
+    for b in batches:
+        mc.apply_batch(b)
+        snaps.append(_state_map(mc))
+    versions = mc.store.versions()
+    assert len(versions) == len(batches)
+
+    for v, want in zip(versions, snaps):
+        got = {
+            r["pk"]: (r["after_title"], r["after_content"])
+            for r in mc.state(as_of=v).collect()
+        }
+        assert got == want
+    assert snaps[0] != snaps[-1]  # the generations genuinely differ
+
+    with _pytest.raises(ValueError, match="not retained"):
+        mc.read(as_of=versions[-1] + 100)
+    ch.unpersist()
+
+
+def test_time_travel_horizon_bounded_by_gc(spark, sf_dir, tmp_path):
+    """After gc() with a small keep_manifests, old generations age out of
+    versions() and as_of on them raises — Delta/Iceberg-style retention."""
+    import pytest as _pytest
+
+    ch, batches = _batches(spark, sf_dir, n=4)
+    mc = ManifestCollection(
+        spark, str(tmp_path / "ttgc"), n_buckets=8,
+        keep_manifests=2, auto_gc_every=0,
+    )
+    for b in batches:
+        mc.apply_batch(b)
+    all_versions = mc.store.versions()
+    mc.store.gc()
+    kept = mc.store.versions()
+    assert len(kept) == 2 and kept == all_versions[-2:]
+    with _pytest.raises(ValueError, match="not retained"):
+        mc.read(as_of=all_versions[0])
+    # the retained generations still read fine after GC
+    assert mc.state(as_of=kept[0]).count() > 0
+    ch.unpersist()
