@@ -1,0 +1,64 @@
+"""c10_funnel — ordered view→click→purchase conversion funnel.
+
+Exact DuckDB oracle at two SFs via the driver's comparator, plus the
+semantic invariants: counts shrink monotonically down the funnel, the
+order constraint actually bites (a hand-built user whose purchase
+precedes their click must not convert), and the horizon bounds step
+times relative to step 1.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from oracle_check import compare_one, duckdb_conn
+
+from cdc2vec_spark.operators.funnel import (
+    C10_ORACLE_SQL,
+    _SCALE,
+    c10_funnel,
+    funnel_counts,
+)
+from tests.conftest import SF0001, SF001
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c10_funnel", c10_funnel, C10_ORACLE_SQL, sf
+    )
+    assert not problems, (sf, problems)
+
+
+def test_counts_monotone_and_conv_anchored(spark, sf_dir):
+    rows = c10_funnel(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    ns = [r["n_users"] for r in rows]
+    assert ns[0] >= ns[1] >= ns[2] and ns[0] > 0
+    assert rows[0]["conv_micro"] == _SCALE  # step 1 vs itself
+    assert all(r["conv_micro"] <= _SCALE for r in rows)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, 0.0)
+         for i, (u, t, m) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id string, event_type string, value double",
+    )
+
+
+def test_order_and_horizon_semantics(spark):
+    """u1 converts fully in order; u2's purchase PRECEDES their click
+    (order violation → stops at step 2); u3 clicks after the 1-day
+    horizon (stops at step 1); u4 never views (not in the funnel)."""
+    ev = _ev(spark, [
+        ("u1", "view", 0), ("u1", "click", 10), ("u1", "purchase", 20),
+        ("u2", "view", 0), ("u2", "purchase", 5), ("u2", "click", 10),
+        ("u3", "view", 0), ("u3", "click", 60 * 25),
+        ("u4", "click", 0), ("u4", "purchase", 1),
+    ])
+    got = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}, got
