@@ -37,8 +37,9 @@ Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
                          c9_stream_enrich (round 8; exact oracle in
-                         tests/test_joins.py), c10_funnel (round 8; exact
-                         oracle in tests/test_funnel.py), d10_split, d10_pack
+                         tests/test_joins.py), c10_funnel + c11_retention
+                         (round 8; exact oracles in tests/test_funnel.py),
+                         d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, d20_pii,
                          d21_span_dedup, d23_selfrep, d24_winnow,
@@ -78,6 +79,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "c8_interval_join",
     "c9_stream_enrich",
     "c10_funnel",
+    "c11_retention",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -163,7 +165,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join, c9_stream_enrich
     from ..streaming.windows import c4_watermark
-    from .funnel import c10_funnel
+    from .funnel import c10_funnel, c11_retention
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
@@ -179,6 +181,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c8_interval_join", c8_interval_join),
             ("c9_stream_enrich", c9_stream_enrich),
             ("c10_funnel", c10_funnel),
+            ("c11_retention", c11_retention),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -323,7 +326,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.joins import c8_interval_join, c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
-    from .funnel import c10_funnel
+    from .funnel import c10_funnel, c11_retention
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .layout import b21_zorder
@@ -373,6 +376,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_interval_join": c8_interval_join,
         "c9_stream_enrich": c9_stream_enrich,
         "c10_funnel": c10_funnel,
+        "c11_retention": c11_retention,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

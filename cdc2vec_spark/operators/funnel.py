@@ -131,3 +131,83 @@ FROM counts ORDER BY step
 QUERIES: dict = {}
 # c10 is composite-delivered (x1); oracle pinned in tests/test_funnel.py
 ORACLES: dict = {"c10_funnel": C10_ORACLE_SQL}
+
+
+_WEEK_EPOCH = "1970-01-01"
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention — funnel's companion classic: users are
+    cohorted by the week of their FIRST event; each later active week
+    counts them at offset (week - cohort_week). Output rows
+    ``(cohort_week, week_offset, n_users, retention_micro)`` where
+    retention_micro = round(1e6 · n / cohort size) and offset 0 is the
+    cohort size itself (retention_micro = 1e6 by construction).
+
+    Scale shape: ONE distinct over (user, week) — the shuffle is bounded
+    by active user-weeks, not events — then a per-user min (same user
+    key, exchange reuse), a map-side-broadcastable cohort join, and a
+    tiny (cohort × offset) aggregate. Weeks are floor(epoch-day / 7):
+    explicit floor, because double→int CASTS round half-even in DuckDB
+    but truncate in Spark — a cohort off-by-one that only bites on week
+    boundaries."""
+    week = F.floor(
+        F.datediff(F.to_date(ts_col), F.lit(_WEEK_EPOCH)) / 7
+    ).cast("long")
+    uw = events.select(
+        F.col(user_col).alias("u"), week.alias("w")
+    ).distinct()
+    cohort = uw.groupBy("u").agg(F.min("w").alias("cw"))
+    m = (
+        uw.join(cohort, "u")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("off"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = m.where(F.col("off") == 0).select(
+        "cw", F.col("n_users").alias("_base")
+    )
+    return (
+        m.join(base, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("off").alias("week_offset"),
+            "n_users",
+            F.round(F.col("n_users") * _SCALE / F.col("_base"))
+            .cast("long")
+            .alias("retention_micro"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def c11_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entry: the weekly cohort retention matrix of events."""
+    return retention_matrix(load_table(spark, sf_dir, "events"))
+
+
+C11_ORACLE_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(date_diff('day', DATE '{_WEEK_EPOCH}',
+                              CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w
+  FROM events
+), cohort AS (
+  SELECT u, min(w) AS cw FROM uw GROUP BY u
+), m AS (
+  SELECT cw, w - cw AS off, count(*) AS n_users
+  FROM uw JOIN cohort USING (u) GROUP BY cw, w - cw
+), base AS (
+  SELECT cw, n_users AS _base FROM m WHERE off = 0
+)
+SELECT m.cw AS cohort_week, m.off AS week_offset,
+       CAST(m.n_users AS BIGINT) AS n_users,
+       CAST(round(m.n_users * {_SCALE}.0 / b._base) AS BIGINT) AS retention_micro
+FROM m JOIN base b USING (cw)
+ORDER BY cohort_week, week_offset
+"""
+
+ORACLES["c11_retention"] = C11_ORACLE_SQL

@@ -62,3 +62,32 @@ def test_order_and_horizon_semantics(spark):
     ])
     got = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
     assert got == {1: 3, 2: 2, 3: 1}, got
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_retention_matches_duckdb_oracle(spark, sf):
+    from cdc2vec_spark.operators.funnel import C11_ORACLE_SQL, c11_retention
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c11_retention", c11_retention, C11_ORACLE_SQL, sf
+    )
+    assert not problems, (sf, problems)
+
+
+def test_retention_matrix_semantics(spark, sf_dir):
+    """Offset-0 is each cohort's size (retention exactly 1e6); every
+    offset's count is ≤ the cohort size; the first cohort exists."""
+    from cdc2vec_spark.operators.funnel import c11_retention
+
+    rows = c11_retention(spark, sf_dir).collect()
+    assert rows
+    base = {}
+    for r in rows:
+        if r["week_offset"] == 0:
+            base[r["cohort_week"]] = r["n_users"]
+            assert r["retention_micro"] == _SCALE
+    for r in rows:
+        assert r["cohort_week"] in base  # every cohort has its offset-0 row
+        assert r["n_users"] <= base[r["cohort_week"]]
+        assert 0 < r["retention_micro"] <= _SCALE
