@@ -135,6 +135,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "b19_grouping_sets",
     "b20_range_frame",
     "b21_zorder",
+    "t9_nfc_normalize",
 )
 
 
@@ -272,7 +273,9 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .layout import b21_zorder
     from .retrieval import d19_hybrid
     from .sampling import d14_stratified
-    from .text import d4_text_stats, d5_slicing, d15_chunk, d17_bm25
+    from .text import (
+        d4_text_stats, d5_slicing, d15_chunk, d17_bm25, t9_nfc_normalize,
+    )
 
     return _union(
         spark,
@@ -304,6 +307,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d18_cdc_bm25", d18_cdc_bm25),
             ("d19_hybrid", d19_hybrid),
             ("t8_bpe", t8_bpe),
+            ("t9_nfc_normalize", t9_nfc_normalize),
         ],
     )
 
@@ -365,7 +369,9 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d8_lsh_neardup,
         d12_semdedup,
     )
-    from .text import d4_text_stats, d5_slicing, d15_chunk, d17_bm25
+    from .text import (
+        d4_text_stats, d5_slicing, d15_chunk, d17_bm25, t9_nfc_normalize,
+    )
     from .vectors import a8_deterministic_embed
 
     return {
@@ -421,4 +427,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d17_bm25": d17_bm25,
         "d18_cdc_bm25": d18_cdc_bm25,
         "d19_hybrid": d19_hybrid,
+        "t9_nfc_normalize": t9_nfc_normalize,
     }

@@ -452,6 +452,63 @@ ORDER BY score_micro DESC, doc_id LIMIT 10
 """
 
 
+def nfc_normalize_udf():
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    canonicalization pass every web corpus needs before hashing text
+    (a decomposed 'e'+COMBINING-ACUTE and the composed 'é' are the SAME
+    document to a human and DIFFERENT documents to md5/minhash/BM25;
+    mixed normalization forms are ubiquitous in crawled text). Spark has
+    no built-in normalizer expression, so this is the documented
+    pandas-UDF fallback (SURVEY §7 "UDFs are the slow path" exception:
+    built-ins genuinely cannot express it); Python's unicodedata NFC is
+    byte-identical to DuckDB's nfc_normalize, which makes the operator
+    oracle-checkable."""
+    import pandas as pd  # noqa: F401 — resolved by the UDF type hints
+
+    def _nfc(s: "pd.Series") -> "pd.Series":
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # explicit hints via __annotations__ won't resolve a function-local
+    # pd under `from __future__ import annotations`; bind the UDF with
+    # the evaluated types instead
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_nfc, "string")
+
+
+# the probe marker is a DECOMPOSED sequence (e + U+0301); the fixture
+# text is ASCII, so appending it makes the normalization observable —
+# len shrinks by exactly 1 when NFC composes the pair
+_NFC_MARKER = "é"
+
+
+def t9_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = rebalance(load_table(spark, sf_dir, "documents"))
+    nfc = nfc_normalize_udf()
+    raw = F.concat(F.col("text"), F.lit(_NFC_MARKER))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(nfc(raw)).alias("nfc_md5"),
+            F.length(raw).alias("len_raw"),
+            F.length(nfc(raw)).alias("len_nfc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T9_ORACLE_SQL = """
+SELECT doc_id,
+       md5(nfc_normalize(text || 'e' || chr(769))) AS nfc_md5,
+       len(text || 'e' || chr(769)) AS len_raw,
+       len(nfc_normalize(text || 'e' || chr(769))) AS len_nfc
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d4_text_stats": d4_text_stats,
     "d5_slicing": d5_slicing,
@@ -465,9 +522,13 @@ QUERIES = {
     "d17_bm25": d17_bm25,
     "t6_length_percentiles": t6_length_percentiles,
     "t7_vocab_topdf": t7_vocab_topdf,
+    # round-8 addition: composite-delivered (x4), oracle in
+    # tests/test_text_quality.py
+    "t9_nfc_normalize": t9_nfc_normalize,
 }
 
 ORACLES = {
+    "t9_nfc_normalize": T9_ORACLE_SQL,
     # round-7 rotation: individually graded (were composite-delivered)
     "d15_chunk": D15_ORACLE_SQL,
     "d17_bm25": D17_ORACLE_SQL,

@@ -102,6 +102,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d4_text_stats", "d5_slicing",
             "d11_decontaminate", "d14_stratified", "d15_chunk",
             "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "t8_bpe",
+            "t9_nfc_normalize",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)

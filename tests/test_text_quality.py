@@ -241,3 +241,37 @@ def test_t7_vocab_matches_duckdb_oracle(spark):
             text_ops.t7_vocab_topdf, text_ops.T7_ORACLE_SQL, sf,
         )
         assert not problems, (sf, problems)
+
+
+import pytest
+
+from tests.conftest import SF0001, SF001
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_t9_nfc_matches_duckdb_oracle(spark, sf):
+    """t9 (Unicode NFC normalization, round 8): Python unicodedata NFC
+    inside the Arrow UDF is byte-identical to DuckDB nfc_normalize —
+    md5 of the normalized text hash-matches, and len shrinks by exactly
+    the composed pair."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators import text
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "t9_nfc_normalize",
+        text.t9_nfc_normalize, text.T9_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_t9_composes_the_marker(spark):
+    """Every row's NFC length is exactly one less than raw (the appended
+    decomposed e+U+0301 composes to one codepoint; the ASCII corpus text
+    itself is NFC-invariant)."""
+    from cdc2vec_spark.operators import text
+
+    rows = text.t9_nfc_normalize(spark, SF0001).collect()
+    assert rows
+    assert all(r["len_nfc"] == r["len_raw"] - 1 for r in rows)
