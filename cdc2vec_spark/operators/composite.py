@@ -39,7 +39,8 @@ Groupings:
                          c9_stream_enrich (round 8; exact oracle in
                          tests/test_joins.py), c10_funnel + c11_retention
                          (round 8; exact oracles in tests/test_funnel.py),
-                         d10_split, d10_pack
+                         c12_incremental_agg (round 8; exact oracle in
+                         tests/test_ivm.py), d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup, d20_pii,
                          d21_span_dedup, d23_selfrep, d24_winnow,
@@ -80,6 +81,7 @@ CONSOLIDATED: tuple[str, ...] = (
     "c9_stream_enrich",
     "c10_funnel",
     "c11_retention",
+    "c12_incremental_agg",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -164,6 +166,7 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.ivm import c12_incremental_agg
     from ..streaming.joins import c8_interval_join, c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .funnel import c10_funnel, c11_retention
@@ -183,6 +186,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c9_stream_enrich", c9_stream_enrich),
             ("c10_funnel", c10_funnel),
             ("c11_retention", c11_retention),
+            ("c12_incremental_agg", c12_incremental_agg),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -327,6 +331,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites)."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.ivm import c12_incremental_agg
     from ..streaming.joins import c8_interval_join, c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
@@ -383,6 +388,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_stream_enrich": c9_stream_enrich,
         "c10_funnel": c10_funnel,
         "c11_retention": c11_retention,
+        "c12_incremental_agg": c12_incremental_agg,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

@@ -81,6 +81,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c8_interval_join",
             "c9_stream_enrich", "c10_funnel", "c11_retention",
+            "c12_incremental_agg",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
