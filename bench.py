@@ -68,8 +68,16 @@ HEADLINE = [
     "d33_weighted_sample",   # A-Res deterministic weighted sampling
     "t8_bpe",                # trained-BPE tokenization (broadcast merges)
     "d34_semantic_decontam", # embedding-space benchmark decontamination
-    # round-8 addition
+    # round-8 additions
     "d35_retrieval_eval",    # recall@k / RR curve of IVF vs exact truth
+    "b19_grouping_sets",     # asymmetric GROUPING SETS, one Expand pass
+    "b20_range_frame",       # value-bounded RANGE window (trailing 30d)
+    "b21_zorder",            # Morton z-bucket bounding-box report
+    "c9_stream_enrich",      # stream-static broadcast dim enrichment
+    "c10_funnel",            # ordered view->click->purchase funnel
+    "c11_retention",         # weekly cohort retention matrix
+    "c12_incremental_agg",   # IVM: CDC-maintained GROUP BY (4 batches)
+    "t9_nfc_normalize",      # Unicode NFC canonicalization (Arrow UDF)
 ]
 
 
