@@ -85,6 +85,16 @@ NOTES = {
     "t5_regex_tokens": "regexp_extract_all tokenization is pure JVM regex — no Python pre-tokenizer.",
     "t6_length_percentiles": "exact per-source order statistics via the percentile sorted aggregate (bounded group count); one exchange.",
     "t7_vocab_topdf": "array_distinct BEFORE the explode bounds the shuffle by per-doc vocabulary; top-k is a TakeOrderedAndProject.",
+    # round-8 additions (composite-delivered; benched individually)
+    "d35_retrieval_eval": "truth = one BLAS MapInPandas pass with map-side top-k combine; assignment emits only the argmax slack set (window resolves on round(sim,6)); candidate vectors re-attached via broadcast — the corpus is never shuffled; the whole nprobe curve from one scored pass (probe-rank explode).",
+    "b19_grouping_sets": "asymmetric grouping-set list in ONE Expand + hash aggregate — one shuffle for all three groupings; grouping_id disambiguates subtotals.",
+    "b20_range_frame": "value-bounded RANGE frame over the epoch-day key: one sort per customer partition, O(frame) running state per row.",
+    "b21_zorder": "z-value is unrolled integer shift/mask terms inside WholeStageCodegen; the report is one aggregate exchange on <=64 z-buckets.",
+    "c9_stream_enrich": "static dim BROADCAST into the event scan (BroadcastHashJoin — the stream side never shuffles for the join); windowed aggregate with partial combine.",
+    "c10_funnel": "one staged aggregation per funnel step, all shuffling on the SAME user key (exchange reuse); surviving-user state shrinks monotonically.",
+    "c11_retention": "distinct over (user, week) bounds the shuffle by active user-weeks; cohort min reuses the user partitioning; final aggregate is cohort×offset-sized.",
+    "c12_incremental_agg": "IVM: per-batch group deltas from ONLY the touched buckets' before/after images, folded into a group-cardinality agg table — never a full-state rescan.",
+    "t9_nfc_normalize": "ONE ArrowEvalPython pass (Spark has no normalizer builtin); md5 + length stay JVM-side around it.",
 }
 
 HEADLINE = list(NOTES)
