@@ -642,6 +642,8 @@ _CURVE_OPS = [
     "d26_winnow_pairs",
     "d28_lm_perplexity",
     "d32_web_prep",
+    # round 8: the IVM refresh must stay touched-bucket-proportional
+    "c12_incremental_agg",
 ]
 
 
