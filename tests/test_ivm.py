@@ -94,3 +94,93 @@ def test_groups_drain_to_zero_on_delete(spark, tmp_path):
     ivm.apply_batch(spark.createDataFrame(dels, schema))
     got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
     assert got == {"g2": (1, 7)}, got
+
+
+def test_streaming_foreachbatch_maintains_the_aggregate(spark, sf_dir, tmp_path):
+    """The apply_batch signature IS a foreachBatch hook: a real file
+    stream driving IncrementalGroupAgg converges to the same agg table
+    as the batch replay."""
+    from cdc2vec_spark.streaming import source
+
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+    ivm = IncrementalGroupAgg(spark, str(tmp_path / "sivm"), n_buckets=8)
+    stream = source.read_file_stream(spark, chunks, ch.schema)
+    q = (
+        stream.writeStream.foreachBatch(ivm.apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    want = _agg_of(
+        __import__("cdc2vec_spark.cdc.apply", fromlist=["latest_state"])
+        .latest_state(ch, text_cols=("after_title", "after_content"))
+    )
+    assert got == want != {}
+
+
+def test_randomized_cdc_sequences_match_python_reference(spark, tmp_path):
+    """Fixed-seed fuzz: random op sequences (insert/update/delete/guard-
+    fail/ignored-table/out-of-order lsn) through the IVM in 3 batches
+    must equal a pure-Python LWW + aggregate reference."""
+    import random
+
+    schema = ("lsn long, op string, tbl string, pk string, "
+              "after_title string, after_content string, after_author string")
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        for lsn in range(1, 121):
+            pk = f"k{rng.randrange(12)}"
+            op = rng.choice(["c", "u", "u", "d"])
+            tbl = "public.documents" if rng.random() > 0.1 else "public.other"
+            if op == "d":
+                rows.append((lsn, op, tbl, pk, None, None, None))
+            else:
+                title = rng.choice(["", "alpha", "beta gamma", "x" * rng.randrange(1, 9)])
+                content = rng.choice(["", "delta", None, "y" * rng.randrange(1, 6)])
+                grp = rng.choice(["g1", "g2", "g3"])
+                rows.append((lsn, op, tbl, pk, title, content, grp))
+        rng.shuffle(rows)  # arrival order != lsn order within a batch
+
+        # python reference: LWW by lsn with A6 semantics (guard-fail
+        # upserts are SKIPPED: earlier state survives)
+        state = {}
+
+        def text_of(t, c):
+            return " ".join(x for x in (t, c) if x)
+
+        for lsn, op, tbl, pk, t, c, g in sorted(rows):
+            if tbl != "public.documents":
+                continue
+            if op == "d":
+                state[pk] = None
+            elif len(text_of(t, c)) > 0:
+                state[pk] = (g, len(text_of(t, c)))
+        want = {}
+        for v in state.values():
+            if v is not None:
+                g, n = v
+                cnt, ch_ = want.get(g, (0, 0))
+                want[g] = (cnt + 1, ch_ + n)
+
+        ivm = IncrementalGroupAgg(
+            spark, str(tmp_path / f"fz{seed}"), n_buckets=4
+        )
+        third = len(rows) // 3 + 1
+        for i in range(3):
+            b = rows[i * third:(i + 1) * third]
+            if b:
+                # production order: the mapping filter runs BEFORE apply
+                # (runner pipeline); state keys on (tbl, pk), so unmapped
+                # tables must not reach the collection
+                ivm.apply_batch(
+                    transform.filter_mapped(
+                        spark.createDataFrame(b, schema), MAPPED
+                    )
+                )
+        got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+        assert got == want, (seed, got, want)
