@@ -91,3 +91,67 @@ def test_retention_matrix_semantics(spark, sf_dir):
         assert r["cohort_week"] in base  # every cohort has its offset-0 row
         assert r["n_users"] <= base[r["cohort_week"]]
         assert 0 < r["retention_micro"] <= _SCALE
+
+
+def test_randomized_events_match_python_reference(spark):
+    """Fixed-seed fuzz: random event sets through funnel_counts and
+    retention_matrix must match independently-written Python references
+    (greedy earliest-qualifying-step funnel; first-week cohorts)."""
+    import random
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(400):
+            u = f"u{rng.randrange(25)}"
+            t = rng.choice(["view", "click", "purchase", "signup"])
+            m = rng.randrange(0, 60 * 24 * 21)  # 3 weeks of minutes
+            rows.append((u, t, m))
+        ev = _ev(spark, rows)
+
+        # funnel reference
+        day = 60 * 24
+        by_user = {}
+        for u, t, m in rows:
+            by_user.setdefault(u, []).append((m, t))
+        steps = ("view", "click", "purchase")
+        counts = {1: 0, 2: 0, 3: 0}
+        for u, evs in by_user.items():
+            t1 = min((m for m, t in evs if t == steps[0]), default=None)
+            if t1 is None:
+                continue
+            counts[1] += 1
+            t2 = min((m for m, t in evs
+                      if t == steps[1] and t1 < m <= t1 + day), default=None)
+            if t2 is None:
+                continue
+            counts[2] += 1
+            t3 = min((m for m, t in evs
+                      if t == steps[2] and t2 < m <= t1 + day), default=None)
+            if t3 is not None:
+                counts[3] += 1
+        got = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
+        assert got == counts, (seed, got, counts)
+
+        # retention reference (weeks since epoch of the 2024-01-01 base)
+        import datetime as dt
+
+        def week_of(m):
+            d = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+            return (d.date() - dt.date(1970, 1, 1)).days // 7
+
+        uw = {(u, week_of(m)) for u, t, m in rows}
+        cohort = {}
+        for u, w in uw:
+            cohort[u] = min(cohort.get(u, w), w)
+        want = {}
+        for u, w in uw:
+            key = (cohort[u], w - cohort[u])
+            want[key] = want.get(key, 0) + 1
+        from cdc2vec_spark.operators.funnel import retention_matrix
+
+        got_r = {
+            (r["cohort_week"], r["week_offset"]): r["n_users"]
+            for r in retention_matrix(ev).collect()
+        }
+        assert got_r == want, (seed, got_r, want)
