@@ -130,11 +130,6 @@ class IncrementalGroupAgg:
                 )
                 .where((F.col("n") != 0) | (F.col("chars") != 0))
             )
-        # materialize Δ (and force merged's evaluation through it) BEFORE
-        # the swap replaces the files `prior` lazily reads
-        delta = delta.localCheckpoint(eager=True)
-        swap_buckets(merged, self.state_path, touched)
-
         cur = read_state(self.spark, self.agg_path)
         if cur is None:
             new_agg = delta
@@ -153,6 +148,12 @@ class IncrementalGroupAgg:
                 )
             )
         new_agg = new_agg.where(F.col("n") > 0).coalesce(1)
+        # ONE pre-swap materialization covers both needs: Δ (which reads
+        # `prior`'s files) is evaluated through the agg merge before the
+        # bucket swap replaces those files, and the later swap_write
+        # writes from the checkpoint instead of recomputing
+        new_agg = new_agg.localCheckpoint(eager=True)
+        swap_buckets(merged, self.state_path, touched)
         swap_write(new_agg, self.agg_path)
 
     def read(self) -> DataFrame | None:
