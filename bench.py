@@ -626,6 +626,15 @@ def _make_sf1(spark) -> str:
         F.concat_ws(" ", F.col("text"), F.concat(F.lit("ctag"), F.col("doc_id"))),
     )
     out.repartition(8).write.parquet(f"{root}/documents.parquet")
+    # 10x embeddings too (round 8): id-shifted exact copies — vector
+    # content doesn't affect the timing shape of the BLAS/assignment
+    # passes, and deterministic ties are resolved by id everywhere
+    e = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    ecopies = None
+    for i in range(10):
+        c = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        ecopies = c if ecopies is None else ecopies.unionByName(c)
+    ecopies.repartition(8).write.parquet(f"{root}/embeddings.parquet")
     return root
 
 
@@ -644,6 +653,9 @@ _CURVE_OPS = [
     "d32_web_prep",
     # round 8: the IVM refresh must stay touched-bucket-proportional
     "c12_incremental_agg",
+    # round 8: eval = truth BLAS pass + slack assignment + broadcast
+    # candidate re-attach; must scale with the corpus scan, not pairs
+    "d35_retrieval_eval",
 ]
 
 
