@@ -208,7 +208,7 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
     if sink is None:
         sink = getattr(cfg, "sink", None)
     if sink is None or sink.type not in (
-        "qdrant", "milvus", "ivf_index", "lex_index"
+        "qdrant", "milvus", "ivf_index", "lex_index", "group_agg"
     ):
         return None
     opts = sink.options or {}
@@ -219,6 +219,46 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
     # natively — tombstones key on the base id (before '#'), so one
     # tombstone supersedes every chunk of a key (ann_index.__init__)
     idx_chunked = isinstance(cfg, PipelineConfig) and cfg.engine.chunk is not None
+
+    if sink.type == "group_agg":
+        # maintain the IVM GROUP BY materialization from the same stream
+        # (cdc/ivm.py): per-batch group deltas from touched buckets only.
+        # Group key comes from the points' metadata map; chars need the
+        # extracted text (boot passes keep_text=True for this sink type)
+        from .cdc.ivm import IncrementalGroupAgg
+
+        gpath = opts.get("path")
+        if not gpath:
+            raise ValueError("group_agg sink requires options.path")
+        gkey = opts.get("group_key", "author")
+        gbuckets = int(opts.get("n_buckets", 64))
+        gcache: dict[str, IncrementalGroupAgg] = {}
+
+        def hook(pts: DataFrame) -> None:
+            if "text" not in pts.columns:
+                raise ValueError(
+                    "group_agg sink needs the extracted text on the "
+                    "points (boot sets keep_text for it automatically)"
+                )
+            agg = gcache.get("a")
+            if agg is None:
+                agg = gcache["a"] = IncrementalGroupAgg(
+                    pts.sparkSession, gpath, group_col="after_grp",
+                    text_cols=("after_text",), n_buckets=gbuckets,
+                )
+            # points → the changes shape the merge machinery speaks
+            # (op/tbl/pk/lsn/after_*): tbl is a constant, pk the point id
+            agg.apply_batch(
+                pts.select(
+                    F.lit("points").alias("tbl"),
+                    F.col("id").alias("pk"),
+                    "op", "lsn",
+                    F.col("text").alias("after_text"),
+                    F.element_at(F.col("metadata"), gkey).alias("after_grp"),
+                )
+            )
+
+        return hook
 
     if sink.type == "lex_index":
         # maintain a disk BM25 inverted index from the same stream (the
@@ -475,7 +515,7 @@ def boot(
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 
     keep_text = isinstance(cfg, PipelineConfig) and any(
-        s.type == "lex_index" for s in cfg.all_sinks
+        s.type in ("lex_index", "group_agg") for s in cfg.all_sinks
     )
 
     # per-batch engine metrics for /healthz (points_out via Observation:
@@ -575,7 +615,7 @@ def boot_with_snapshot(
     coll = _collection_for(spark, cfg, state_dir)
     hook = sink_hooks_for(cfg) if isinstance(cfg, PipelineConfig) else None
     keep_text = isinstance(cfg, PipelineConfig) and any(
-        s.type == "lex_index" for s in cfg.all_sinks
+        s.type in ("lex_index", "group_agg") for s in cfg.all_sinks
     )
     chunk = cfg.engine.chunk if isinstance(cfg, PipelineConfig) else None
     for table, mapping in snapshots:

@@ -184,3 +184,52 @@ def test_randomized_cdc_sequences_match_python_reference(spark, tmp_path):
                 )
         got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
         assert got == want, (seed, got, want)
+
+
+def test_boot_group_agg_sink_end_to_end(spark, sf_dir, tmp_path):
+    """sink.type=group_agg in the config: boot() maintains the IVM agg
+    table from the live stream; after the replay it equals the GROUP BY
+    over the collection's live points (count per author + chars of the
+    extracted text)."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    from cdc2vec_spark.streaming import source
+
+    gpath = str(tmp_path / "gagg")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(
+            type="group_agg",
+            # the fixture mapping's metadata key is the raw change column
+            options={"path": gpath, "group_key": "after_author"},
+        ),
+    )
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    from cdc2vec_spark.cdc.ivm import IncrementalGroupAgg
+
+    agg = IncrementalGroupAgg(spark, gpath, group_col="after_grp",
+                              text_cols=("after_text",))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in agg.read().collect()}
+    # reference: LWW over the change log (the collection stores vectors,
+    # not text; the agg's chars come from the same extracted text the
+    # pipeline embeds, whose length equals the changes' concat form)
+    from cdc2vec_spark.cdc.apply import latest_state
+
+    want = _agg_of(latest_state(ch, text_cols=("after_title", "after_content")))
+    assert got == want != {}
+    # and the agg's live keys agree with the collection's live count
+    assert sum(n for n, _ in got.values()) == coll.live().count()
