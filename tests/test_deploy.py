@@ -63,12 +63,14 @@ def test_every_compose_config_path_loads_through_engine_loader():
     assert seen >= 2  # engine + engine-fanout
 
 
-def test_fanout_config_declares_three_sinks():
+def test_fanout_config_declares_the_fanout_sinks():
     from cdc2vec_spark.config import load_yaml
 
     cfg = load_yaml(os.path.join(REPO, "configs", "fanout-three-sinks.yaml"))
-    assert [s.type for s in cfg.all_sinks] == ["qdrant", "ivf_index", "lex_index"]
-    # the in-engine index sinks need a path — the runner raises without it
+    assert [s.type for s in cfg.all_sinks] == [
+        "qdrant", "ivf_index", "lex_index", "group_agg"
+    ]
+    # the in-engine sinks need a path — the runner raises without it
     for s in cfg.all_sinks[1:]:
         assert s.options.get("path"), s.type
 
