@@ -24,8 +24,9 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     modules = [relational]
     try:
         from cdc2vec_spark.cdc import changelog as _changelog
+        from cdc2vec_spark.cdc import ivm as _ivm
 
-        modules.append(_changelog)
+        modules.extend([_changelog, _ivm])
     except ImportError:
         pass
     try:
@@ -34,6 +35,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import corpus as _corpus
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
+        from cdc2vec_spark.operators import funnel as _funnel
         from cdc2vec_spark.operators import html_extract as _html_extract
         from cdc2vec_spark.operators import layout as _layout
         from cdc2vec_spark.operators import lex_index as _lex_index
@@ -57,16 +59,17 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _layout, _retrieval, _retrieval_eval,
-             _pii, _span_dedup,
+             _pii, _span_dedup, _funnel,
              _reduce, _winnow, _lm, _html_extract, _urls, _bpe]
         )
     except ImportError:
         pass
     try:
+        from cdc2vec_spark.streaming import joins as _joins
         from cdc2vec_spark.streaming import stateful as _stateful
         from cdc2vec_spark.streaming import windows as _windows
 
-        modules.extend([_windows, _stateful])
+        modules.extend([_windows, _stateful, _joins])
     except ImportError:
         pass
     for mod in modules:

@@ -211,6 +211,13 @@ FROM (
 GROUP BY after_author ORDER BY author
 """
 
-QUERIES: dict = {}
-# c12 is composite-delivered (x1); oracle pinned in tests/test_ivm.py
-ORACLES: dict = {}
+def _oracles() -> dict:
+    from .changelog import CHANGES_CTE
+
+    return {"c12_incremental_agg": CHANGES_CTE + C12_ORACLE_BODY}
+
+
+# round-9 rotation: c12 individually graded (was composite-delivered in
+# x1 for round 8; the same oracle stays pinned at two SFs in tests/test_ivm.py)
+QUERIES: dict = {"c12_incremental_agg": c12_incremental_agg}
+ORACLES: dict = _oracles()

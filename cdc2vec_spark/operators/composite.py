@@ -10,24 +10,22 @@ full output, canonicalized to a uniform ``(probe, row)`` schema with the
 component name in ``probe``, so no information is lost and each
 component's rows stay distinguishable and countable downstream.
 
-Round-8 rotation (VERDICT r07 ask #3): the twenty-two exact-oracle
-queries that were composite-delivered in round 7 — t1–t5 and
-b1/b11/b12/b13/b14_json (returning from their round-7 parking),
-t6_length_percentiles, t7_vocab_topdf, b18_unpivot, and the round-7
-newcomers d25_token_mix, d27_full_prep, d28_lm_perplexity, d29_shards,
-d30_html_extract, d31_domain_cap, d32_web_prep, d33_weighted_sample,
-d34_semantic_decontam — moved INTO individually graded registry slots.
-To stay at the 50-entry budget, twenty-two long-green queries rotated
-OUT into ``x4_rowsonly_stable``: the fourteen relational anchors
-b2–b17 (each green in every CORRECTNESS file since round 1),
-d4_text_stats and d5_slicing (same), and the round-7 rotation set
-d11_decontaminate, d14_stratified, d15_chunk, d17_bm25, d18_cdc_bm25,
-d19_hybrid (green in CORRECTNESS_r07). Their exact oracles remain
-pinned at two scale factors in tests/test_rotated_oracles.py via the
-driver's own comparator (oracle_check.compare_one), so correctness
-evidence is uninterrupted. d13_dsir and d16_corpus_pipeline stay
-individual: their round-7 red rows were oracle HUGEINT-typing
-artifacts, now fixed, and round 8 must show the driver-green proof.
+Round-9 rotation (VERDICT r08 ask #1): the fourteen exact-oracle
+queries that were composite-delivered in round 8 — the round-8
+newcomers d35_retrieval_eval, b19_grouping_sets, b20_range_frame,
+b21_zorder, t9_nfc_normalize, c9_stream_enrich, c10_funnel,
+c11_retention, c12_incremental_agg and the round-7 leftovers d20_pii,
+d21_span_dedup, d23_selfrep, d24_winnow, d26_winnow_pairs — moved INTO
+individually graded registry slots. To stay at the 50-entry budget,
+fourteen long-green queries rotated OUT into ``x4_rowsonly_stable``:
+t1–t7, b1_scan_count, b11_topk, b12_intersect, b13_scalar_funcs,
+b14_json_extract, b18_unpivot (each driver-green in CORRECTNESS_r08)
+and d13_dsir (its round-8 individual slot existed to prove the
+HUGEINT-oracle fix driver-green, which CORRECTNESS_r08 did;
+d16_corpus_pipeline stays individual as the corpus-composition anchor).
+The parked queries' exact oracles remain pinned at two scale factors
+in tests/test_rotated_oracles.py via the driver's own comparator
+(oracle_check.compare_one), so correctness evidence is uninterrupted.
 
 The component queries remain individually importable, unit-tested and
 benchmarked (bench.py calls them directly); only the driver registry
@@ -36,29 +34,21 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         c9_stream_enrich (round 8; exact oracle in
-                         tests/test_joins.py), c10_funnel + c11_retention
-                         (round 8; exact oracles in tests/test_funnel.py),
-                         c12_incremental_agg (round 8; exact oracle in
-                         tests/test_ivm.py), d10_split, d10_pack
+                         d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
-                         d6_features, d12_semdedup, d20_pii,
-                         d21_span_dedup, d23_selfrep, d24_winnow,
-                         d26_winnow_pairs (each pinned in its own test
-                         file)
+                         d6_features, d12_semdedup (each pinned in its
+                         own test file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d22_pca_topk, d35_retrieval_eval
-                         (d35 carries an exact oracle in
-                         tests/test_retrieval_eval.py)
+                         d3_pq_topk, d22_pca_topk (recall/parity pinned
+                         in tests)
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
-                         d14, d15, d17, d18, d19 + t8 (rotated out for
-                         round 8; oracles pinned in tests; t8 is
-                         rows-only by nature — BPE merges are
-                         iterative, pinned vs a pure-Python reference
-                         encoder in tests/test_bpe.py) + the round-8
-                         additions b19_grouping_sets / b20_range_frame /
-                         b21_zorder (exact oracles in
-                         test_relational_pivot.py / test_layout.py)
+                         d14, d15, d17, d18, d19 (rotated out round 8)
+                         + the round-9 parking set t1–t7, b1, b11, b12,
+                         b13, b14_json, b18, d13 + t8 (rows-only by
+                         nature — BPE merges are iterative, pinned vs a
+                         pure-Python reference encoder in
+                         tests/test_bpe.py); all exact oracles pinned at
+                         two SFs in tests/test_rotated_oracles.py
 """
 
 from __future__ import annotations
@@ -78,10 +68,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "b16_sketches",
     "c4_watermark",
     "c8_interval_join",
-    "c9_stream_enrich",
-    "c10_funnel",
-    "c11_retention",
-    "c12_incremental_agg",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -95,21 +81,25 @@ CONSOLIDATED: tuple[str, ...] = (
     "d3_pq_topk",
     "d22_pca_topk",
     "t8_bpe",
-    # exact-oracle queries awaiting an individual slot (oracles pinned
-    # in test_pii.py / test_span_dedup.py / test_winnow.py; rotate into
-    # graded slots next round as budget allows)
-    "d20_pii",
-    "d21_span_dedup",
-    "d23_selfrep",
-    "d24_winnow",
-    "d26_winnow_pairs",
-    # round-8 addition: exact-oracle (two SFs in test_retrieval_eval.py),
-    # awaiting an individual slot in a future rotation
-    "d35_retrieval_eval",
-    # round-8 rotation: long-green queries parked in x4 so the round-7
-    # newcomers (t6/t7/b18/d25/d27–d34) and the returning round-7
-    # parking set (t1–t5/b1/b11–b14_json) get individual graded slots;
-    # oracles stay pinned at two SFs in tests/test_rotated_oracles.py
+    # round-9 rotation: long-green queries parked in x4 so the round-8
+    # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
+    # (d20/d21/d23/d24/d26) get individual graded slots; oracles stay
+    # pinned at two SFs in tests/test_rotated_oracles.py
+    "t1_token_count",
+    "t2_quality_score",
+    "t3_lang_guess",
+    "t4_fingerprint",
+    "t5_regex_tokens",
+    "t6_length_percentiles",
+    "t7_vocab_topdf",
+    "b1_scan_count",
+    "b11_topk",
+    "b12_intersect",
+    "b13_scalar_funcs",
+    "b14_json_extract",
+    "b18_unpivot",
+    "d13_dsir",
+    # round-8 rotation parking set (oracles in tests/test_rotated_oracles.py)
     "b2_project_filter",
     "b3_broadcast_join",
     "b4_multiway_join",
@@ -132,12 +122,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "d17_bm25",
     "d18_cdc_bm25",
     "d19_hybrid",
-    # round-8 additions: exact-oracle (two SFs in
-    # test_relational_pivot.py / test_layout.py), awaiting individual slots
-    "b19_grouping_sets",
-    "b20_range_frame",
-    "b21_zorder",
-    "t9_nfc_normalize",
 )
 
 
@@ -166,10 +150,8 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import c12_incremental_agg
-    from ..streaming.joins import c8_interval_join, c9_stream_enrich
+    from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
-    from .funnel import c10_funnel, c11_retention
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
@@ -183,10 +165,6 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
-            ("c9_stream_enrich", c9_stream_enrich),
-            ("c10_funnel", c10_funnel),
-            ("c11_retention", c11_retention),
-            ("c12_incremental_agg", c12_incremental_agg),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -199,10 +177,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     own test files)."""
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
-    from .pii import d20_pii
     from .similarity import d12_semdedup
-    from .span_dedup import d21_span_dedup, d23_selfrep
-    from .winnow import d24_winnow, d26_winnow_pairs
 
     return _union(
         spark,
@@ -213,22 +188,15 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d9_keep_canonical", d9_keep_canonical),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
-            ("d20_pii", d20_pii),
-            ("d21_span_dedup", d21_span_dedup),
-            ("d23_selfrep", d23_selfrep),
-            ("d24_winnow", d24_winnow),
-            ("d26_winnow_pairs", d26_winnow_pairs),
         ],
     )
 
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN rows-only probes (recall pinned vs exact in
-    tests/test_similarity.py, tests/test_quantize.py; d35 carries an
-    exact two-SF oracle in tests/test_retrieval_eval.py)."""
+    tests/test_similarity.py, tests/test_quantize.py)."""
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval_eval import d35_retrieval_eval
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -240,23 +208,24 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
-            ("d35_retrieval_eval", d35_retrieval_eval),
         ],
     )
 
 
 def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-8 rotation parking slot: twenty-two long-green queries
-    (b2–b17 green since round 1; d4/d5 same; d11/d14/d15/d17/d18/d19
-    green in CORRECTNESS_r07) ride here, plus the permanently rows-only
-    t8_bpe, so the round-7 newcomers get individual graded slots. Each
-    parked component's exact DuckDB oracle stays pinned at two scale
-    factors in tests/test_rotated_oracles.py via the driver's own
-    comparator."""
+    """Rotation parking slot: long-green queries ride here so newer
+    exact-oracle queries get individual graded slots — the round-8
+    parking set (b2–b17, d4/d5, d11/d14/d15/d17/d18/d19) plus the
+    round-9 parking set (t1–t7, b1, b11–b13, b14_json, b18, d13; each
+    driver-green in CORRECTNESS_r08), plus the permanently rows-only
+    t8_bpe. Each parked component's exact DuckDB oracle stays pinned at
+    two scale factors in tests/test_rotated_oracles.py via the driver's
+    own comparator."""
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .lex_index import d18_cdc_bm25
     from .relational import (
+        b1_scan_count,
         b2_project_filter,
         b3_broadcast_join,
         b4_multiway_join,
@@ -268,23 +237,37 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b8_rollup,
         b9_rank_window,
         b10_running_sum,
+        b11_topk,
+        b12_intersect,
+        b13_scalar_funcs,
         b14_array_dim,
+        b14_json_extract,
         b15_scalar_subquery,
         b17_pivot,
-        b19_grouping_sets,
-        b20_range_frame,
+        b18_unpivot,
     )
-    from .layout import b21_zorder
     from .retrieval import d19_hybrid
     from .sampling import d14_stratified
+    from .selection import d13_dsir
     from .text import (
-        d4_text_stats, d5_slicing, d15_chunk, d17_bm25, t9_nfc_normalize,
+        d4_text_stats,
+        d5_slicing,
+        d15_chunk,
+        d17_bm25,
+        t1_token_count,
+        t2_quality_score,
+        t3_lang_guess,
+        t4_fingerprint,
+        t5_regex_tokens,
+        t6_length_percentiles,
+        t7_vocab_topdf,
     )
 
     return _union(
         spark,
         sf_dir,
         [
+            ("b1_scan_count", b1_scan_count),
             ("b2_project_filter", b2_project_filter),
             ("b3_broadcast_join", b3_broadcast_join),
             ("b4_multiway_join", b4_multiway_join),
@@ -296,22 +279,31 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b8_cube", b8_cube),
             ("b9_rank_window", b9_rank_window),
             ("b10_running_sum", b10_running_sum),
+            ("b11_topk", b11_topk),
+            ("b12_intersect", b12_intersect),
+            ("b13_scalar_funcs", b13_scalar_funcs),
             ("b14_array_dim", b14_array_dim),
+            ("b14_json_extract", b14_json_extract),
             ("b15_scalar_subquery", b15_scalar_subquery),
             ("b17_pivot", b17_pivot),
-            ("b19_grouping_sets", b19_grouping_sets),
-            ("b20_range_frame", b20_range_frame),
-            ("b21_zorder", b21_zorder),
+            ("b18_unpivot", b18_unpivot),
             ("d4_text_stats", d4_text_stats),
             ("d5_slicing", d5_slicing),
             ("d11_decontaminate", d11_decontaminate),
+            ("d13_dsir", d13_dsir),
             ("d14_stratified", d14_stratified),
             ("d15_chunk", d15_chunk),
             ("d17_bm25", d17_bm25),
             ("d18_cdc_bm25", d18_cdc_bm25),
             ("d19_hybrid", d19_hybrid),
+            ("t1_token_count", t1_token_count),
+            ("t2_quality_score", t2_quality_score),
+            ("t3_lang_guess", t3_lang_guess),
+            ("t4_fingerprint", t4_fingerprint),
+            ("t5_regex_tokens", t5_regex_tokens),
+            ("t6_length_percentiles", t6_length_percentiles),
+            ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
-            ("t9_nfc_normalize", t9_nfc_normalize),
         ],
     )
 
@@ -331,24 +323,18 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import c12_incremental_agg
-    from ..streaming.joins import c8_interval_join, c9_stream_enrich
+    from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
-    from .funnel import c10_funnel, c11_retention
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
-    from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .multimodal import d6_features
-    from .pii import d20_pii
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .retrieval import d19_hybrid
-    from .retrieval_eval import d35_retrieval_eval
-    from .span_dedup import d21_span_dedup, d23_selfrep
-    from .winnow import d24_winnow, d26_winnow_pairs
     from .relational import (
+        b1_scan_count,
         b2_project_filter,
         b3_broadcast_join,
         b4_multiway_join,
@@ -360,14 +346,18 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b8_rollup,
         b9_rank_window,
         b10_running_sum,
+        b11_topk,
+        b12_intersect,
+        b13_scalar_funcs,
         b14_array_dim,
+        b14_json_extract,
         b15_scalar_subquery,
         b16_sketches,
         b17_pivot,
-        b19_grouping_sets,
-        b20_range_frame,
+        b18_unpivot,
     )
     from .sampling import d10_pack, d10_split, d14_stratified
+    from .selection import d13_dsir
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
@@ -375,7 +365,17 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d12_semdedup,
     )
     from .text import (
-        d4_text_stats, d5_slicing, d15_chunk, d17_bm25, t9_nfc_normalize,
+        d4_text_stats,
+        d5_slicing,
+        d15_chunk,
+        d17_bm25,
+        t1_token_count,
+        t2_quality_score,
+        t3_lang_guess,
+        t4_fingerprint,
+        t5_regex_tokens,
+        t6_length_percentiles,
+        t7_vocab_topdf,
     )
     from .vectors import a8_deterministic_embed
 
@@ -385,10 +385,6 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
-        "c9_stream_enrich": c9_stream_enrich,
-        "c10_funnel": c10_funnel,
-        "c11_retention": c11_retention,
-        "c12_incremental_agg": c12_incremental_agg,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
@@ -396,18 +392,13 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_keep_canonical": d9_keep_canonical,
         "d6_features": d6_features,
         "d12_semdedup": d12_semdedup,
-        "d20_pii": d20_pii,
-        "d21_span_dedup": d21_span_dedup,
-        "d23_selfrep": d23_selfrep,
-        "d24_winnow": d24_winnow,
-        "d26_winnow_pairs": d26_winnow_pairs,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
-        "d35_retrieval_eval": d35_retrieval_eval,
         "t8_bpe": t8_bpe,
+        "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,
         "b3_broadcast_join": b3_broadcast_join,
         "b4_multiway_join": b4_multiway_join,
@@ -419,19 +410,28 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_cube": b8_cube,
         "b9_rank_window": b9_rank_window,
         "b10_running_sum": b10_running_sum,
+        "b11_topk": b11_topk,
+        "b12_intersect": b12_intersect,
+        "b13_scalar_funcs": b13_scalar_funcs,
         "b14_array_dim": b14_array_dim,
+        "b14_json_extract": b14_json_extract,
         "b15_scalar_subquery": b15_scalar_subquery,
         "b17_pivot": b17_pivot,
-        "b19_grouping_sets": b19_grouping_sets,
-        "b20_range_frame": b20_range_frame,
-        "b21_zorder": b21_zorder,
+        "b18_unpivot": b18_unpivot,
         "d4_text_stats": d4_text_stats,
         "d5_slicing": d5_slicing,
         "d11_decontaminate": d11_decontaminate,
+        "d13_dsir": d13_dsir,
         "d14_stratified": d14_stratified,
         "d15_chunk": d15_chunk,
         "d17_bm25": d17_bm25,
         "d18_cdc_bm25": d18_cdc_bm25,
         "d19_hybrid": d19_hybrid,
-        "t9_nfc_normalize": t9_nfc_normalize,
+        "t1_token_count": t1_token_count,
+        "t2_quality_score": t2_quality_score,
+        "t3_lang_guess": t3_lang_guess,
+        "t4_fingerprint": t4_fingerprint,
+        "t5_regex_tokens": t5_regex_tokens,
+        "t6_length_percentiles": t6_length_percentiles,
+        "t7_vocab_topdf": t7_vocab_topdf,
     }

@@ -128,8 +128,9 @@ SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
 FROM counts ORDER BY step
 """
 
-QUERIES: dict = {}
-# c10 is composite-delivered (x1); oracle pinned in tests/test_funnel.py
+# round-9 rotation: c10/c11 individually graded (were composite-delivered
+# in x1 for round 8; two-SF oracles also pinned in tests/test_funnel.py)
+QUERIES: dict = {"c10_funnel": c10_funnel}
 ORACLES: dict = {"c10_funnel": C10_ORACLE_SQL}
 
 
@@ -210,4 +211,5 @@ FROM m JOIN base b USING (cw)
 ORDER BY cohort_week, week_offset
 """
 
+QUERIES["c11_retention"] = c11_retention
 ORACLES["c11_retention"] = C11_ORACLE_SQL

@@ -135,4 +135,6 @@ ORDER BY doc_id
 """
 
 QUERIES = {"d20_pii": d20_pii}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracle pinned in tests
+# round-9 rotation: individually graded (was composite-delivered in x2;
+# the same oracle stays pinned at two SFs in tests/test_pii.py)
+ORACLES: dict[str, str] = {"d20_pii": D20_ORACLE_SQL}

@@ -245,4 +245,9 @@ ORDER BY doc_id
 """
 
 QUERIES = {"d21_span_dedup": d21_span_dedup, "d23_selfrep": d23_selfrep}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracles pinned in tests
+# round-9 rotation: individually graded (were composite-delivered in x2;
+# the same oracles stay pinned at two SFs in tests/test_span_dedup.py)
+ORACLES: dict[str, str] = {
+    "d21_span_dedup": D21_ORACLE_SQL,
+    "d23_selfrep": D23_ORACLE_SQL,
+}

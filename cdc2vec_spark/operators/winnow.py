@@ -217,4 +217,9 @@ ORDER BY id_a, id_b
 """
 
 QUERIES = {"d24_winnow": d24_winnow, "d26_winnow_pairs": d26_winnow_pairs}
-ORACLES: dict[str, str] = {}  # delivered via composite; oracles pinned in tests
+# round-9 rotation: individually graded (were composite-delivered in x2;
+# the same oracles stay pinned at two SFs in tests/test_winnow.py)
+ORACLES: dict[str, str] = {
+    "d24_winnow": D24_ORACLE_SQL,
+    "d26_winnow_pairs": D26_ORACLE_SQL,
+}

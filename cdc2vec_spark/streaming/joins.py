@@ -116,8 +116,10 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
-QUERIES: dict = {}
-# c8/c9 are composite-delivered (x1); oracles pinned in tests
+# round-9 rotation: c9 individually graded (was composite-delivered in
+# x1 for round 8); c8 stays composite-delivered (stream≡batch parity
+# pinned in tests, no single SQL oracle for the replayed stream form)
+QUERIES: dict = {"c9_stream_enrich": c9_stream_enrich}
 ORACLES: dict = {"c9_stream_enrich": C9_ORACLE_SQL}
 
 

@@ -122,25 +122,25 @@ EXPECTED_QUERIES = frozenset(
        "d3_cdc_index",
        "d6_multimodal", "d7_embedding_stats",
        "d8_cosine_neardup"]
-    # round-8: d13/d16 stay individual to show the HUGEINT-oracle fix
-    # driver-green (VERDICT r07 ask #1)
-    + ["d13_dsir", "d16_corpus_pipeline"]
-    # round-8 rotation (VERDICT r07 ask #3): the round-7
-    # composite-delivered exact-oracle queries take individual slots —
-    # the returning round-7 parking set and the round-7 newcomers
-    + ["t1_token_count", "t2_quality_score", "t3_lang_guess",
-       "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
-       "t7_vocab_topdf"]
-    + ["b1_scan_count", "b11_topk", "b12_intersect", "b13_scalar_funcs",
-       "b14_json_extract", "b18_unpivot"]
+    # corpus-composition anchor, individual since round 8
+    + ["d16_corpus_pipeline"]
     + ["d25_token_mix", "d27_full_prep", "d28_lm_perplexity", "d29_shards",
        "d30_html_extract", "d31_domain_cap", "d32_web_prep",
        "d33_weighted_sample", "d34_semantic_decontam"]
-    # the rows-only queries (and the twenty-two long-green queries
-    # rotated out for round 8 — b2–b17, d4, d5, d11, d14, d15,
-    # d17–d19; oracles pinned in tests/test_rotated_oracles.py) ride
-    # inside these 4 composites so the registry fits the driver's
-    # 50-entry grading budget (SURVEY §2.3)
+    # round-9 rotation (VERDICT r08 ask #1): the round-8
+    # composite-delivered exact-oracle queries take individual slots —
+    # the round-8 newcomers and the round-7 x2 leftovers
+    + ["c9_stream_enrich", "c10_funnel", "c11_retention",
+       "c12_incremental_agg"]
+    + ["b19_grouping_sets", "b20_range_frame", "b21_zorder",
+       "t9_nfc_normalize", "d35_retrieval_eval"]
+    + ["d20_pii", "d21_span_dedup", "d23_selfrep", "d24_winnow",
+       "d26_winnow_pairs"]
+    # the rows-only queries (and the long-green queries rotated out —
+    # b1–b18, t1–t7, d4, d5, d11, d13, d14, d15, d17–d19; oracles
+    # pinned in tests/test_rotated_oracles.py) ride inside these 4
+    # composites so the registry fits the driver's 50-entry grading
+    # budget (SURVEY §2.3)
     + ["x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann",
        "x4_rowsonly_stable"]
 )

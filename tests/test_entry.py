@@ -80,30 +80,30 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c8_interval_join",
-            "c9_stream_enrich", "c10_funnel", "c11_retention",
-            "c12_incremental_agg",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",
-            "d12_semdedup", "d20_pii", "d21_span_dedup", "d23_selfrep",
-            "d24_winnow", "d26_winnow_pairs",
+            "d12_semdedup",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
-            "d3_pq_topk", "d22_pca_topk", "d35_retrieval_eval",
+            "d3_pq_topk", "d22_pca_topk",
         },
         "x4_rowsonly_stable": {
-            "b2_project_filter", "b3_broadcast_join", "b4_multiway_join",
+            "b1_scan_count", "b2_project_filter", "b3_broadcast_join",
+            "b4_multiway_join",
             "b5_semi_join", "b5_anti_join", "b6_hash_agg",
             "b7_count_distinct", "b8_rollup", "b8_cube", "b9_rank_window",
-            "b10_running_sum", "b14_array_dim", "b15_scalar_subquery",
-            "b17_pivot", "b19_grouping_sets", "b20_range_frame",
-            "b21_zorder",
+            "b10_running_sum", "b11_topk", "b12_intersect",
+            "b13_scalar_funcs", "b14_array_dim", "b14_json_extract",
+            "b15_scalar_subquery", "b17_pivot", "b18_unpivot",
             "d4_text_stats", "d5_slicing",
-            "d11_decontaminate", "d14_stratified", "d15_chunk",
-            "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "t8_bpe",
-            "t9_nfc_normalize",
+            "d11_decontaminate", "d13_dsir", "d14_stratified", "d15_chunk",
+            "d17_bm25", "d18_cdc_bm25", "d19_hybrid",
+            "t1_token_count", "t2_quality_score", "t3_lang_guess",
+            "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
+            "t7_vocab_topdf", "t8_bpe",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)

@@ -1,9 +1,10 @@
-"""Round-8 rotation evidence: the twenty-two long-green queries rotated
-out of individual registry slots (into x4_rowsonly_stable) keep their
-exact DuckDB oracles pinned HERE at two scale factors, via the driver's
-own comparator (oracle_check.compare_one) — so correctness evidence is
-uninterrupted while the round-7 composite-delivered exact-oracle
-queries use the freed slots (VERDICT r07 ask #3).
+"""Rotation evidence: the long-green queries rotated out of individual
+registry slots (into x4_rowsonly_stable) keep their exact DuckDB
+oracles pinned HERE at two scale factors, via the driver's own
+comparator (oracle_check.compare_one) — so correctness evidence is
+uninterrupted while the newer composite-delivered exact-oracle queries
+use the freed slots (round-8 parking per VERDICT r07 ask #3, round-9
+parking per VERDICT r08 ask #1).
 """
 
 from __future__ import annotations
@@ -18,11 +19,28 @@ from cdc2vec_spark.operators import (
     relational,
     retrieval,
     sampling,
+    selection,
     text,
 )
 from tests.conftest import SF0001, SF001
 
 ROTATED = [
+    # round-9 parking set (driver-green in CORRECTNESS_r08)
+    ("b1_scan_count", relational),
+    ("b11_topk", relational),
+    ("b12_intersect", relational),
+    ("b13_scalar_funcs", relational),
+    ("b14_json_extract", relational),
+    ("b18_unpivot", relational),
+    ("t1_token_count", text),
+    ("t2_quality_score", text),
+    ("t3_lang_guess", text),
+    ("t4_fingerprint", text),
+    ("t5_regex_tokens", text),
+    ("t6_length_percentiles", text),
+    ("t7_vocab_topdf", text),
+    ("d13_dsir", selection),
+    # round-8 parking set
     ("b2_project_filter", relational),
     ("b3_broadcast_join", relational),
     ("b4_multiway_join", relational),
