@@ -7,9 +7,17 @@ author/source/tenant) over a CDC-maintained table. Recomputing
 ``GROUP BY`` over the full live state per micro-batch is O(state) —
 unpayable at 100 TB for a per-batch refresh. The IVM identity makes it
 incremental: for insert/update/delete deltas, ``agg_after = agg_before
-+ Δ`` where Δ only involves the CHANGED keys' old and new rows. COUNT
-and SUM are self-maintainable (no auxiliary state); avg derives as
-sum/count at read time.
++ Δ`` where Δ only involves the CHANGED keys' old and new rows.
+
+Self-maintainability boundary (the round-9 generalization): COUNT and
+SUM are directly self-maintainable under inserts AND deletes; AVG
+derives from (sum, count); population VARIANCE from (sum,
+sum-of-squares, count) — all maintained as additive accumulators. MIN
+and MAX are NOT self-maintainable under deletes (deleting the current
+minimum requires re-scanning the group to find the next one), so agg
+specs asking for them raise ``ValueError`` — the correct
+implementations are recompute-on-delete or a rebuild policy, both
+O(group) on the delete path, deliberately out of scope.
 
 Implementation — piggyback on the collection's bucketed merge, so the
 aggregate inherits EVERY collection semantic (LWW by lsn, delete
@@ -20,24 +28,51 @@ re-implementing them:
    merge — that before-image and the merged after-image are both
    O(touched buckets), never O(state);
 2. Δ per group = live_agg(after) − live_agg(before) over just those
-   buckets; eagerly materialized (localCheckpoint) BEFORE the bucket
-   swap so the delta never re-reads swapped files;
-3. the agg table (one row per group — dashboard-cardinality) is
-   full-outer-merged with Δ and atomically swapped; groups whose count
-   reaches 0 are dropped.
+   buckets, computed as a UNION + GROUP BY re-aggregation (never a
+   join): GROUP BY puts NULL group keys in one group in both Spark and
+   every SQL oracle, so a NULL author/group key is maintained exactly —
+   a join-based delta would silently never match NULL keys;
+3. the agg table (one row per group — dashboard-cardinality) is merged
+   with Δ by the same union+re-aggregate and atomically swapped; groups
+   whose live-row count reaches 0 are dropped.
+
+Crash consistency: the state swap and the agg swap are two stores, so
+both carry an epoch stamp (``_epoch_state`` / ``_epoch_agg`` sidecar
+files, written via atomic rename). The state stamp is advanced BEFORE
+the state mutation, the agg stamp AFTER the agg swap — any crash
+between leaves the stamps unequal, and the next ``apply_batch``/
+``read`` detects it and REBUILDS the agg from the full live state
+(O(state), recovery-only) before proceeding. The replayed batch then
+folds in idempotently (merge_batch/replace-set are idempotent, and the
+rebuilt agg is consistent with whatever state generation the crash
+left). Without the stamps, a crash between the two swaps would make
+the replayed delta evaluate to ~0 and silently lose the batch.
+
+Chunked mode (``chunked=True``): state rows are per-chunk
+(pk='<base>#<k>') but deletes arrive as ONE base-id row and a
+re-embedded doc may change its chunk count, so per-pk LWW is wrong —
+the state merge is REPLACE-SET per base key (the
+ChunkedPointsCollection rule: all rows of the max-lsn event win), with
+buckets hashed on the base id so a key's chunks co-locate. Aggregate
+semantics, documented: COUNT specs count live BASE documents
+(count_distinct base id — keys, not chunks; additive across batches
+because a base lives wholly in one bucket); SUM/AVG/VAR specs operate
+over CHUNK rows, so a sum of ``length(after_text)`` counts chunk
+characters INCLUDING overlap between adjacent chunks.
 
 Per-batch cost: O(batch + touched_buckets × bucket_size + groups).
 
 The exact DuckDB oracle (LWW winners → group agg, the A6 semantics) is
-pinned at two SFs in tests/test_ivm.py; the graded entry
-c12_incremental_agg rides in x1_rowsonly_pipeline (registry budget).
+pinned at two SFs in tests/test_ivm.py; c12_incremental_agg is an
+individually graded registry entry since round 9.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .apply import (
@@ -52,50 +87,244 @@ from .apply import (
 )
 from .envelope import OP_DELETE
 
+# internal accumulator column for the drop-group-at-zero rule and COUNT
+# specs: live-row count (live base-document count in chunked mode)
+_LIVE = "_live"
+
+_SELF_MAINTAINABLE = ("count", "sum", "avg", "var")
+
+
+def agg_specs(raw: Sequence | None) -> list[dict]:
+    """Normalize an aggs spec list (YAML-shaped dicts ``{name, op, col}``)
+    and enforce the self-maintainability boundary."""
+    if not raw:
+        return []
+    specs: list[dict] = []
+    for item in raw:
+        name, op = item["name"], str(item["op"]).lower()
+        if op in ("min", "max"):
+            raise ValueError(
+                f"agg {name!r}: {op} is not self-maintainable under deletes "
+                "(removing the current extremum forces a group re-scan); "
+                "use a recompute/rebuild policy instead — see cdc/ivm.py "
+                "module docstring"
+            )
+        if op not in _SELF_MAINTAINABLE:
+            raise ValueError(f"agg {name!r}: unknown op {op!r}")
+        if op != "count" and not item.get("col"):
+            raise ValueError(f"agg {name!r}: op {op!r} needs a 'col' expression")
+        specs.append({"name": name, "op": op, "col": item.get("col")})
+    return specs
+
+
+def _read_epoch(path: str) -> int:
+    try:
+        with open(path, encoding="ascii") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_epoch(path: str, value: int) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(str(value))
+    os.replace(tmp, path)  # atomic on POSIX
+
 
 class IncrementalGroupAgg:
-    """CDC-maintained ``GROUP BY`` materialization: per-group live-row
-    count and text-character sum, refreshed per micro-batch at
-    touched-bucket cost. ``read()`` returns the current agg table."""
+    """CDC-maintained ``GROUP BY`` materialization, refreshed per
+    micro-batch at touched-bucket cost. ``read()`` returns the current
+    agg table with derived columns (avg/var computed from their
+    accumulators).
+
+    ``group_cols`` may list several columns (multi-column grouping);
+    the single-column form keeps the legacy output name ``grp``, the
+    multi-column form keeps the original column names. ``aggs`` is a
+    list of ``{name, op, col}`` specs (op ∈ count/sum/avg/var; col is a
+    SQL expression over the change columns); the default reproduces the
+    original dashboard pair — live-row count ``n`` + text-character sum
+    ``chars``."""
 
     def __init__(
         self,
         spark: SparkSession,
         path: str,
-        group_col: str = "after_author",
+        group_col: str | None = None,
+        group_cols: Sequence[str] | None = None,
+        aggs: Sequence[dict] | None = None,
         text_cols: Sequence[str] = ("after_title", "after_content"),
         key_cols: Sequence[str] = ("tbl", "pk"),
         n_buckets: int = 64,
+        chunked: bool = False,
+        base_col: str = "base_pk",
     ):
         self.spark = spark
+        self.root = path
         self.state_path = path + "/state"
         self.agg_path = path + "/agg"
-        self.group_col = group_col
+        self._epoch_state = path + "/_epoch_state"
+        self._epoch_agg = path + "/_epoch_agg"
+        if group_cols is None:
+            group_cols = (group_col or "after_author",)
+        elif group_col is not None:
+            raise ValueError("pass group_col or group_cols, not both")
+        self.group_cols = tuple(group_cols)
+        # legacy output name for the single-column form
+        self.out_groups = (
+            ("grp",) if len(self.group_cols) == 1 else self.group_cols
+        )
         self.text_cols = tuple(text_cols)
         self.key_cols = tuple(key_cols)
         self.n_buckets = n_buckets
+        self.chunked = chunked
+        self.base_col = base_col
+        self.aggs = agg_specs(aggs) or [
+            {"name": "n", "op": "count", "col": None},
+            {"name": "chars", "op": "sum", "col": self._text_len_sql()},
+        ]
 
-    def _text(self):
-        return F.concat_ws(
-            " ", *[F.nullif(F.col(c), F.lit("")) for c in self.text_cols]
+    def _text_len_sql(self) -> str:
+        inner = ", ".join(f"nullif({c}, '')" for c in self.text_cols)
+        return f"length(concat_ws(' ', {inner}))"
+
+    # ---- accumulator layout -------------------------------------------
+    # storage schema: out_groups + _LIVE + one additive column per
+    # accumulator; COUNT specs have no accumulator (they read _LIVE)
+
+    def _acc_names(self) -> list[str]:
+        names = [_LIVE]
+        for s in self.aggs:
+            if s["op"] == "sum":
+                names.append(s["name"])
+            elif s["op"] == "avg":
+                names += [s["name"] + "__sum", s["name"] + "__cnt"]
+            elif s["op"] == "var":
+                names += [s["name"] + "__sum", s["name"] + "__ssq",
+                          s["name"] + "__cnt"]
+        return names
+
+    def _acc_exprs(self) -> list[Column]:
+        live = (
+            F.count_distinct(F.col(self.base_col))
+            if self.chunked
+            else F.count(F.lit(1))
         )
+        out = [live.alias(_LIVE)]
+        for s in self.aggs:
+            op, name = s["op"], s["name"]
+            if op == "count":
+                continue
+            col = F.expr(s["col"])
+            if op == "sum":
+                out.append(F.sum(col).alias(name))
+            elif op == "avg":
+                d = col.cast("double")
+                out += [F.sum(d).alias(name + "__sum"),
+                        F.count(col).alias(name + "__cnt")]
+            elif op == "var":
+                d = col.cast("double")
+                out += [F.sum(d).alias(name + "__sum"),
+                        F.sum(d * d).alias(name + "__ssq"),
+                        F.count(col).alias(name + "__cnt")]
+        return out
 
     def _live_agg(self, df: DataFrame | None) -> DataFrame | None:
         if df is None:
             return None
+        groups = [
+            F.col(g).alias(o) for g, o in zip(self.group_cols, self.out_groups)
+        ]
         return (
             df.where(F.col("op") != OP_DELETE)
-            .groupBy(F.col(self.group_col).alias("grp"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.length(self._text())).alias("chars"),
-            )
+            .groupBy(*groups)
+            .agg(*self._acc_exprs())
         )
+
+    def _resum(self, *parts: DataFrame) -> DataFrame:
+        """Union + GROUP BY re-aggregation — the NULL-safe way to add
+        accumulator tables (GROUP BY groups NULL keys together; a join
+        on the group key would never match them)."""
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy(*[F.col(g) for g in self.out_groups]).agg(
+            *[F.sum(c).alias(c) for c in self._acc_names()]
+        )
+
+    def _negate(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            *self.out_groups,
+            *[(-F.col(c)).alias(c) for c in self._acc_names()],
+        )
+
+    # ---- state merge ---------------------------------------------------
+
+    def _bucket_key(self) -> tuple[str, ...]:
+        return (self.base_col,) if self.chunked else self.key_cols
+
+    def _merge_state(
+        self, prior: DataFrame | None, batch: DataFrame, touched: list[int]
+    ) -> DataFrame:
+        if not self.chunked:
+            return merge_batch(
+                prior,
+                batch,
+                self.text_cols,
+                key_cols=self.key_cols,
+                cluster_col=BUCKET_COL,
+                cluster_partitions=len(touched),
+            )
+        # replace-set per base key (the ChunkedPointsCollection rule):
+        # all rows of the max-lsn event win — a shrunk re-embed drops its
+        # stale tail chunks, one base-id tombstone drops every chunk
+        from pyspark.sql.window import Window
+
+        ev = eligible_events(batch, self.text_cols)
+        cols = [
+            "op", "lsn", *self.key_cols, self.base_col,
+            *[c for c in batch.columns if c.startswith("after_")],
+            BUCKET_COL,
+        ]
+        ev = ev.select(*dict.fromkeys(cols))
+        if prior is not None:
+            ev = prior.select(*ev.columns).unionByName(ev)
+        ev = ev.repartition(len(touched), BUCKET_COL)
+        w = Window.partitionBy(BUCKET_COL, self.base_col)
+        return (
+            ev.withColumn("_mx", F.max("lsn").over(w))
+            .where(F.col("lsn") == F.col("_mx"))
+            .drop("_mx")
+            .dropDuplicates([*self.key_cols, "lsn"])
+        )
+
+    # ---- crash recovery --------------------------------------------------
+
+    def _recover_if_torn(self) -> None:
+        """Rebuild the agg from the full live state when the epoch stamps
+        disagree — the crash-between-the-two-swaps case. O(state), runs
+        only on recovery."""
+        se, ae = _read_epoch(self._epoch_state), _read_epoch(self._epoch_agg)
+        if se == ae:
+            return
+        full = read_bucketed_state(self.spark, self.state_path)
+        if full is None:
+            import shutil
+
+            shutil.rmtree(self.agg_path, ignore_errors=True)
+            shutil.rmtree(self.agg_path + ".old", ignore_errors=True)
+        else:
+            swap_write(self._live_agg(full).coalesce(1), self.agg_path)
+        _write_epoch(self._epoch_agg, se)
+
+    # ---- per-batch fold --------------------------------------------------
 
     def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
         """foreachBatch hook: merge the batch into the keyed state AND
         fold the group deltas into the agg table."""
-        bexpr = bucket_expr(self.key_cols, self.n_buckets)
+        self._recover_if_torn()
+        bexpr = bucket_expr(self._bucket_key(), self.n_buckets)
         ev = eligible_events(batch, self.text_cols).withColumn(BUCKET_COL, bexpr)
         touched = sorted(
             r[0] for r in ev.select(BUCKET_COL).distinct().collect()
@@ -103,61 +332,58 @@ class IncrementalGroupAgg:
         if not touched:
             return
         prior = read_bucketed_state(self.spark, self.state_path, buckets=touched)
-        merged = merge_batch(
-            prior,
-            batch.withColumn(BUCKET_COL, bexpr),
-            self.text_cols,
-            key_cols=self.key_cols,
-            cluster_col=BUCKET_COL,
-            cluster_partitions=len(touched),
+        merged = self._merge_state(
+            prior, batch.withColumn(BUCKET_COL, bexpr), touched
         )
         before = self._live_agg(prior)
         after = self._live_agg(merged)
-        if before is None:
-            delta = after
-        else:
-            b = before.select(
-                "grp", F.col("n").alias("_bn"), F.col("chars").alias("_bc")
-            )
-            delta = (
-                after.join(b, "grp", "full_outer")
-                .select(
-                    "grp",
-                    (F.coalesce(F.col("n"), F.lit(0))
-                     - F.coalesce(F.col("_bn"), F.lit(0))).alias("n"),
-                    (F.coalesce(F.col("chars"), F.lit(0))
-                     - F.coalesce(F.col("_bc"), F.lit(0))).alias("chars"),
-                )
-                .where((F.col("n") != 0) | (F.col("chars") != 0))
-            )
+        delta = after if before is None else self._resum(after, self._negate(before))
         cur = read_state(self.spark, self.agg_path)
-        if cur is None:
-            new_agg = delta
-        else:
-            new_agg = (
-                cur.select(
-                    "grp", F.col("n").alias("_cn"), F.col("chars").alias("_cc")
-                )
-                .join(delta, "grp", "full_outer")
-                .select(
-                    "grp",
-                    (F.coalesce(F.col("_cn"), F.lit(0))
-                     + F.coalesce(F.col("n"), F.lit(0))).alias("n"),
-                    (F.coalesce(F.col("_cc"), F.lit(0))
-                     + F.coalesce(F.col("chars"), F.lit(0))).alias("chars"),
-                )
-            )
-        new_agg = new_agg.where(F.col("n") > 0).coalesce(1)
+        new_agg = delta if cur is None else self._resum(cur, delta)
+        new_agg = new_agg.where(F.col(_LIVE) > 0).coalesce(1)
         # ONE pre-swap materialization covers both needs: Δ (which reads
         # `prior`'s files) is evaluated through the agg merge before the
         # bucket swap replaces those files, and the later swap_write
         # writes from the checkpoint instead of recomputing
         new_agg = new_agg.localCheckpoint(eager=True)
+        epoch = _read_epoch(self._epoch_state) + 1
+        # stamp order: state stamp BEFORE the state mutation, agg stamp
+        # AFTER the agg swap — a crash anywhere between leaves them
+        # unequal and the next call rebuilds (module docstring)
+        _write_epoch(self._epoch_state, epoch)
         swap_buckets(merged, self.state_path, touched)
         swap_write(new_agg, self.agg_path)
+        _write_epoch(self._epoch_agg, epoch)
+
+    # ---- reads -----------------------------------------------------------
 
     def read(self) -> DataFrame | None:
-        return read_state(self.spark, self.agg_path)
+        """Current agg table with derived columns: count specs read the
+        live count, avg = sum/cnt, var = population variance from the
+        (sum, ssq, cnt) accumulators."""
+        self._recover_if_torn()
+        raw = read_state(self.spark, self.agg_path)
+        if raw is None:
+            return None
+        cols: list[Column] = [F.col(g) for g in self.out_groups]
+        for s in self.aggs:
+            op, name = s["op"], s["name"]
+            if op == "count":
+                cols.append(F.col(_LIVE).alias(name))
+            elif op == "sum":
+                cols.append(F.col(name))
+            elif op == "avg":
+                sm, ct = F.col(name + "__sum"), F.col(name + "__cnt")
+                cols.append(F.when(ct > 0, sm / ct).alias(name))
+            elif op == "var":
+                sm, sq, ct = (
+                    F.col(name + "__sum"),
+                    F.col(name + "__ssq"),
+                    F.col(name + "__cnt"),
+                )
+                mean = sm / ct
+                cols.append(F.when(ct > 0, sq / ct - mean * mean).alias(name))
+        return raw.select(*cols)
 
 
 def c12_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,6 +436,7 @@ FROM (
 ) t WHERE rn = 1 AND op <> 'd'
 GROUP BY after_author ORDER BY author
 """
+
 
 def _oracles() -> dict:
     from .changelog import CHANGES_CTE

@@ -223,14 +223,30 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
     if sink.type == "group_agg":
         # maintain the IVM GROUP BY materialization from the same stream
         # (cdc/ivm.py): per-batch group deltas from touched buckets only.
-        # Group key comes from the points' metadata map; chars need the
-        # extracted text (boot passes keep_text=True for this sink type)
-        from .cdc.ivm import IncrementalGroupAgg
+        # Group key(s) come from the points' metadata map (comma-separated
+        # for multi-column grouping); the default aggs need the extracted
+        # text (boot passes keep_text=True for this sink type).
+        # ``options.aggs`` accepts the YAML spec list ({name, op, col};
+        # op ∈ count/sum/avg/var — cdc.ivm.agg_specs enforces the
+        # self-maintainability boundary at config time, so min/max fail
+        # the boot, not the 40th micro-batch), with col expressions over
+        # ``after_text`` and the ``after_grp*`` metadata extracts.
+        from .cdc.ivm import IncrementalGroupAgg, agg_specs
 
         gpath = opts.get("path")
         if not gpath:
             raise ValueError("group_agg sink requires options.path")
-        gkey = opts.get("group_key", "author")
+        gkeys = [
+            k.strip()
+            for k in str(opts.get("group_key", "author")).split(",")
+            if k.strip()
+        ]
+        gcols = (
+            ["after_grp"]
+            if len(gkeys) == 1
+            else [f"after_grp{i}" for i in range(len(gkeys))]
+        )
+        gaggs = agg_specs(opts.get("aggs"))  # validate at boot, not batch 40
         gbuckets = int(opts.get("n_buckets", 64))
         gcache: dict[str, IncrementalGroupAgg] = {}
 
@@ -243,20 +259,31 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
             agg = gcache.get("a")
             if agg is None:
                 agg = gcache["a"] = IncrementalGroupAgg(
-                    pts.sparkSession, gpath, group_col="after_grp",
+                    pts.sparkSession, gpath, group_cols=gcols,
+                    aggs=gaggs or None,
                     text_cols=("after_text",), n_buckets=gbuckets,
+                    chunked=idx_chunked,
                 )
             # points → the changes shape the merge machinery speaks
-            # (op/tbl/pk/lsn/after_*): tbl is a constant, pk the point id
-            agg.apply_batch(
-                pts.select(
-                    F.lit("points").alias("tbl"),
-                    F.col("id").alias("pk"),
-                    "op", "lsn",
-                    F.col("text").alias("after_text"),
-                    F.element_at(F.col("metadata"), gkey).alias("after_grp"),
-                )
-            )
+            # (op/tbl/pk/lsn/after_*): tbl is a constant, pk the point id.
+            # Chunked configs also carry base_pk: the IVM state then
+            # applies replace-set per base key (one base-id tombstone
+            # supersedes every chunk; a shrunk re-embed sheds its stale
+            # tail), COUNT specs count base documents, and SUM specs sum
+            # over chunk rows — the documented chunked semantics
+            sel = [
+                F.lit("points").alias("tbl"),
+                F.col("id").alias("pk"),
+                F.col("op"), F.col("lsn"),
+                F.col("text").alias("after_text"),
+                *[
+                    F.element_at(F.col("metadata"), k).alias(c)
+                    for k, c in zip(gkeys, gcols)
+                ],
+            ]
+            if idx_chunked:
+                sel.append(F.col("base_id").alias("base_pk"))
+            agg.apply_batch(pts.select(*sel))
 
         return hook
 
@@ -511,7 +538,9 @@ def boot(
     # key tombstones on the base id (before '#'), giving replace-set
     # chunk semantics natively (ann_index/lex_index chunked=True —
     # sink_hooks_for passes the flag); qdrant/milvus get the same
-    # semantics via payload-filter deletes in their chunked hooks
+    # semantics via payload-filter deletes in their chunked hooks;
+    # group_agg keys its state on base_pk since round 9 (replace-set,
+    # counts base documents — cdc/ivm.py chunked-mode docstring)
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 
     keep_text = isinstance(cfg, PipelineConfig) and any(

@@ -151,8 +151,23 @@ def ensure_collection(
     try:
         send_with_retry(req, timeout_s)
     except urllib.error.HTTPError as e:
-        if e.code != 409:  # already exists (concurrent creator) is fine
+        if e.code != 409:
             raise
+        # 409 = the collection already exists (concurrent creator, or the
+        # info GET above failed transiently while the collection was
+        # there all along). Do NOT treat that as verified: re-fetch the
+        # info and run the dim check — otherwise a mismatched collection
+        # slips past and every subsequent upsert fails with opaque 400s
+        with urllib.request.urlopen(
+            urllib.request.Request(info_url), timeout=timeout_s
+        ) as resp:
+            existing = _extract_vector_size(json.loads(resp.read()))
+        if existing > 0 and dim > 0 and existing != dim:
+            raise ValueError(
+                f"collection {collection!r} exists with size={existing} "
+                f"but the pipeline embeds dim={dim}; drop or recreate it"
+            ) from e
+        return existing or dim
     return dim
 
 

@@ -233,3 +233,250 @@ def test_boot_group_agg_sink_end_to_end(spark, sf_dir, tmp_path):
     assert got == want != {}
     # and the agg's live keys agree with the collection's live count
     assert sum(n for n, _ in got.values()) == coll.live().count()
+
+
+# ---- round-9 additions: NULL groups, torn-commit recovery, generalized
+# aggs, chunked replace-set semantics ---------------------------------------
+
+_SCHEMA = ("lsn long, op string, tbl string, pk string, "
+           "after_title string, after_content string, after_author string")
+
+
+def test_null_group_keys_aggregate_as_one_group(spark, tmp_path):
+    """ADVICE r8: a join-based delta never matches NULL group keys, so a
+    NULL author would gain duplicate rows each batch and deletes would
+    never decrement it. The union+re-aggregate delta must maintain the
+    NULL group exactly — GROUP BY semantics, matching the SQL oracle."""
+    ivm = IncrementalGroupAgg(spark, str(tmp_path / "ng"), n_buckets=4)
+    ivm.apply_batch(spark.createDataFrame([
+        (1, "c", "public.documents", "k1", "aaa", "bb", None),
+        (2, "c", "public.documents", "k2", "cc", "", None),
+        (3, "c", "public.documents", "k3", "dddd", "", "g1"),
+    ], _SCHEMA))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    assert got == {None: (2, 8), "g1": (1, 4)}, got
+
+    # second batch touches the NULL group both ways: update k1 (chars
+    # change within the NULL group) and delete k2
+    ivm.apply_batch(spark.createDataFrame([
+        (4, "u", "public.documents", "k1", "aaaaaa", "bb", None),
+        (5, "d", "public.documents", "k2", None, None, None),
+    ], _SCHEMA))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    assert got == {None: (1, 9), "g1": (1, 4)}, got
+
+    # and the NULL group drains to zero like any other
+    ivm.apply_batch(spark.createDataFrame(
+        [(6, "d", "public.documents", "k1", None, None, None)], _SCHEMA))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    assert got == {"g1": (1, 4)}, got
+
+
+def test_torn_commit_recovers_by_rebuild(spark, tmp_path):
+    """A crash between the state swap and the agg swap leaves the two
+    stores at different epochs; the next read()/apply_batch must detect
+    the mismatch and rebuild the agg from the live state instead of
+    serving (or folding onto) the stale agg — without the stamps the
+    replayed delta is ~0 and the batch's contribution is lost forever."""
+    import shutil
+
+    from cdc2vec_spark.cdc.ivm import _read_epoch, _write_epoch
+
+    root = str(tmp_path / "tc")
+    ivm = IncrementalGroupAgg(spark, root, n_buckets=4)
+    b1 = spark.createDataFrame([
+        (1, "c", "public.documents", "k1", "aaa", "bb", "g1"),
+        (2, "c", "public.documents", "k2", "cc", "", "g2"),
+    ], _SCHEMA)
+    b2 = spark.createDataFrame([
+        (3, "u", "public.documents", "k1", "aaaaaa", "bb", "g1"),
+        (4, "c", "public.documents", "k3", "ee", "", "g2"),
+    ], _SCHEMA)
+    ivm.apply_batch(b1)
+    shutil.copytree(root + "/agg", str(tmp_path / "agg_stale"))
+    ivm.apply_batch(b2)
+    want = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    assert want == {"g1": (1, 9), "g2": (2, 4)}, want
+
+    # simulate the crash: state is post-b2, agg rolled back to post-b1
+    # with its epoch (exactly what a kill between the two swaps leaves)
+    shutil.rmtree(root + "/agg")
+    shutil.copytree(str(tmp_path / "agg_stale"), root + "/agg")
+    _write_epoch(root + "/_epoch_agg", _read_epoch(root + "/_epoch_state") - 1)
+
+    fresh = IncrementalGroupAgg(spark, root, n_buckets=4)
+    got = {r["grp"]: (r["n"], r["chars"]) for r in fresh.read().collect()}
+    assert got == want, (got, want)
+    assert _read_epoch(root + "/_epoch_agg") == _read_epoch(root + "/_epoch_state")
+
+    # checkpoint replay of the torn batch folds in idempotently
+    fresh.apply_batch(b2)
+    got = {r["grp"]: (r["n"], r["chars"]) for r in fresh.read().collect()}
+    assert got == want, (got, want)
+
+
+def test_generalized_aggs_avg_var_and_multicolumn_grouping(spark, tmp_path):
+    """Configurable self-maintainable aggs (sum/avg/var via additive
+    accumulators) over a typed extracted column, grouped by TWO columns,
+    must equal a from-scratch GROUP BY over the live state after a
+    replay with updates and deletes."""
+    import math
+
+    schema = ("lsn long, op string, tbl string, pk string, "
+              "after_title string, after_content string, "
+              "after_author string, after_lang string")
+    rows = [
+        (1, "c", "public.documents", "k1", "t", "aaaa", "g1", "en"),
+        (2, "c", "public.documents", "k2", "t", "bb", "g1", "en"),
+        (3, "c", "public.documents", "k3", "t", "cccccc", "g1", "de"),
+        (4, "c", "public.documents", "k4", "t", "dd", "g2", "en"),
+        (5, "u", "public.documents", "k1", "t", "aaaaaaaa", "g1", "en"),
+        (6, "d", "public.documents", "k2", None, None, None, None),
+    ]
+    aggs = [
+        {"name": "n", "op": "count"},
+        {"name": "len_sum", "op": "sum", "col": "length(after_content)"},
+        {"name": "len_avg", "op": "avg", "col": "length(after_content)"},
+        {"name": "len_var", "op": "var", "col": "length(after_content)"},
+    ]
+    ivm = IncrementalGroupAgg(
+        spark, str(tmp_path / "ga"), group_cols=("after_author", "after_lang"),
+        aggs=aggs, n_buckets=4,
+    )
+    # two batches so the avg/var accumulators must actually merge
+    ivm.apply_batch(spark.createDataFrame(rows[:3], schema))
+    ivm.apply_batch(spark.createDataFrame(rows[3:], schema))
+    got = {
+        (r["after_author"], r["after_lang"]):
+            (r["n"], r["len_sum"], r["len_avg"], r["len_var"])
+        for r in ivm.read().collect()
+    }
+    # live state: k1(g1,en,len 8), k3(g1,de,6), k4(g2,en,2)
+    assert set(got) == {("g1", "en"), ("g1", "de"), ("g2", "en")}
+    n, s, a, v = got[("g1", "en")]
+    assert (n, s) == (1, 8) and a == 8.0 and v == 0.0
+    n, s, a, v = got[("g1", "de")]
+    assert (n, s, a, v) == (1, 6, 6.0, 0.0)
+
+    # population variance check with two members: delete nothing, add a
+    # second (g1, en) doc and verify against the closed form
+    ivm.apply_batch(spark.createDataFrame(
+        [(7, "c", "public.documents", "k5", "t", "xx", "g1", "en")], schema))
+    n, s, a, v = {
+        (r["after_author"], r["after_lang"]):
+            (r["n"], r["len_sum"], r["len_avg"], r["len_var"])
+        for r in ivm.read().collect()
+    }[("g1", "en")]
+    assert (n, s, a) == (2, 10, 5.0)
+    assert math.isclose(v, ((8 - 5) ** 2 + (2 - 5) ** 2) / 2)
+
+
+def test_minmax_specs_rejected_at_config_time():
+    from cdc2vec_spark.cdc.ivm import agg_specs
+
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        agg_specs([{"name": "m", "op": "max", "col": "length(after_content)"}])
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        agg_specs([{"name": "m", "op": "min", "col": "length(after_content)"}])
+    with pytest.raises(ValueError, match="unknown op"):
+        agg_specs([{"name": "m", "op": "median", "col": "x"}])
+
+
+def test_chunked_replace_set_counts_base_docs(spark, tmp_path):
+    """Chunked mode: state is per-chunk but COUNT specs count live BASE
+    documents; a shrunk re-embed sheds its stale tail chunk and one
+    base-id tombstone drops every chunk (the ADVICE r8 failure: per-pk
+    LWW keyed on chunk ids never decrements on base-id deletes)."""
+    schema = ("lsn long, op string, tbl string, pk string, base_pk string, "
+              "after_text string, after_grp string")
+    ivm = IncrementalGroupAgg(
+        spark, str(tmp_path / "ck"), group_col="after_grp",
+        text_cols=("after_text",), n_buckets=4, chunked=True,
+    )
+    ivm.apply_batch(spark.createDataFrame([
+        (1, "c", "points", "A#0", "A", "aaaa", "g1"),
+        (1, "c", "points", "A#1", "A", "bbbb", "g1"),
+        (1, "c", "points", "A#2", "A", "cc", "g1"),
+        (2, "c", "points", "B#0", "B", "ddd", "g1"),
+    ], schema))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    assert got == {"g1": (2, 13)}, got  # 2 base docs, 10+3 chunk chars
+
+    # re-embed A with fewer chunks: stale A#2 must not survive
+    ivm.apply_batch(spark.createDataFrame([
+        (3, "u", "points", "A#0", "A", "eeee", "g1"),
+        (3, "u", "points", "A#1", "A", "ff", "g1"),
+    ], schema))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    assert got == {"g1": (2, 9)}, got  # still 2 docs; 6+3 chars
+
+    # one base-id tombstone removes every chunk of A
+    ivm.apply_batch(spark.createDataFrame(
+        [(4, "d", "points", "A", "A", None, None)], schema))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+    assert got == {"g1": (1, 3)}, got
+
+
+def test_boot_chunked_group_agg_end_to_end(spark, sf_dir, tmp_path):
+    """VERDICT r8 ask #6: sink.type=group_agg composes with engine.chunk.
+    After a chunked boot replay, the maintained agg counts live BASE
+    documents per author (keys, not chunks) and sums CHUNK characters
+    (documented overlap-inclusive semantics)."""
+    import dataclasses
+
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.cdc.apply import latest_state
+    from cdc2vec_spark.cdc.pipeline import build_points
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    from cdc2vec_spark.embed.provider import DeterministicHashProvider
+    from cdc2vec_spark.streaming import source
+
+    gpath = str(tmp_path / "gagg")
+    eng = dataclasses.replace(DEFAULT_CONFIG, chunk_tokens=8, chunk_stride=6)
+    cfg = PipelineConfig(
+        engine=eng, source=SourceConfig(),
+        sink=SinkConfig(
+            type="group_agg",
+            options={"path": gpath, "group_key": "after_author"},
+        ),
+    )
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    agg = IncrementalGroupAgg(
+        spark, gpath, group_col="after_grp", text_cols=("after_text",),
+        chunked=True,
+    )
+    got = {r["grp"]: (r["n"], r["chars"]) for r in agg.read().collect()}
+
+    # reference: chunk the LWW winners' text with the same chunker and
+    # aggregate per author — n over base docs, chars over chunk rows
+    live = latest_state(ch).withColumn("op", F.lit("c")).withColumn(
+        "lsn", F.lit(0)
+    ).withColumn("tbl", F.lit("public.documents"))
+    pts = build_points(
+        live, eng.mappings[0], DeterministicHashProvider(dim=eng.vector_size),
+        chunk=eng.chunk, keep_text=True,
+    )
+    want = {
+        r["g"]: (r["n"], r["chars"])
+        for r in pts.groupBy(
+            F.element_at("metadata", "after_author").alias("g")
+        ).agg(
+            F.count_distinct("base_id").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        ).collect()
+    }
+    assert got == want != {}, (got, want)

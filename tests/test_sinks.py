@@ -441,3 +441,62 @@ def test_qdrant_ensure_collection_create_verify_and_mismatch():
             ensure_collection(url, "docs", dim=8)
     finally:
         srv.shutdown()
+
+
+def test_qdrant_ensure_collection_409_rechecks_dim():
+    """A transiently failing info GET followed by a 409 on create must
+    NOT skip the dim check: ensure_collection re-fetches the collection
+    info and verifies the size (treating 409 as unconditional success
+    would let a mismatched collection pass as verified, and every
+    subsequent upsert would 400 opaquely)."""
+    import http.server
+    import json as _json
+    import threading
+
+    import pytest as _pytest
+
+    from cdc2vec_spark.sinks.qdrant import ensure_collection
+
+    state = {"get_codes": [], "exists_dim": 4}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            code = state["get_codes"].pop(0) if state["get_codes"] else 200
+            if code != 200:
+                self.send_response(code)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = _json.dumps({
+                "result": {"config": {"params": {"vectors": {
+                    "size": state["exists_dim"], "distance": "Cosine"}}}}
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_PUT(self):
+            n = int(self.headers["Content-Length"])
+            self.rfile.read(n)
+            self.send_response(409)  # concurrent creator / already exists
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # transient 404 on info → create 409s → re-fetch sees size=4 but
+        # the pipeline embeds dim=8 → refuse, do not report verified
+        state["get_codes"] = [404]
+        with _pytest.raises(ValueError, match="size=4.*dim=8"):
+            ensure_collection(url, "docs", dim=8)
+        # same dance with a MATCHING size → verified via the re-fetch
+        state["get_codes"] = [404]
+        assert ensure_collection(url, "docs", dim=4) == 4
+    finally:
+        srv.shutdown()
