@@ -50,12 +50,22 @@ def funnel_counts(
     step in order within ``within`` of their step-1 time; conv_micro =
     round(1e6 · n_users / step-1 users) — fixed-point so the output
     hashes identically across engines and partitionings."""
+    from pyspark.sql.window import Window
+
     assert len(steps) >= 2
     cur = (
         events.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t1"))
     )
+    # eagerly materialize each step's completion table (the d16
+    # clean_corpus precedent): step i's table feeds BOTH step i+1's join
+    # and its own count in the final union — without the checkpoint,
+    # step N's count re-executes steps 1..N−1's scans/joins/aggs, which
+    # doubles the heaviest stage at billions of events. After this, the
+    # events relation is scanned exactly once per step (its type-filter
+    # scan), and the final counting plan reads only the checkpoints.
+    cur = cur.localCheckpoint(eager=True)
     per_step = [cur]  # step i's (user, t1, ti) completion table
     cur = cur.withColumn("t_prev", F.col("t1"))
     for s in steps[1:]:
@@ -70,12 +80,11 @@ def funnel_counts(
             )
             .groupBy(user_col, "t1")
             .agg(F.min("_ts").alias("t_step"))
-        )
+        ).localCheckpoint(eager=True)
         per_step.append(nxt)
         cur = nxt.withColumn("t_prev", F.col("t_step"))
 
     out = None
-    base = per_step[0].count()
     for i, (s, df) in enumerate(zip(steps, per_step), start=1):
         n = df.select(
             F.lit(i).alias("step"),
@@ -83,13 +92,16 @@ def funnel_counts(
             F.count(F.lit(1)).alias("n_users"),
         )
         out = n if out is None else out.unionByName(n)
+    # the step-1 base for the conversion ratio comes from the SAME plan
+    # via a window over the (≤ len(steps))-row union — no separate
+    # count() action re-running anything
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(wall)
     return out.select(
         "step",
         "event_type",
         "n_users",
-        F.round(F.col("n_users") * _SCALE / F.lit(base))
-        .cast("long")
-        .alias("conv_micro"),
+        F.round(F.col("n_users") * _SCALE / base).cast("long").alias("conv_micro"),
     ).orderBy("step")
 
 
