@@ -576,6 +576,36 @@ class IncrementalIvfIndex:
             "imbalance": round(int(row["max_cell"] or 0) / avg, 2) if avg else 0.0,
         }
 
+    def live_points(self) -> DataFrame | None:
+        """The index's current live survivors (max-LSN per id vs the
+        tombstone log, deletes dropped) as (id, vector, lsn, *payload) —
+        the rebuild source and the evaluation corpus for the
+        index-health loop (operators.index_health)."""
+        state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
+        if state is None:
+            return None
+        live = state.where(F.col(CELL_COL) != TOMB_CELL)
+        tomb = self._tombstone_maxlsn()
+        if tomb is not None:
+            live = self._drop_tombstoned(live, tomb)
+        return live.select(
+            self.id_col, self.vec_col, "lsn", *self.payload_cols
+        )
+
+    def rebuild(self, centroid_every: int = 31) -> None:
+        """Offline retrain + rebuild in place — the rebuild_policy's
+        action: re-read the live survivors, retrain centroids on the
+        CURRENT distribution (centroid drift is the thing being cured),
+        and rebuild preserving each row's lsn so a replayed CDC batch
+        still merges idempotently. O(index) by design; runs on the
+        policy cadence, never per batch."""
+        pts = self.live_points()
+        if pts is None:
+            return
+        # materialize fully BEFORE build() wipes the cell directories
+        pts = pts.localCheckpoint(eager=True)
+        self.build(pts, centroid_every=centroid_every, lsn_col="lsn")
+
     def compact(self) -> None:
         """Offline GC: resolve survivors globally (max-LSN per id vs the
         tombstone log, deletes dropped), rewrite every cell, clear the
