@@ -17,6 +17,7 @@ test-fast:
 
 # live integration suite against the compose stack (Postgres + Qdrant):
 #   make up && pip install psycopg2-binary && make integration
+# add the live-embed case with: docker compose --profile ollama up -d
 # real WAL decode, real collection ensure/upsert/search, full boot loop;
 # skips per-service when a service (or psycopg2) is absent
 integration:

@@ -279,3 +279,55 @@ def test_full_loop_postgres_to_qdrant(spark, tmp_path):
             ), timeout=10).read()
         except Exception:  # noqa: BLE001 — best-effort cleanup
             pass
+
+
+# --------------------------------------------------------- live embed
+
+OLLAMA_URL = os.environ.get("CDC2VEC_OLLAMA_URL", "http://localhost:11434")
+OLLAMA_MODEL = os.environ.get("CDC2VEC_OLLAMA_MODEL", "nomic-embed-text")
+
+
+def _ollama_up() -> None:
+    try:
+        urllib.request.urlopen(f"{OLLAMA_URL}/api/tags", timeout=5).read()
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"Ollama not reachable at {OLLAMA_URL}: {e} "
+                    "(compose --profile ollama)")
+
+
+def test_ollama_embed_round_trip(spark):
+    """VERDICT r08 ask #7: one real round-trip through the Ollama HTTP
+    provider (compose ``--profile ollama``): the pandas_udf path embeds
+    a small frame against the live server — vectors are non-null, of one
+    consistent dimension, deterministic for repeated text, and the fused
+    normalize path returns unit norms."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.embed.provider import OllamaHTTPProvider
+
+    _ollama_up()
+    prov = OllamaHTTPProvider(OLLAMA_URL, OLLAMA_MODEL)
+    try:
+        probe = prov.embed_one("connectivity probe")
+    except Exception as e:  # noqa: BLE001 — server up but model absent
+        pytest.skip(f"Ollama embed failed (model {OLLAMA_MODEL!r} pulled?): {e}")
+    dim = len(probe)
+    assert dim > 0
+
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "delta epsilon"),
+         ("c", "alpha beta gamma")],
+        "id string, text string",
+    )
+    out = df.select("id", prov.udf().alias("vec")).collect()
+    vecs = {r["id"]: r["vec"] for r in out}
+    assert all(v is not None and len(v) == dim for v in vecs.values())
+    assert vecs["a"] == vecs["c"]  # deterministic per text
+    assert vecs["a"] != vecs["b"]
+
+    normed = df.limit(1).select(prov.udf(normalize=True).alias("vec")).first()
+    assert math.isclose(
+        math.fsum(x * x for x in normed["vec"]), 1.0, rel_tol=1e-3
+    )
