@@ -480,3 +480,80 @@ def test_boot_chunked_group_agg_end_to_end(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want != {}, (got, want)
+
+
+def test_yaml_aggs_spec_drives_the_group_agg_sink(spark, sf_dir, tmp_path):
+    """VERDICT r8 ask #5 (config surface): sink.type=group_agg accepts
+    an aggs spec straight from YAML — boot with count/sum/avg specs,
+    then check the derived avg equals sum/count on every group; a
+    min/max spec must fail at hook construction (boot), not at batch N."""
+    import math
+    import textwrap
+
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import load_yaml
+    from cdc2vec_spark.streaming import source
+
+    gpath = str(tmp_path / "gagg")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as fh:
+        fh.write(textwrap.dedent(f"""
+        engine:
+          vector_size: 8
+          provider: deterministic
+        sink:
+          type: group_agg
+          group_agg:
+            path: "{gpath}"
+            group_key: "after_author"
+            aggs:
+              - {{name: n, op: count}}
+              - {{name: chars, op: sum, col: "length(after_text)"}}
+              - {{name: avg_chars, op: avg, col: "length(after_text)"}}
+        mapping:
+          - table: "public.documents"
+            id_column: "id"
+            text_columns: ["title", "content"]
+            metadata_columns: ["author"]
+        """))
+    cfg = load_yaml(cfg_path)
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=2, order_col="lsn")
+    query, _, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    agg = IncrementalGroupAgg(
+        spark, gpath, group_col="after_grp", text_cols=("after_text",),
+        aggs=[
+            {"name": "n", "op": "count"},
+            {"name": "chars", "op": "sum", "col": "length(after_text)"},
+            {"name": "avg_chars", "op": "avg", "col": "length(after_text)"},
+        ],
+    )
+    rows = agg.read().collect()
+    assert rows
+    for r in rows:
+        assert r["n"] > 0
+        assert math.isclose(r["avg_chars"], r["chars"] / r["n"], rel_tol=1e-9)
+
+    # a non-self-maintainable spec fails at config/boot time
+    from cdc2vec_spark.config import PipelineConfig, SinkConfig, SourceConfig
+    from cdc2vec_spark.config import DEFAULT_CONFIG
+
+    bad = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(type="group_agg", options={
+            "path": str(tmp_path / "bad"),
+            "aggs": [{"name": "m", "op": "max", "col": "length(after_text)"}],
+        }),
+    )
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        runner.sink_hook_for(bad)
