@@ -32,6 +32,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     try:
         from cdc2vec_spark.operators import ann_index as _ann_index
         from cdc2vec_spark.operators import bpe as _bpe
+        from cdc2vec_spark.operators import classify as _classify
         from cdc2vec_spark.operators import corpus as _corpus
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
@@ -59,7 +60,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
             [_dedup, _decontam, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _layout, _retrieval, _retrieval_eval,
-             _pii, _span_dedup, _funnel,
+             _pii, _span_dedup, _funnel, _classify,
              _reduce, _winnow, _lm, _html_extract, _urls, _bpe]
         )
     except ImportError:

@@ -78,6 +78,9 @@ HEADLINE = [
     "c11_retention",         # weekly cohort retention matrix
     "c12_incremental_agg",   # IVM: CDC-maintained GROUP BY (4 batches)
     "t9_nfc_normalize",      # Unicode NFC canonicalization (Arrow UDF)
+    # round-9 additions
+    "c13_asof_join",         # tolerance-banded backward as-of join
+    "d36_quality_classifier",  # hashed-linear quality filter (scan-stage)
 ]
 
 

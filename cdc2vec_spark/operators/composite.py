@@ -68,6 +68,10 @@ CONSOLIDATED: tuple[str, ...] = (
     "b16_sketches",
     "c4_watermark",
     "c8_interval_join",
+    # round-9 additions: exact oracles pinned at two SFs in
+    # tests/test_joins.py / tests/test_classify.py; rotation candidates
+    "c13_asof_join",
+    "d36_quality_classifier",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -150,7 +154,7 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join
+    from ..streaming.joins import c8_interval_join, c13_asof_join
     from ..streaming.windows import c4_watermark
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
@@ -165,6 +169,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
+            ("c13_asof_join", c13_asof_join),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -175,6 +180,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic-dedup + multimodal-feature + semantic-dedup
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files)."""
+    from .classify import d36_quality_classifier
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
     from .similarity import d12_semdedup
@@ -188,6 +194,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d9_keep_canonical", d9_keep_canonical),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
+            ("d36_quality_classifier", d36_quality_classifier),
         ],
     )
 
@@ -323,9 +330,10 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join
+    from ..streaming.joins import c8_interval_join, c13_asof_join
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
+    from .classify import d36_quality_classifier
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .lex_index import d18_cdc_bm25
@@ -385,6 +393,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
+        "c13_asof_join": c13_asof_join,
+        "d36_quality_classifier": d36_quality_classifier,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

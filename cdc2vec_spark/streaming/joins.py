@@ -116,11 +116,52 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+def c13_asof_join(spark, sf_dir: str) -> DataFrame:
+    """C13 (added round 9) — purchase → last-click attribution via the
+    as-of join: for each purchase, the latest click by the same user
+    within the hour before it (backward merge_asof semantics), left
+    outer so unattributed purchases are kept. Output carries the
+    matched click's TIMESTAMP (not its id): when two clicks tie on ts
+    the winning row is engine-arbitrary but the ts is identical, so the
+    result hashes deterministically. The oracle is DuckDB's native
+    QUALIFY/window spelling of the same backward-asof rule — a real
+    cross-engine check of the tolerance-banded join."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        key="user_id", tolerance="1 hour",
+        left_id="event_id", right_cols=["ts", "user_id"],
+    )
+    return out.select(
+        "event_id", F.col("r_ts").alias("click_ts")
+    ).orderBy("event_id")
+
+
+C13_ORACLE_SQL = """
+SELECT p.event_id AS event_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) = 1
+ORDER BY event_id
+"""
+
 # round-9 rotation: c9 individually graded (was composite-delivered in
 # x1 for round 8); c8 stays composite-delivered (stream≡batch parity
-# pinned in tests, no single SQL oracle for the replayed stream form)
-QUERIES: dict = {"c9_stream_enrich": c9_stream_enrich}
-ORACLES: dict = {"c9_stream_enrich": C9_ORACLE_SQL}
+# pinned in tests, no single SQL oracle for the replayed stream form);
+# c13 (round-9 addition) composite-delivered in x1, rotation candidate
+QUERIES: dict = {
+    "c9_stream_enrich": c9_stream_enrich,
+    "c13_asof_join": c13_asof_join,
+}
+ORACLES: dict = {
+    "c9_stream_enrich": C9_ORACLE_SQL,
+    "c13_asof_join": C13_ORACLE_SQL,
+}
 
 
 def c8_interval_join(spark, sf_dir: str) -> DataFrame:

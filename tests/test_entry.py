@@ -80,11 +80,12 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c8_interval_join",
+            "c13_asof_join",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",
-            "d12_semdedup",
+            "d12_semdedup", "d36_quality_classifier",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from cdc2vec_spark.io import load_table
 from cdc2vec_spark.streaming import joins, source
+from tests.conftest import SF0001, SF001
 
 TS0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
@@ -191,3 +192,19 @@ def test_c9_plan_broadcasts_the_dimension(spark, sf_dir):
     a BroadcastHashJoin in the executed plan."""
     plan = joins.c9_stream_enrich(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_c13_asof_entry_matches_duckdb_oracle(spark, sf):
+    """The canonical c13 entry (round-9 addition): the tolerance-banded
+    as-of join vs DuckDB's QUALIFY spelling, via the driver's comparator
+    (ties on click ts hash identically because the entry outputs the
+    matched TIMESTAMP, not the row id)."""
+    from oracle_check import compare_one, duckdb_conn
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c13_asof_join", joins.c13_asof_join,
+        joins.C13_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)

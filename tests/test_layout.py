@@ -111,9 +111,10 @@ def test_zordered_write_shrinks_file_bounding_boxes(spark, tmp_path):
     )
 
 
-def test_consolidated_not_in_registry():
+def test_registry_membership_after_rotation():
     import __spark_entry__ as em
 
     qs = em.queries()
-    assert "b21_zorder" not in qs
+    # round-9 rotation: b21_zorder holds an individual graded slot now
+    assert "b21_zorder" in qs
     assert "x4_rowsonly_stable" in qs

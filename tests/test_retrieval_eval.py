@@ -62,9 +62,10 @@ def test_full_probe_equals_exact(spark, sf_dir):
         assert r["rr_micro"] == _SCALE, r
 
 
-def test_consolidated_not_in_registry():
+def test_registry_membership_after_rotation():
     import __spark_entry__ as em
 
     qs = em.queries()
-    assert "d35_retrieval_eval" not in qs
+    # round-9 rotation: d35_retrieval_eval holds an individual graded slot now
+    assert "d35_retrieval_eval" in qs
     assert "x3_rowsonly_ann" in qs
