@@ -95,6 +95,8 @@ NOTES = {
     "c11_retention": "distinct over (user, week) bounds the shuffle by active user-weeks; cohort min reuses the user partitioning; final aggregate is cohort×offset-sized.",
     "c12_incremental_agg": "IVM: per-batch group deltas from ONLY the touched buckets' before/after images, folded into a group-cardinality agg table — never a full-state rescan.",
     "t9_nfc_normalize": "ONE ArrowEvalPython pass (Spark has no normalizer builtin); md5 + length stay JVM-side around it.",
+    "c13_asof_join": "tolerance-banded backward as-of: time-bucket equi-join (key, bucket) + per-left-row max window — a keyed hash join, never a range cross-join.",
+    "d36_quality_classifier": "hashed-linear model application as ONE narrow scan-stage HOF chain — no shuffle, no UDF; runs at I/O speed beside the other scan filters.",
 }
 
 HEADLINE = list(NOTES)
