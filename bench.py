@@ -638,6 +638,19 @@ def _make_sf1(spark) -> str:
         c = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
         ecopies = c if ecopies is None else ecopies.unionByName(c)
     ecopies.repartition(8).write.parquet(f"{root}/embeddings.parquet")
+    # 10x events too (round 9, for the funnel curve): id-shifted copies
+    # with DISJOINT user spaces — event analytics cost scales with users
+    # × their histories, and shifting user_id models 10x the user base
+    # at the same per-user activity (plain replication would give every
+    # user 10 identical histories and understate the per-step joins)
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    vcopies = None
+    for i in range(10):
+        c = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        vcopies = c if vcopies is None else vcopies.unionByName(c)
+    vcopies.repartition(8).write.parquet(f"{root}/events.parquet")
     return root
 
 
@@ -656,6 +669,8 @@ _CURVE_OPS = [
     "d32_web_prep",
     # round 8: the IVM refresh must stay touched-bucket-proportional
     "c12_incremental_agg",
+    # round 9: the checkpointed funnel must scan events once per step
+    "c10_funnel",
     # round 8: eval = truth BLAS pass + slack assignment + broadcast
     # candidate re-attach; must scale with the corpus scan, not pairs
     "d35_retrieval_eval",
