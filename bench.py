@@ -80,7 +80,9 @@ HEADLINE = [
     "t9_nfc_normalize",      # Unicode NFC canonicalization (Arrow UDF)
     # round-9 additions
     "c13_asof_join",         # tolerance-banded backward as-of join
+    "c14_event_paths",       # session transition matrix (one user shuffle)
     "d36_quality_classifier",  # hashed-linear quality filter (scan-stage)
+    "d37_temperature_mix",   # alpha=0.7 source mixing weights + quotas
 ]
 
 

@@ -34,10 +34,15 @@ consolidates them.
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
+                         c13_asof_join + c14_event_paths +
+                         d37_temperature_mix (round-9 additions with
+                         exact two-SF oracles in their test files),
                          d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
-                         own test file)
+                         own test file), d36_quality_classifier
+                         (round-9 addition, exact oracle in
+                         tests/test_classify.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests)
@@ -69,9 +74,12 @@ CONSOLIDATED: tuple[str, ...] = (
     "c4_watermark",
     "c8_interval_join",
     # round-9 additions: exact oracles pinned at two SFs in
-    # tests/test_joins.py / tests/test_classify.py; rotation candidates
+    # tests/test_joins.py / tests/test_classify.py / tests/test_funnel.py
+    # / tests/test_sampling.py; rotation candidates
     "c13_asof_join",
+    "c14_event_paths",
     "d36_quality_classifier",
+    "d37_temperature_mix",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -156,8 +164,9 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join, c13_asof_join
     from ..streaming.windows import c4_watermark
+    from .funnel import c14_event_paths
     from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split
+    from .sampling import d10_pack, d10_split, d37_temperature_mix
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -170,6 +179,8 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
             ("c13_asof_join", c13_asof_join),
+            ("c14_event_paths", c14_event_paths),
+            ("d37_temperature_mix", d37_temperature_mix),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -334,6 +345,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
     from .classify import d36_quality_classifier
+    from .funnel import c14_event_paths
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .lex_index import d18_cdc_bm25
@@ -364,7 +376,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b17_pivot,
         b18_unpivot,
     )
-    from .sampling import d10_pack, d10_split, d14_stratified
+    from .sampling import d10_pack, d10_split, d14_stratified, d37_temperature_mix
     from .selection import d13_dsir
     from .similarity import (
         d3_hyperplane_topk,
@@ -394,7 +406,9 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
         "c13_asof_join": c13_asof_join,
+        "c14_event_paths": c14_event_paths,
         "d36_quality_classifier": d36_quality_classifier,
+        "d37_temperature_mix": d37_temperature_mix,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

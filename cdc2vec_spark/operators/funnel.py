@@ -225,3 +225,84 @@ ORDER BY cohort_week, week_offset
 
 QUERIES["c11_retention"] = c11_retention
 ORACLES["c11_retention"] = C11_ORACLE_SQL
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, integer micros
+
+
+def event_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Session-path transition matrix — which step follows which inside
+    a session (the product-analytics complement to the funnel's fixed
+    step order): sessionize per user with a 30-minute inactivity gap
+    (gaps-and-islands, the c3 idiom), then count consecutive
+    (from_type → to_type) pairs within each session.
+
+    Two windows on the SAME (user) partitioning — the session stamp and
+    the lag both shuffle once on user_id, and exchange reuse keeps it
+    to one physical exchange; the transition count is a tiny
+    |types|²-cardinality aggregate. Timestamps compare as integer
+    micros on both engines, so the session boundaries are bit-exact."""
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w_u = Window.partitionBy(user_col).orderBy(us, F.col(id_col))
+    new_sess = F.when(
+        us - F.lag(us).over(w_u) > _GAP_US, 1
+    ).otherwise(0)
+    sessed = events.select(
+        F.col(user_col), F.col(type_col), F.col(id_col), us.alias("_us"),
+        F.sum(new_sess).over(
+            w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_sess"),
+    )
+    w_s = Window.partitionBy(user_col, "_sess").orderBy("_us", id_col)
+    trans = sessed.select(
+        F.lag(type_col).over(w_s).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return (
+        trans.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def c14_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 (added round 9) — the 30-minute-session transition matrix of
+    the events table."""
+    return event_paths(load_table(spark, sf_dir, "events"))
+
+
+C14_ORACLE_SQL = f"""
+WITH stamped AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   > {_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sessed AS (
+  SELECT *, sum(new_sess) OVER
+         (PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM stamped
+), trans AS (
+  SELECT lag(event_type) OVER
+         (PARTITION BY user_id, sess ORDER BY us, event_id) AS from_type,
+         event_type AS to_type
+  FROM sessed
+)
+SELECT from_type, to_type, count(*) AS n FROM trans
+WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+# round-9 addition: composite-delivered (x1), oracle pinned at two SFs
+# in tests/test_funnel.py; rotation candidate for round 10
+QUERIES["c14_event_paths"] = c14_event_paths
+ORACLES["c14_event_paths"] = C14_ORACLE_SQL

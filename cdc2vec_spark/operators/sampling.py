@@ -468,6 +468,67 @@ FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 50
 """
 
 
+def temperature_mix_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    budget_tokens: int = 10_000_000,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights — THE multi-source
+    pretraining sampling rule (GPT-3 §2.2 / multilingual temperature
+    sampling, Arivazhagan 2019): a source's sampling probability is
+    proportional to its token count raised to α < 1, which up-weights
+    small/high-quality sources relative to raw proportional sampling
+    (α=1) without the winner-take-all of uniform (α=0). Complements
+    d25's fixed-budget mixing: d25 enforces per-source CAPS, this
+    derives the cross-source ALLOCATION those caps should follow.
+
+    One groupBy(source) over scan-stage token counts — the tiny
+    per-source aggregate then carries the α-power normalization as a
+    window over ~|sources| rows. Output is fixed-point (weight_micro,
+    token quota) so the result hashes identically across engines."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(toks).cast("long").alias("n_tokens")
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    share = w / F.sum(w).over(wall)
+    return per.select(
+        "source",
+        "n_tokens",
+        F.round(share * 1_000_000).cast("long").alias("weight_micro"),
+        F.round(share * budget_tokens).cast("long").alias("quota_tokens"),
+    ).orderBy("source")
+
+
+def d37_temperature_mix(spark, sf_dir: str) -> DataFrame:
+    """D37 (added round 9) — α=0.7 temperature mixing weights + a 10M-
+    token quota allocation over the documents table's sources."""
+    from ..io import load_table
+
+    return temperature_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+D37_ORACLE_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_tokens,
+       CAST(round(1000000 * pow(n_tokens, 0.7)
+                  / sum(pow(n_tokens, 0.7)) OVER ()) AS BIGINT) AS weight_micro,
+       CAST(round(10000000 * pow(n_tokens, 0.7)
+                  / sum(pow(n_tokens, 0.7)) OVER ()) AS BIGINT) AS quota_tokens
+FROM per ORDER BY source
+"""
+
+
 QUERIES = {
     "d10_split": d10_split,
     "d10_pack": d10_pack,
@@ -475,6 +536,9 @@ QUERIES = {
     "d25_token_mix": d25_token_mix,
     "d29_shards": d29_shards,
     "d33_weighted_sample": d33_weighted_sample,
+    # round-9 addition: composite-delivered (x1), oracle in
+    # tests/test_sampling.py; rotation candidate for round 10
+    "d37_temperature_mix": d37_temperature_mix,
 }
 # round-8 rotation: d25/d29/d33 hold individual graded slots (their
 # exact oracles registered here); d14 parked in x4 this round (oracle
@@ -486,4 +550,5 @@ ORACLES = {
     "d25_token_mix": D25_ORACLE_SQL,
     "d29_shards": D29_ORACLE_SQL,
     "d33_weighted_sample": D33_ORACLE_SQL,
+    "d37_temperature_mix": D37_ORACLE_SQL,
 }

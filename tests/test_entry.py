@@ -80,7 +80,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c8_interval_join",
-            "c13_asof_join",
+            "c13_asof_join", "c14_event_paths", "d37_temperature_mix",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {

@@ -155,3 +155,48 @@ def test_randomized_events_match_python_reference(spark):
             for r in retention_matrix(ev).collect()
         }
         assert got_r == want, (seed, got_r, want)
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_c14_event_paths_matches_duckdb_oracle(spark, sf):
+    """Round-9 addition: the 30-minute-session transition matrix vs the
+    identical gaps-and-islands + lag oracle (integer-micro timestamps,
+    so session boundaries are bit-exact across engines)."""
+    from cdc2vec_spark.operators.funnel import C14_ORACLE_SQL, c14_event_paths
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c14_event_paths", c14_event_paths, C14_ORACLE_SQL, sf
+    )
+    assert not problems, (sf, problems)
+
+
+def test_event_paths_session_boundary_and_order(spark):
+    """Transitions never cross a >30-min gap; within-session order is by
+    (ts, event_id)."""
+    import datetime as dt
+
+    from cdc2vec_spark.operators.funnel import event_paths
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "view"),
+        (2, base + dt.timedelta(minutes=5), 7, "click"),
+        # 31-minute gap: new session — no click->purchase transition
+        (3, base + dt.timedelta(minutes=36), 7, "purchase"),
+        (4, base + dt.timedelta(minutes=37), 7, "view"),
+        # same timestamp as event 4: event_id breaks the tie
+        (5, base + dt.timedelta(minutes=37), 7, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_paths(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("purchase", "view"): 1,
+        ("view", "error"): 1,
+    }, got

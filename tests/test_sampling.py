@@ -369,3 +369,46 @@ def test_write_shards_materializes_assignment_and_manifest(spark, tmp_path):
             r["pos"] for r in back.where(F.col("shard") == int(s)).collect()
         )
         assert pos == list(range(1, meta["n_docs"] + 1))
+
+
+def test_d37_temperature_mix_matches_duckdb_oracle(spark):
+    """Round-9 addition: α=0.7 temperature mixing weights vs the
+    identical pow/normalize oracle, at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.sampling import (
+        D37_ORACLE_SQL,
+        d37_temperature_mix,
+    )
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d37_temperature_mix", d37_temperature_mix,
+            D37_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_temperature_mix_properties(spark, sf_dir):
+    """Weights sum to ~1e6, quotas to ~the budget; α<1 up-weights small
+    sources relative to proportional sampling; α=1 IS proportional."""
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators.sampling import temperature_mix_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = temperature_mix_weights(d).collect()
+    assert abs(sum(r["weight_micro"] for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r["quota_tokens"] for r in rows) - 10_000_000) <= len(rows)
+
+    prop = {r["source"]: r for r in temperature_mix_weights(d, alpha=1.0).collect()}
+    temp = {r["source"]: r for r in rows}
+    total = sum(r["n_tokens"] for r in rows)
+    smallest = min(temp, key=lambda s: temp[s]["n_tokens"])
+    largest = max(temp, key=lambda s: temp[s]["n_tokens"])
+    if temp[smallest]["n_tokens"] < temp[largest]["n_tokens"]:
+        assert temp[smallest]["weight_micro"] >= prop[smallest]["weight_micro"]
+        assert temp[largest]["weight_micro"] <= prop[largest]["weight_micro"]
+    for s, r in prop.items():  # α=1 ≡ raw token share
+        assert abs(r["weight_micro"] - round(1e6 * r["n_tokens"] / total)) <= 1
