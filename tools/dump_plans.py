@@ -97,6 +97,8 @@ NOTES = {
     "t9_nfc_normalize": "ONE ArrowEvalPython pass (Spark has no normalizer builtin); md5 + length stay JVM-side around it.",
     "c13_asof_join": "tolerance-banded backward as-of: time-bucket equi-join (key, bucket) + per-left-row max window — a keyed hash join, never a range cross-join.",
     "d36_quality_classifier": "hashed-linear model application as ONE narrow scan-stage HOF chain — no shuffle, no UDF; runs at I/O speed beside the other scan filters.",
+    "c14_event_paths": "session stamp + lag share ONE user_id partitioning (exchange reuse); the transition count is a |types|²-cardinality aggregate.",
+    "d37_temperature_mix": "per-source token counts from a scan-stage aggregate; the α-power normalization is a window over ~|sources| rows.",
 }
 
 HEADLINE = list(NOTES)
