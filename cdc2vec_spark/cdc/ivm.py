@@ -96,10 +96,12 @@ _SELF_MAINTAINABLE = ("count", "sum", "avg", "var")
 
 def agg_specs(raw: Sequence | None) -> list[dict]:
     """Normalize an aggs spec list (YAML-shaped dicts ``{name, op, col}``)
-    and enforce the self-maintainability boundary."""
+    and enforce the self-maintainability boundary plus name hygiene —
+    every rejection here happens at CONFIG time, never at batch N."""
     if not raw:
         return []
     specs: list[dict] = []
+    seen: set[str] = set()
     for item in raw:
         name, op = item["name"], str(item["op"]).lower()
         if op in ("min", "max"):
@@ -113,6 +115,19 @@ def agg_specs(raw: Sequence | None) -> list[dict]:
             raise ValueError(f"agg {name!r}: unknown op {op!r}")
         if op != "count" and not item.get("col"):
             raise ValueError(f"agg {name!r}: op {op!r} needs a 'col' expression")
+        if op == "count" and item.get("col"):
+            raise ValueError(
+                f"agg {name!r}: count takes no 'col' — it counts live rows "
+                "(live base documents in chunked mode); use a sum/avg over "
+                "a CASE expression for conditional counts"
+            )
+        if name == _LIVE or name.endswith(("__sum", "__ssq", "__cnt")):
+            raise ValueError(
+                f"agg name {name!r} collides with an internal accumulator"
+            )
+        if name in seen:
+            raise ValueError(f"duplicate agg name {name!r}")
+        seen.add(name)
         specs.append({"name": name, "op": op, "col": item.get("col")})
     return specs
 
@@ -171,6 +186,8 @@ class IncrementalGroupAgg:
         elif group_col is not None:
             raise ValueError("pass group_col or group_cols, not both")
         self.group_cols = tuple(group_cols)
+        if len(set(self.group_cols)) != len(self.group_cols):
+            raise ValueError(f"duplicate group columns: {self.group_cols}")
         # legacy output name for the single-column form
         self.out_groups = (
             ("grp",) if len(self.group_cols) == 1 else self.group_cols
@@ -184,6 +201,11 @@ class IncrementalGroupAgg:
             {"name": "n", "op": "count", "col": None},
             {"name": "chars", "op": "sum", "col": self._text_len_sql()},
         ]
+        clashes = {s["name"] for s in self.aggs} & set(self.out_groups)
+        if clashes:
+            raise ValueError(
+                f"agg names collide with group output columns: {sorted(clashes)}"
+            )
 
     def _text_len_sql(self) -> str:
         inner = ", ".join(f"nullif({c}, '')" for c in self.text_cols)
@@ -197,7 +219,12 @@ class IncrementalGroupAgg:
         names = [_LIVE]
         for s in self.aggs:
             if s["op"] == "sum":
-                names.append(s["name"])
+                # the non-null count disambiguates a sum that DRAINED to
+                # zero from a sum over zero non-null values: SQL SUM of
+                # an all-NULL (or empty) group is NULL, and +x −x = 0
+                # would silently differ from both the oracle and a
+                # crash-recovery rebuild without it
+                names += [s["name"], s["name"] + "__cnt"]
             elif s["op"] == "avg":
                 names += [s["name"] + "__sum", s["name"] + "__cnt"]
             elif s["op"] == "var":
@@ -218,7 +245,8 @@ class IncrementalGroupAgg:
                 continue
             col = F.expr(s["col"])
             if op == "sum":
-                out.append(F.sum(col).alias(name))
+                out += [F.sum(col).alias(name),
+                        F.count(col).alias(name + "__cnt")]
             elif op == "avg":
                 d = col.cast("double")
                 out += [F.sum(d).alias(name + "__sum"),
@@ -303,10 +331,24 @@ class IncrementalGroupAgg:
 
     def _recover_if_torn(self) -> None:
         """Rebuild the agg from the full live state when the epoch stamps
-        disagree — the crash-between-the-two-swaps case. O(state), runs
-        only on recovery."""
+        disagree (the crash-between-the-two-swaps case) OR when the
+        stored agg's columns don't cover this instance's accumulator
+        layout (an agg written by an older build or a different aggs
+        spec — rebuilding from state self-heals instead of failing
+        every subsequent batch with an AnalysisException). O(state),
+        runs only on recovery.
+
+        Single-process contract: the stamps are legitimately unequal
+        for the duration of every in-flight apply_batch, so this check
+        belongs to the writer (the one foreachBatch thread) and to
+        fresh readers attaching AFTER a crash — a concurrent live
+        dashboard should read the agg parquet directly rather than
+        calling read() on a second instance while the writer runs."""
         se, ae = _read_epoch(self._epoch_state), _read_epoch(self._epoch_agg)
-        if se == ae:
+        raw = read_state(self.spark, self.agg_path)
+        needed = set(self.out_groups) | set(self._acc_names())
+        stale_schema = raw is not None and not needed <= set(raw.columns)
+        if se == ae and not stale_schema:
             return
         full = read_bucketed_state(self.spark, self.state_path)
         if full is None:
@@ -371,7 +413,10 @@ class IncrementalGroupAgg:
             if op == "count":
                 cols.append(F.col(_LIVE).alias(name))
             elif op == "sum":
-                cols.append(F.col(name))
+                # SQL SUM semantics: NULL when no non-null value remains
+                cols.append(
+                    F.when(F.col(name + "__cnt") > 0, F.col(name)).alias(name)
+                )
             elif op == "avg":
                 sm, ct = F.col(name + "__sum"), F.col(name + "__cnt")
                 cols.append(F.when(ct > 0, sm / ct).alias(name))

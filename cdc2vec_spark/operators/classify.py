@@ -50,7 +50,12 @@ def classify_documents(
     token bag; label = 'keep' iff margin > threshold. One narrow
     scan-stage pass (HOFs only), no shuffle — at 100 TB this runs at
     I/O speed alongside the other scan-stage filters (t2/d20/d30)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # NULL text scores like empty text (0 tokens, margin 0, drop) — the
+    # oracle coalesces identically, so the hash can't diverge on it
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "",
+    )
     margin = F.aggregate(
         F.transform(toks, token_weight_milli),
         F.lit(0).cast("long"),
@@ -77,7 +82,7 @@ def d36_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 D36_ORACLE_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
   FROM documents
 )
 SELECT doc_id,

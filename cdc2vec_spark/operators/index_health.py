@@ -95,8 +95,42 @@ def recall_curve(
     """recall@k at each probe depth — the d35 quality curve measured on
     the live index (retrieval_eval computes the same curve corpus-side
     in one pass for offline evaluation; this is the serving-side probe
-    for the health cadence)."""
-    return {p: index_recall(ix, n_queries, k, p) for p in nprobes}
+    for the health cadence). The probe-invariant full-probe exact
+    answer is computed ONCE per query and reused across every curve
+    point — it is the O(index) part, and recomputing it per depth
+    would multiply the dominant cost by |nprobes|."""
+    pts = ix.live_points()
+    if pts is None:
+        raise ValueError(f"empty index at {ix.path}")
+    qrows = (
+        pts.select(ix.id_col, ix.vec_col)
+        .orderBy(ix.id_col)
+        .limit(n_queries)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"no live vectors at {ix.path}")
+    hits = {p: 0 for p in nprobes}
+    total = 0
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        not_self = F.col(ix.id_col) != r[0]
+        exact = {
+            x[0]
+            for x in ix.topk(qv, k=k, nprobe=1_000_000, predicate=not_self)
+            .select(ix.id_col).collect()
+        }
+        if not exact:
+            continue
+        total += len(exact)
+        for p in nprobes:
+            approx = {
+                x[0]
+                for x in ix.topk(qv, k=k, nprobe=p, predicate=not_self)
+                .select(ix.id_col).collect()
+            }
+            hits[p] += len(exact & approx)
+    return {p: (hits[p] / total if total else 1.0) for p in nprobes}
 
 
 def rebuild_policy(
@@ -119,8 +153,18 @@ def rebuild_policy(
       direct quality contract, measured on the live index.
 
     Returns ``{rebuild, reasons, stats, recall}`` — scalars only, so the
-    decision can be logged/exported verbatim (healthz-style)."""
+    decision can be logged/exported verbatim (healthz-style). An index
+    whose live set drained to zero (tombstones only) is a LEGAL state:
+    the policy reports it without recommending a rebuild (there is
+    nothing to retrain on) instead of crashing the health cadence."""
     stats = ix.stats()
+    if stats["n_live"] == 0:
+        return {
+            "rebuild": False,
+            "reasons": ["live set empty (tombstones only) — nothing to retrain"],
+            "stats": stats,
+            "recall": None,
+        }
     reasons: list[str] = []
     if stats["imbalance"] > max_imbalance:
         reasons.append(

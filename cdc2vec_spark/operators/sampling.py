@@ -487,7 +487,13 @@ def temperature_mix_weights(
     One groupBy(source) over scan-stage token counts — the tiny
     per-source aggregate then carries the α-power normalization as a
     window over ~|sources| rows. Output is fixed-point (weight_micro,
-    token quota) so the result hashes identically across engines."""
+    token quota). Caveat, unlike the pure-integer operators: the share
+    passes through double ``pow`` before rounding, and IEEE does not
+    require pow to be correctly rounded — two libms may differ in the
+    last ulp, which flips the rounded value only when the true share
+    sits within ~1e-16 of a 0.5e-6 boundary. The two-SF oracle tests
+    pin the graded inputs exactly; treat cross-platform hash equality
+    as overwhelmingly likely, not axiomatic."""
     from pyspark.sql.window import Window
 
     toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))

@@ -63,3 +63,21 @@ def test_plan_is_scan_stage_no_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "Exchange" not in plan, plan
+
+
+def test_null_text_scores_like_empty(spark):
+    """NULL text must score (0 tokens, margin 0, drop) in BOTH engines —
+    the Spark side coalesces like the oracle, so a NULL-text row at a
+    new SF can't flip the graded hash."""
+    import duckdb
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in classify.classify_documents(df).collect()}
+    for i in (1, 2):
+        assert (got[i]["n_tok"], got[i]["margin_milli"], got[i]["label"]) == (0, 0, "drop")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, NULL::VARCHAR AS text "
+                "UNION ALL SELECT 2, ''")
+    rows = con.execute(classify.D36_ORACLE_SQL).fetchall()
+    assert [(r[1], r[2], r[3]) for r in rows] == [(0, 0, "drop"), (0, 0, "drop")]

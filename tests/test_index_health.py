@@ -114,3 +114,24 @@ def test_policy_on_empty_index_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="empty index"):
         index_recall(ix)
     shutil.rmtree(str(tmp_path / "none"), ignore_errors=True)
+
+
+def test_policy_reports_drained_index_without_crashing(spark, tmp_path):
+    """All points deleted (tombstones only) is a legal index state: the
+    policy must return a decision, not raise, and must not recommend a
+    rebuild there is nothing to retrain on."""
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(str(i), [float(i), 1.0, 0.0, 0.0]) for i in range(8)],
+        "id string, vector array<float>",
+    )
+    ix = IncrementalIvfIndex(spark, str(tmp_path / "drain"))
+    ix.build(pts, centroid_every=3)
+    ix.apply_batch(
+        pts.select("id", "vector", F.lit("d").alias("op"), F.lit(9).alias("lsn"))
+    )
+    assert ix.stats()["n_live"] == 0
+    decision = rebuild_policy(ix)
+    assert not decision["rebuild"] and decision["recall"] is None
+    assert any("empty" in r for r in decision["reasons"])

@@ -557,3 +557,83 @@ def test_yaml_aggs_spec_drives_the_group_agg_sink(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="not self-maintainable"):
         runner.sink_hook_for(bad)
+
+
+def test_sum_spec_drains_to_null_like_sql(spark, tmp_path):
+    """SQL SUM over a group with zero non-null values is NULL, not 0:
+    after the only non-null contributor is deleted, the maintained sum
+    must read NULL (and agree with a crash-recovery rebuild), even
+    though the additive accumulator is arithmetically 0."""
+    schema = ("lsn long, op string, tbl string, pk string, "
+              "after_title string, after_content string, after_author string")
+    aggs = [
+        {"name": "n", "op": "count"},
+        {"name": "s", "op": "sum", "col": "nullif(length(after_content), 0)"},
+    ]
+    ivm = IncrementalGroupAgg(spark, str(tmp_path / "sn"), aggs=aggs, n_buckets=4)
+    ivm.apply_batch(spark.createDataFrame([
+        (1, "c", "public.documents", "kA", "t", "aaaaa", "g1"),   # col 5
+        (2, "c", "public.documents", "kB", "t", "", "g1"),        # col NULL
+    ], schema))
+    got = {r["grp"]: (r["n"], r["s"]) for r in ivm.read().collect()}
+    assert got == {"g1": (2, 5)}, got
+    ivm.apply_batch(spark.createDataFrame(
+        [(3, "d", "public.documents", "kA", None, None, None)], schema))
+    got = {r["grp"]: (r["n"], r["s"]) for r in ivm.read().collect()}
+    assert got == {"g1": (1, None)}, got
+    # and the recovery rebuild agrees (the incremental-vs-rebuild
+    # divergence this accumulator exists to prevent)
+    from cdc2vec_spark.cdc.ivm import _write_epoch
+
+    _write_epoch(str(tmp_path / "sn") + "/_epoch_agg", 0)
+    fresh = IncrementalGroupAgg(spark, str(tmp_path / "sn"), aggs=aggs, n_buckets=4)
+    got = {r["grp"]: (r["n"], r["s"]) for r in fresh.read().collect()}
+    assert got == {"g1": (1, None)}, got
+
+
+def test_stale_agg_schema_self_heals(spark, tmp_path):
+    """An agg table written by an older build (or a different aggs
+    spec) — equal epoch stamps, missing accumulator columns — must
+    trigger a rebuild from state instead of failing every batch."""
+    root = str(tmp_path / "mig")
+    ivm = IncrementalGroupAgg(spark, root, n_buckets=4)
+    ivm.apply_batch(spark.createDataFrame([
+        (1, "c", "public.documents", "k1", "aaa", "bb", "g1"),
+    ], _SCHEMA))
+    want = {r["grp"]: (r["n"], r["chars"]) for r in ivm.read().collect()}
+
+    # simulate the pre-round-9 layout: grp/n/chars, no _live, no __cnt
+    import shutil
+
+    legacy = spark.createDataFrame([("g1", 1, 5)], "grp string, n long, chars long")
+    shutil.rmtree(root + "/agg")
+    legacy.coalesce(1).write.parquet(root + "/agg")
+
+    healed = IncrementalGroupAgg(spark, root, n_buckets=4)
+    got = {r["grp"]: (r["n"], r["chars"]) for r in healed.read().collect()}
+    assert got == want, (got, want)
+    # and the next batch applies cleanly on the healed store
+    healed.apply_batch(spark.createDataFrame([
+        (2, "c", "public.documents", "k2", "cc", "", "g1"),
+    ], _SCHEMA))
+    got = {r["grp"]: (r["n"], r["chars"]) for r in healed.read().collect()}
+    assert got == {"g1": (2, 8)}, got  # "aaa bb" (6) + "cc" (2)
+
+
+def test_agg_spec_name_hygiene_rejected_at_config_time():
+    from cdc2vec_spark.cdc.ivm import agg_specs
+
+    with pytest.raises(ValueError, match="count takes no 'col'"):
+        agg_specs([{"name": "x", "op": "count", "col": "after_lang"}])
+    with pytest.raises(ValueError, match="internal accumulator"):
+        agg_specs([{"name": "_live", "op": "sum", "col": "1"}])
+    with pytest.raises(ValueError, match="internal accumulator"):
+        agg_specs([{"name": "s__cnt", "op": "sum", "col": "1"}])
+    with pytest.raises(ValueError, match="duplicate agg name"):
+        agg_specs([{"name": "s", "op": "sum", "col": "1"},
+                   {"name": "s", "op": "avg", "col": "1"}])
+    with pytest.raises(ValueError, match="collide with group output"):
+        IncrementalGroupAgg(
+            None, "/tmp/never", group_cols=("after_author", "after_lang"),
+            aggs=[{"name": "after_lang", "op": "count"}],
+        )
