@@ -508,8 +508,10 @@ def _cdc_apply_state_scale(spark) -> dict:
 def _multi_sink_probe(spark, sf_dir: str) -> dict:
     """Per-batch wall for one embedded CDC batch delivered through ONE
     sink (qdrant mock) vs THREE (qdrant mock + ivf_index + lex_index,
-    the production fanout topology). Two batches per config; the second
-    (steady-state: ivf centroids built, lex state warm) is reported.
+    the production fanout topology). Three batches per config; the best
+    steady-state batch (min of batches 2-3 — ivf centroids built, lex
+    state warm) is reported, so one GC/compaction hiccup in a 3-second
+    probe doesn't swing the cross-round ratio.
     The ratio evidences the boot() persist contract: fanout pays only
     the extra index applies, never a re-run of the embed pipeline."""
     import shutil
@@ -562,12 +564,13 @@ def _multi_sink_probe(spark, sf_dir: str) -> dict:
                 ]
                 coll = runner.PointsCollection(spark, f"{root}/state", n_buckets=8)
                 secs = []
-                parts: dict[str, float] = {}
-                for i in range(2):
+                all_parts: list[dict[str, float]] = []
+                for i in range(3):
                     batch = ch.withColumn("lsn", F.col("lsn") + F.lit(i * 10_000_000))
                     pts = build_points(
                         batch, DOCUMENTS_MAPPING, provider, keep_text=True
                     ).persist()
+                    parts: dict[str, float] = {}
                     t0 = time.perf_counter()
                     tc0 = time.perf_counter()
                     coll.apply_points(pts)
@@ -577,16 +580,25 @@ def _multi_sink_probe(spark, sf_dir: str) -> dict:
                         h(pts)
                         parts[stype] = time.perf_counter() - th0
                     secs.append(time.perf_counter() - t0)
+                    all_parts.append(parts)
                     pts.unpersist()
-                out[label] = round(secs[-1], 3)
+                best = 1 + min(range(2), key=lambda j: secs[1 + j])
+                out[label] = round(secs[best], 3)
                 if extra:
                     out["three_sinks_breakdown"] = {
-                        k: round(v, 3) for k, v in parts.items()
+                        k: round(v, 3) for k, v in all_parts[best].items()
                     }
             finally:
                 shutil.rmtree(root, ignore_errors=True)
         out["three_over_one_ratio"] = round(
             out["three_sinks_secs"] / max(out["one_sink_secs"], 1e-9), 2
+        )
+        # the ratio's denominator (~2-4s of collection+mock-HTTP wall) is
+        # session-warmth-sensitive, so also report the absolute extra
+        # cost of the two added index maintainers — the number the
+        # breakdown attributes and the one that's stable across runs
+        out["fanout_overhead_secs"] = round(
+            out["three_sinks_secs"] - out["one_sink_secs"], 3
         )
     finally:
         srv.shutdown()
