@@ -347,8 +347,21 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
         pq = tuple(int(x) for x in str(raw_pq).split(",")) if raw_pq else None
         if pq is not None and len(pq) != 2:
             raise ValueError(f"ivf_index options.pq must be 'm,k', got {raw_pq!r}")
+        # index-health cadence (round 9, operators/index_health.py):
+        # options.health_every = N runs rebuild_policy after every Nth
+        # batch and retrains/rebuilds in place when it triggers (0 =
+        # off). The rebuild preserves lsns, so checkpoint replays stay
+        # idempotent across it; the last decision is kept on the hook
+        # (hook.last_health) for /healthz-style export.
+        health_every = int(opts.get("health_every", 0))
+        health_kw = {
+            "max_imbalance": float(opts.get("max_imbalance", 5.0)),
+            "min_recall": float(opts.get("min_recall", 0.7)),
+            "nprobe": int(opts.get("health_nprobe", 4)),
+            "n_queries": int(opts.get("health_queries", 10)),
+        }
 
-        icache: dict[str, IncrementalIvfIndex] = {}
+        icache: dict = {"n": 0}
 
         def hook(pts: DataFrame) -> None:
             # one writer instance across batches (see lex_index hook)
@@ -369,7 +382,15 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                     return  # all-delete first batch: nothing to index yet
                 ix.build(seed, centroid_every=every)
             ix.apply_batch(pts.select("id", "vector", "op", "lsn"))
+            icache["n"] += 1
+            if health_every and icache["n"] % health_every == 0:
+                from .operators.index_health import maybe_rebuild
 
+                hook.last_health = maybe_rebuild(
+                    ix, centroid_every=every, **health_kw
+                )
+
+        hook.last_health = None
         return hook
     if sink.type == "qdrant":
         from .sinks import qdrant as q

@@ -135,3 +135,41 @@ def test_policy_reports_drained_index_without_crashing(spark, tmp_path):
     decision = rebuild_policy(ix)
     assert not decision["rebuild"] and decision["recall"] is None
     assert any("empty" in r for r in decision["reasons"])
+
+
+def test_ivf_sink_health_cadence_runs_policy_and_rebuilds(spark, tmp_path):
+    """options.health_every on the ivf_index sink: the hook evaluates
+    rebuild_policy after every Nth batch, executes the rebuild when it
+    triggers, and exposes the last decision on hook.last_health."""
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    path = str(tmp_path / "ivf")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(type="ivf_index", options={
+            "path": path, "centroid_every": 3, "health_every": 2,
+            # an unreachable floor forces the policy to trigger on the
+            # cadence batch, proving the rebuild executes from the hook
+            "min_recall": 1.01, "health_queries": 4, "health_nprobe": 1,
+        }),
+    )
+    hook = runner.sink_hook_for(cfg)
+    pts = spark.createDataFrame(
+        [(str(i), [float(i % 7), 1.0, float(i % 3), 0.0], "c", i + 1)
+         for i in range(24)],
+        "id string, vector array<float>, op string, lsn long",
+    )
+    hook(pts.where(F.col("lsn") <= 12))
+    assert hook.last_health is None  # batch 1 of 2: cadence not due
+    hook(pts.where(F.col("lsn") > 12))
+    decision = hook.last_health
+    assert decision is not None and decision["executed"]
+    assert any("recall@" in r for r in decision["reasons"])
+    # the rebuild drained the tombstone log and kept every live point
+    ix = IncrementalIvfIndex(spark, path)
+    assert ix.stats()["n_live"] == 24 and ix.stats()["n_tombstones"] == 0
