@@ -83,6 +83,7 @@ HEADLINE = [
     "c14_event_paths",       # session transition matrix (one user shuffle)
     "d36_quality_classifier",  # hashed-linear quality filter (scan-stage)
     "d37_temperature_mix",   # alpha=0.7 source mixing weights + quotas
+    "d38_context_pack",      # batched BM25 + token-budget context packing
 ]
 
 

@@ -92,6 +92,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "d8_lsh_neardup",
     "d3_pq_topk",
     "d22_pca_topk",
+    # round-9 addition: exact oracle at two SFs in
+    # tests/test_context_pack.py; rotation candidate
+    "d38_context_pack",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -211,10 +214,12 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-ANN rows-only probes (recall pinned vs exact in
-    tests/test_similarity.py, tests/test_quantize.py)."""
+    """Approximate-ANN + retrieval rows-only probes (recall pinned vs
+    exact in tests/test_similarity.py, tests/test_quantize.py; d38
+    carries an exact two-SF oracle in tests/test_context_pack.py)."""
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
+    from .retrieval import d38_context_pack
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -226,6 +231,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
+            ("d38_context_pack", d38_context_pack),
         ],
     )
 
@@ -264,7 +270,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b17_pivot,
         b18_unpivot,
     )
-    from .retrieval import d19_hybrid
+    from .retrieval import d19_hybrid, d38_context_pack
     from .sampling import d14_stratified
     from .selection import d13_dsir
     from .text import (
@@ -352,7 +358,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .multimodal import d6_features
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval import d19_hybrid
+    from .retrieval import d19_hybrid, d38_context_pack
     from .relational import (
         b1_scan_count,
         b2_project_filter,
@@ -421,6 +427,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
+        "d38_context_pack": d38_context_pack,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,

@@ -152,3 +152,181 @@ ORDER BY fused_micro DESC, doc_id LIMIT 10
 QUERIES = {"d19_hybrid": d19_hybrid}
 # round-7 rotation: individually graded (was composite-delivered in r06)
 ORACLES = {"d19_hybrid": D19_ORACLE_SQL}
+
+
+# --------------------------------------------- D38: RAG context packing
+
+# the fixed query set for the canonical entry (terms from the corpus
+# vocabulary; one shared term across queries so the batched df/idf
+# tables are genuinely reused)
+_PACK_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("spark", "query"),
+    1: ("window", "vector"),
+    2: ("spark", "vector", "window"),
+}
+_PACK_BUDGET = 512  # context-window token budget per query
+_PACK_MAX_K = 20
+
+
+def bm25_context_pack(
+    docs: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    budget_tokens: int = _PACK_BUDGET,
+    max_k: int = _PACK_MAX_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eager: bool = True,
+) -> DataFrame:
+    """RAG context assembly for a BATCH of queries: BM25-rank each
+    query's documents, then greedily pack the ranked prefix into a
+    token budget — the retrieve-then-fit step between a retriever
+    (d17/d19) and a generator's context window.
+
+    Spark-first shape: ONE corpus scan serves every query — the scan
+    projects each doc to its length + the (duplicate-preserving) hits
+    against the UNION of all query terms, that per-doc frame is
+    persisted (Catalyst does not dedupe a common subplan across its
+    three consumers — the d16 precedent), and corpus stats, per-term
+    document frequencies, and per-query scores all derive from it;
+    query fan-out is a BROADCAST (query, term) map join, never a
+    per-query corpus pass. Ranking and the running token total share
+    one window partitioning (query_id); the budget cut keeps the
+    maximal ranked PREFIX whose cumulative token count fits (cumsum is
+    monotone, so the filter is exactly take-while — an overflowing doc
+    ends the context, it is not skipped around). Scores are fixed-point
+    micro-units (the d17 discipline), so the output carries an exact
+    DuckDB oracle. ``eager=True`` (default) materializes the ≤
+    |queries|·max_k-row result and releases the persisted per-doc
+    frame immediately (the jaccard_pairs pattern); ``eager=False``
+    returns the lazy plan for inspection.
+
+    Returns (query_id, rank, doc_id, n_tokens, cum_tokens, score_micro)
+    ordered by (query_id, rank)."""
+    from .text import _BM25_B, _BM25_K1
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    spark = docs.sparkSession
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id int, term string",
+    )
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    perdoc = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*all_terms)).alias("_hits"),
+    )
+    if eager:
+        perdoc = perdoc.persist()
+    stats = perdoc.agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+    tf = (
+        perdoc.select(id_col, "dl", F.explode("_hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(1.0 + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "_ts",
+            F.col("_idf") * (F.col("tf") * (_BM25_K1 + 1))
+            / (F.col("tf") + _BM25_K1
+               * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    scored = (
+        per_term.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", id_col, "dl")
+        .agg(F.sum(F.round(F.col("_ts") * 1e6).cast("long")).alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("dl").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .where((F.col("rank") <= max_k) & (F.col("cum_tokens") <= budget_tokens))
+    )
+    out = ranked.select(
+        "query_id", "rank", id_col,
+        F.col("dl").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "score_micro",
+    ).orderBy("query_id", "rank")
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        perdoc.unpersist()
+    return out
+
+
+def d38_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D38 (added round 9) — budget-packed BM25 contexts for the fixed
+    3-query batch over the documents table."""
+    return bm25_context_pack(load_table(spark, sf_dir, "documents"), _PACK_QUERIES)
+
+
+def _pack_queries_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(_PACK_QUERIES.items()) for t in ts
+    )
+    return f"(VALUES {rows}) qm(query_id, term)"
+
+
+from .text import _BM25_B as _B, _BM25_K1 as _K1  # noqa: E402
+
+D38_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl FROM base
+), expl AS (
+  SELECT doc_id, dl, unnest(t) AS term FROM base
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM expl
+  WHERE term IN ('spark', 'query', 'window', 'vector')
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), per_term AS (
+  SELECT tf.doc_id, tf.dl, tf.term,
+         CAST(round(1e6 * ln(1.0 + (N - df + 0.5) / (df + 0.5))
+              * (tf * ({_K1} + 1))
+              / (tf + {_K1} * (1 - {_B} + {_B} * tf.dl / avgdl))) AS BIGINT)
+           AS ts_micro
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+), scored AS (
+  SELECT qm.query_id, p.doc_id, p.dl,
+         CAST(sum(p.ts_micro) AS BIGINT) AS score_micro
+  FROM per_term p JOIN {_pack_queries_sql()} USING (term)
+  GROUP BY qm.query_id, p.doc_id, p.dl
+), ranked AS (
+  SELECT query_id, doc_id, dl, score_micro,
+         row_number() OVER w AS rank,
+         CAST(sum(dl) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+  WINDOW w AS (PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
+)
+SELECT query_id, rank, doc_id, CAST(dl AS BIGINT) AS n_tokens,
+       cum_tokens, score_micro
+FROM ranked
+WHERE rank <= {_PACK_MAX_K} AND cum_tokens <= {_PACK_BUDGET}
+ORDER BY query_id, rank
+"""
+
+QUERIES["d38_context_pack"] = d38_context_pack
+# round-9 addition: composite-delivered (x3), oracle pinned at two SFs
+# in tests/test_context_pack.py; rotation candidate for round 10
+ORACLES["d38_context_pack"] = D38_ORACLE_SQL

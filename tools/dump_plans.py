@@ -99,6 +99,7 @@ NOTES = {
     "d36_quality_classifier": "hashed-linear model application as ONE narrow scan-stage HOF chain — no shuffle, no UDF; runs at I/O speed beside the other scan filters.",
     "c14_event_paths": "session stamp + lag share ONE user_id partitioning (exchange reuse); the transition count is a |types|²-cardinality aggregate.",
     "d37_temperature_mix": "per-source token counts from a scan-stage aggregate; the α-power normalization is a window over ~|sources| rows.",
+    "d38_context_pack": "ONE corpus scan serves the whole query batch (union-of-terms scan filter, broadcast df/query maps); rank + budget cumsum share one query_id window.",
 }
 
 HEADLINE = list(NOTES)
