@@ -468,6 +468,18 @@ FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 50
 """
 
 
+def _round_half_away(x: float) -> int:
+    """C++ ``std::round`` semantics for non-negative doubles < 2**52
+    (DuckDB's ROUND): half-way cases away from zero, computed on the
+    exact fractional part — NOT ``floor(x + 0.5)``, whose addition can
+    round up through the boundary (std::round(0.49999999999999994)=0)."""
+    import math
+
+    f = math.floor(x)
+    r = x - f  # exact for |x| < 2**52
+    return int(f) + (1 if r >= 0.5 else 0)
+
+
 def temperature_mix_weights(
     df: DataFrame,
     source_col: str = "source",
@@ -484,30 +496,45 @@ def temperature_mix_weights(
     d25's fixed-budget mixing: d25 enforces per-source CAPS, this
     derives the cross-source ALLOCATION those caps should follow.
 
-    One groupBy(source) over scan-stage token counts — the tiny
-    per-source aggregate then carries the α-power normalization as a
-    window over ~|sources| rows. Output is fixed-point (weight_micro,
-    token quota). Caveat, unlike the pure-integer operators: the share
-    passes through double ``pow`` before rounding, and IEEE does not
-    require pow to be correctly rounded — two libms may differ in the
-    last ulp, which flips the rounded value only when the true share
-    sits within ~1e-16 of a 0.5e-6 boundary. The two-SF oracle tests
-    pin the graded inputs exactly; treat cross-platform hash equality
-    as overwhelmingly likely, not axiomatic."""
-    from pyspark.sql.window import Window
+    The distributed plan is pure integers: one groupBy(source) over
+    scan-stage token counts. The α-power normalization runs driver-side
+    over the collected |sources|-row aggregate (the pq_train
+    bounded-collect pattern) and the fixed-point weights come back as
+    literal longs — no floating point ever executes on the cluster, so
+    the result cannot drift with the JVM's ``Math.pow``. Driver-side
+    arithmetic deterministically matches the DuckDB oracle: CPython's
+    ``math.pow`` and DuckDB's ``pow`` are the same libm call, the
+    normalizer is a left-to-right sum in source order (the oracle pins
+    the same order via ``list_sum(list(w ORDER BY source))``), and
+    rounding is half-away-from-zero (``std::round``)."""
+    import math
 
     toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
-    per = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(toks).cast("long").alias("n_tokens")
+    per = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(toks).cast("long").alias("n_tokens"))
+        .collect()
+    )  # bounded: one row per corpus source
+    rows = sorted(
+        [(r["source"], int(r["n_tokens"])) for r in per],
+        key=lambda t: (t[0] is None, t[0]),
     )
-    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    share = w / F.sum(w).over(wall)
-    return per.select(
-        "source",
-        "n_tokens",
-        F.round(share * 1_000_000).cast("long").alias("weight_micro"),
-        F.round(share * budget_tokens).cast("long").alias("quota_tokens"),
+    pw = [math.pow(n, alpha) for _, n in rows]
+    total = 0.0
+    for w in pw:  # left-to-right, matching the oracle's list_sum order
+        total += w
+    out = [
+        (
+            s,
+            n,
+            _round_half_away((w / total) * 1_000_000),
+            _round_half_away((w / total) * budget_tokens),
+        )
+        for (s, n), w in zip(rows, pw)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "source string, n_tokens long, weight_micro long, quota_tokens long"
     ).orderBy("source")
 
 
@@ -519,19 +546,24 @@ def d37_temperature_mix(spark, sf_dir: str) -> DataFrame:
     return temperature_mix_weights(load_table(spark, sf_dir, "documents"))
 
 
+# Engine-exact mirror of the driver-side arithmetic: DuckDB's pow and
+# CPython's math.pow are the same libm call; list_sum(list(w ORDER BY
+# source)) reproduces the driver's left-to-right source-ordered sum;
+# (w / total) * factor reproduces the driver's operation order; DuckDB
+# round = std::round = the driver's _round_half_away.
 D37_ORACLE_SQL = """
 WITH per AS (
   SELECT source,
          CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
               AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
+), tot AS (
+  SELECT list_sum(list(pow(n_tokens, 0.7) ORDER BY source)) AS total FROM per
 )
 SELECT source, n_tokens,
-       CAST(round(1000000 * pow(n_tokens, 0.7)
-                  / sum(pow(n_tokens, 0.7)) OVER ()) AS BIGINT) AS weight_micro,
-       CAST(round(10000000 * pow(n_tokens, 0.7)
-                  / sum(pow(n_tokens, 0.7)) OVER ()) AS BIGINT) AS quota_tokens
-FROM per ORDER BY source
+       CAST(round((pow(n_tokens, 0.7) / total) * 1000000) AS BIGINT) AS weight_micro,
+       CAST(round((pow(n_tokens, 0.7) / total) * 10000000) AS BIGINT) AS quota_tokens
+FROM per, tot ORDER BY source
 """
 
 
