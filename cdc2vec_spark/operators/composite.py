@@ -31,25 +31,31 @@ The component queries remain individually importable, unit-tested and
 benchmarked (bench.py calls them directly); only the driver registry
 consolidates them.
 
+Round-10 rotation (VERDICT r09 ask #1): the five round-9 newcomers —
+c13_asof_join, c14_event_paths, d36_quality_classifier,
+d37_temperature_mix (de-floated first per ask #2) and d38_context_pack
+— moved INTO individually graded registry slots. To stay at the
+50-entry budget, five long-green queries (driver-green in BOTH
+CORRECTNESS_r08 and _r09) rotated OUT into ``x4_rowsonly_stable``:
+d25_token_mix, d28_lm_perplexity, d29_shards, d30_html_extract,
+d31_domain_cap, with their exact oracles pinned at two scale factors
+in tests/test_rotated_oracles.py.
+
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, c8_interval_join,
-                         c13_asof_join + c14_event_paths +
-                         d37_temperature_mix (round-9 additions with
-                         exact two-SF oracles in their test files),
                          d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
-                         own test file), d36_quality_classifier
-                         (round-9 addition, exact oracle in
-                         tests/test_classify.py)
+                         own test file)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests)
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
                          d14, d15, d17, d18, d19 (rotated out round 8)
                          + the round-9 parking set t1–t7, b1, b11, b12,
-                         b13, b14_json, b18, d13 + t8 (rows-only by
+                         b13, b14_json, b18, d13 + the round-10 parking
+                         set d25, d28, d29, d30, d31 + t8 (rows-only by
                          nature — BPE merges are iterative, pinned vs a
                          pure-Python reference encoder in
                          tests/test_bpe.py); all exact oracles pinned at
@@ -73,13 +79,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "b16_sketches",
     "c4_watermark",
     "c8_interval_join",
-    # round-9 additions: exact oracles pinned at two SFs in
-    # tests/test_joins.py / tests/test_classify.py / tests/test_funnel.py
-    # / tests/test_sampling.py; rotation candidates
-    "c13_asof_join",
-    "c14_event_paths",
-    "d36_quality_classifier",
-    "d37_temperature_mix",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -92,9 +91,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "d8_lsh_neardup",
     "d3_pq_topk",
     "d22_pca_topk",
-    # round-9 addition: exact oracle at two SFs in
-    # tests/test_context_pack.py; rotation candidate
-    "d38_context_pack",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -137,6 +133,17 @@ CONSOLIDATED: tuple[str, ...] = (
     "d17_bm25",
     "d18_cdc_bm25",
     "d19_hybrid",
+    # round-10 rotation: long-green queries (individually driver-green in
+    # CORRECTNESS_r08 AND _r09) parked in x4 so the round-9 newcomers
+    # c13_asof_join, c14_event_paths, d36_quality_classifier,
+    # d37_temperature_mix (de-floated first, VERDICT r09 ask #2) and
+    # d38_context_pack get individual graded slots; oracles stay pinned
+    # at two SFs in tests/test_rotated_oracles.py
+    "d25_token_mix",
+    "d28_lm_perplexity",
+    "d29_shards",
+    "d30_html_extract",
+    "d31_domain_cap",
 )
 
 
@@ -165,11 +172,10 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join, c13_asof_join
+    from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
-    from .funnel import c14_event_paths
     from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split, d37_temperature_mix
+    from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
 
     return _union(
@@ -181,9 +187,6 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
-            ("c13_asof_join", c13_asof_join),
-            ("c14_event_paths", c14_event_paths),
-            ("d37_temperature_mix", d37_temperature_mix),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -194,7 +197,6 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic-dedup + multimodal-feature + semantic-dedup
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files)."""
-    from .classify import d36_quality_classifier
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
     from .similarity import d12_semdedup
@@ -208,18 +210,15 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d9_keep_canonical", d9_keep_canonical),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
-            ("d36_quality_classifier", d36_quality_classifier),
         ],
     )
 
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN + retrieval rows-only probes (recall pinned vs
-    exact in tests/test_similarity.py, tests/test_quantize.py; d38
-    carries an exact two-SF oracle in tests/test_context_pack.py)."""
+    exact in tests/test_similarity.py, tests/test_quantize.py)."""
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval import d38_context_pack
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -231,7 +230,6 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
-            ("d38_context_pack", d38_context_pack),
         ],
     )
 
@@ -244,10 +242,14 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-green in CORRECTNESS_r08), plus the permanently rows-only
     t8_bpe. Each parked component's exact DuckDB oracle stays pinned at
     two scale factors in tests/test_rotated_oracles.py via the driver's
-    own comparator."""
+    own comparator. Round-10 adds the d25/d28/d29/d30/d31 parking set
+    (each driver-green in CORRECTNESS_r08 AND _r09)."""
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
+    from .html_extract import d30_html_extract
     from .lex_index import d18_cdc_bm25
+    from .lm import d28_lm_perplexity
+    from .urls import d31_domain_cap
     from .relational import (
         b1_scan_count,
         b2_project_filter,
@@ -270,8 +272,8 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b17_pivot,
         b18_unpivot,
     )
-    from .retrieval import d19_hybrid, d38_context_pack
-    from .sampling import d14_stratified
+    from .retrieval import d19_hybrid
+    from .sampling import d14_stratified, d25_token_mix, d29_shards
     from .selection import d13_dsir
     from .text import (
         d4_text_stats,
@@ -320,6 +322,11 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d17_bm25", d17_bm25),
             ("d18_cdc_bm25", d18_cdc_bm25),
             ("d19_hybrid", d19_hybrid),
+            ("d25_token_mix", d25_token_mix),
+            ("d28_lm_perplexity", d28_lm_perplexity),
+            ("d29_shards", d29_shards),
+            ("d30_html_extract", d30_html_extract),
+            ("d31_domain_cap", d31_domain_cap),
             ("t1_token_count", t1_token_count),
             ("t2_quality_score", t2_quality_score),
             ("t3_lang_guess", t3_lang_guess),
@@ -347,18 +354,19 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join, c13_asof_join
+    from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
-    from .classify import d36_quality_classifier
-    from .funnel import c14_event_paths
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .html_extract import d30_html_extract
     from .lex_index import d18_cdc_bm25
+    from .lm import d28_lm_perplexity
     from .multimodal import d6_features
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval import d19_hybrid, d38_context_pack
+    from .retrieval import d19_hybrid
+    from .urls import d31_domain_cap
     from .relational import (
         b1_scan_count,
         b2_project_filter,
@@ -382,7 +390,13 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b17_pivot,
         b18_unpivot,
     )
-    from .sampling import d10_pack, d10_split, d14_stratified, d37_temperature_mix
+    from .sampling import (
+        d10_pack,
+        d10_split,
+        d14_stratified,
+        d25_token_mix,
+        d29_shards,
+    )
     from .selection import d13_dsir
     from .similarity import (
         d3_hyperplane_topk,
@@ -411,10 +425,6 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
-        "c13_asof_join": c13_asof_join,
-        "c14_event_paths": c14_event_paths,
-        "d36_quality_classifier": d36_quality_classifier,
-        "d37_temperature_mix": d37_temperature_mix,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
@@ -427,7 +437,6 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
-        "d38_context_pack": d38_context_pack,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,
@@ -458,6 +467,11 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d17_bm25": d17_bm25,
         "d18_cdc_bm25": d18_cdc_bm25,
         "d19_hybrid": d19_hybrid,
+        "d25_token_mix": d25_token_mix,
+        "d28_lm_perplexity": d28_lm_perplexity,
+        "d29_shards": d29_shards,
+        "d30_html_extract": d30_html_extract,
+        "d31_domain_cap": d31_domain_cap,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,

@@ -124,9 +124,13 @@ EXPECTED_QUERIES = frozenset(
        "d8_cosine_neardup"]
     # corpus-composition anchor, individual since round 8
     + ["d16_corpus_pipeline"]
-    + ["d25_token_mix", "d27_full_prep", "d28_lm_perplexity", "d29_shards",
-       "d30_html_extract", "d31_domain_cap", "d32_web_prep",
+    # round-10 rotation (VERDICT r09 ask #1): d25/d28/d29/d30/d31 parked
+    # in x4 (green in r08+r09; oracles in tests/test_rotated_oracles.py)
+    # to free slots for the round-9 newcomers below
+    + ["d27_full_prep", "d32_web_prep",
        "d33_weighted_sample", "d34_semantic_decontam"]
+    + ["c13_asof_join", "c14_event_paths", "d36_quality_classifier",
+       "d37_temperature_mix", "d38_context_pack"]
     # round-9 rotation (VERDICT r08 ask #1): the round-8
     # composite-delivered exact-oracle queries take individual slots —
     # the round-8 newcomers and the round-7 x2 leftovers

@@ -80,16 +80,15 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c8_interval_join",
-            "c13_asof_join", "c14_event_paths", "d37_temperature_mix",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",
-            "d12_semdedup", "d36_quality_classifier",
+            "d12_semdedup",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
-            "d3_pq_topk", "d22_pca_topk", "d38_context_pack",
+            "d3_pq_topk", "d22_pca_topk",
         },
         "x4_rowsonly_stable": {
             "b1_scan_count", "b2_project_filter", "b3_broadcast_join",
@@ -102,6 +101,8 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d4_text_stats", "d5_slicing",
             "d11_decontaminate", "d13_dsir", "d14_stratified", "d15_chunk",
             "d17_bm25", "d18_cdc_bm25", "d19_hybrid",
+            "d25_token_mix", "d28_lm_perplexity", "d29_shards",
+            "d30_html_extract", "d31_domain_cap",
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
             "t7_vocab_topdf", "t8_bpe",

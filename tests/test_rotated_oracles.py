@@ -4,7 +4,8 @@ oracles pinned HERE at two scale factors, via the driver's own
 comparator (oracle_check.compare_one) — so correctness evidence is
 uninterrupted while the newer composite-delivered exact-oracle queries
 use the freed slots (round-8 parking per VERDICT r07 ask #3, round-9
-parking per VERDICT r08 ask #1).
+parking per VERDICT r08 ask #1, round-10 parking per VERDICT r09
+ask #1).
 """
 
 from __future__ import annotations
@@ -15,16 +16,25 @@ from oracle_check import compare_one, duckdb_conn
 
 from cdc2vec_spark.operators import (
     decontam,
+    html_extract,
     lex_index,
+    lm,
     relational,
     retrieval,
     sampling,
     selection,
     text,
+    urls,
 )
 from tests.conftest import SF0001, SF001
 
 ROTATED = [
+    # round-10 parking set (driver-green in CORRECTNESS_r08 AND _r09)
+    ("d25_token_mix", sampling),
+    ("d28_lm_perplexity", lm),
+    ("d29_shards", sampling),
+    ("d30_html_extract", html_extract),
+    ("d31_domain_cap", urls),
     # round-9 parking set (driver-green in CORRECTNESS_r08)
     ("b1_scan_count", relational),
     ("b11_topk", relational),
