@@ -576,11 +576,13 @@ class IncrementalIvfIndex:
             "imbalance": round(int(row["max_cell"] or 0) / avg, 2) if avg else 0.0,
         }
 
-    def live_points(self) -> DataFrame | None:
+    def live_points(self, keep_cell: bool = False) -> DataFrame | None:
         """The index's current live survivors (max-LSN per id vs the
         tombstone log, deletes dropped) as (id, vector, lsn, *payload) —
         the rebuild source and the evaluation corpus for the
-        index-health loop (operators.index_health)."""
+        index-health loop (operators.index_health). ``keep_cell`` also
+        carries each survivor's STORED cell assignment (the health
+        probe derives per-depth reachability from it)."""
         state = read_bucketed_state(self.spark, self.path, col=CELL_COL)
         if state is None:
             return None
@@ -588,8 +590,9 @@ class IncrementalIvfIndex:
         tomb = self._tombstone_maxlsn()
         if tomb is not None:
             live = self._drop_tombstoned(live, tomb)
+        extra = [CELL_COL] if keep_cell else []
         return live.select(
-            self.id_col, self.vec_col, "lsn", *self.payload_cols
+            self.id_col, self.vec_col, "lsn", *self.payload_cols, *extra
         )
 
     def rebuild(self, centroid_every: int = 31) -> None:

@@ -109,6 +109,39 @@ def test_recall_curve_is_monotone_to_full_probe(spark, tmp_path):
     assert curve[1_000_000] == pytest.approx(1.0)
 
 
+def test_recall_probe_is_batched_constant_job_count(spark, tmp_path):
+    """VERDICT r09 ask #4: the health probe must run a CONSTANT number
+    of Spark jobs (batched one-pass via exact_topk_multi), not
+    ~n_queries × (1 + |nprobes|) sequential collect jobs. Asserted via
+    job groups on the status tracker: a 6-query × 3-depth curve costs
+    EXACTLY as many jobs as a 2-query × 1-depth one (AQE splits a
+    single action into several jobs, so the invariant is constancy
+    across probe sizes, not an absolute count)."""
+    e = load_table(spark, SF001, "embeddings")
+    pts = e.selectExpr("cast(vec_id as string) as id", "embedding as vector")
+    ix = IncrementalIvfIndex(spark, str(tmp_path / "ivf"))
+    ix.build(pts, centroid_every=13)
+
+    sc = spark.sparkContext
+
+    def jobs_for(group, **kw):
+        sc.setJobGroup(group, "batched recall curve")
+        try:
+            recall_curve(ix, **kw)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    small = jobs_for("probe-small", nprobes=(4,), n_queries=2, k=10)
+    big = jobs_for("probe-big", nprobes=(1, 2, 4), n_queries=6, k=10)
+    # sequential probing would cost ~n_queries·(1+|nprobes|)·2 jobs —
+    # 8 vs 48 here; the batched path is size-invariant
+    assert big == small, (
+        f"probe jobs scale with size: {small} jobs at 2q×1depth vs "
+        f"{big} at 6q×3depths — the probe is not batched"
+    )
+
+
 def test_policy_on_empty_index_raises(spark, tmp_path):
     ix = IncrementalIvfIndex(spark, str(tmp_path / "none"))
     with pytest.raises(ValueError, match="empty index"):
