@@ -243,3 +243,135 @@ def maybe_rebuild(
         ix.rebuild(centroid_every=centroid_every)
     decision["executed"] = decision["rebuild"]
     return decision
+
+
+# --- lexical-index health (VERDICT r09 ask #5) -----------------------------
+#
+# The BM25 model itself cannot drift — topk computes N/avgdl/df from the
+# LIVE state on every query — so lexical health is about COST, not
+# answer quality: dead postings and a fat tombstone log make every
+# touched-bucket read scan rows that are immediately filtered out, and
+# vocabulary drift can pile live postings into few term buckets so a
+# query's pruned read stops being pruned. Three scalars cover it, all
+# from ONE pass over the index state (far smaller than the corpus).
+
+
+def lex_health_report(ix) -> dict:
+    """One-job health report over an ``IncrementalLexicalIndex``: live
+    vs total rows per partition kind, tombstone pressure, and the live
+    posting distribution across term buckets. ``bucket_imbalance`` is
+    max-bucket / (live postings ÷ n_buckets) — the IVF ``imbalance``
+    twin; an empty-but-allocated bucket counts in the denominator, so a
+    vocabulary hashed into one of 16 buckets reports 16."""
+    from ..cdc.apply import read_bucketed_state
+    from .lex_index import BUCKET_COL, DOC_BUCKET, TOMB_BUCKET
+
+    state = read_bucketed_state(ix.spark, ix.path, col=BUCKET_COL)
+    if state is None:
+        raise ValueError(f"empty lexical index at {ix.path}")
+    tomb = ix._tomb_maxlsn()
+    if tomb is None:
+        flagged = state.withColumn("_live", F.lit(True))
+    else:
+        t = tomb.withColumnRenamed("id", "_tkey")
+        flagged = (
+            state.withColumn("_tkey", ix._tomb_key_expr(F.col("id")))
+            .join(F.broadcast(t), "_tkey", "left")
+            .withColumn(
+                "_live",
+                F.col("_tlsn").isNull() | (F.col("lsn") >= F.col("_tlsn")),
+            )
+        )
+    per = (
+        flagged.groupBy(BUCKET_COL)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("_live").cast("long")).alias("live"),
+        )
+        .collect()
+    )
+    doc_rows = live_docs = tomb_rows = 0
+    posting_rows = posting_live = 0
+    bucket_live: dict[int, int] = {}
+    for r in per:
+        b = r[BUCKET_COL]
+        if b == TOMB_BUCKET:
+            tomb_rows = int(r["rows"])
+        elif b == DOC_BUCKET:
+            doc_rows, live_docs = int(r["rows"]), int(r["live"])
+        else:
+            posting_rows += int(r["rows"])
+            posting_live += int(r["live"])
+            bucket_live[int(b)] = int(r["live"])
+    avg = posting_live / max(ix.n_buckets, 1)
+    imbalance = (max(bucket_live.values()) / avg) if posting_live else 0.0
+    return {
+        "n_docs": live_docs,
+        "doc_rows": doc_rows,
+        "dead_doc_ratio": round(1 - live_docs / doc_rows, 4) if doc_rows else 0.0,
+        "tomb_rows": tomb_rows,
+        "tomb_ratio": round(tomb_rows / max(live_docs, 1), 4),
+        "posting_rows": posting_rows,
+        "live_postings": posting_live,
+        "dead_posting_ratio": (
+            round(1 - posting_live / posting_rows, 4) if posting_rows else 0.0
+        ),
+        "n_buckets": ix.n_buckets,
+        "bucket_imbalance": round(imbalance, 2),
+    }
+
+
+def lex_rebuild_policy(
+    ix,
+    max_tomb_ratio: float = 0.5,
+    max_dead_ratio: float = 0.5,
+    max_imbalance: float = 8.0,
+) -> dict:
+    """Measure the lexical index and decide between no-op, ``compact``
+    (GC dead postings + clear the tombstone log — cures tombstone/dead
+    pressure) and ``rebalance`` (``rebuild`` with a wider bucket layout
+    — cures vocabulary-drift skew; it garbage-collects too, so it
+    subsumes compact). Scalars only, loggable verbatim — the
+    ``rebuild_policy`` twin."""
+    report = lex_health_report(ix)
+    reasons: list[str] = []
+    compact = rebalance = False
+    if report["tomb_ratio"] > max_tomb_ratio:
+        compact = True
+        reasons.append(
+            f"tomb_ratio {report['tomb_ratio']} > {max_tomb_ratio} "
+            f"({report['tomb_rows']} tombstones vs {report['n_docs']} live docs)"
+        )
+    dead = max(report["dead_doc_ratio"], report["dead_posting_ratio"])
+    if dead > max_dead_ratio:
+        compact = True
+        reasons.append(
+            f"dead ratio {dead} > {max_dead_ratio} "
+            f"(docs {report['dead_doc_ratio']}, postings {report['dead_posting_ratio']})"
+        )
+    if report["live_postings"] and report["bucket_imbalance"] > max_imbalance:
+        rebalance = True
+        reasons.append(
+            f"bucket_imbalance {report['bucket_imbalance']} > {max_imbalance} "
+            f"over {report['n_buckets']} buckets"
+        )
+    return {
+        "compact": compact and not rebalance,
+        "rebalance": rebalance,
+        "reasons": reasons,
+        "report": report,
+    }
+
+
+def lex_maybe_repair(ix, grow_factor: int = 2, **policy_kwargs) -> dict:
+    """One-call cadence hook for the lexical index (the ``maybe_rebuild``
+    twin): evaluate ``lex_rebuild_policy`` and execute the repair it
+    picked — ``rebuild(n_buckets × grow_factor)`` on skew, plain
+    ``compact()`` on tombstone/dead pressure."""
+    decision = lex_rebuild_policy(ix, **policy_kwargs)
+    if decision["rebalance"]:
+        ix.rebuild(n_buckets=max(ix.n_buckets * grow_factor, ix.n_buckets + 1))
+    elif decision["compact"]:
+        ix.compact()
+    decision["executed"] = decision["rebalance"] or decision["compact"]
+    return decision

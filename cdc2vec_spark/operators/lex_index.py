@@ -76,6 +76,10 @@ class IncrementalLexicalIndex:
         meta = self._stored_meta()
         if meta is not None:
             self.chunked = bool(meta.get("chunked", False))
+            # the bucket layout is a physical property of the stored
+            # index (rebuild() may have re-bucketed it) — a reader must
+            # adopt it or topk would read the wrong term buckets
+            self.n_buckets = int(meta.get("n_buckets", n_buckets))
         # FILTERED lexical search (the ann_index.payload_cols twin):
         # payload columns ride on the docstat rows, and topk's
         # ``predicate`` pre-filters candidate docs before scoring — the
@@ -210,7 +214,7 @@ class IncrementalLexicalIndex:
 
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path + "_meta.json", "w") as fh:
-            _json.dump({"chunked": self.chunked}, fh)
+            _json.dump({"chunked": self.chunked, "n_buckets": self.n_buckets}, fh)
 
     def _stored_meta(self) -> dict | None:
         p = self.path + "_meta.json"
@@ -485,6 +489,44 @@ class IncrementalLexicalIndex:
         )
         # tombstone log is now empty; docstat count is re-observed by the
         # next batch that touches it (lazy recount otherwise)
+        self._tomb_rows = 0
+        self._doc_rows = None
+
+    def rebuild(self, n_buckets: int | None = None) -> None:
+        """Offline re-bucket + GC — the lexical twin of the IVF
+        ``rebuild``: compact's garbage collection PLUS a reassignment of
+        every live posting to the term-bucket layout of ``n_buckets``
+        (default: the current layout, making this a plain compact).
+        The cure for bucket skew the health policy detects
+        (operators.index_health.lex_rebuild_policy): vocabulary drift
+        piles postings into few buckets, so every touched-bucket read
+        scans far more than its share — more buckets re-spread the
+        hash. The new layout is frozen to ``_meta.json`` so later
+        readers adopt it automatically."""
+        state = read_bucketed_state(self.spark, self.path, col=BUCKET_COL)
+        if state is None:
+            return
+        new_n = int(n_buckets) if n_buckets else self.n_buckets
+        tomb = self._tomb_maxlsn()
+        live = self._alive(
+            state.where(F.col(BUCKET_COL) != TOMB_BUCKET), tomb
+        )
+        live = live.withColumn(
+            BUCKET_COL,
+            F.when(F.col(BUCKET_COL) == DOC_BUCKET, F.lit(DOC_BUCKET))
+            .otherwise(_term_bucket(F.col("term"), new_n)),
+        )
+        old_cells = {
+            r[0] for r in state.select(BUCKET_COL).distinct().collect()
+        }
+        cells = sorted(old_cells | set(range(new_n)) | {DOC_BUCKET})
+        live = live.localCheckpoint(eager=True)  # read before swap
+        swap_buckets(
+            live.repartition(len(cells), BUCKET_COL),
+            self.path, cells, col=BUCKET_COL,
+        )
+        self.n_buckets = new_n
+        self._write_meta()
         self._tomb_rows = 0
         self._doc_rows = None
 

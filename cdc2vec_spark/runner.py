@@ -309,7 +309,18 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
             c.strip() for c in str(opts.get("payload_cols", "")).split(",") if c.strip()
         )
 
-        lcache: dict[str, IncrementalLexicalIndex] = {}
+        # health cadence (round 10, the ivf_index health_every twin):
+        # options.health_every = N runs lex_rebuild_policy after every
+        # Nth batch and compacts / re-buckets when it triggers (0 = off);
+        # the last decision is kept on hook.last_health
+        lhealth_every = int(opts.get("health_every", 0))
+        lhealth_kw = {
+            "max_tomb_ratio": float(opts.get("max_tomb_ratio", 0.5)),
+            "max_dead_ratio": float(opts.get("max_dead_ratio", 0.5)),
+            "max_imbalance": float(opts.get("max_imbalance", 8.0)),
+        }
+
+        lcache: dict = {"n": 0}
 
         def hook(pts: DataFrame) -> None:
             # one writer instance across batches: its Observation-fed
@@ -324,7 +335,13 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                     chunked=idx_chunked,
                 )
             ix.apply_batch(pts.select("id", "text", "op", "lsn", *lpay))
+            lcache["n"] += 1
+            if lhealth_every and lcache["n"] % lhealth_every == 0:
+                from .operators.index_health import lex_maybe_repair
 
+                hook.last_health = lex_maybe_repair(ix, **lhealth_kw)
+
+        hook.last_health = None
         return hook
 
     if sink.type == "ivf_index":

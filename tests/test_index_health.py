@@ -206,3 +206,141 @@ def test_ivf_sink_health_cadence_runs_policy_and_rebuilds(spark, tmp_path):
     # the rebuild drained the tombstone log and kept every live point
     ix = IncrementalIvfIndex(spark, path)
     assert ix.stats()["n_live"] == 24 and ix.stats()["n_tombstones"] == 0
+
+
+# --- lexical-index health (VERDICT r09 ask #5) -----------------------------
+
+
+def _lex_docs(spark, n=40):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.createDataFrame(
+        [(f"doc{i:03d}",
+          f"spark query w{i % 7} engine term{i} shared corpus words")
+         for i in range(n)],
+        "id string, text string",
+    )
+
+
+def test_lex_delete_heavy_cdc_degrades_then_policy_compacts(spark, tmp_path):
+    """Delete-heavy CDC (auto-compaction off) piles up tombstones and
+    dead postings; lex_rebuild_policy reports the pressure and triggers
+    compact; after the repair the report is clean, the policy is quiet,
+    and topk answers are unchanged (compaction is pure GC)."""
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.operators.index_health import (
+        lex_health_report,
+        lex_maybe_repair,
+        lex_rebuild_policy,
+    )
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+
+    path = str(tmp_path / "lex")
+    ix = IncrementalLexicalIndex(
+        spark, path, n_buckets=4, auto_compact_ratio=None
+    )
+    ix.build(_lex_docs(spark))
+    # delete 30 of 40 docs, then re-upsert 5 (more dead versions)
+    dels = spark.createDataFrame(
+        [(f"doc{i:03d}", None, "d", 100 + i) for i in range(30)],
+        "id string, text string, op string, lsn long",
+    )
+    ix.apply_batch(dels)
+    ups = spark.createDataFrame(
+        [(f"doc{i:03d}", f"fresh text doc{i} spark", "c", 200 + i)
+         for i in range(5)],
+        "id string, text string, op string, lsn long",
+    )
+    ix.apply_batch(ups)
+
+    report = lex_health_report(ix)
+    assert report["n_docs"] == 15  # 10 survivors + 5 re-upserts
+    assert report["tomb_ratio"] > 0.5 and report["dead_doc_ratio"] > 0.5
+    decision = lex_rebuild_policy(ix)
+    assert decision["compact"] and not decision["rebalance"]
+    assert any("tomb_ratio" in r for r in decision["reasons"])
+
+    before = [tuple(r) for r in ix.topk(("spark", "query"), k=10).collect()]
+    executed = lex_maybe_repair(ix)
+    assert executed["executed"]
+    after_report = lex_health_report(ix)
+    assert after_report["tomb_rows"] == 0
+    assert after_report["dead_doc_ratio"] == 0.0
+    assert after_report["dead_posting_ratio"] == 0.0
+    assert after_report["n_docs"] == 15
+    quiet = lex_rebuild_policy(ix)
+    assert not quiet["compact"] and not quiet["rebalance"]
+    after = [tuple(r) for r in ix.topk(("spark", "query"), k=10).collect()]
+    assert after == before
+
+
+def test_lex_rebalance_rebuilds_wider_layout_and_readers_adopt_it(spark, tmp_path):
+    """Skew repair: with the imbalance bar set below any real layout's
+    imbalance the policy picks rebalance over compact; rebuild doubles
+    n_buckets, freezes it to _meta.json (a FRESH reader constructed with
+    the default layout adopts it), and answers are unchanged."""
+    from cdc2vec_spark.operators.index_health import (
+        lex_health_report,
+        lex_maybe_repair,
+    )
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+
+    path = str(tmp_path / "lex")
+    ix = IncrementalLexicalIndex(spark, path, n_buckets=2)
+    ix.build(_lex_docs(spark))
+    before = [tuple(r) for r in ix.topk(("spark", "term3"), k=10).collect()]
+
+    decision = lex_maybe_repair(ix, max_imbalance=1.0)
+    assert decision["rebalance"] and decision["executed"]
+    assert ix.n_buckets == 4
+
+    fresh = IncrementalLexicalIndex(spark, path)  # default n_buckets=16
+    assert fresh.n_buckets == 4  # adopted from _meta.json
+    after = [tuple(r) for r in fresh.topk(("spark", "term3"), k=10).collect()]
+    assert after == before
+    assert lex_health_report(fresh)["n_buckets"] == 4
+
+
+def test_lex_sink_health_cadence_runs_policy_and_repairs(spark, tmp_path):
+    """options.health_every on the lex_index sink: the hook evaluates
+    lex_rebuild_policy after every Nth batch, executes the repair when
+    it triggers, and exposes the last decision on hook.last_health —
+    the ivf_index cadence's lexical twin."""
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    from cdc2vec_spark.operators.index_health import lex_health_report
+    from cdc2vec_spark.operators.lex_index import IncrementalLexicalIndex
+
+    path = str(tmp_path / "lex")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(type="lex_index", options={
+            "path": path, "health_every": 2,
+            # keep the writer's own auto-compaction out of the way so
+            # the policy is what repairs the index
+            "auto_compact_ratio": "off",
+        }),
+    )
+    hook = runner.sink_hook_for(cfg)
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta w{i % 5} gamma", "c", i + 1) for i in range(20)],
+        "id string, text string, op string, lsn long",
+    )
+    hook(docs)
+    assert hook.last_health is None  # batch 1 of 2: cadence not due
+    dels = docs.where(F.col("lsn") <= 16).select(
+        "id", F.lit(None).cast("string").alias("text"),
+        F.lit("d").alias("op"), (F.col("lsn") + 100).alias("lsn"),
+    )
+    hook(dels)
+    decision = hook.last_health
+    assert decision is not None and decision["executed"] and decision["compact"]
+    assert any("tomb_ratio" in r or "dead ratio" in r for r in decision["reasons"])
+    ix = IncrementalLexicalIndex(spark, path)
+    report = lex_health_report(ix)
+    assert report["n_docs"] == 4 and report["tomb_rows"] == 0
