@@ -14,10 +14,16 @@ SUM are directly self-maintainable under inserts AND deletes; AVG
 derives from (sum, count); population VARIANCE from (sum,
 sum-of-squares, count) — all maintained as additive accumulators. MIN
 and MAX are NOT self-maintainable under deletes (deleting the current
-minimum requires re-scanning the group to find the next one), so agg
-specs asking for them raise ``ValueError`` — the correct
-implementations are recompute-on-delete or a rebuild policy, both
-O(group) on the delete path, deliberately out of scope.
+minimum requires re-scanning the group to find the next one); since
+round 10 (VERDICT r09 ask #6) they are supported via the documented
+RECOMPUTE-ON-DELETE fallback: the stored extremum absorbs inserts
+monotonically (``least``/``greatest`` with the after-image extremum),
+and a group is re-scanned ONLY when the batch's before-image shows it
+removed a row carrying the current extremum AND the after-image no
+longer reaches it — the one case where the survivor is unknowable from
+deltas. The re-scan is one state pass semi-joined to exactly the
+flagged groups (usually none: the recompute plan is not even built
+when no group is flagged).
 
 Implementation — piggyback on the collection's bucketed merge, so the
 aggregate inherits EVERY collection semantic (LWW by lsn, delete
@@ -92,6 +98,8 @@ from .envelope import OP_DELETE
 _LIVE = "_live"
 
 _SELF_MAINTAINABLE = ("count", "sum", "avg", "var")
+# supported through the recompute-on-delete fallback (module docstring)
+_RECOMPUTE_OPS = ("min", "max")
 
 
 def agg_specs(raw: Sequence | None) -> list[dict]:
@@ -104,14 +112,7 @@ def agg_specs(raw: Sequence | None) -> list[dict]:
     seen: set[str] = set()
     for item in raw:
         name, op = item["name"], str(item["op"]).lower()
-        if op in ("min", "max"):
-            raise ValueError(
-                f"agg {name!r}: {op} is not self-maintainable under deletes "
-                "(removing the current extremum forces a group re-scan); "
-                "use a recompute/rebuild policy instead — see cdc/ivm.py "
-                "module docstring"
-            )
-        if op not in _SELF_MAINTAINABLE:
+        if op not in _SELF_MAINTAINABLE + _RECOMPUTE_OPS:
             raise ValueError(f"agg {name!r}: unknown op {op!r}")
         if op != "count" and not item.get("col"):
             raise ValueError(f"agg {name!r}: op {op!r} needs a 'col' expression")
@@ -157,7 +158,8 @@ class IncrementalGroupAgg:
     ``group_cols`` may list several columns (multi-column grouping);
     the single-column form keeps the legacy output name ``grp``, the
     multi-column form keeps the original column names. ``aggs`` is a
-    list of ``{name, op, col}`` specs (op ∈ count/sum/avg/var; col is a
+    list of ``{name, op, col}`` specs (op ∈ count/sum/avg/var plus
+    min/max via recompute-on-delete — module docstring; col is a
     SQL expression over the change columns); the default reproduces the
     original dashboard pair — live-row count ``n`` + text-character sum
     ``chars``."""
@@ -215,6 +217,12 @@ class IncrementalGroupAgg:
     # storage schema: out_groups + _LIVE + one additive column per
     # accumulator; COUNT specs have no accumulator (they read _LIVE)
 
+    def _mm_names(self) -> list[str]:
+        """min/max spec output columns — stored alongside the additive
+        accumulators but merged by extremum rules + recompute-on-delete,
+        never summed (they are excluded from ``_resum``)."""
+        return [s["name"] for s in self.aggs if s["op"] in _RECOMPUTE_OPS]
+
     def _acc_names(self) -> list[str]:
         names = [_LIVE]
         for s in self.aggs:
@@ -258,6 +266,15 @@ class IncrementalGroupAgg:
                         F.count(col).alias(name + "__cnt")]
         return out
 
+    def _mm_exprs(self) -> list[Column]:
+        out = []
+        for s in self.aggs:
+            if s["op"] == "min":
+                out.append(F.min(F.expr(s["col"])).alias(s["name"]))
+            elif s["op"] == "max":
+                out.append(F.max(F.expr(s["col"])).alias(s["name"]))
+        return out
+
     def _live_agg(self, df: DataFrame | None) -> DataFrame | None:
         if df is None:
             return None
@@ -267,16 +284,19 @@ class IncrementalGroupAgg:
         return (
             df.where(F.col("op") != OP_DELETE)
             .groupBy(*groups)
-            .agg(*self._acc_exprs())
+            .agg(*self._acc_exprs(), *self._mm_exprs())
         )
 
     def _resum(self, *parts: DataFrame) -> DataFrame:
         """Union + GROUP BY re-aggregation — the NULL-safe way to add
         accumulator tables (GROUP BY groups NULL keys together; a join
-        on the group key would never match them)."""
-        out = parts[0]
+        on the group key would never match them). Parts are normalized
+        to the ADDITIVE columns first (a part may also carry min/max
+        columns, which are merged separately by ``_attach_mm``)."""
+        cols = [*self.out_groups, *self._acc_names()]
+        out = parts[0].select(*cols)
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p.select(*cols))
         return out.groupBy(*[F.col(g) for g in self.out_groups]).agg(
             *[F.sum(c).alias(c) for c in self._acc_names()]
         )
@@ -286,6 +306,154 @@ class IncrementalGroupAgg:
             *self.out_groups,
             *[(-F.col(c)).alias(c) for c in self._acc_names()],
         )
+
+    # ---- min/max merge (recompute-on-delete, module docstring) ---------
+
+    def _union_tag_merge(self, sides: list[DataFrame], value_cols: list) -> DataFrame:
+        """NULL-safe outer merge of group-keyed frames: each side carries
+        the full column set with NULLs for the columns it doesn't own
+        (at most one row per group per side), union + GROUP BY + max
+        collapses them — the ``_resum`` trick extended to non-additive
+        columns (a join on the group key would never match NULL keys)."""
+        out = sides[0]
+        for s in sides[1:]:
+            out = out.unionByName(s)
+        return out.groupBy(*[F.col(g) for g in self.out_groups]).agg(
+            *[F.max(c).alias(c) for c in value_cols]
+        )
+
+    def _attach_mm(
+        self,
+        additive: DataFrame,
+        cur: DataFrame | None,
+        before: DataFrame | None,
+        after: DataFrame,
+        merged: DataFrame,
+        touched: list[int],
+    ) -> DataFrame:
+        """Merge the min/max columns onto the additive agg table.
+
+        Per group and spec (min case; max is the mirror): the stored
+        extremum ``m`` absorbs the after-image extremum ``a``
+        monotonically — inserts/updates can only improve it. The ONE
+        unknowable case is removal: the before-image extremum ``b``
+        reaching ``m`` (b == m, since m is the global extremum) while
+        the after-image no longer does means the batch deleted (or
+        updated away) a row carrying the extremum and no touched row
+        replaces it — whether ``m`` survives now depends on UNTOUCHED
+        buckets, so exactly those groups are re-scanned from the
+        post-merge live state (one pass, semi-joined to the flagged
+        groups; the plan is not even built when no group is flagged —
+        the common case, making the per-batch cost O(batch + touched
+        buckets + groups) with the re-scan amortized over extremum
+        removals only)."""
+        mm = [(s["name"], s["op"]) for s in self.aggs if s["op"] in _RECOMPUTE_OPS]
+        names = [n for n, _ in mm]
+        mm_type = {f.name: f.dataType for f in after.schema.fields}
+        acc = self._acc_names()
+        acc_type = {f.name: f.dataType for f in additive.schema.fields}
+        gcols = list(self.out_groups)
+
+        def nulls(cols, types):
+            return [F.lit(None).cast(types[c]).alias(c) for c in cols]
+
+        def side(df, own_prefix):
+            cols = [F.col(g) for g in gcols]
+            for p in ("c_", "b_", "a_"):
+                for n in names:
+                    cols.append(
+                        F.col(n).alias(p + n) if p == own_prefix
+                        else F.lit(None).cast(mm_type[n]).alias(p + n)
+                    )
+            cols.append(
+                F.lit(own_prefix == "c_").alias("_has_cur")
+            )
+            return df.select(*cols)
+
+        sides = [side(after, "a_")]
+        if cur is not None:
+            sides.append(side(cur, "c_"))
+        if before is not None:
+            sides.append(side(before, "b_"))
+        tag_cols = [p + n for p in ("c_", "b_", "a_") for n in names]
+        grouped = self._union_tag_merge(sides, [*tag_cols, "_has_cur"])
+
+        has = F.coalesce(F.col("_has_cur"), F.lit(False))
+        vals, recs = [], []
+        for n, op in mm:
+            m, b, a = F.col("c_" + n), F.col("b_" + n), F.col("a_" + n)
+            reaches = (a <= m) if op == "min" else (a >= m)
+            removed = (b <= m) if op == "min" else (b >= m)
+            vals.append(
+                F.when(~has, a)
+                .when(m.isNull(), a)
+                .when(a.isNotNull() & reaches, a)
+                .otherwise(m)
+                .alias(n)
+            )
+            recs.append(
+                has & m.isNotNull() & b.isNotNull() & removed
+                & ~(a.isNotNull() & reaches)
+            )
+        rec_flag = recs[0]
+        for r in recs[1:]:
+            rec_flag = rec_flag | r
+        grouped = grouped.select(
+            *gcols, *vals, F.coalesce(rec_flag, F.lit(False)).alias("_rec")
+        )
+        # the flag decides whether the O(state) re-scan plan exists at
+        # all, so materialize the (group-cardinality) frame once
+        grouped = grouped.localCheckpoint(eager=True)
+        flagged = grouped.where(F.col("_rec"))
+        if not flagged.isEmpty():
+            full = merged
+            prior_all = read_bucketed_state(self.spark, self.state_path)
+            if prior_all is not None:
+                full = (
+                    prior_all.where(~F.col(BUCKET_COL).isin(touched))
+                    .select(*merged.columns)
+                    .unionByName(full.select(*merged.columns))
+                )
+            rg = flagged.select(
+                *[F.col(o).alias(f"_rg_{i}") for i, o in enumerate(gcols)]
+            )
+            cond = F.lit(True)
+            for i, g in enumerate(self.group_cols):
+                cond = cond & F.col(g).eqNullSafe(F.col(f"_rg_{i}"))
+            rescanned = self._live_agg(
+                full.join(F.broadcast(rg), on=cond, how="left_semi")
+            ).select(
+                *gcols, *[F.col(n).alias("_rs_" + n) for n in names]
+            )
+            rs_type = {n: mm_type[n] for n in names}
+            g_side = grouped.select(
+                *gcols, *[F.col(n) for n in names], "_rec",
+                *[F.lit(None).cast(rs_type[n]).alias("_rs_" + n) for n in names],
+            )
+            r_side = rescanned.select(
+                *gcols, *nulls(names, mm_type),
+                F.lit(None).cast("boolean").alias("_rec"),
+                *[F.col("_rs_" + n) for n in names],
+            )
+            grouped = self._union_tag_merge(
+                [g_side, r_side],
+                [*names, "_rec", *["_rs_" + n for n in names]],
+            ).select(
+                *gcols,
+                *[
+                    F.when(F.col("_rec"), F.col("_rs_" + n))
+                    .otherwise(F.col(n))
+                    .alias(n)
+                    for n in names
+                ],
+            )
+        else:
+            grouped = grouped.select(*gcols, *names)
+        # attach onto the additive table (same group set) — union-tag
+        # again for NULL-key safety
+        a_side = additive.select(*gcols, *acc, *nulls(names, mm_type))
+        m_side = grouped.select(*gcols, *nulls(acc, acc_type), *names)
+        return self._union_tag_merge([a_side, m_side], [*acc, *names])
 
     # ---- state merge ---------------------------------------------------
 
@@ -346,7 +514,9 @@ class IncrementalGroupAgg:
         calling read() on a second instance while the writer runs."""
         se, ae = _read_epoch(self._epoch_state), _read_epoch(self._epoch_agg)
         raw = read_state(self.spark, self.agg_path)
-        needed = set(self.out_groups) | set(self._acc_names())
+        needed = (
+            set(self.out_groups) | set(self._acc_names()) | set(self._mm_names())
+        )
         stale_schema = raw is not None and not needed <= set(raw.columns)
         if se == ae and not stale_schema:
             return
@@ -379,15 +549,33 @@ class IncrementalGroupAgg:
         )
         before = self._live_agg(prior)
         after = self._live_agg(merged)
-        delta = after if before is None else self._resum(after, self._negate(before))
+        mm = bool(self._mm_names())
+        if mm:
+            # before/after feed both the additive Δ and the min/max
+            # merge — cache the (group-cardinality) aggregates so the
+            # touched buckets aren't re-aggregated per consumer
+            after = after.persist()
+            if before is not None:
+                before = before.persist()
+        delta = (
+            after.select(*self.out_groups, *self._acc_names())
+            if before is None
+            else self._resum(after, self._negate(before))
+        )
         cur = read_state(self.spark, self.agg_path)
         new_agg = delta if cur is None else self._resum(cur, delta)
+        if mm:
+            new_agg = self._attach_mm(new_agg, cur, before, after, merged, touched)
         new_agg = new_agg.where(F.col(_LIVE) > 0).coalesce(1)
         # ONE pre-swap materialization covers both needs: Δ (which reads
         # `prior`'s files) is evaluated through the agg merge before the
         # bucket swap replaces those files, and the later swap_write
         # writes from the checkpoint instead of recomputing
         new_agg = new_agg.localCheckpoint(eager=True)
+        if mm:
+            after.unpersist()
+            if before is not None:
+                before.unpersist()
         epoch = _read_epoch(self._epoch_state) + 1
         # stamp order: state stamp BEFORE the state mutation, agg stamp
         # AFTER the agg swap — a crash anywhere between leaves them
@@ -410,7 +598,11 @@ class IncrementalGroupAgg:
         cols: list[Column] = [F.col(g) for g in self.out_groups]
         for s in self.aggs:
             op, name = s["op"], s["name"]
-            if op == "count":
+            if op in _RECOMPUTE_OPS:
+                # maintained extremum; NULL ⟺ no non-null live value
+                # (SQL MIN/MAX semantics, kept by the merge rules)
+                cols.append(F.col(name))
+            elif op == "count":
                 cols.append(F.col(_LIVE).alias(name))
             elif op == "sum":
                 # SQL SUM semantics: NULL when no non-null value remains
