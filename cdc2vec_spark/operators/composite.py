@@ -47,7 +47,10 @@ Groupings:
                          d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
-                         own test file)
+                         own test file), d12_semdedup_exact (round-10
+                         addition: the semantic-dedup hash-checked
+                         anchor, exact two-SF oracle in
+                         tests/test_similarity.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests)
@@ -86,6 +89,10 @@ CONSOLIDATED: tuple[str, ...] = (
     "d9_keep_canonical",
     "d6_features",
     "d12_semdedup",
+    # round-10 addition (VERDICT r09 ask #7): the semantic-dedup
+    # hash-checked anchor — exact two-SF oracle (recursive-CTE greedy)
+    # in tests/test_similarity.py; composite-delivered under the budget
+    "d12_semdedup_exact",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -196,10 +203,11 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic-dedup + multimodal-feature + semantic-dedup
     rows-only probes (recall/precision pinned vs exact answers in their
-    own test files)."""
+    own test files; d12_semdedup_exact carries an exact two-SF oracle in
+    tests/test_similarity.py — the semantic-dedup hash-checked anchor)."""
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
-    from .similarity import d12_semdedup
+    from .similarity import d12_semdedup, d12_semdedup_exact
 
     return _union(
         spark,
@@ -210,6 +218,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d9_keep_canonical", d9_keep_canonical),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
+            ("d12_semdedup_exact", d12_semdedup_exact),
         ],
     )
 
@@ -403,6 +412,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d3_ivf_topk,
         d8_lsh_neardup,
         d12_semdedup,
+        d12_semdedup_exact,
     )
     from .text import (
         d4_text_stats,
@@ -432,6 +442,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_keep_canonical": d9_keep_canonical,
         "d6_features": d6_features,
         "d12_semdedup": d12_semdedup,
+        "d12_semdedup_exact": d12_semdedup_exact,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
         "d8_lsh_neardup": d8_lsh_neardup,

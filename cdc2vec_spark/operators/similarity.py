@@ -689,6 +689,83 @@ def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, eps=0.3)
 
 
+def semdedup_by_block(
+    embeddings: DataFrame,
+    eps: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with PREDEFINED clusters — the degenerate-but-real
+    configuration where the blocking key is a metadata column (tenant,
+    shard, label) instead of learned centroids. Same keep rule as
+    ``semdedup`` (greedy in id order against the KEPT set), but because
+    the float surface reduces to ``cosine_neardup_pairs`` (the
+    hash-checked d8 form) and the greedy itself is pure integer/set
+    logic, the WHOLE operator is oracle-exact — this is the semantic-
+    dedup path's hash-checked anchor (VERDICT r09 ask #7, the
+    d2_lsh_exact pattern).
+
+    Shape: one pair pass (one shuffle on the block, per-block BLAS) +
+    one cogrouped greedy per block (set logic over the block's pair
+    list — quadratic work stays bounded by the block, exactly like the
+    centroid form). Returns ``(id_col, block_col, dropped)``."""
+    import pandas as pd
+
+    pairs = cosine_neardup_pairs(
+        embeddings, eps, block_col=block_col, id_col=id_col, vec_col=vec_col
+    )
+    ids = embeddings.select(block_col, id_col)
+    # pairs are within-block by construction; recover the block via the
+    # lower id (both ends share it). The block rides under a private
+    # name on this side — ids and pl share lineage, and cogroup keys
+    # match positionally, so the rename also defuses the ambiguous-
+    # self-join check.
+    pl = pairs.join(
+        ids.select(
+            F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk")
+        ),
+        "id_a",
+    )
+    id_field = next(f for f in ids.schema.fields if f.name == id_col)
+    blk_field = next(f for f in ids.schema.fields if f.name == block_col)
+    out_schema = T.StructType(
+        [id_field, blk_field, T.StructField("dropped", T.BooleanType(), False)]
+    )
+
+    def block_greedy(key, ids_pdf, pairs_pdf) -> pd.DataFrame:
+        order = sorted(ids_pdf[id_col].to_list())
+        nbrs: dict = {}
+        for a, b in zip(pairs_pdf["id_a"], pairs_pdf["id_b"]):
+            nbrs.setdefault(b, set()).add(a)
+        kept: set = set()
+        dropped = []
+        for i in order:
+            if nbrs.get(i, set()) & kept:
+                dropped.append(True)
+            else:
+                kept.add(i)
+                dropped.append(False)
+        return pd.DataFrame(
+            {id_col: order, block_col: [key[0]] * len(order), "dropped": dropped}
+        )
+
+    return (
+        ids.groupBy(block_col)
+        .cogroup(pl.groupBy("_blk"))
+        .applyInPandas(block_greedy, out_schema)
+        .orderBy(id_col)
+    )
+
+
+def d12_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked SemDeDup anchor: predefined-cluster (label-blocked)
+    semantic dedup at eps=0.3 — float surface ≡ the d8 graded pair form,
+    greedy ≡ exact set logic, mirrored in SQL by a recursive CTE."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_by_block(e, eps=0.3)
+
+
 def d3_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN as a graded entry: exact top-5 (self-match included) for
     the 10 lowest-id stored vectors at once — the retrieval-pipeline
@@ -848,6 +925,46 @@ SELECT id_a, id_b, sim FROM (
 ) t WHERE sim >= 0.3 ORDER BY id_a, id_b
 """
 
+# the d8 pair form at eps=0.3 feeding a recursive-CTE greedy: walk ids
+# ascending, drop iff a KEPT lower-id same-label neighbor exists — pure
+# set logic after the (d8-proven) float pass, so the anchor hash-checks
+# the semantic-dedup keep rule end to end. The recursion is global in
+# vec_id order, which equals the per-label greedy because neighbor
+# lists never cross labels.
+_D12_EXACT_ORACLE = """
+WITH RECURSIVE
+p AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  ) t WHERE sim >= 0.3
+),
+nb AS (SELECT id_b, list(id_a) AS nbrs FROM p GROUP BY id_b),
+ids AS (
+  SELECT vec_id, label, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings
+),
+ids2 AS (
+  SELECT i.vec_id, i.rn, coalesce(nb.nbrs, CAST([] AS BIGINT[])) AS nbrs
+  FROM ids i LEFT JOIN nb ON nb.id_b = i.vec_id
+),
+g AS (
+  SELECT 0 AS rn, CAST([] AS BIGINT[]) AS kept
+  UNION ALL
+  SELECT i.rn,
+         CASE WHEN len(list_intersect(i.nbrs, g.kept)) > 0 THEN g.kept
+              ELSE list_append(g.kept, i.vec_id) END
+  FROM g JOIN ids2 i ON i.rn = g.rn + 1
+)
+SELECT i.vec_id, i.label,
+       NOT list_contains(k.kept, i.vec_id) AS dropped
+FROM ids i, (SELECT kept FROM g ORDER BY rn DESC LIMIT 1) k
+ORDER BY i.vec_id
+"""
+
 QUERIES = {
     "d3_exact_topk": d3_exact_topk,
     "d3_ivf_topk": d3_ivf_topk,
@@ -856,6 +973,10 @@ QUERIES = {
     "d8_cosine_neardup": d8_cosine_neardup,
     "d8_lsh_neardup": d8_lsh_neardup,
     "d12_semdedup": d12_semdedup,
+    # round-10 addition (VERDICT r09 ask #7): the hash-checked anchor for
+    # the semantic-dedup keep rule; composite-delivered in x2 under the
+    # 50-entry budget, oracle pinned at two SFs in tests/test_similarity.py
+    "d12_semdedup_exact": d12_semdedup_exact,
     "d34_semantic_decontam": d34_semantic_decontam,
 }
 
@@ -865,6 +986,8 @@ ORACLES = {
     # d3_ivf_topk, d3_hyperplane_topk: rows-only (approximate; pinned by
     # tests/test_similarity.py)
     "d8_cosine_neardup": _D8_ORACLE,
+    # round-10 addition: the semantic-dedup hash-checked anchor
+    "d12_semdedup_exact": _D12_EXACT_ORACLE,
     # round-8 rotation: individually graded (was composite-delivered)
     "d34_semantic_decontam": _D34_ORACLE,
 }
