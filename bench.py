@@ -84,6 +84,8 @@ HEADLINE = [
     "d36_quality_classifier",  # hashed-linear quality filter (scan-stage)
     "d37_temperature_mix",   # alpha=0.7 source mixing weights + quotas
     "d38_context_pack",      # batched BM25 + token-budget context packing
+    # round-10 additions
+    "d12_semdedup_exact",    # label-blocked SemDeDup (hash-checked anchor)
 ]
 
 
@@ -689,6 +691,13 @@ _CURVE_OPS = [
     # round 8: eval = truth BLAS pass + slack assignment + broadcast
     # candidate re-attach; must scale with the corpus scan, not pairs
     "d35_retrieval_eval",
+    # round 10 (VERDICT r09 ask #8): record the round-9 newcomers'
+    # x10/x100 ratios — banded as-of join, session transition matrix,
+    # scan-stage classifier, batched context packing
+    "c13_asof_join",
+    "c14_event_paths",
+    "d36_quality_classifier",
+    "d38_context_pack",
 ]
 
 
