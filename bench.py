@@ -86,6 +86,7 @@ HEADLINE = [
     "d38_context_pack",      # batched BM25 + token-budget context packing
     # round-10 additions
     "d12_semdedup_exact",    # label-blocked SemDeDup (hash-checked anchor)
+    "d9_keep_exact",         # exact-pairs survivor selection (CC anchor)
 ]
 
 

@@ -47,10 +47,11 @@ Groupings:
                          d10_split, d10_pack
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
-                         own test file), d12_semdedup_exact (round-10
-                         addition: the semantic-dedup hash-checked
-                         anchor, exact two-SF oracle in
-                         tests/test_similarity.py)
+                         own test file), d12_semdedup_exact +
+                         d9_keep_exact (round-10 additions: the
+                         semantic-dedup and survivor-selection
+                         hash-checked anchors, exact two-SF oracles in
+                         tests/test_similarity.py / tests/test_dedup.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests)
@@ -93,6 +94,10 @@ CONSOLIDATED: tuple[str, ...] = (
     # hash-checked anchor — exact two-SF oracle (recursive-CTE greedy)
     # in tests/test_similarity.py; composite-delivered under the budget
     "d12_semdedup_exact",
+    # round-10 addition: survivor-selection hash-checked anchor (exact
+    # blocked-Jaccard pairs → connected components → keep-min-id; oracle
+    # = recursive-CTE reachability closure in tests/test_dedup.py)
+    "d9_keep_exact",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -205,7 +210,12 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files; d12_semdedup_exact carries an exact two-SF oracle in
     tests/test_similarity.py — the semantic-dedup hash-checked anchor)."""
-    from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .dedup import (
+        d2_minhash_lsh,
+        d2_simhash,
+        d9_keep_canonical,
+        d9_keep_exact,
+    )
     from .multimodal import d6_features
     from .similarity import d12_semdedup, d12_semdedup_exact
 
@@ -216,6 +226,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d2_minhash_lsh", d2_minhash_lsh),
             ("d2_simhash", d2_simhash),
             ("d9_keep_canonical", d9_keep_canonical),
+            ("d9_keep_exact", d9_keep_exact),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
             ("d12_semdedup_exact", d12_semdedup_exact),
@@ -367,7 +378,12 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
-    from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .dedup import (
+        d2_minhash_lsh,
+        d2_simhash,
+        d9_keep_canonical,
+        d9_keep_exact,
+    )
     from .html_extract import d30_html_extract
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
@@ -440,6 +456,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,
+        "d9_keep_exact": d9_keep_exact,
         "d6_features": d6_features,
         "d12_semdedup": d12_semdedup,
         "d12_semdedup_exact": d12_semdedup_exact,

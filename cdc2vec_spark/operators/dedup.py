@@ -651,6 +651,67 @@ def d9_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(corpus, pairs).select("doc_id").orderBy("doc_id")
 
 
+def d9_keep_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked anchor for the survivor-selection stage (round 10,
+    the d12_semdedup_exact playbook): the same pairs → connected
+    components → keep-min-id pipeline as d9, but fed by the EXACT
+    blocked-Jaccard pairs (the graded d2_blocked form — deterministic,
+    oracle-mirrored), so the clusters and survivors are integer-exact.
+    The oracle mirrors min-label propagation with a recursive CTE, so
+    ``connected_components``' label semantics — not just the pair set —
+    are what the hash checks."""
+    corpus = neardup_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "source", "doc_id", 0.5, max_df=D2_MAX_DF)
+    return keep_canonical(corpus, pairs).select("doc_id").orderBy("doc_id")
+
+
+# the graded d2_blocked pair derivation verbatim, then connected
+# components as a recursive reachability closure: cc holds (id, comp)
+# for every comp that reaches id over the undirected pair edges (UNION
+# dedup → fixpoint), min(comp) is each node's component label —
+# byte-identical to connected_components' converged min-label
+# propagation — and the survivors are unclustered docs plus each
+# component's min id.
+_D9_EXACT_ORACLE = _CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1) + f"""
+, ex AS (SELECT doc_id, source, unnest(shingles) AS g FROM sh),
+freq AS (SELECT source, g, count(*) AS df FROM ex GROUP BY source, g),
+kept AS (
+  SELECT e.doc_id, e.source, e.g FROM ex e
+  JOIN freq USING (source, g) WHERE freq.df <= {D2_MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b ON a.source = b.source AND a.g = b.g
+                         AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+  ) t WHERE jac >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc AS (
+  SELECT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON e.src = cc.id
+),
+labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+SELECT c.doc_id FROM corpus c
+LEFT JOIN labels l ON l.id = c.doc_id
+WHERE l.id IS NULL OR l.comp = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 # mirrors the Spark plan exactly, INCLUDING the default-on stop-shingle
 # rule: per-(block, shingle) document frequency, shingles with df >
 # D2_MAX_DF dropped before the pair join, per-doc sizes recomputed over
@@ -709,6 +770,9 @@ QUERIES = {
     "d2_simhash": d2_simhash,
     "d2_lsh_exact": d2_lsh_exact,
     "d9_keep_canonical": d9_keep_canonical,
+    # round-10 addition: survivor-selection hash-checked anchor
+    # (composite-delivered in x2; oracle at two SFs in tests/test_dedup.py)
+    "d9_keep_exact": d9_keep_exact,
 }
 
 ORACLES = {
@@ -717,6 +781,7 @@ ORACLES = {
     ),
     "d2_blocked_jaccard": _D2_BLOCKED_ORACLE,
     "d2_lsh_exact": _D2_LSH_EXACT_ORACLE,
+    "d9_keep_exact": _D9_EXACT_ORACLE,
     # d2_minhash_lsh, d2_simhash: rows-only (probabilistic recall /
     # pandas_udf signatures; exactness pinned in tests/test_dedup.py)
 }

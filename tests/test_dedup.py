@@ -243,3 +243,21 @@ def test_d2_canonical_entries_capped_and_oracle_mirrored(spark, sf_dir):
     high = {p for p, j in brute.items() if j >= 0.8}
     assert high and high <= set(got)  # the cap must not cost true dups
     assert len(got) >= 0.6 * len(brute)
+
+
+def test_d9_keep_exact_matches_duckdb_oracle(spark):
+    """Round-10 addition: the survivor-selection anchor — exact
+    blocked-Jaccard pairs → connected components → keep-min-id — vs the
+    recursive-CTE reachability-closure oracle, at two SFs. Hash-checks
+    connected_components' label semantics, not just the pair set."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.dedup import _D9_EXACT_ORACLE, d9_keep_exact
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d9_keep_exact", d9_keep_exact, _D9_EXACT_ORACLE, sf
+        )
+        assert not problems, (sf, problems)

@@ -83,7 +83,8 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
-            "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical", "d6_features",
+            "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical",
+            "d9_keep_exact", "d6_features",
             "d12_semdedup", "d12_semdedup_exact",
         },
         "x3_rowsonly_ann": {
