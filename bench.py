@@ -87,6 +87,7 @@ HEADLINE = [
     # round-10 additions
     "d12_semdedup_exact",    # label-blocked SemDeDup (hash-checked anchor)
     "d9_keep_exact",         # exact-pairs survivor selection (CC anchor)
+    "d39_hard_negatives",    # BM25 hard-negative mining (one corpus scan)
 ]
 
 

@@ -103,6 +103,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "d8_lsh_neardup",
     "d3_pq_topk",
     "d22_pca_topk",
+    # round-10 addition: BM25 hard-negative mining (exact two-SF oracle
+    # in tests/test_retrieval.py; composite-delivered in x3)
+    "d39_hard_negatives",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -236,9 +239,12 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN + retrieval rows-only probes (recall pinned vs
-    exact in tests/test_similarity.py, tests/test_quantize.py)."""
+    exact in tests/test_similarity.py, tests/test_quantize.py;
+    d39_hard_negatives carries an exact two-SF oracle in
+    tests/test_retrieval.py)."""
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
+    from .retrieval import d39_hard_negatives
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -250,6 +256,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
+            ("d39_hard_negatives", d39_hard_negatives),
         ],
     )
 
@@ -390,7 +397,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .multimodal import d6_features
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval import d19_hybrid
+    from .retrieval import d19_hybrid, d39_hard_negatives
     from .urls import d31_domain_cap
     from .relational import (
         b1_scan_count,
@@ -465,6 +472,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
+        "d39_hard_negatives": d39_hard_negatives,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,

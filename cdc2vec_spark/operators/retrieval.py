@@ -168,40 +168,20 @@ _PACK_BUDGET = 512  # context-window token budget per query
 _PACK_MAX_K = 20
 
 
-def bm25_context_pack(
+def _bm25_batch_scored(
     docs: DataFrame,
     queries: dict[int, tuple[str, ...]],
-    budget_tokens: int = _PACK_BUDGET,
-    max_k: int = _PACK_MAX_K,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    eager: bool = True,
-) -> DataFrame:
-    """RAG context assembly for a BATCH of queries: BM25-rank each
-    query's documents, then greedily pack the ranked prefix into a
-    token budget — the retrieve-then-fit step between a retriever
-    (d17/d19) and a generator's context window.
-
-    Spark-first shape: ONE corpus scan serves every query — the scan
-    projects each doc to its length + the (duplicate-preserving) hits
-    against the UNION of all query terms, that per-doc frame is
-    persisted (Catalyst does not dedupe a common subplan across its
-    three consumers — the d16 precedent), and corpus stats, per-term
-    document frequencies, and per-query scores all derive from it;
-    query fan-out is a BROADCAST (query, term) map join, never a
-    per-query corpus pass. Ranking and the running token total share
-    one window partitioning (query_id); the budget cut keeps the
-    maximal ranked PREFIX whose cumulative token count fits (cumsum is
-    monotone, so the filter is exactly take-while — an overflowing doc
-    ends the context, it is not skipped around). Scores are fixed-point
-    micro-units (the d17 discipline), so the output carries an exact
-    DuckDB oracle. ``eager=True`` (default) materializes the ≤
-    |queries|·max_k-row result and releases the persisted per-doc
-    frame immediately (the jaccard_pairs pattern); ``eager=False``
-    returns the lazy plan for inspection.
-
-    Returns (query_id, rank, doc_id, n_tokens, cum_tokens, score_micro)
-    ordered by (query_id, rank)."""
+    id_col: str,
+    text_col: str,
+    eager: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared batched-BM25 core (d38/d39): ONE corpus scan projects each
+    doc to its length + hits against the union of all query terms; the
+    persisted per-doc frame feeds corpus stats, per-term document
+    frequencies, and the broadcast query-map fan-out. Returns
+    ``(perdoc, scored)`` where scored = (query_id, id_col, dl,
+    score_micro) with the d17 per-term fixed-point discipline; the
+    caller unpersists ``perdoc`` after materializing."""
     from .text import _BM25_B, _BM25_K1
 
     all_terms = sorted({t for ts in queries.values() for t in ts})
@@ -244,6 +224,44 @@ def bm25_context_pack(
         .groupBy("query_id", id_col, "dl")
         .agg(F.sum(F.round(F.col("_ts") * 1e6).cast("long")).alias("score_micro"))
     )
+    return perdoc, scored
+
+
+def bm25_context_pack(
+    docs: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    budget_tokens: int = _PACK_BUDGET,
+    max_k: int = _PACK_MAX_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eager: bool = True,
+) -> DataFrame:
+    """RAG context assembly for a BATCH of queries: BM25-rank each
+    query's documents, then greedily pack the ranked prefix into a
+    token budget — the retrieve-then-fit step between a retriever
+    (d17/d19) and a generator's context window.
+
+    Spark-first shape: ONE corpus scan serves every query — the scan
+    projects each doc to its length + the (duplicate-preserving) hits
+    against the UNION of all query terms, that per-doc frame is
+    persisted (Catalyst does not dedupe a common subplan across its
+    three consumers — the d16 precedent), and corpus stats, per-term
+    document frequencies, and per-query scores all derive from it;
+    query fan-out is a BROADCAST (query, term) map join, never a
+    per-query corpus pass. Ranking and the running token total share
+    one window partitioning (query_id); the budget cut keeps the
+    maximal ranked PREFIX whose cumulative token count fits (cumsum is
+    monotone, so the filter is exactly take-while — an overflowing doc
+    ends the context, it is not skipped around). Scores are fixed-point
+    micro-units (the d17 discipline), so the output carries an exact
+    DuckDB oracle. ``eager=True`` (default) materializes the ≤
+    |queries|·max_k-row result and releases the persisted per-doc
+    frame immediately (the jaccard_pairs pattern); ``eager=False``
+    returns the lazy plan for inspection.
+
+    Returns (query_id, rank, doc_id, n_tokens, cum_tokens, score_micro)
+    ordered by (query_id, rank)."""
+    perdoc, scored = _bm25_batch_scored(docs, queries, id_col, text_col, eager)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col(id_col)
     )
@@ -327,6 +345,127 @@ ORDER BY query_id, rank
 """
 
 QUERIES["d38_context_pack"] = d38_context_pack
-# round-9 addition: composite-delivered (x3), oracle pinned at two SFs
-# in tests/test_context_pack.py; rotation candidate for round 10
+# round-9 addition; individually graded since the round-10 rotation
 ORACLES["d38_context_pack"] = D38_ORACLE_SQL
+
+
+# ------------------------------------- D39: BM25 hard-negative mining
+
+# gold (query → relevant doc) labels come from upstream (human labels /
+# click logs); the canonical entry pins a deterministic fixture set over
+# ids present at every SF
+_NEG_POSITIVES: dict[int, tuple[int, ...]] = {
+    0: (1, 5),
+    1: (2,),
+    2: (0, 7),
+}
+_NEG_K = 8  # hard negatives per query
+
+
+def bm25_hard_negatives(
+    docs: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    positives: dict[int, tuple[int, ...]],
+    n_neg: int = _NEG_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eager: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training (the DPR
+    / Contriever recipe, Karpukhin 2020 §4.2): for each (query, gold
+    positives) pair, the top BM25-ranked documents that are NOT gold —
+    the "hard" negatives a dense model must learn to push below the
+    positive, far more informative than random negatives.
+
+    Spark-first shape: the scoring is the SAME one-corpus-scan batched
+    BM25 core as d38 (persisted per-doc hits frame, broadcast query-term
+    map, fixed-point micro scores); the gold set is a tiny broadcast
+    (query_id, doc_id) frame anti-joined per query; neg_rank is a
+    row_number on the shared query_id partitioning. Cost is ONE corpus
+    scan + one |queries|-partition window regardless of |queries| —
+    never a per-query pass.
+
+    Returns (query_id, neg_rank, doc_id, score_micro) — the ranked
+    hard-negative list per query, exactly SQL-portable."""
+    perdoc, scored = _bm25_batch_scored(docs, queries, id_col, text_col, eager)
+    spark = docs.sparkSession
+    pos = spark.createDataFrame(
+        [(qid, d) for qid, ds in sorted(positives.items()) for d in ds],
+        f"query_id int, {id_col} long",
+    )
+    neg = scored.join(F.broadcast(pos), ["query_id", id_col], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    out = (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= n_neg)
+        .select("query_id", "neg_rank", id_col, "score_micro")
+        .orderBy("query_id", "neg_rank")
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        perdoc.unpersist()
+    return out
+
+
+def d39_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D39 (added round 10) — BM25 hard negatives for the fixed 3-query
+    batch with the pinned gold labels, over the documents table."""
+    return bm25_hard_negatives(
+        load_table(spark, sf_dir, "documents"), _PACK_QUERIES, _NEG_POSITIVES
+    )
+
+
+def _neg_positives_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, {d})" for qid, ds in sorted(_NEG_POSITIVES.items()) for d in ds
+    )
+    return f"(VALUES {rows}) pos(query_id, doc_id)"
+
+
+D39_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl FROM base
+), expl AS (
+  SELECT doc_id, dl, unnest(t) AS term FROM base
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM expl
+  WHERE term IN ('spark', 'query', 'window', 'vector')
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), per_term AS (
+  SELECT tf.doc_id, tf.dl, tf.term,
+         CAST(round(1e6 * ln(1.0 + (N - df + 0.5) / (df + 0.5))
+              * (tf * ({_K1} + 1))
+              / (tf + {_K1} * (1 - {_B} + {_B} * tf.dl / avgdl))) AS BIGINT)
+           AS ts_micro
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+), scored AS (
+  SELECT qm.query_id, p.doc_id,
+         CAST(sum(p.ts_micro) AS BIGINT) AS score_micro
+  FROM per_term p JOIN {_pack_queries_sql()} USING (term)
+  GROUP BY qm.query_id, p.doc_id
+), neg AS (
+  SELECT s.query_id, s.doc_id, s.score_micro,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score_micro DESC, s.doc_id) AS neg_rank
+  FROM scored s
+  LEFT JOIN {_neg_positives_sql()}
+    ON pos.query_id = s.query_id AND pos.doc_id = s.doc_id
+  WHERE pos.doc_id IS NULL
+)
+SELECT query_id, neg_rank, doc_id, score_micro
+FROM neg WHERE neg_rank <= {_NEG_K}
+ORDER BY query_id, neg_rank
+"""
+
+# round-10 addition: composite-delivered (x3), oracle pinned at two SFs
+# in tests/test_retrieval.py; rotation candidate
+QUERIES["d39_hard_negatives"] = d39_hard_negatives
+ORACLES["d39_hard_negatives"] = D39_ORACLE_SQL

@@ -175,3 +175,50 @@ def test_filtered_hybrid_over_incremental_indexes(spark, tmp_path):
     fused = [r["id"] for r in retrieval.rrf_fuse([dense, lexr], id_col="id").collect()]
     en_ids = {r["id"] for r in docs.where(F.col("lang") == "en").collect()}
     assert fused and set(fused) <= en_ids
+
+
+def test_d39_hard_negatives_matches_duckdb_oracle(spark):
+    """Round-10 addition: BM25 hard-negative mining (the DPR recipe —
+    top-ranked non-gold docs per query) vs the identical fixed-point
+    BM25 + anti-join + rank oracle, at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.retrieval import (
+        D39_ORACLE_SQL,
+        d39_hard_negatives,
+    )
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d39_hard_negatives", d39_hard_negatives,
+            D39_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_hard_negatives_exclude_gold_and_rank_contiguously(spark, sf_dir):
+    """No gold (query, doc) pair appears among its query's negatives;
+    neg_rank is a contiguous 1..k per query; ranks follow score desc,
+    doc_id asc — and the negatives are exactly the top non-gold ranks of
+    the same batched BM25 scoring d38 uses."""
+    from cdc2vec_spark.io import load_table
+    from cdc2vec_spark.operators.retrieval import (
+        _NEG_POSITIVES,
+        _PACK_QUERIES,
+        bm25_hard_negatives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = bm25_hard_negatives(docs, _PACK_QUERIES, _NEG_POSITIVES).collect()
+    gold = {(q, d) for q, ds in _NEG_POSITIVES.items() for d in ds}
+    by_q: dict = {}
+    for r in rows:
+        assert (r["query_id"], r["doc_id"]) not in gold
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = [r["neg_rank"] for r in rs]
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+        keys = [(-r["score_micro"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys), (q, keys)
