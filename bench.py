@@ -88,6 +88,7 @@ HEADLINE = [
     "d12_semdedup_exact",    # label-blocked SemDeDup (hash-checked anchor)
     "d9_keep_exact",         # exact-pairs survivor selection (CC anchor)
     "d39_hard_negatives",    # BM25 hard-negative mining (one corpus scan)
+    "d40_incremental_dedup", # new-vs-corpus asymmetric near-dup dedup
 ]
 
 

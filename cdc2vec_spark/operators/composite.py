@@ -98,6 +98,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # blocked-Jaccard pairs → connected components → keep-min-id; oracle
     # = recursive-CTE reachability closure in tests/test_dedup.py)
     "d9_keep_exact",
+    # round-10 addition: asymmetric new-vs-corpus dedup (exact two-SF
+    # oracle in tests/test_dedup.py)
+    "d40_incremental_dedup",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -218,6 +221,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2_simhash,
         d9_keep_canonical,
         d9_keep_exact,
+        d40_incremental_dedup,
     )
     from .multimodal import d6_features
     from .similarity import d12_semdedup, d12_semdedup_exact
@@ -233,6 +237,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
             ("d12_semdedup_exact", d12_semdedup_exact),
+            ("d40_incremental_dedup", d40_incremental_dedup),
         ],
     )
 
@@ -390,6 +395,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d2_simhash,
         d9_keep_canonical,
         d9_keep_exact,
+        d40_incremental_dedup,
     )
     from .html_extract import d30_html_extract
     from .lex_index import d18_cdc_bm25
@@ -464,6 +470,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,
         "d9_keep_exact": d9_keep_exact,
+        "d40_incremental_dedup": d40_incremental_dedup,
         "d6_features": d6_features,
         "d12_semdedup": d12_semdedup,
         "d12_semdedup_exact": d12_semdedup_exact,

@@ -651,6 +651,147 @@ def d9_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(corpus, pairs).select("doc_id").orderBy("doc_id")
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int | None = D2_MAX_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup dedup: match a batch of NEW documents against
+    an EXISTING corpus — the form a growing training corpus actually
+    runs at 100 TB ("dedup tonight's crawl against everything we have"),
+    where re-running all-pairs dedup over corpus ∪ batch would redo
+    O(corpus) work per ingest.
+
+    Inverted-index join between the new docs' shingles and the corpus
+    postings (never all-pairs); the stop-shingle rule uses CORPUS-side
+    document frequency (the statistics an ingest pipeline already has —
+    in production they come from an incrementally-maintained posting
+    index, the lex_index design) and drops capped shingles from BOTH
+    sides, so Jaccard stays a true similarity over the kept space (the
+    d2_blocked discipline). Verdict per new doc: the best corpus match
+    (highest 4-decimal Jaccard, ties to the lowest corpus id) when it
+    clears ``threshold``, else unique.
+
+    Returns (new_id, is_dup, dup_of, jac) for EVERY new doc, ordered by
+    new_id — exactly SQL-portable (fixed-point Jaccard, deterministic
+    tie rule)."""
+    from pyspark.sql.window import Window
+
+    cex = (
+        shingle_hashes(corpus, n, text_col)
+        .select(F.col(id_col).alias("_oid"), F.explode("sh").alias("_h"))
+        .persist()
+    )
+    cfreq = cex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        stop = cfreq.where(F.col("_df") > max_df).select("_h")
+        ckept = cex.join(stop, "_h", "left_anti")
+    else:
+        stop = cfreq.limit(0).select("_h")
+        ckept = cex
+    ckept = ckept.withColumn(
+        "_no", F.count(F.lit(1)).over(Window.partitionBy("_oid"))
+    )
+    nex = shingle_hashes(new_docs, n, text_col).select(
+        F.col(id_col).alias("new_id"), F.explode("sh").alias("_h")
+    )
+    nkept = nex.join(stop, "_h", "left_anti").withColumn(
+        "_nn", F.count(F.lit(1)).over(Window.partitionBy("new_id"))
+    )
+    inter = (
+        nkept.join(ckept, "_h")
+        .groupBy("new_id", "_nn", "_oid", "_no")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    jac = F.round(
+        F.col("_i").cast("double") / (F.col("_nn") + F.col("_no") - F.col("_i")), 4
+    )
+    w = Window.partitionBy("new_id").orderBy(F.col("jac").desc(), F.col("dup_of"))
+    best = (
+        inter.select("new_id", F.col("_oid").alias("dup_of"), jac.alias("jac"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("jac") >= threshold))
+        .drop("_rn")
+    )
+    out = (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "jac",
+        )
+        .orderBy("new_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    cex.unpersist()
+    return out
+
+
+def d40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D40 (added round 10) — the derived corpus's truncated variants
+    (the "new crawl") deduped against the lowered originals (the
+    "existing corpus"): every truncation should resolve to its origin
+    where the 90%-prefix overlap clears the Jaccard bar."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", F.lower("text").alias("text"))
+    new = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lower(
+            F.expr("substr(text, 1, cast(floor(n_chars * 9 / 10.0) as int))")
+        ).alias("text"),
+    )
+    return incremental_dedup(rebalance(new), rebalance(corpus))
+
+
+# mirrors the Spark plan exactly: corpus-side df caps applied to BOTH
+# sides, Jaccard over the kept shingle space, best match by rounded jac
+# desc / lowest corpus id, threshold on the winner. doc_id >= 1000000 in
+# the shared corpus CTE is the "new" arm.
+_D40_ORACLE = _CORPUS_CTE + f"""
+, ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+cex AS (SELECT doc_id AS oid, g FROM ex WHERE doc_id < 1000000),
+nex AS (SELECT doc_id AS new_id, g FROM ex WHERE doc_id >= 1000000),
+cfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
+ckept AS (SELECT oid, cex.g FROM cex JOIN cfreq USING (g) WHERE df <= {D2_MAX_DF}),
+csizes AS (SELECT oid, count(*) AS n_old FROM ckept GROUP BY oid),
+nkept AS (
+  SELECT new_id, nex.g FROM nex
+  LEFT JOIN cfreq ON cfreq.g = nex.g
+  WHERE cfreq.df IS NULL OR cfreq.df <= {D2_MAX_DF}
+),
+nsizes AS (SELECT new_id, count(*) AS n_new FROM nkept GROUP BY new_id),
+inter AS (
+  SELECT nk.new_id, ck.oid, count(*) AS i
+  FROM nkept nk JOIN ckept ck ON nk.g = ck.g
+  GROUP BY nk.new_id, ck.oid
+),
+best AS (
+  SELECT new_id, oid AS dup_of, jac FROM (
+    SELECT i.new_id, i.oid,
+           round(CAST(i.i AS DOUBLE) / (ns.n_new + cs.n_old - i.i), 4) AS jac,
+           row_number() OVER (
+             PARTITION BY i.new_id
+             ORDER BY round(CAST(i.i AS DOUBLE) / (ns.n_new + cs.n_old - i.i), 4) DESC,
+                      i.oid
+           ) AS rn
+    FROM inter i JOIN nsizes ns USING (new_id) JOIN csizes cs USING (oid)
+  ) t WHERE rn = 1 AND jac >= 0.5
+)
+SELECT n.doc_id AS new_id,
+       b.dup_of IS NOT NULL AS is_dup,
+       b.dup_of, b.jac
+FROM (SELECT doc_id FROM corpus WHERE doc_id >= 1000000) n
+LEFT JOIN best b ON b.new_id = n.doc_id
+ORDER BY new_id
+"""
+
+
 def d9_keep_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked anchor for the survivor-selection stage (round 10,
     the d12_semdedup_exact playbook): the same pairs → connected
@@ -770,9 +911,11 @@ QUERIES = {
     "d2_simhash": d2_simhash,
     "d2_lsh_exact": d2_lsh_exact,
     "d9_keep_canonical": d9_keep_canonical,
-    # round-10 addition: survivor-selection hash-checked anchor
-    # (composite-delivered in x2; oracle at two SFs in tests/test_dedup.py)
+    # round-10 additions: survivor-selection hash-checked anchor +
+    # asymmetric new-vs-corpus dedup (composite-delivered in x2;
+    # oracles at two SFs in tests/test_dedup.py)
     "d9_keep_exact": d9_keep_exact,
+    "d40_incremental_dedup": d40_incremental_dedup,
 }
 
 ORACLES = {
@@ -782,6 +925,7 @@ ORACLES = {
     "d2_blocked_jaccard": _D2_BLOCKED_ORACLE,
     "d2_lsh_exact": _D2_LSH_EXACT_ORACLE,
     "d9_keep_exact": _D9_EXACT_ORACLE,
+    "d40_incremental_dedup": _D40_ORACLE,
     # d2_minhash_lsh, d2_simhash: rows-only (probabilistic recall /
     # pandas_udf signatures; exactness pinned in tests/test_dedup.py)
 }

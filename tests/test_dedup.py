@@ -261,3 +261,48 @@ def test_d9_keep_exact_matches_duckdb_oracle(spark):
             spark, con, "d9_keep_exact", d9_keep_exact, _D9_EXACT_ORACLE, sf
         )
         assert not problems, (sf, problems)
+
+
+def test_d40_incremental_dedup_matches_duckdb_oracle(spark):
+    """Round-10 addition: new-vs-corpus asymmetric dedup vs the
+    identical corpus-df-capped Jaccard + best-match oracle, at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.dedup import (
+        _D40_ORACLE,
+        d40_incremental_dedup,
+    )
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d40_incremental_dedup", d40_incremental_dedup,
+            _D40_ORACLE, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_incremental_dedup_semantics(spark):
+    """Hand-built case: a verbatim copy resolves to its origin with
+    jac 1.0; a disjoint doc is unique; the best match (not just any
+    match) wins; every new doc gets exactly one verdict row."""
+    from cdc2vec_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "alpha beta gamma delta nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # = doc 1
+         (11, "totally unrelated words here now yes"),  # unique
+         (12, "alpha beta gamma delta nine ten extra")],  # closest to 3
+        "doc_id long, text string",
+    )
+    rows = {r["new_id"]: r for r in incremental_dedup(new, corpus, threshold=0.3).collect()}
+    assert len(rows) == 3
+    assert rows[10]["is_dup"] and rows[10]["dup_of"] == 1 and rows[10]["jac"] == 1.0
+    assert not rows[11]["is_dup"] and rows[11]["dup_of"] is None
+    assert rows[12]["is_dup"] and rows[12]["dup_of"] == 3

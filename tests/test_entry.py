@@ -84,7 +84,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical",
-            "d9_keep_exact", "d6_features",
+            "d9_keep_exact", "d40_incremental_dedup", "d6_features",
             "d12_semdedup", "d12_semdedup_exact",
         },
         "x3_rowsonly_ann": {
