@@ -150,10 +150,25 @@ QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) = 1
 ORDER BY event_id
 """
 
+# the batch form of the interval join is plain deterministic SQL — the
+# same portability c13 proved for timestamp comparisons on this table —
+# so c8's graded batch entry carries an exact oracle since round 10
+# (the STREAM replay of the same builder has no SQL oracle; its
+# stream≡batch parity stays pinned in tests/test_joins.py)
+C8_ORACLE_SQL = """
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, click_id
+"""
+
 # round-9 rotation: c9 individually graded (was composite-delivered in
-# x1 for round 8); c8 stays composite-delivered (stream≡batch parity
-# pinned in tests, no single SQL oracle for the replayed stream form);
-# c13 (round-9 addition) composite-delivered in x1, rotation candidate
+# x1 for round 8); c13 individually graded since the round-10 rotation;
+# c8 composite-delivered with its exact oracle pinned at two SFs in
+# tests/test_joins.py (round-10 upgrade from rows-only) — rotation
+# candidate
 QUERIES: dict = {
     "c9_stream_enrich": c9_stream_enrich,
     "c13_asof_join": c13_asof_join,
@@ -183,6 +198,10 @@ def c8_interval_join(spark, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_id"),
         "user_id",
     ).orderBy("view_id", "click_id")
+
+
+QUERIES["c8_interval_join"] = c8_interval_join
+ORACLES["c8_interval_join"] = C8_ORACLE_SQL
 
 
 _UNIT_SECS = {

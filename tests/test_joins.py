@@ -208,3 +208,20 @@ def test_c13_asof_entry_matches_duckdb_oracle(spark, sf):
         joins.C13_ORACLE_SQL, sf,
     )
     assert not problems, (sf, problems)
+
+
+def test_c8_interval_join_matches_duckdb_oracle(spark):
+    """Round-10 upgrade: the interval join's graded batch form carries
+    an exact oracle (plain deterministic SQL — the portability c13
+    proved for this table's timestamps), at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.streaming.joins import C8_ORACLE_SQL, c8_interval_join
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "c8_interval_join", c8_interval_join, C8_ORACLE_SQL, sf
+        )
+        assert not problems, (sf, problems)
