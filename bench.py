@@ -89,6 +89,7 @@ HEADLINE = [
     "d9_keep_exact",         # exact-pairs survivor selection (CC anchor)
     "d39_hard_negatives",    # BM25 hard-negative mining (one corpus scan)
     "d40_incremental_dedup", # new-vs-corpus asymmetric near-dup dedup
+    "c15_rate_anomaly",      # trailing-baseline event-rate z-scores
 ]
 
 

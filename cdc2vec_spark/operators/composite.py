@@ -83,6 +83,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "b16_sketches",
     "c4_watermark",
     "c8_interval_join",
+    # round-10 addition: event-rate anomaly z-scores (exact two-SF
+    # oracle in tests/test_windows_extra.py)
+    "c15_rate_anomaly",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -188,10 +191,12 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 
 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline/streaming/sketch rows-only probes, consolidated."""
+    """Pipeline/streaming/sketch rows-only probes, consolidated
+    (c8_interval_join and c15_rate_anomaly carry exact two-SF oracles in
+    tests/test_joins.py / tests/test_windows_extra.py)."""
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
-    from ..streaming.windows import c4_watermark
+    from ..streaming.windows import c4_watermark, c15_rate_anomaly
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
@@ -205,6 +210,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
+            ("c15_rate_anomaly", c15_rate_anomaly),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -387,7 +393,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry sees only the composites)."""
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
-    from ..streaming.windows import c4_watermark
+    from ..streaming.windows import c4_watermark, c15_rate_anomaly
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .dedup import (
@@ -464,6 +470,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
+        "c15_rate_anomaly": c15_rate_anomaly,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

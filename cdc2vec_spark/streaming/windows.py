@@ -176,3 +176,114 @@ ORACLES = {
     ),
     "c5_dedup_count": "SELECT count(DISTINCT event_id) AS n FROM events",
 }
+
+
+# ------------------------------------- C15: event-rate anomaly detection
+
+def rate_anomaly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_secs: int = 3600,
+    baseline: int = 24,
+    min_baseline: int = 12,
+) -> DataFrame:
+    """Event-rate anomaly scores — the streaming-ops monitoring shape
+    (error-rate spike, traffic dip): per (type, time-bucket) event
+    counts z-scored against a TRAILING value-bounded baseline window of
+    the preceding ``baseline`` buckets (RANGE frame, so calendar gaps
+    don't smear the window — the b20 discipline; absent buckets simply
+    don't contribute, which is why ``min_baseline`` gates the score).
+
+    Engine-exact by construction: bucketing is integer microseconds
+    (``unix_micros`` ≡ DuckDB ``epoch_us``, the c14 rule); the baseline
+    moments ride the window as INTEGER sums (s1=Σn, s2=Σn², c=count —
+    s2 needs n < ~3e9 per bucket before BIGINT overflow, document-scale
+    safe), and the only float arithmetic is one identically-ordered
+    mean/variance/sqrt expression both engines evaluate on identical
+    integer inputs, rounded half-away to micro units. Plan shape: one
+    groupBy shuffle on (type, bucket) + one window per type — at 100 TB
+    the aggregate is |types × buckets| rows, tiny next to the scan; in
+    production this runs per micro-batch over the c1 tumbling counts
+    the stream already maintains.
+
+    Output: (event_type, bucket, n, baseline_buckets, z_micro,
+    is_anomaly) for every bucket with a defined score (full-enough,
+    non-constant baseline), ordered."""
+    from pyspark.sql.window import Window
+
+    us = bucket_secs * 1_000_000
+    counts = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.expr(f"unix_micros({ts_col}) div {us}").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rangeBetween(-baseline, -1)
+    )
+    s1, s2, c = (
+        F.sum("n").over(w),
+        F.sum(F.col("n") * F.col("n")).over(w),
+        F.count("n").over(w),
+    )
+    scored = counts.select(
+        "event_type", "bucket", "n",
+        s1.alias("s1"), s2.alias("s2"), c.alias("c"),
+    )
+    mean = F.col("s1") / F.col("c")
+    var = (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("c")) / F.col("c")
+    z_micro = F.round(
+        F.lit(1_000_000) * ((F.col("n") - mean) / F.sqrt(var))
+    ).cast("long")
+    return (
+        scored.where((F.col("c") >= min_baseline) & (var > 0))
+        .select(
+            "event_type", "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.col("c").cast("long").alias("baseline_buckets"),
+            z_micro.alias("z_micro"),
+            (z_micro >= 3_000_000).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def c15_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 (added round 10) — hourly per-type event-rate z-scores
+    against a trailing 24-bucket baseline over the events table."""
+    from ..io import load_table
+
+    return rate_anomaly(load_table(spark, sf_dir, "events"))
+
+
+C15_ORACLE_SQL = """
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, bucket
+), w AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER win AS s1,
+         sum(n * n) OVER win AS s2,
+         count(n) OVER win AS c
+  FROM counts
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, n,
+       CAST(c AS BIGINT) AS baseline_buckets,
+       CAST(round(1000000 * ((n - s1 / c) / sqrt((s2 - (s1 * s1) / c) / c))) AS BIGINT) AS z_micro,
+       CAST(round(1000000 * ((n - s1 / c) / sqrt((s2 - (s1 * s1) / c) / c))) AS BIGINT) >= 3000000 AS is_anomaly
+FROM w
+WHERE c >= 12 AND (s2 - (s1 * s1) / c) / c > 0
+ORDER BY event_type, bucket
+"""
+
+QUERIES["c15_rate_anomaly"] = c15_rate_anomaly
+# round-10 addition: composite-delivered (x1), oracle pinned at two SFs
+# in tests/test_windows_extra.py; rotation candidate
+ORACLES["c15_rate_anomaly"] = C15_ORACLE_SQL
