@@ -36,6 +36,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import corpus as _corpus
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
+        from cdc2vec_spark.operators import expect as _expect
         from cdc2vec_spark.operators import funnel as _funnel
         from cdc2vec_spark.operators import html_extract as _html_extract
         from cdc2vec_spark.operators import layout as _layout
@@ -57,7 +58,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import vectors as _vectors
 
         modules.extend(
-            [_dedup, _decontam, _multimodal, _similarity, _quantize,
+            [_dedup, _decontam, _expect, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _layout, _retrieval, _retrieval_eval,
              _pii, _span_dedup, _funnel, _classify,

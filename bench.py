@@ -90,6 +90,7 @@ HEADLINE = [
     "d39_hard_negatives",    # BM25 hard-negative mining (one corpus scan)
     "d40_incremental_dedup", # new-vs-corpus asymmetric near-dup dedup
     "c15_rate_anomaly",      # trailing-baseline event-rate z-scores
+    "d41_expectations",      # Deequ-style one-pass data-quality audit
 ]
 
 

@@ -86,6 +86,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: event-rate anomaly z-scores (exact two-SF
     # oracle in tests/test_windows_extra.py)
     "c15_rate_anomaly",
+    # round-10 addition: Deequ-style expectations audit (exact two-SF
+    # oracle in tests/test_expect.py)
+    "d41_expectations",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -197,6 +200,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.changelog import a9_points_pipeline
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark, c15_rate_anomaly
+    from .expect import d41_expectations
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
@@ -211,6 +215,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c4_watermark", c4_watermark),
             ("c8_interval_join", c8_interval_join),
             ("c15_rate_anomaly", c15_rate_anomaly),
+            ("d41_expectations", d41_expectations),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -395,6 +400,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.joins import c8_interval_join
     from ..streaming.windows import c4_watermark, c15_rate_anomaly
     from .bpe import t8_bpe
+    from .expect import d41_expectations
     from .decontam import d11_decontaminate
     from .dedup import (
         d2_minhash_lsh,
@@ -471,6 +477,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_watermark": c4_watermark,
         "c8_interval_join": c8_interval_join,
         "c15_rate_anomaly": c15_rate_anomaly,
+        "d41_expectations": d41_expectations,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
