@@ -32,6 +32,7 @@ def build_points(
     keep_text: bool = False,
     ingest_filters: tuple = (),
     filter_observations: list | None = None,
+    dedupe_embed: bool = False,
 ) -> DataFrame:
     """Transform a (flattened) change log into sink-ready points.
 
@@ -95,7 +96,27 @@ def build_points(
     # The UDF must land in its own projection: Spark rejects a Python UDF
     # nested inside a higher-order-function lambda, so any downstream
     # expression references the materialized attribute, not the UDF expr.
-    df = df.withColumn("_raw_vec", emb(delete_safe_text))
+    if dedupe_embed:
+        # dedupe-before-embed (engine extension, opt-in): bulk re-syncs
+        # and template rows make batches carry duplicate texts, and a
+        # paid/slow HTTP provider should see each distinct text ONCE.
+        # Key on md5(text) (joining on long raw texts shuffles the full
+        # text twice); deletes have NULL text → NULL key → left join
+        # leaves their vector NULL, exactly the short-circuit semantics.
+        # Trade: one distinct + one join shuffle per batch against the
+        # saved embed calls — leave off for cheap local providers.
+        # Nondeterministic providers: duplicates now share one call's
+        # vector (a consistency IMPROVEMENT for same-text points).
+        keyed = df.withColumn("_tkey", F.md5(delete_safe_text))
+        uniq = rebalance(
+            keyed.where(F.col("_tkey").isNotNull())
+            .select("_tkey", delete_safe_text.alias("_t"))
+            .dropDuplicates(["_tkey"])
+        )
+        vecs = uniq.select("_tkey", emb(F.col("_t")).alias("_raw_vec"))
+        df = keyed.join(vecs, "_tkey", "left").drop("_tkey")
+    else:
+        df = df.withColumn("_raw_vec", emb(delete_safe_text))
     if normalize and not fused:
         df = ops.with_l2_normalized(df, "_raw_vec", "vector")
     else:
@@ -168,6 +189,7 @@ def run_batch(
             keep_text=keep_text,
             ingest_filters=getattr(config, "ingest_filters", ()),
             filter_observations=per_map,
+            dedupe_embed=getattr(config, "dedupe_embed", False),
         ))
         if per_map:
             prefix = f"{m.table}:" if len(config.mappings) > 1 else ""

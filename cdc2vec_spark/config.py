@@ -42,6 +42,11 @@ class EngineConfig:
     # ingest-time quality filter chain (engine extension; cdc/filters.py)
     # — tuple of FilterSpec, applied upsert-only with F2 skip semantics
     ingest_filters: tuple = ()
+    # dedupe-before-embed (engine extension; cdc/pipeline.build_points):
+    # embed each DISTINCT text once per batch and join vectors back by
+    # text hash — worth it when the provider is a paid/slow HTTP service
+    # and batches carry duplicate texts (bulk re-syncs, template rows)
+    dedupe_embed: bool = False
 
     @property
     def chunk(self) -> tuple[int, int] | None:
@@ -152,6 +157,7 @@ def load_yaml(path: str) -> "PipelineConfig":
         chunk_tokens=int(embed.get("chunk_tokens") or 0),
         chunk_stride=int(embed.get("chunk_stride") or 0),
         ingest_filters=_ingest_filters_from(raw.get("filters")),
+        dedupe_embed=bool(embed.get("dedupe", False)),
     )
     sink_type = sink.get("type", "")
     # engine extension: top-level `sinks:` list (same per-entry shape as

@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from cdc2vec_spark.cdc.pipeline import build_points
+from cdc2vec_spark.config import DOCUMENTS_MAPPING
 from cdc2vec_spark.embed.provider import (
     DeterministicHashProvider,
     OllamaHTTPProvider,
@@ -111,3 +113,78 @@ def test_delete_rows_never_hit_the_embedder(spark):
     pts = build_points(changes, DOCUMENTS_MAPPING, dead).collect()
     assert len(pts) == 1
     assert pts[0]["op"] == "d" and pts[0]["vector"] is None
+
+
+def test_dedupe_embed_output_equals_default(spark):
+    """dedupe_embed=True is a pure optimization: bit-identical points
+    (vectors included) on a batch full of duplicate texts and deletes."""
+    rows = [
+        (1, "c", "public.documents", "k1", "same text", "body", "au"),
+        (2, "c", "public.documents", "k2", "same text", "body", "au"),
+        (3, "u", "public.documents", "k3", "same text", "body", "au"),
+        (4, "c", "public.documents", "k4", "other", "body2", "au"),
+        (5, "d", "public.documents", "k5", None, None, None),
+    ]
+    schema = ("lsn long, op string, tbl string, pk string, "
+              "after_title string, after_content string, after_author string")
+    ch = spark.createDataFrame(rows, schema)
+    prov = DeterministicHashProvider(dim=8)
+    base = {r["id"]: r for r in build_points(ch, DOCUMENTS_MAPPING, prov).collect()}
+    dd = {
+        r["id"]: r
+        for r in build_points(
+            ch, DOCUMENTS_MAPPING, prov, dedupe_embed=True
+        ).collect()
+    }
+    assert set(base) == set(dd)
+    for k in base:
+        assert dd[k]["vector"] == base[k]["vector"], k
+        assert dd[k]["metadata"] == base[k]["metadata"], k
+        assert dd[k]["op"] == base[k]["op"], k
+    # the delete kept its NULL vector through the left join
+    dels = [r for r in dd.values() if r["op"] == "d"]
+    assert dels and all(r["vector"] is None for r in dels)
+
+
+def test_dedupe_embed_calls_provider_once_per_distinct_text(spark):
+    """Behavioral proof the provider sees each distinct text once: a
+    provider that salts every response with randomness yields IDENTICAL
+    vectors for same-text rows only when the embed was shared."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    class RandomSaltProvider:
+        supports_fused_normalize = False
+
+        def udf(self, normalize: bool = False):
+            @F.pandas_udf(T.ArrayType(T.DoubleType()))
+            def _emb(texts: pd.Series) -> pd.Series:
+                def one(t):
+                    if t is None:
+                        return None
+                    rng = np.random.default_rng()
+                    return [float(len(t)), float(rng.random())]
+
+                return texts.map(one)
+
+            return _emb
+
+    rows = [
+        (i, "c", "public.documents", f"k{i}", "dup text", "b", "au")
+        for i in range(6)
+    ] + [(9, "c", "public.documents", "k9", "unique", "b", "au")]
+    schema = ("lsn long, op string, tbl string, pk string, "
+              "after_title string, after_content string, after_author string")
+    ch = spark.createDataFrame(rows, schema)
+    pts = build_points(
+        ch, DOCUMENTS_MAPPING, RandomSaltProvider(),
+        normalize=False, dedupe_embed=True,
+    ).collect()
+    by_text_salt = {}
+    for r in pts:
+        by_text_salt.setdefault(r["vector"][0], set()).add(r["vector"][1])
+    # all 6 "dup text b" rows share ONE salted vector -> one provider call
+    assert all(len(salts) == 1 for salts in by_text_salt.values()), by_text_salt
+    assert len(by_text_salt) == 2  # two distinct texts
