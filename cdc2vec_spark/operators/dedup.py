@@ -681,26 +681,41 @@ def incremental_dedup(
     tie rule)."""
     from pyspark.sql.window import Window
 
-    cex = (
-        shingle_hashes(corpus, n, text_col)
-        .select(F.col(id_col).alias("_oid"), F.explode("sh").alias("_h"))
+    # ONE shingle UDF pass over corpus ∪ new (side-tagged), persisted —
+    # the jaccard_pairs discipline. The corpus-side df is a window over
+    # the shingle hash, which SHARES its exchange with the new↔corpus
+    # join below; per-doc kept sizes are one window per side.
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        new_docs.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+        )
+    )
+    ex = (
+        shingle_hashes(tagged, n, text_col)
+        .select(F.col(id_col).alias("_id"), "_new", F.explode("sh").alias("_h"))
         .persist()
     )
-    cfreq = cex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     if max_df is not None:
-        stop = cfreq.where(F.col("_df") > max_df).select("_h")
-        ckept = cex.join(stop, "_h", "left_anti")
+        cdf = F.sum(F.when(~F.col("_new"), 1).otherwise(0)).over(
+            Window.partitionBy("_h")
+        )
+        ex_kept = ex.withColumn("_cdf", cdf).where(
+            F.col("_cdf") <= max_df
+        ).drop("_cdf")
     else:
-        stop = cfreq.limit(0).select("_h")
-        ckept = cex
-    ckept = ckept.withColumn(
-        "_no", F.count(F.lit(1)).over(Window.partitionBy("_oid"))
+        ex_kept = ex
+    ex_kept = ex_kept.withColumn(
+        "_sz", F.count(F.lit(1)).over(Window.partitionBy("_new", "_id"))
     )
-    nex = shingle_hashes(new_docs, n, text_col).select(
-        F.col(id_col).alias("new_id"), F.explode("sh").alias("_h")
+    nkept = (
+        ex_kept.where(F.col("_new"))
+        .select(F.col("_id").alias("new_id"), F.col("_sz").alias("_nn"), "_h")
     )
-    nkept = nex.join(stop, "_h", "left_anti").withColumn(
-        "_nn", F.count(F.lit(1)).over(Window.partitionBy("new_id"))
+    ckept = (
+        ex_kept.where(~F.col("_new"))
+        .select(F.col("_id").alias("_oid"), F.col("_sz").alias("_no"), "_h")
     )
     inter = (
         nkept.join(ckept, "_h")
@@ -729,7 +744,7 @@ def incremental_dedup(
         .orderBy("new_id")
     )
     out = out.localCheckpoint(eager=True)
-    cex.unpersist()
+    ex.unpersist()
     return out
 
 
