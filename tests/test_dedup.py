@@ -306,3 +306,53 @@ def test_incremental_dedup_semantics(spark):
     assert rows[10]["is_dup"] and rows[10]["dup_of"] == 1 and rows[10]["jac"] == 1.0
     assert not rows[11]["is_dup"] and rows[11]["dup_of"] is None
     assert rows[12]["is_dup"] and rows[12]["dup_of"] == 3
+
+
+def test_incremental_dedup_randomized_matches_python_reference(spark):
+    """Fixed-seed fuzz: random small corpora (dups, near-dups, short
+    docs below the shingle width, ties) — incremental_dedup must equal
+    a brute-force python Jaccard + best-match reference (caps off)."""
+    import random
+
+    from cdc2vec_spark.operators.dedup import incremental_dedup
+
+    def grams(text):
+        toks = text.split(" ")
+        if len(toks) < 3:
+            return set()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    vocab = ["a", "b", "c", "d", "e"]
+    for seed in (5, 17):
+        rng = random.Random(seed)
+
+        def doc():
+            return " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))
+
+        corpus = [(i, doc()) for i in range(12)]
+        new = [(100 + i, doc()) for i in range(8)]
+        new.append((200, corpus[0][1]))           # verbatim corpus copy
+        new.append((201, "x"))                    # below shingle width
+
+        want = {}
+        for nid, nt in new:
+            ng = grams(nt)
+            best = None
+            for oid, ot in corpus:
+                og = grams(ot)
+                union = len(ng) + len(og) - len(ng & og)
+                if union == 0 or not (ng & og):
+                    continue
+                jac = round(len(ng & og) / union, 4)
+                if jac >= 0.5 and (best is None or (-jac, oid) < (-best[1], best[0])):
+                    best = (oid, jac)
+            want[nid] = best
+
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        ndf = spark.createDataFrame(new, "doc_id long, text string")
+        got = {
+            r["new_id"]: (r["dup_of"], r["jac"]) if r["is_dup"] else None
+            for r in incremental_dedup(ndf, cdf, threshold=0.5, max_df=None).collect()
+        }
+        assert set(got) == {nid for nid, _ in new}
+        assert got == want, (seed, {k: (got.get(k), want.get(k)) for k in want if got.get(k) != want.get(k)})
