@@ -91,6 +91,7 @@ HEADLINE = [
     "d40_incremental_dedup", # new-vs-corpus asymmetric near-dup dedup
     "c15_rate_anomaly",      # trailing-baseline event-rate z-scores
     "d41_expectations",      # Deequ-style one-pass data-quality audit
+    "t10_pmi_collocations",  # windowed PMI collocation mining
 ]
 
 

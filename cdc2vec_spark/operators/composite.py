@@ -168,6 +168,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "d29_shards",
     "d30_html_extract",
     "d31_domain_cap",
+    # round-10 addition: PMI collocations (exact two-SF oracle in
+    # tests/test_text_quality.py)
+    "t10_pmi_collocations",
 )
 
 
@@ -330,6 +333,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t5_regex_tokens,
         t6_length_percentiles,
         t7_vocab_topdf,
+        t10_pmi_collocations,
     )
 
     return _union(
@@ -378,6 +382,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t6_length_percentiles", t6_length_percentiles),
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
+            ("t10_pmi_collocations", t10_pmi_collocations),
         ],
     )
 
@@ -467,6 +472,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t5_regex_tokens,
         t6_length_percentiles,
         t7_vocab_topdf,
+        t10_pmi_collocations,
     )
     from .vectors import a8_deterministic_embed
 
@@ -536,4 +542,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_regex_tokens": t5_regex_tokens,
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
+        "t10_pmi_collocations": t10_pmi_collocations,
     }

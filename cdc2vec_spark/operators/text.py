@@ -509,6 +509,141 @@ FROM documents ORDER BY doc_id
 """
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI collocation extraction (Church & Hanks 1990) — the corpus-
+    statistics pass behind phrase mining / stop-pair lists / tokenizer
+    merge seeding: unordered token pairs co-occurring within ``window``
+    positions, scored by pointwise mutual information against the
+    unigram model and reported as the top-``k`` collocations with
+    support ≥ ``min_count``.
+
+    Spark-first shape: pair generation is a pure scan-stage HOF (one
+    ``transform(sequence)`` per offset, concat, ONE explode — no
+    self-join on position), so the only shuffles are the pair-count and
+    unigram aggregations; the corpus totals ride a broadcast 1-row
+    frame and the unigram counts broadcast into the pair join (vocab ≪
+    pairs by Zipf). PMI is computed on exact integer counts through one
+    identically-ordered double expression (micro fixed-point, the d13
+    ln discipline), so the operator carries an exact DuckDB oracle.
+
+    Returns (a, b, n_ab, pmi_micro) ordered by pmi desc, pair asc."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    d = docs.select(toks.alias("t"))
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+
+    def offset_pairs(j: int) -> Column:
+        t = F.col("t")
+        return F.when(
+            F.size(t) >= j + 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - j),
+                lambda i: F.struct(
+                    F.least(
+                        F.element_at(t, i), F.element_at(t, i + j)
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at(t, i), F.element_at(t, i + j)
+                    ).alias("b"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    all_pairs = F.concat(*[offset_pairs(j) for j in range(1, window + 1)])
+    pc = (
+        d.select(F.explode(all_pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist()  # feeds both the totals and the scored join
+    )
+    uni = (
+        d.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    tot = F.broadcast(
+        uni.agg(F.sum("n").cast("long").alias("n_tok")).crossJoin(
+            pc.agg(F.sum("n_ab").cast("long").alias("n_pairs"))
+        )
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("_na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("_nb"))
+    pmi = F.round(
+        1_000_000
+        * F.log(
+            (F.col("n_ab") * 1.0 / F.col("n_pairs"))
+            / (
+                (F.col("_na") * 1.0 / F.col("n_tok"))
+                * (F.col("_nb") * 1.0 / F.col("n_tok"))
+            )
+        )
+    ).cast("long")
+    out = (
+        pc.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(tot)
+        .select("a", "b", "n_ab", pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "a", "b")
+        .limit(k)
+    )
+    out = out.localCheckpoint(eager=True)
+    pc.unpersist()
+    uni.unpersist()
+    return out
+
+
+def t10_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 (added round 10) — top-50 window-2 PMI collocations with
+    support ≥ 5 over the documents table."""
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+T10_ORACLE_SQL = """
+WITH tok AS (
+  SELECT string_split(lower(text), ' ') AS t FROM documents
+), pairs AS (
+  SELECT unnest(
+    list_concat(
+      CASE WHEN len(t) >= 2 THEN
+        list_transform(range(1, len(t)), i ->
+          struct_pack(a := least(t[i], t[i+1]), b := greatest(t[i], t[i+1])))
+      ELSE [] END,
+      CASE WHEN len(t) >= 3 THEN
+        list_transform(range(1, len(t) - 1), i ->
+          struct_pack(a := least(t[i], t[i+2]), b := greatest(t[i], t[i+2])))
+      ELSE [] END
+    )
+  ) AS p FROM tok
+), pc AS (
+  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pairs GROUP BY p.a, p.b
+), uni AS (
+  SELECT tk AS tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(t) AS tk FROM tok) GROUP BY tk
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tok,
+         (SELECT CAST(sum(n_ab) AS BIGINT) FROM pc) AS n_pairs
+  FROM uni
+)
+SELECT a, b, n_ab,
+       CAST(round(1000000 * ln((n_ab * 1.0 / n_pairs)
+            / ((ua.n * 1.0 / n_tok) * (ub.n * 1.0 / n_tok)))) AS BIGINT)
+         AS pmi_micro
+FROM pc JOIN uni ua ON ua.tok = pc.a JOIN uni ub ON ub.tok = pc.b
+CROSS JOIN tot
+WHERE n_ab >= 5
+ORDER BY pmi_micro DESC, a, b LIMIT 50
+"""
+
+
 QUERIES = {
     "d4_text_stats": d4_text_stats,
     "d5_slicing": d5_slicing,
@@ -525,10 +660,14 @@ QUERIES = {
     # round-8 addition: composite-delivered (x4), oracle in
     # tests/test_text_quality.py
     "t9_nfc_normalize": t9_nfc_normalize,
+    # round-10 addition: composite-delivered (x4), oracle in
+    # tests/test_text_quality.py; rotation candidate
+    "t10_pmi_collocations": t10_pmi_collocations,
 }
 
 ORACLES = {
     "t9_nfc_normalize": T9_ORACLE_SQL,
+    "t10_pmi_collocations": T10_ORACLE_SQL,
     # round-7 rotation: individually graded (were composite-delivered)
     "d15_chunk": D15_ORACLE_SQL,
     "d17_bm25": D17_ORACLE_SQL,

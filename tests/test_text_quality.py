@@ -275,3 +275,46 @@ def test_t9_composes_the_marker(spark):
     rows = text.t9_nfc_normalize(spark, SF0001).collect()
     assert rows
     assert all(r["len_nfc"] == r["len_raw"] - 1 for r in rows)
+
+
+def test_t10_pmi_collocations_matches_duckdb_oracle(spark):
+    """Round-10 addition: windowed PMI collocations vs the identical
+    integer-count + micro-ln oracle, at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.text import (
+        T10_ORACLE_SQL,
+        t10_pmi_collocations,
+    )
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "t10_pmi_collocations", t10_pmi_collocations,
+            T10_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_pmi_semantics_on_crafted_corpus(spark):
+    """A pair that ALWAYS co-occurs scores far above independent pairs;
+    short docs contribute no pairs; output is pair-normalized (a <= b)."""
+    import math
+
+    from cdc2vec_spark.operators.text import pmi_collocations
+
+    rows = [(i, "x y filler%d junk%d" % (i, i)) for i in range(8)]
+    rows += [(100, "solo")]  # 1 token -> no pairs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_count=5, k=10).collect()
+    assert out, "x/y co-occur 8 times"
+    top = out[0]
+    assert (top["a"], top["b"]) == ("x", "y")
+    assert all(r["a"] <= r["b"] for r in out)
+    # hand-check the top score: window-2 pairs per 4-token doc = 5
+    # (3 adjacent + 2 skip-1); x,y appear once per doc
+    n_pairs, n_tok = 8 * 5, 8 * 4 + 1
+    want = round(1e6 * math.log((8 * 1.0 / n_pairs) /
+                                ((8 * 1.0 / n_tok) * (8 * 1.0 / n_tok))))
+    assert top["n_ab"] == 8 and top["pmi_micro"] == want
