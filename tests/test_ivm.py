@@ -764,3 +764,42 @@ def test_agg_spec_name_hygiene_rejected_at_config_time():
             None, "/tmp/never", group_cols=("after_author", "after_lang"),
             aggs=[{"name": "after_lang", "op": "count"}],
         )
+
+
+def test_chunked_minmax_recompute_on_replace_set(spark, tmp_path):
+    """Chunked mode × min/max: extrema run over CHUNK rows (the sum
+    discipline); a shrinking re-embed that sheds the extremum-carrying
+    tail chunk and a base-id tombstone both drive the recompute path
+    through the replace-set semantics."""
+    schema = ("lsn long, op string, tbl string, pk string, base_pk string, "
+              "after_text string, after_grp string")
+    aggs = [
+        {"name": "n", "op": "count", "col": None},
+        {"name": "longest", "op": "max", "col": "length(after_text)"},
+    ]
+    ivm = IncrementalGroupAgg(
+        spark, str(tmp_path / "ckmm"), group_col="after_grp",
+        text_cols=("after_text",), n_buckets=4, chunked=True, aggs=aggs,
+    )
+    ivm.apply_batch(spark.createDataFrame([
+        (1, "c", "points", "A#0", "A", "aaaa", "g1"),     # len 4
+        (1, "c", "points", "A#1", "A", "bbbbbb", "g1"),   # len 6 (max)
+        (2, "c", "points", "B#0", "B", "ddd", "g1"),      # len 3
+    ], schema))
+    got = {r["grp"]: (r["n"], r["longest"]) for r in ivm.read().collect()}
+    assert got == {"g1": (2, 6)}, got
+
+    # re-embed A to ONE shorter chunk: the max-carrier A#1 dies via the
+    # replace-set rule -> recompute lands on len 4... new chunk is len 2,
+    # so the survivor max is B's 3? A#0 also replaced: new A = ["ee"].
+    ivm.apply_batch(spark.createDataFrame([
+        (3, "u", "points", "A#0", "A", "ee", "g1"),       # len 2
+    ], schema))
+    got = {r["grp"]: (r["n"], r["longest"]) for r in ivm.read().collect()}
+    assert got == {"g1": (2, 3)}, got  # max now B#0's 3
+
+    # base-id tombstone removes B entirely -> recompute over A only
+    ivm.apply_batch(spark.createDataFrame(
+        [(4, "d", "points", "B", "B", None, None)], schema))
+    got = {r["grp"]: (r["n"], r["longest"]) for r in ivm.read().collect()}
+    assert got == {"g1": (1, 2)}, got
