@@ -92,6 +92,7 @@ HEADLINE = [
     "c15_rate_anomaly",      # trailing-baseline event-rate z-scores
     "d41_expectations",      # Deequ-style one-pass data-quality audit
     "t10_pmi_collocations",  # windowed PMI collocation mining
+    "d42_tfidf_keywords",    # per-doc top-5 TF-IDF keywords (fixed-point)
 ]
 
 

@@ -62,8 +62,12 @@ Groupings:
                          set d25, d28, d29, d30, d31 + t8 (rows-only by
                          nature — BPE merges are iterative, pinned vs a
                          pure-Python reference encoder in
-                         tests/test_bpe.py); all exact oracles pinned at
-                         two SFs in tests/test_rotated_oracles.py
+                         tests/test_bpe.py) + the round-10 newcomers
+                         t10_pmi_collocations, d42_tfidf_keywords (exact
+                         oracles in tests/test_text_quality.py /
+                         tests/test_keywords.py); all parked exact
+                         oracles pinned at two SFs in
+                         tests/test_rotated_oracles.py
 """
 
 from __future__ import annotations
@@ -171,6 +175,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: PMI collocations (exact two-SF oracle in
     # tests/test_text_quality.py)
     "t10_pmi_collocations",
+    # round-10 addition: per-doc TF-IDF keywords (exact two-SF oracle in
+    # tests/test_keywords.py)
+    "d42_tfidf_keywords",
 )
 
 
@@ -293,6 +300,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .html_extract import d30_html_extract
+    from .keywords import d42_tfidf_keywords
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
     from .urls import d31_domain_cap
@@ -383,6 +391,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
             ("t10_pmi_collocations", t10_pmi_collocations),
+            ("d42_tfidf_keywords", d42_tfidf_keywords),
         ],
     )
 
@@ -415,6 +424,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d40_incremental_dedup,
     )
     from .html_extract import d30_html_extract
+    from .keywords import d42_tfidf_keywords
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
     from .multimodal import d6_features
@@ -543,4 +553,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
         "t10_pmi_collocations": t10_pmi_collocations,
+        "d42_tfidf_keywords": d42_tfidf_keywords,
     }
