@@ -93,6 +93,7 @@ HEADLINE = [
     "d41_expectations",      # Deequ-style one-pass data-quality audit
     "t10_pmi_collocations",  # windowed PMI collocation mining
     "d42_tfidf_keywords",    # per-doc top-5 TF-IDF keywords (fixed-point)
+    "d43_source_datacard",   # per-source dataset data card (one groupBy)
 ]
 
 

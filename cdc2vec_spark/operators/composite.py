@@ -63,9 +63,10 @@ Groupings:
                          nature — BPE merges are iterative, pinned vs a
                          pure-Python reference encoder in
                          tests/test_bpe.py) + the round-10 newcomers
-                         t10_pmi_collocations, d42_tfidf_keywords (exact
-                         oracles in tests/test_text_quality.py /
-                         tests/test_keywords.py); all parked exact
+                         t10_pmi_collocations, d42_tfidf_keywords,
+                         d43_source_datacard (exact oracles in
+                         tests/test_text_quality.py, tests/test_keywords.py,
+                         tests/test_datacard.py); all parked exact
                          oracles pinned at two SFs in
                          tests/test_rotated_oracles.py
 """
@@ -178,6 +179,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: per-doc TF-IDF keywords (exact two-SF oracle in
     # tests/test_keywords.py)
     "d42_tfidf_keywords",
+    # round-10 addition: per-source dataset data card (exact two-SF
+    # oracle in tests/test_datacard.py)
+    "d43_source_datacard",
 )
 
 
@@ -298,6 +302,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     own comparator. Round-10 adds the d25/d28/d29/d30/d31 parking set
     (each driver-green in CORRECTNESS_r08 AND _r09)."""
     from .bpe import t8_bpe
+    from .datacard import d43_source_datacard
     from .decontam import d11_decontaminate
     from .html_extract import d30_html_extract
     from .keywords import d42_tfidf_keywords
@@ -392,6 +397,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t8_bpe", t8_bpe),
             ("t10_pmi_collocations", t10_pmi_collocations),
             ("d42_tfidf_keywords", d42_tfidf_keywords),
+            ("d43_source_datacard", d43_source_datacard),
         ],
     )
 
@@ -425,6 +431,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from .html_extract import d30_html_extract
     from .keywords import d42_tfidf_keywords
+    from .datacard import d43_source_datacard
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
     from .multimodal import d6_features
@@ -554,4 +561,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_vocab_topdf": t7_vocab_topdf,
         "t10_pmi_collocations": t10_pmi_collocations,
         "d42_tfidf_keywords": d42_tfidf_keywords,
+        "d43_source_datacard": d43_source_datacard,
     }

@@ -1,0 +1,72 @@
+"""d43 — per-source dataset data card. Exact DuckDB oracle at two SFs
+via the driver's comparator, plus hand-built semantics and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_check import compare_one, duckdb_conn
+
+from cdc2vec_spark.operators import datacard
+from tests.conftest import SF0001, SF001
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d43_source_datacard",
+        datacard.d43_source_datacard, datacard.D43_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_hand_built_semantics(spark):
+    """Duplicate counting, dominant-language tie rule, token totals and
+    percentiles on a corpus small enough to check by hand."""
+    df = spark.createDataFrame(
+        [
+            # source a: 4 docs, one exact dup pair, langs en/en/de/fr
+            (1, "one two", "en", "a", 7),
+            (2, "one two", "en", "a", 7),
+            (3, "three", "de", "a", 5),
+            (4, "four five six", "fr", "a", 13),
+            # source b: 2 docs, no dups, lang tie (de=1, en=1) -> 'de'
+            (5, "x", "en", "b", 1),
+            (6, "y z", "de", "b", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in datacard.source_datacard(df).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 4 and a["n_exact_dups"] == 1
+    assert a["dup_ratio"] == 0.25
+    assert a["n_langs"] == 3 and a["top_lang"] == "en"
+    assert a["total_tokens"] == 2 + 2 + 1 + 3
+    assert b["n_docs"] == 2 and b["n_exact_dups"] == 0
+    # (de,1) vs (en,1): count tie, lexicographically smaller lang wins
+    assert b["top_lang"] == "de"
+    assert b["p50_tokens"] == 1.5  # interpolated between 1 and 2
+
+
+def test_one_row_per_source(spark, sf_dir):
+    from cdc2vec_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = datacard.source_datacard(d)
+    n_sources = d.select("source").distinct().count()
+    assert out.count() == n_sources
+    assert out.select("source").distinct().count() == n_sources
+
+
+def test_plan_broadcasts_top_lang_no_python(spark, sf_dir):
+    from cdc2vec_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        datacard.source_datacard(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
