@@ -94,6 +94,7 @@ HEADLINE = [
     "t10_pmi_collocations",  # windowed PMI collocation mining
     "d42_tfidf_keywords",    # per-doc top-5 TF-IDF keywords (fixed-point)
     "d43_source_datacard",   # per-source dataset data card (one groupBy)
+    "d44_pagerank",          # integer PageRank over the near-dup graph
 ]
 
 

@@ -52,6 +52,9 @@ Groupings:
                          semantic-dedup and survivor-selection
                          hash-checked anchors, exact two-SF oracles in
                          tests/test_similarity.py / tests/test_dedup.py)
+                         + d44_pagerank (integer PageRank over the exact
+                         near-dup graph, unrolled-CTE oracle in
+                         tests/test_graph.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests)
@@ -112,6 +115,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: asymmetric new-vs-corpus dedup (exact two-SF
     # oracle in tests/test_dedup.py)
     "d40_incremental_dedup",
+    # round-10 addition: integer-exact PageRank centrality of the exact
+    # near-dup graph (unrolled-CTE oracle in tests/test_graph.py)
+    "d44_pagerank",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -240,7 +246,9 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic-dedup + multimodal-feature + semantic-dedup
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files; d12_semdedup_exact carries an exact two-SF oracle in
-    tests/test_similarity.py — the semantic-dedup hash-checked anchor)."""
+    tests/test_similarity.py — the semantic-dedup hash-checked anchor;
+    d44_pagerank carries an exact unrolled-CTE oracle in
+    tests/test_graph.py)."""
     from .dedup import (
         d2_minhash_lsh,
         d2_simhash,
@@ -248,6 +256,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d9_keep_exact,
         d40_incremental_dedup,
     )
+    from .graph import d44_pagerank
     from .multimodal import d6_features
     from .similarity import d12_semdedup, d12_semdedup_exact
 
@@ -263,6 +272,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d12_semdedup", d12_semdedup),
             ("d12_semdedup_exact", d12_semdedup_exact),
             ("d40_incremental_dedup", d40_incremental_dedup),
+            ("d44_pagerank", d44_pagerank),
         ],
     )
 
@@ -429,6 +439,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d9_keep_exact,
         d40_incremental_dedup,
     )
+    from .graph import d44_pagerank
     from .html_extract import d30_html_extract
     from .keywords import d42_tfidf_keywords
     from .datacard import d43_source_datacard
@@ -562,4 +573,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_pmi_collocations": t10_pmi_collocations,
         "d42_tfidf_keywords": d42_tfidf_keywords,
         "d43_source_datacard": d43_source_datacard,
+        "d44_pagerank": d44_pagerank,
     }
