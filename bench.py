@@ -95,6 +95,7 @@ HEADLINE = [
     "d42_tfidf_keywords",    # per-doc top-5 TF-IDF keywords (fixed-point)
     "d43_source_datacard",   # per-source dataset data card (one groupBy)
     "d44_pagerank",          # integer PageRank over the near-dup graph
+    "d45_kmeans_refine",     # distributed spherical Lloyd refinement
 ]
 
 

@@ -57,7 +57,9 @@ Groupings:
                          tests/test_graph.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
-                         in tests)
+                         in tests) + d39_hard_negatives (exact oracle in
+                         tests/test_retrieval.py) + d45_kmeans_refine
+                         (numpy parity in tests/test_kmeans.py)
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
                          d14, d15, d17, d18, d19 (rotated out round 8)
                          + the round-9 parking set t1–t7, b1, b11, b12,
@@ -126,6 +128,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: BM25 hard-negative mining (exact two-SF oracle
     # in tests/test_retrieval.py; composite-delivered in x3)
     "d39_hard_negatives",
+    # round-10 addition: distributed spherical k-means refinement
+    # (rows-only — float means; numpy parity in tests/test_kmeans.py)
+    "d45_kmeans_refine",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -282,6 +287,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in tests/test_similarity.py, tests/test_quantize.py;
     d39_hard_negatives carries an exact two-SF oracle in
     tests/test_retrieval.py)."""
+    from .kmeans import d45_kmeans_refine
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .retrieval import d39_hard_negatives
@@ -297,6 +303,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
             ("d39_hard_negatives", d39_hard_negatives),
+            ("d45_kmeans_refine", d45_kmeans_refine),
         ],
     )
 
@@ -442,6 +449,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .graph import d44_pagerank
     from .html_extract import d30_html_extract
     from .keywords import d42_tfidf_keywords
+    from .kmeans import d45_kmeans_refine
     from .datacard import d43_source_datacard
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
@@ -574,4 +582,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d42_tfidf_keywords": d42_tfidf_keywords,
         "d43_source_datacard": d43_source_datacard,
         "d44_pagerank": d44_pagerank,
+        "d45_kmeans_refine": d45_kmeans_refine,
     }

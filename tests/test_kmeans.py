@@ -1,0 +1,103 @@
+"""d45 — distributed spherical k-means refinement. Numpy parity on the
+identical algorithm, exact assignment agreement, cosine monotonicity,
+and the dead-cell rule."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators import kmeans
+from cdc2vec_spark.operators.similarity import (
+    _deterministic_centroid_ids,
+    ivf_assign,
+)
+
+
+def _fixture(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    emat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+    seed_ids = ids[ids % 31 == 0]
+    cmat0 = emat[np.isin(ids, seed_ids)]
+    return emb, emat, ids, seed_ids, cmat0
+
+
+def test_numpy_parity_centroids_and_assignments(spark, sf_dir):
+    """The distributed refinement must agree with the pure-numpy
+    reference: assignments exactly (integers), centroids to float
+    tolerance (summation order differs)."""
+    emb, emat, ids, seed_ids, cmat0 = _fixture(spark, sf_dir)
+    cents, assigned = kmeans.kmeans_refine(
+        emb, _deterministic_centroid_ids(emb, "vec_id", 31), iters=2
+    )
+    ref_c, ref_a = kmeans.kmeans_refine_numpy(emat, cmat0, iters=2)
+
+    got_c = sorted(cents.collect(), key=lambda r: r["cell"])
+    assert [r["cell"] for r in got_c] == list(seed_ids)
+    gmat = np.array([r["embedding"] for r in got_c])
+    assert np.allclose(gmat, ref_c, atol=1e-9)
+
+    got_a = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    ref_map = {int(i): int(seed_ids[a]) for i, a in zip(ids, ref_a)}
+    assert got_a == ref_map
+
+
+def test_refinement_does_not_decrease_mean_cosine(spark, sf_dir):
+    """Spherical Lloyd's objective (mean assigned cosine) must be
+    non-decreasing vs the unrefined seed assignment."""
+    emb, emat, ids, seed_ids, cmat0 = _fixture(spark, sf_dir)
+
+    def mean_cos(cmat, assign):
+        e = kmeans._normalize_rows(emat)
+        c = kmeans._normalize_rows(cmat)
+        return float(np.mean(np.sum(e * c[assign], axis=1)))
+
+    c0 = kmeans._normalize_rows(cmat0)
+    a0 = np.argmax(kmeans._normalize_rows(emat) @ c0.T, axis=1)
+    ref_c, ref_a = kmeans.kmeans_refine_numpy(emat, cmat0, iters=3)
+    assert mean_cos(ref_c, ref_a) >= mean_cos(cmat0, a0) - 1e-12
+
+
+def test_dead_cell_keeps_previous_centroid(spark):
+    """A centroid that attracts no members must survive unchanged (unit
+    normalized), not collapse to NaN."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # two seeds: one at the data, one orthogonal and far -> dead
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (99, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents, assigned = kmeans.kmeans_refine(emb, seeds, iters=2)
+    got = {r["cell"]: r["embedding"] for r in cents.collect()}
+    assert got[99] == [0.0, 1.0, 0.0]
+    assert all(r["cell"] == 0 for r in assigned.collect())
+    assert not any(np.isnan(v) for vec in got.values() for v in vec)
+
+
+def test_d45_query_shape(spark, sf_dir):
+    out = kmeans.d45_kmeans_refine(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "no cells reported"
+    assert out.columns == ["cell", "n_members", "avg_cos"]
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n
+    assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in rows)
+
+
+def test_assignments_partitioning_invariant(spark, sf_dir):
+    """Assignment is broadcast-BLAS argmax — integer output, identical
+    under any input partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _deterministic_centroid_ids(emb, "vec_id", 31)
+    _, a1 = kmeans.kmeans_refine(emb, seeds, iters=1)
+    _, a2 = kmeans.kmeans_refine(emb.repartition(17), seeds, iters=1)
+    m1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cell"] for r in a2.collect()}
+    assert m1 == m2
