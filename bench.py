@@ -708,6 +708,13 @@ _CURVE_OPS = [
     "c14_event_paths",
     "d36_quality_classifier",
     "d38_context_pack",
+    # round 10: the two heaviest newcomers — the asymmetric dedup's
+    # inverted-index join and the pairs→CC→survivor pipeline — plus the
+    # iterative PageRank loop (fixed rounds; cost must track the edge
+    # derivation, not blow up with iterations)
+    "d40_incremental_dedup",
+    "d9_keep_exact",
+    "d44_pagerank",
 ]
 
 
