@@ -963,10 +963,26 @@ def connected_components(
     Raises RuntimeError if max_iter rounds don't converge — a wrong
     silent label would let keep_canonical keep multiple survivors in one
     duplicate cluster."""
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    e = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    # symmetrize with ONE explode, not union(e, e.swapped): the union
+    # form references the pair-derivation subtree twice and executes it
+    # twice before the checkpoint truncates lineage
+    e = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()

@@ -56,10 +56,21 @@ def pagerank(
     edge, ordered by id. Isolated docs never enter the graph — their
     rank is the uninformative base and reporting them would only pad
     the result."""
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    e = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # symmetrize with ONE explode, not union(e, e.swapped): a union
+    # references the (possibly expensive) pair-derivation subtree twice
+    # and executes it twice — measured 2x the d2_blocked wall at sf0.1
+    e = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     edges = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(
