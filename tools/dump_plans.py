@@ -100,6 +100,17 @@ NOTES = {
     "c14_event_paths": "session stamp + lag share ONE user_id partitioning (exchange reuse); the transition count is a |types|²-cardinality aggregate.",
     "d37_temperature_mix": "per-source token counts from a scan-stage aggregate; the α-power normalization is a window over ~|sources| rows.",
     "d38_context_pack": "ONE corpus scan serves the whole query batch (union-of-terms scan filter, broadcast df/query maps); rank + budget cumsum share one query_id window.",
+    "c15_rate_anomaly": "integer window moments (Σn, Σn², count) over ONE (type)-keyed RANGE window; the float z-score is a single identically-ordered expression.",
+    "d39_hard_negatives": "the d38 one-corpus-scan batched-BM25 core; gold labels excluded by a broadcast anti-join; one shared query_id rank window.",
+    "d40_incremental_dedup": "ONE side-tagged shingle pass (persisted); corpus-df window shares its exchange with the new↔corpus inverted-index join; never all-pairs.",
+    "d41_expectations": "every scalar rule folds into ONE aggregate pass unpivoted via stack; each referential rule is one anti-join count.",
+    "t10_pmi_collocations": "scan-stage HOF pair generation (no positional self-join); pair/unigram aggregates with broadcast totals.",
+    "d9_keep_exact": "the graded d2_blocked pair join feeding min-label-propagation CC (per-round localCheckpoint) and a left_anti survivor cut.",
+    "d12_semdedup_exact": "label-blocked pair scoring on the graded d8 form; greedy keep rule is one cogrouped applyInPandas per label block.",
+    "d42_tfidf_keywords": "ONE explode → (doc,term)+tf aggregate; df reuses the term exchange for the tf⋈df join; broadcast 1-row N; WindowGroupLimit top-k per doc.",
+    "d43_source_datacard": "ONE groupBy(source) carries counts/distincts/percentiles/sums; dominant language via a (source,lang) aggregate + row_number, broadcast-joined back.",
+    "d44_pagerank": "symmetrized edge list + out-degree checkpointed once; each fixed iteration = one contribution groupBy + keyed join, integer micro-unit ranks.",
+    "d45_kmeans_refine": "broadcast-BLAS assignment (narrow map, no shuffle); update = one groupBy(cell) of per-dimension JVM sums; bounded k-row collect per iteration.",
 }
 
 HEADLINE = list(NOTES)
