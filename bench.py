@@ -96,6 +96,7 @@ HEADLINE = [
     "d43_source_datacard",   # per-source dataset data card (one groupBy)
     "d44_pagerank",          # integer PageRank over the near-dup graph
     "d45_kmeans_refine",     # distributed spherical Lloyd refinement
+    "d46_dedup_clusters",    # duplicate-cluster size histogram (CC audit)
 ]
 
 

@@ -54,7 +54,9 @@ Groupings:
                          tests/test_similarity.py / tests/test_dedup.py)
                          + d44_pagerank (integer PageRank over the exact
                          near-dup graph, unrolled-CTE oracle in
-                         tests/test_graph.py)
+                         tests/test_graph.py) + d46_dedup_clusters
+                         (cluster-size histogram, recursive-CTE oracle
+                         in tests/test_dedup.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests) + d39_hard_negatives (exact oracle in
@@ -120,6 +122,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: integer-exact PageRank centrality of the exact
     # near-dup graph (unrolled-CTE oracle in tests/test_graph.py)
     "d44_pagerank",
+    # round-10 addition: duplicate-cluster size histogram (exact
+    # recursive-CTE oracle in tests/test_dedup.py)
+    "d46_dedup_clusters",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -260,6 +265,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d9_keep_canonical,
         d9_keep_exact,
         d40_incremental_dedup,
+        d46_dedup_clusters,
     )
     from .graph import d44_pagerank
     from .multimodal import d6_features
@@ -278,6 +284,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d12_semdedup_exact", d12_semdedup_exact),
             ("d40_incremental_dedup", d40_incremental_dedup),
             ("d44_pagerank", d44_pagerank),
+            ("d46_dedup_clusters", d46_dedup_clusters),
         ],
     )
 
@@ -445,6 +452,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d9_keep_canonical,
         d9_keep_exact,
         d40_incremental_dedup,
+        d46_dedup_clusters,
     )
     from .graph import d44_pagerank
     from .html_extract import d30_html_extract
@@ -583,4 +591,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d43_source_datacard": d43_source_datacard,
         "d44_pagerank": d44_pagerank,
         "d45_kmeans_refine": d45_kmeans_refine,
+        "d46_dedup_clusters": d46_dedup_clusters,
     }

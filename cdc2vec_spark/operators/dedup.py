@@ -659,6 +659,7 @@ def incremental_dedup(
     max_df: int | None = D2_MAX_DF,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup dedup: match a batch of NEW documents against
     an EXISTING corpus — the form a growing training corpus actually
@@ -676,6 +677,15 @@ def incremental_dedup(
     (highest 4-decimal Jaccard, ties to the lowest corpus id) when it
     clears ``threshold``, else unique.
 
+    ``block_col`` (the d2_blocked/d9 blocking discipline, default on in
+    the canonical d40 entry): matches are sought only within the same
+    block (source/language/domain). This is the 100 TB guard the ABSOLUTE
+    df cap cannot provide alone — growing the corpus 10x slides the whole
+    df distribution toward the cap, so mid-frequency shingles that were
+    nowhere near it start contributing ndf·cdf join rows each (measured:
+    unblocked, 10x the corpus made the candidate join 127M rows and 21x
+    the wall; blocked it stays pair-bounded).
+
     Returns (new_id, is_dup, dup_of, jac) for EVERY new doc, ordered by
     new_id — exactly SQL-portable (fixed-point Jaccard, deterministic
     tie rule)."""
@@ -685,40 +695,46 @@ def incremental_dedup(
     # the jaccard_pairs discipline. The corpus-side df is a window over
     # the shingle hash, which SHARES its exchange with the new↔corpus
     # join below; per-doc kept sizes are one window per side.
+    bcols = [block_col] if block_col else []
     tagged = corpus.select(
-        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new"), *bcols
     ).unionByName(
         new_docs.select(
-            F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_new"), *bcols
         )
     )
-    ex = (
-        shingle_hashes(tagged, n, text_col)
-        .select(F.col(id_col).alias("_id"), "_new", F.explode("sh").alias("_h"))
-        .persist()
+    ex = shingle_hashes(tagged, n, text_col).select(
+        F.col(id_col).alias("_id"), "_new", F.explode("sh").alias("_h"), *bcols
     )
     if max_df is not None:
         cdf = F.sum(F.when(~F.col("_new"), 1).otherwise(0)).over(
-            Window.partitionBy("_h")
+            Window.partitionBy(*bcols, "_h")
         )
         ex_kept = ex.withColumn("_cdf", cdf).where(
             F.col("_cdf") <= max_df
         ).drop("_cdf")
     else:
         ex_kept = ex
+    # persist AFTER the df-cap + size windows, not before: both join
+    # sides are then cheap filters of the cached frame instead of each
+    # re-running the whole shingle/window chain
     ex_kept = ex_kept.withColumn(
         "_sz", F.count(F.lit(1)).over(Window.partitionBy("_new", "_id"))
-    )
+    ).persist()
     nkept = (
         ex_kept.where(F.col("_new"))
-        .select(F.col("_id").alias("new_id"), F.col("_sz").alias("_nn"), "_h")
+        .select(F.col("_id").alias("new_id"), F.col("_sz").alias("_nn"), "_h", *bcols)
     )
     ckept = (
         ex_kept.where(~F.col("_new"))
-        .select(F.col("_id").alias("_oid"), F.col("_sz").alias("_no"), "_h")
+        .select(F.col("_id").alias("_oid"), F.col("_sz").alias("_no"), "_h", *bcols)
     )
+    # force a sort-merge join: both sides are O(tokens) exploded postings,
+    # but size estimates downstream of a persist+window chain are
+    # unreliable and AQE auto-broadcast of the corpus side OOMs/stalls at
+    # 10x sf0.1
     inter = (
-        nkept.join(ckept, "_h")
+        nkept.join(ckept.hint("merge"), [*bcols, "_h"])
         .groupBy("new_id", "_nn", "_oid", "_no")
         .agg(F.count(F.lit(1)).alias("_i"))
     )
@@ -744,7 +760,7 @@ def incremental_dedup(
         .orderBy("new_id")
     )
     out = out.localCheckpoint(eager=True)
-    ex.unpersist()
+    ex_kept.unpersist()
     return out
 
 
@@ -752,38 +768,45 @@ def d40_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D40 (added round 10) — the derived corpus's truncated variants
     (the "new crawl") deduped against the lowered originals (the
     "existing corpus"): every truncation should resolve to its origin
-    where the 90%-prefix overlap clears the Jaccard bar."""
+    where the 90%-prefix overlap clears the Jaccard bar. Blocked by
+    source (the d2_blocked/d9 discipline) — truncations share their
+    origin's source, so the headline behavior is unchanged while the
+    candidate join stays pair-bounded at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    corpus = d.select("doc_id", F.lower("text").alias("text"))
+    corpus = d.select("doc_id", F.lower("text").alias("text"), "source")
     new = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.lower(
             F.expr("substr(text, 1, cast(floor(n_chars * 9 / 10.0) as int))")
         ).alias("text"),
+        "source",
     )
-    return incremental_dedup(rebalance(new), rebalance(corpus))
+    return incremental_dedup(
+        rebalance(new), rebalance(corpus), block_col="source"
+    )
 
 
-# mirrors the Spark plan exactly: corpus-side df caps applied to BOTH
-# sides, Jaccard over the kept shingle space, best match by rounded jac
-# desc / lowest corpus id, threshold on the winner. doc_id >= 1000000 in
-# the shared corpus CTE is the "new" arm.
+# mirrors the Spark plan exactly: per-SOURCE corpus-side df caps applied
+# to BOTH sides, Jaccard over the kept shingle space within the source
+# block, best match by rounded jac desc / lowest corpus id, threshold on
+# the winner. doc_id >= 1000000 in the shared corpus CTE is the "new" arm.
 _D40_ORACLE = _CORPUS_CTE + f"""
-, ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-cex AS (SELECT doc_id AS oid, g FROM ex WHERE doc_id < 1000000),
-nex AS (SELECT doc_id AS new_id, g FROM ex WHERE doc_id >= 1000000),
-cfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
-ckept AS (SELECT oid, cex.g FROM cex JOIN cfreq USING (g) WHERE df <= {D2_MAX_DF}),
+, ex AS (SELECT doc_id, source, unnest(shingles) AS g FROM sh),
+cex AS (SELECT doc_id AS oid, source, g FROM ex WHERE doc_id < 1000000),
+nex AS (SELECT doc_id AS new_id, source, g FROM ex WHERE doc_id >= 1000000),
+cfreq AS (SELECT source, g, count(*) AS df FROM cex GROUP BY source, g),
+ckept AS (SELECT oid, cex.source, cex.g FROM cex
+          JOIN cfreq USING (source, g) WHERE df <= {D2_MAX_DF}),
 csizes AS (SELECT oid, count(*) AS n_old FROM ckept GROUP BY oid),
 nkept AS (
-  SELECT new_id, nex.g FROM nex
-  LEFT JOIN cfreq ON cfreq.g = nex.g
+  SELECT new_id, nex.source, nex.g FROM nex
+  LEFT JOIN cfreq ON cfreq.source = nex.source AND cfreq.g = nex.g
   WHERE cfreq.df IS NULL OR cfreq.df <= {D2_MAX_DF}
 ),
 nsizes AS (SELECT new_id, count(*) AS n_new FROM nkept GROUP BY new_id),
 inter AS (
   SELECT nk.new_id, ck.oid, count(*) AS i
-  FROM nkept nk JOIN ckept ck ON nk.g = ck.g
+  FROM nkept nk JOIN ckept ck ON nk.source = ck.source AND nk.g = ck.g
   GROUP BY nk.new_id, ck.oid
 ),
 best AS (
@@ -827,8 +850,9 @@ def d9_keep_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup → fixpoint), min(comp) is each node's component label —
 # byte-identical to connected_components' converged min-label
 # propagation — and the survivors are unclustered docs plus each
-# component's min id.
-_D9_EXACT_ORACLE = _CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1) + f"""
+# component's min id. The pairs→labels chain is shared with the d46
+# cluster-audit oracle below.
+_CC_LABELS_SQL = f"""
 , ex AS (SELECT doc_id, source, unnest(shingles) AS g FROM sh),
 freq AS (SELECT source, g, count(*) AS df FROM ex GROUP BY source, g),
 kept AS (
@@ -861,11 +885,40 @@ cc AS (
   SELECT e.dst AS id, cc.comp FROM cc JOIN edges e ON e.src = cc.id
 ),
 labels AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+"""
+
+_D9_EXACT_ORACLE = (
+    _CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _CC_LABELS_SQL
+    + """
 SELECT c.doc_id FROM corpus c
 LEFT JOIN labels l ON l.id = c.doc_id
 WHERE l.id IS NULL OR l.comp = c.doc_id
 ORDER BY c.doc_id
 """
+)
+
+# same labels chain, aggregated to the audit report: clusters by size,
+# plus the unclustered docs as the size-1 row
+_D46_ORACLE = (
+    _CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _CC_LABELS_SQL
+    + """
+, csize AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM labels GROUP BY comp),
+hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM csize GROUP BY cluster_size),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters
+  FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+  WHERE l.id IS NULL
+)
+SELECT cluster_size, n_clusters FROM (
+  SELECT * FROM hist UNION ALL SELECT * FROM singles
+) t WHERE n_clusters > 0 ORDER BY cluster_size
+"""
+)
 
 
 # mirrors the Spark plan exactly, INCLUDING the default-on stop-shingle
@@ -1029,3 +1082,49 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def cluster_size_histogram(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster audit: (cluster_size, n_clusters), the report a
+    curation team reads before deciding dedup thresholds ("how much of
+    the corpus sits in how-big clusters"). Unclustered docs are the
+    size-1 row. Fully declarative on top of the converged CC labels —
+    two tiny aggregates (|nodes| → |clusters| → |distinct sizes| rows)
+    plus one anti-join count for the singletons; integer-only, so the
+    report is hash-exact."""
+    comp = connected_components(pairs)
+    hist = (
+        comp.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    singles = (
+        df.join(comp, df[id_col] == comp["id"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
+    )
+    return (
+        hist.unionByName(singles)
+        .where(F.col("n_clusters") > 0)
+        .orderBy("cluster_size")
+    )
+
+
+def d46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D46 (added round 10) — the duplicate-cluster size histogram of the
+    derived corpus under the exact blocked-Jaccard pairs (the d9_keep_exact
+    edge set): completes the dedup story's audit face (pairs → clusters →
+    survivors → report)."""
+    corpus = neardup_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "source", "doc_id", 0.5, max_df=D2_MAX_DF)
+    return cluster_size_histogram(corpus, pairs)
+
+
+# round-10 addition (registered here: the CC machinery is defined below
+# the module's main dict): composite-delivered in x2, exact oracle at
+# two SFs in tests/test_dedup.py
+QUERIES["d46_dedup_clusters"] = d46_dedup_clusters
+ORACLES["d46_dedup_clusters"] = _D46_ORACLE

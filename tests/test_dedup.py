@@ -356,3 +356,36 @@ def test_incremental_dedup_randomized_matches_python_reference(spark):
         }
         assert set(got) == {nid for nid, _ in new}
         assert got == want, (seed, {k: (got.get(k), want.get(k)) for k in want if got.get(k) != want.get(k)})
+
+
+def test_d46_dedup_clusters_matches_duckdb_oracle(spark):
+    """Round-10 addition: the duplicate-cluster size histogram vs the
+    recursive-CTE labels aggregated identically, at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.dedup import _D46_ORACLE, d46_dedup_clusters
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d46_dedup_clusters", d46_dedup_clusters, _D46_ORACLE, sf
+        )
+        assert not problems, (sf, problems)
+
+
+def test_cluster_size_histogram_hand_built(spark):
+    """Chain of 3 + pair + 2 singletons: histogram {1:2, 2:1, 3:1}, and
+    the total mass equals the corpus size."""
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in dedup.cluster_size_histogram(corpus, pairs).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
+    assert sum(size * n for size, n in got.items()) == 7

@@ -76,3 +76,46 @@ def test_rank_mass_is_conserved_up_to_floor(spark):
     out = graph.pagerank(pairs).agg(F.sum("rank_micro")).first()[0]
     n = 4
     assert 0.99 * n * 1_000_000 <= out <= n * 1_000_000
+
+
+def _pagerank_py(edges, iters=5):
+    """Pure-python mirror of the integer fixed point (same floor
+    divisions, same damping), for randomized cross-checks."""
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    out = {}
+    for s, d in sym:
+        out.setdefault(s, []).append(d)
+    r = {n: 1_000_000 for n in out}
+    for _ in range(iters):
+        recv = {n: 0 for n in r}
+        for s, ds in out.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                recv[d] += c
+        r = {n: 150_000 + (85 * recv[n]) // 100 for n in r}
+    return r
+
+
+def test_fuzz_vs_python_reference(spark):
+    """Randomized graphs (self-contained seeds): the distributed integer
+    fixed point must equal the python mirror exactly — any divergence in
+    symmetrization, degree, floor order or iteration count shows here."""
+    import random
+
+    for seed in (7, 21, 404):
+        rng = random.Random(seed)
+        n = rng.randint(8, 24)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 40))
+            }
+        )
+        got = {
+            r["id"]: r["rank_micro"]
+            for r in graph.pagerank(_pairs(spark, edges)).collect()
+        }
+        assert got == _pagerank_py(edges), (seed, edges)

@@ -111,6 +111,7 @@ NOTES = {
     "d43_source_datacard": "ONE groupBy(source) carries counts/distincts/percentiles/sums; dominant language via a (source,lang) aggregate + row_number, broadcast-joined back.",
     "d44_pagerank": "symmetrized edge list + out-degree checkpointed once; each fixed iteration = one contribution groupBy + keyed join, integer micro-unit ranks.",
     "d45_kmeans_refine": "broadcast-BLAS assignment (narrow map, no shuffle); update = one groupBy(cell) of per-dimension JVM sums; bounded k-row collect per iteration.",
+    "d46_dedup_clusters": "two tiny aggregates over the converged CC labels (|nodes| → |clusters| → |sizes| rows) + one anti-join singleton count.",
 }
 
 HEADLINE = list(NOTES)
