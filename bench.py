@@ -97,6 +97,7 @@ HEADLINE = [
     "d44_pagerank",          # integer PageRank over the near-dup graph
     "d45_kmeans_refine",     # distributed spherical Lloyd refinement
     "d46_dedup_clusters",    # duplicate-cluster size histogram (CC audit)
+    "d47_source_overlap",    # cross-source near-dup overlap matrix
 ]
 
 

@@ -56,7 +56,9 @@ Groupings:
                          near-dup graph, unrolled-CTE oracle in
                          tests/test_graph.py) + d46_dedup_clusters
                          (cluster-size histogram, recursive-CTE oracle
-                         in tests/test_dedup.py)
+                         in tests/test_dedup.py) + d47_source_overlap
+                         (cross-source overlap matrix, exact oracle in
+                         tests/test_datacard.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests) + d39_hard_negatives (exact oracle in
@@ -125,6 +127,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: duplicate-cluster size histogram (exact
     # recursive-CTE oracle in tests/test_dedup.py)
     "d46_dedup_clusters",
+    # round-10 addition: cross-source near-dup overlap matrix (exact
+    # two-SF oracle in tests/test_datacard.py)
+    "d47_source_overlap",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -267,6 +272,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d40_incremental_dedup,
         d46_dedup_clusters,
     )
+    from .datacard import d47_source_overlap
     from .graph import d44_pagerank
     from .multimodal import d6_features
     from .similarity import d12_semdedup, d12_semdedup_exact
@@ -285,6 +291,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d40_incremental_dedup", d40_incremental_dedup),
             ("d44_pagerank", d44_pagerank),
             ("d46_dedup_clusters", d46_dedup_clusters),
+            ("d47_source_overlap", d47_source_overlap),
         ],
     )
 
@@ -458,7 +465,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .html_extract import d30_html_extract
     from .keywords import d42_tfidf_keywords
     from .kmeans import d45_kmeans_refine
-    from .datacard import d43_source_datacard
+    from .datacard import d43_source_datacard, d47_source_overlap
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
     from .multimodal import d6_features
@@ -592,4 +599,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d44_pagerank": d44_pagerank,
         "d45_kmeans_refine": d45_kmeans_refine,
         "d46_dedup_clusters": d46_dedup_clusters,
+        "d47_source_overlap": d47_source_overlap,
     }

@@ -120,7 +120,97 @@ FROM stats s JOIN top USING (source)
 ORDER BY s.source
 """
 
-# round-10 addition: composite-delivered (x4), exact oracle pinned at two
-# SFs in tests/test_datacard.py; rotation candidate for round 11
-QUERIES = {"d43_source_datacard": d43_source_datacard}
-ORACLES = {"d43_source_datacard": D43_ORACLE_SQL}
+def source_overlap_matrix(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source near-dup overlap matrix: for every unordered source
+    pair, how many near-dup pairs straddle it and their total similarity
+    mass — the "is crawl X contaminating slice Y" audit behind every
+    source-mixing decision. ``pairs`` must carry (id_a, id_b, jac) with
+    jac already rounded to 4 decimals (the graded d2/d2_lsh forms).
+
+    Scale shape: the near-dup pair set is tiny next to the corpus, so it
+    is BROADCAST into two keyed joins against the narrow (id, source)
+    projection (column-pruned scan); the final aggregate is |sources|²
+    rows. Similarity mass is summed as integer basis points (jac·10⁴ is
+    exact — jac is a 4-decimal value), so the matrix is hash-exact."""
+    p = pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jac") * 10000).cast("long").alias("_bp"),
+    )
+    src = corpus.select(F.col(id_col), F.col(source_col))
+    a = src.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa"))
+    b = src.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb"))
+    return (
+        F.broadcast(p)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "_bp",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_bp").alias("sum_jac_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def d47_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D47 (added round 10) — the cross-source near-dup overlap matrix
+    of the derived corpus under the exact (recall-1) LSH pair set."""
+    from .dedup import lsh_exact_pairs, neardup_corpus
+
+    corpus = neardup_corpus(spark, sf_dir)
+    pairs = lsh_exact_pairs(corpus, 0.5)
+    return source_overlap_matrix(corpus, pairs)
+
+
+def _d47_oracle() -> str:
+    from .dedup import _CORPUS_CTE
+
+    # the d2_lsh_exact candidate+verify derivation, then source labels
+    # from the shared corpus CTE and the unordered-pair aggregate
+    return _CORPUS_CTE + """
+, ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b, CAST(round(jac * 10000) AS BIGINT) AS bp FROM (
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jac
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+  ) t WHERE jac >= 0.5
+)
+SELECT least(ca.source, cb.source) AS source_a,
+       greatest(ca.source, cb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(bp) AS BIGINT) AS sum_jac_bp
+FROM scored s
+JOIN corpus ca ON ca.doc_id = s.id_a
+JOIN corpus cb ON cb.doc_id = s.id_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# round-10 additions: composite-delivered (x4 / x2), exact oracles pinned
+# at two SFs in tests/test_datacard.py; rotation candidates for round 11
+QUERIES = {
+    "d43_source_datacard": d43_source_datacard,
+    "d47_source_overlap": d47_source_overlap,
+}
+ORACLES = {
+    "d43_source_datacard": D43_ORACLE_SQL,
+    "d47_source_overlap": _d47_oracle(),
+}

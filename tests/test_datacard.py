@@ -70,3 +70,51 @@ def test_plan_broadcasts_top_lang_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d47_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d47_source_overlap",
+        datacard.d47_source_overlap,
+        datacard.ORACLES["d47_source_overlap"], sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_d47_off_diagonal_nonvacuous(spark, sf_dir):
+    """The fixture must actually exercise CROSS-source overlap rows, or
+    the matrix semantics are untested."""
+    rows = datacard.d47_source_overlap(spark, sf_dir).collect()
+    assert any(r["source_a"] != r["source_b"] for r in rows)
+    assert any(r["source_a"] == r["source_b"] for r in rows)
+
+
+def test_source_overlap_hand_built(spark):
+    """Unordered direction, basis-point mass, multi-pair accumulation."""
+    corpus = spark.createDataFrame(
+        [(1, "wiki"), (2, "cc"), (3, "cc"), (4, "wiki")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.75), (2, 1, 0.5), (2, 3, 1.0)],
+        "id_a long, id_b long, jac double",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["sum_jac_bp"])
+        for r in datacard.source_overlap_matrix(corpus, pairs).collect()
+    }
+    # (1,2) and (2,1) both land in (cc, wiki) — least/greatest normalizes
+    assert got[("cc", "wiki")] == (2, 7500 + 5000)
+    assert got[("cc", "cc")] == (1, 10000)
+    assert set(got) == {("cc", "wiki"), ("cc", "cc")}
+
+
+def test_d47_plan_broadcasts_pairs(spark, sf_dir):
+    plan = (
+        datacard.d47_source_overlap(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

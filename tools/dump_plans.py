@@ -112,6 +112,7 @@ NOTES = {
     "d44_pagerank": "symmetrized edge list + out-degree checkpointed once; each fixed iteration = one contribution groupBy + keyed join, integer micro-unit ranks.",
     "d45_kmeans_refine": "broadcast-BLAS assignment (narrow map, no shuffle); update = one groupBy(cell) of per-dimension JVM sums; bounded k-row collect per iteration.",
     "d46_dedup_clusters": "two tiny aggregates over the converged CC labels (|nodes| → |clusters| → |sizes| rows) + one anti-join singleton count.",
+    "d47_source_overlap": "the small pair set is BROADCAST into two keyed joins against the narrow (id, source) projection; |sources|² aggregate; integer basis-point mass.",
 }
 
 HEADLINE = list(NOTES)
