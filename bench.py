@@ -98,6 +98,7 @@ HEADLINE = [
     "d45_kmeans_refine",     # distributed spherical Lloyd refinement
     "d46_dedup_clusters",    # duplicate-cluster size histogram (CC audit)
     "d47_source_overlap",    # cross-source near-dup overlap matrix
+    "d48_cluster_split",     # leakage-proof cluster-unit train/holdout split
 ]
 
 

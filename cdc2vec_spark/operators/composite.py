@@ -58,7 +58,9 @@ Groupings:
                          (cluster-size histogram, recursive-CTE oracle
                          in tests/test_dedup.py) + d47_source_overlap
                          (cross-source overlap matrix, exact oracle in
-                         tests/test_datacard.py)
+                         tests/test_datacard.py) + d48_cluster_split
+                         (leakage-proof cluster-unit split, exact
+                         oracle in tests/test_dedup.py)
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests) + d39_hard_negatives (exact oracle in
@@ -130,6 +132,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: cross-source near-dup overlap matrix (exact
     # two-SF oracle in tests/test_datacard.py)
     "d47_source_overlap",
+    # round-10 addition: near-dup-aware leakage-proof train/holdout
+    # split (exact recursive-CTE oracle in tests/test_dedup.py)
+    "d48_cluster_split",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
@@ -271,6 +276,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d9_keep_exact,
         d40_incremental_dedup,
         d46_dedup_clusters,
+        d48_cluster_split,
     )
     from .datacard import d47_source_overlap
     from .graph import d44_pagerank
@@ -292,6 +298,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d44_pagerank", d44_pagerank),
             ("d46_dedup_clusters", d46_dedup_clusters),
             ("d47_source_overlap", d47_source_overlap),
+            ("d48_cluster_split", d48_cluster_split),
         ],
     )
 
@@ -460,6 +467,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d9_keep_exact,
         d40_incremental_dedup,
         d46_dedup_clusters,
+        d48_cluster_split,
     )
     from .graph import d44_pagerank
     from .html_extract import d30_html_extract
@@ -600,4 +608,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d45_kmeans_refine": d45_kmeans_refine,
         "d46_dedup_clusters": d46_dedup_clusters,
         "d47_source_overlap": d47_source_overlap,
+        "d48_cluster_split": d48_cluster_split,
     }

@@ -1123,8 +1123,63 @@ def d46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_size_histogram(corpus, pairs)
 
 
-# round-10 addition (registered here: the CC machinery is defined below
-# the module's main dict): composite-delivered in x2, exact oracle at
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    holdout_prefix: str = "1a",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware train/holdout split: the split unit is the
+    DUPLICATE CLUSTER, not the document — every member of a cluster
+    inherits its representative's assignment, so no near-dup pair can
+    straddle the split (the eval-leakage failure mode a per-doc split
+    has by construction: one variant lands in train, its twin in
+    holdout, and the benchmark leaks; cf. Lee et al. 2021 §6). Uses the
+    d27 md5-prefix rule (``substr(md5(key), 1, 2) < holdout_prefix`` ≈
+    10.2% holdout for '1a') keyed on the cluster's min-id representative
+    — SQL-portable, append-stable, shuffle-free past the CC labels."""
+    comp = connected_components(pairs)
+    lab = df.join(comp, df[id_col] == comp["id"], "left")
+    group_key = F.coalesce(comp["comp"], df[id_col])
+    split = F.when(
+        F.substring(F.md5(group_key.cast("string")), 1, 2) < holdout_prefix,
+        F.lit("holdout"),
+    ).otherwise(F.lit("train"))
+    return lab.select(
+        df[id_col], group_key.alias("group_key"), split.alias("split")
+    ).orderBy(id_col)
+
+
+def d48_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D48 (added round 10) — the leakage-proof split of the derived
+    corpus: near-dup clusters (the d9_keep_exact edge set) assigned to
+    train/holdout as units."""
+    corpus = neardup_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "source", "doc_id", 0.5, max_df=D2_MAX_DF)
+    return cluster_split(corpus, pairs)
+
+
+# the shared labels chain, then the md5-prefix rule on the cluster
+# representative (or the doc itself when unclustered)
+_D48_ORACLE = (
+    _CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _CC_LABELS_SQL
+    + """
+SELECT c.doc_id,
+       coalesce(l.comp, c.doc_id) AS group_key,
+       CASE WHEN substr(md5(CAST(coalesce(l.comp, c.doc_id) AS VARCHAR)), 1, 2)
+                 < '1a'
+            THEN 'holdout' ELSE 'train' END AS split
+FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+ORDER BY c.doc_id
+"""
+)
+
+
+# round-10 additions (registered here: the CC machinery is defined below
+# the module's main dict): composite-delivered in x2, exact oracles at
 # two SFs in tests/test_dedup.py
 QUERIES["d46_dedup_clusters"] = d46_dedup_clusters
 ORACLES["d46_dedup_clusters"] = _D46_ORACLE
+QUERIES["d48_cluster_split"] = d48_cluster_split
+ORACLES["d48_cluster_split"] = _D48_ORACLE

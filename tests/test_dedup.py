@@ -389,3 +389,54 @@ def test_cluster_size_histogram_hand_built(spark):
     }
     assert got == {1: 2, 2: 1, 3: 1}
     assert sum(size * n for size, n in got.items()) == 7
+
+
+def test_d48_cluster_split_matches_duckdb_oracle(spark):
+    """Round-10 addition: near-dup-aware split vs the recursive-CTE
+    labels + md5-prefix rule, at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.dedup import _D48_ORACLE, d48_cluster_split
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "d48_cluster_split", d48_cluster_split, _D48_ORACLE, sf
+        )
+        assert not problems, (sf, problems)
+
+
+def test_cluster_split_no_leakage(spark):
+    """THE invariant the operator exists for: no pair of near-dups may
+    straddle the split; every cluster member shares its rep's split."""
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 30)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 10), (12, 13)],
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r for r in dedup.cluster_split(corpus, pairs).collect()}
+    for a, b in [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 10), (12, 13)]:
+        assert out[a]["split"] == out[b]["split"], (a, b)
+        assert out[a]["group_key"] == out[b]["group_key"]
+    # clustered docs carry the min-id representative; singletons themselves
+    assert out[3]["group_key"] == 1 and out[10]["group_key"] == 7
+    assert out[20]["group_key"] == 20
+    assert set(out) == set(range(1, 30))
+
+
+def test_cluster_split_append_stable(spark):
+    """Adding unrelated docs must not move existing assignments (the
+    md5 rule keys on the cluster rep, not on corpus statistics)."""
+    corpus1 = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 10)], "doc_id long, text string"
+    )
+    corpus2 = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    a = {r["doc_id"]: r["split"] for r in dedup.cluster_split(corpus1, pairs).collect()}
+    b = {r["doc_id"]: r["split"] for r in dedup.cluster_split(corpus2, pairs).collect()}
+    assert all(b[k] == v for k, v in a.items())

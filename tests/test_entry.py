@@ -87,6 +87,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d9_keep_exact", "d40_incremental_dedup", "d6_features",
             "d12_semdedup", "d12_semdedup_exact", "d44_pagerank",
             "d46_dedup_clusters", "d47_source_overlap",
+            "d48_cluster_split",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",

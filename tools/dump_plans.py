@@ -113,6 +113,7 @@ NOTES = {
     "d45_kmeans_refine": "broadcast-BLAS assignment (narrow map, no shuffle); update = one groupBy(cell) of per-dimension JVM sums; bounded k-row collect per iteration.",
     "d46_dedup_clusters": "two tiny aggregates over the converged CC labels (|nodes| → |clusters| → |sizes| rows) + one anti-join singleton count.",
     "d47_source_overlap": "the small pair set is BROADCAST into two keyed joins against the narrow (id, source) projection; |sources|² aggregate; integer basis-point mass.",
+    "d48_cluster_split": "one left join against the converged CC labels; the md5-prefix split rule is a scan-stage expression on the cluster representative.",
 }
 
 HEADLINE = list(NOTES)
