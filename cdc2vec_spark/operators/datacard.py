@@ -164,33 +164,45 @@ def source_overlap_matrix(
 
 def d47_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D47 (added round 10) — the cross-source near-dup overlap matrix
-    of the derived corpus under the exact (recall-1) LSH pair set."""
-    from .dedup import lsh_exact_pairs, neardup_corpus
+    of the derived corpus. The pair set is the GLOBALLY df-capped exact
+    Jaccard form (jaccard_pairs with one constant block): source
+    blocking would contradict the operator's purpose (cross-source
+    pairs are the point), but the uncapped recall-1 form pays
+    Σ df² join rows on corpus-wide boilerplate shingles — measured 15s
+    at sf0.1 vs ~3s capped. The cap is the same stop-shingle rule every
+    graded dedup entry uses, mirrored exactly by the oracle."""
+    from .dedup import D2_MAX_DF, jaccard_pairs, neardup_corpus
 
-    corpus = neardup_corpus(spark, sf_dir)
-    pairs = lsh_exact_pairs(corpus, 0.5)
+    corpus = neardup_corpus(spark, sf_dir).withColumn("_all", F.lit(1))
+    pairs = jaccard_pairs(corpus, "_all", "doc_id", 0.5, max_df=D2_MAX_DF)
     return source_overlap_matrix(corpus, pairs)
 
 
 def _d47_oracle() -> str:
-    from .dedup import _CORPUS_CTE
+    from .dedup import _CORPUS_CTE, D2_MAX_DF
 
-    # the d2_lsh_exact candidate+verify derivation, then source labels
-    # from the shared corpus CTE and the unordered-pair aggregate
-    return _CORPUS_CTE + """
+    # the d2_blocked pair derivation with ONE global block (no source
+    # in freq/kept/join), then source labels from the shared corpus CTE
+    # and the unordered-pair aggregate
+    return _CORPUS_CTE + f"""
 , ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+freq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+kept AS (
+  SELECT e.doc_id, e.g FROM ex e
+  JOIN freq USING (g) WHERE freq.df <= {D2_MAX_DF}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 ),
 scored AS (
   SELECT id_a, id_b, CAST(round(jac * 10000) AS BIGINT) AS bp FROM (
-    SELECT c.id_a, c.id_b,
-           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                 / len(list_distinct(sa.shingles || sb.shingles)), 4) AS jac
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.id_a
-    JOIN sh sb ON sb.doc_id = c.id_b
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
   ) t WHERE jac >= 0.5
 )
 SELECT least(ca.source, cb.source) AS source_a,
