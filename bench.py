@@ -99,6 +99,7 @@ HEADLINE = [
     "d46_dedup_clusters",    # duplicate-cluster size histogram (CC audit)
     "d47_source_overlap",    # cross-source near-dup overlap matrix
     "d48_cluster_split",     # leakage-proof cluster-unit train/holdout split
+    "t11_sentence_stats",    # per-doc sentence shape (scan-stage HOFs)
 ]
 
 

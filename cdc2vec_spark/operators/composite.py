@@ -74,7 +74,8 @@ Groupings:
                          nature — BPE merges are iterative, pinned vs a
                          pure-Python reference encoder in
                          tests/test_bpe.py) + the round-10 newcomers
-                         t10_pmi_collocations, d42_tfidf_keywords,
+                         t10_pmi_collocations, t11_sentence_stats,
+                         d42_tfidf_keywords,
                          d43_source_datacard (exact oracles in
                          tests/test_text_quality.py, tests/test_keywords.py,
                          tests/test_datacard.py); all parked exact
@@ -202,6 +203,9 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: PMI collocations (exact two-SF oracle in
     # tests/test_text_quality.py)
     "t10_pmi_collocations",
+    # round-10 addition: per-doc sentence shape over deterministically
+    # punctuated text (exact two-SF oracle in tests/test_text_quality.py)
+    "t11_sentence_stats",
     # round-10 addition: per-doc TF-IDF keywords (exact two-SF oracle in
     # tests/test_keywords.py)
     "d42_tfidf_keywords",
@@ -385,6 +389,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t6_length_percentiles,
         t7_vocab_topdf,
         t10_pmi_collocations,
+        t11_sentence_stats,
     )
 
     return _union(
@@ -434,6 +439,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
             ("t10_pmi_collocations", t10_pmi_collocations),
+            ("t11_sentence_stats", t11_sentence_stats),
             ("d42_tfidf_keywords", d42_tfidf_keywords),
             ("d43_source_datacard", d43_source_datacard),
         ],
@@ -532,6 +538,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t6_length_percentiles,
         t7_vocab_topdf,
         t10_pmi_collocations,
+        t11_sentence_stats,
     )
     from .vectors import a8_deterministic_embed
 
@@ -602,6 +609,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
         "t10_pmi_collocations": t10_pmi_collocations,
+        "t11_sentence_stats": t11_sentence_stats,
         "d42_tfidf_keywords": d42_tfidf_keywords,
         "d43_source_datacard": d43_source_datacard,
         "d44_pagerank": d44_pagerank,

@@ -644,6 +644,86 @@ ORDER BY pmi_micro DESC, a, b LIMIT 50
 """
 
 
+def sentence_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc sentence segmentation report — the Gopher-class shape
+    signal (too-few / degenerately-long sentences flag boilerplate and
+    machine-generated text): split on `[.!?]+` runs, keep sentences
+    with ≥1 token, report count / mean tokens / max tokens. Pure
+    scan-stage HOF expression work (regex portable Java ≡ RE2, the d20
+    discipline) — no shuffle before the ordering sort; the mean is ONE
+    integer-sum / integer-count division, identical in both engines."""
+    sents = F.split(F.coalesce(F.col(text_col), F.lit("")), "[.!?]+")
+    counts = F.filter(
+        F.transform(
+            sents,
+            lambda s: F.size(F.filter(F.split(s, " "), lambda w: w != "")),
+        ),
+        lambda c: c > 0,
+    )
+    n = F.size(counts)
+    total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_sentences"),
+        F.when(n > 0, F.round(total / n, 2)).alias("avg_sent_tokens"),
+        F.when(n > 0, F.array_max(counts).cast("long")).alias("max_sent_tokens"),
+    ).orderBy(id_col)
+
+
+def t11_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (added round 10) — per-doc sentence count / mean / max token
+    shape. The fixture corpus carries no sentence punctuation (every
+    doc would be one trivial sentence), so the entry synthesizes it
+    deterministically first — a period after every 7th token (the
+    d20/d30 synthesized-input pattern, mirrored token-for-token by the
+    oracle) — and the segmentation logic is then genuinely exercised
+    with variable sentence counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    # Spark's transform index is 0-based, DuckDB's 1-based: (i+1) here
+    # aligns with `i` there
+    punct = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.when((i + 1) % 7 == 0, F.concat(x, F.lit(".")))
+            .otherwise(x),
+        ),
+        " ",
+    )
+    return sentence_stats(d.select("doc_id", punct.alias("text")))
+
+
+T11_ORACLE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           string_split(coalesce(text, ''), ' '),
+           (x, i) -> CASE WHEN i % 7 = 0 THEN x || '.' ELSE x END
+         ), ' ') AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           string_split_regex(coalesce(text, ''), '[.!?]+'),
+           s -> len(list_filter(string_split(s, ' '), w -> w <> ''))
+         ), x -> x > 0) AS counts
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(counts) AS BIGINT) AS n_sentences,
+       CASE WHEN len(counts) > 0
+            THEN round(CAST(list_sum(counts) AS DOUBLE) / len(counts), 2)
+       END AS avg_sent_tokens,
+       CASE WHEN len(counts) > 0
+            THEN CAST(list_max(counts) AS BIGINT)
+       END AS max_sent_tokens
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d4_text_stats": d4_text_stats,
     "d5_slicing": d5_slicing,
@@ -663,11 +743,15 @@ QUERIES = {
     # round-10 addition: composite-delivered (x4), oracle in
     # tests/test_text_quality.py; rotation candidate
     "t10_pmi_collocations": t10_pmi_collocations,
+    # round-10 addition: composite-delivered (x4), oracle in
+    # tests/test_text_quality.py; rotation candidate
+    "t11_sentence_stats": t11_sentence_stats,
 }
 
 ORACLES = {
     "t9_nfc_normalize": T9_ORACLE_SQL,
     "t10_pmi_collocations": T10_ORACLE_SQL,
+    "t11_sentence_stats": T11_ORACLE_SQL,
     # round-7 rotation: individually graded (were composite-delivered)
     "d15_chunk": D15_ORACLE_SQL,
     "d17_bm25": D17_ORACLE_SQL,

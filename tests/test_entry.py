@@ -110,6 +110,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
             "t7_vocab_topdf", "t8_bpe", "t10_pmi_collocations",
+            "t11_sentence_stats",
             "d42_tfidf_keywords", "d43_source_datacard",
         },
     }

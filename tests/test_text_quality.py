@@ -318,3 +318,60 @@ def test_pmi_semantics_on_crafted_corpus(spark):
     want = round(1e6 * math.log((8 * 1.0 / n_pairs) /
                                 ((8 * 1.0 / n_tok) * (8 * 1.0 / n_tok))))
     assert top["n_ab"] == 8 and top["pmi_micro"] == want
+
+
+def test_t11_matches_duckdb_oracle(spark):
+    """Round-10 addition: per-doc sentence shape over deterministically
+    punctuated text, at two SFs."""
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators.text import T11_ORACLE_SQL, t11_sentence_stats
+    from tests.conftest import SF0001, SF001
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "t11_sentence_stats",
+            t11_sentence_stats, T11_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_sentence_stats_hand_built(spark):
+    """Punctuation runs collapse, empty sentences drop, empty/NULL text
+    reports 0 sentences with NULL stats."""
+    from cdc2vec_spark.operators.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two. three!? four five six."),
+            (2, "justonesentence no punct"),
+            (3, ""),
+            (4, None),
+            (5, "...!!!"),  # only separators -> zero sentences
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in sentence_stats(df).collect()}
+    # doc 1: "one two" (2), " three" (1), " four five six" (3)
+    assert got[1]["n_sentences"] == 3
+    assert got[1]["avg_sent_tokens"] == 2.0
+    assert got[1]["max_sent_tokens"] == 3
+    assert got[2]["n_sentences"] == 1 and got[2]["max_sent_tokens"] == 3
+    for d in (3, 4, 5):
+        assert got[d]["n_sentences"] == 0
+        assert got[d]["avg_sent_tokens"] is None
+        assert got[d]["max_sent_tokens"] is None
+
+
+def test_t11_fixture_nonvacuous(spark, sf_dir):
+    """The synthesized punctuation must produce VARIABLE sentence counts
+    (the raw fixture has none; a constant count would mean the
+    segmentation logic is untested)."""
+    from cdc2vec_spark.operators.text import t11_sentence_stats
+
+    counts = {
+        r["n_sentences"]
+        for r in t11_sentence_stats(spark, sf_dir).collect()
+    }
+    assert len(counts) > 1

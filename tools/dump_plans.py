@@ -114,6 +114,7 @@ NOTES = {
     "d46_dedup_clusters": "two tiny aggregates over the converged CC labels (|nodes| → |clusters| → |sizes| rows) + one anti-join singleton count.",
     "d47_source_overlap": "the small pair set is BROADCAST into two keyed joins against the narrow (id, source) projection; |sources|² aggregate; integer basis-point mass.",
     "d48_cluster_split": "one left join against the converged CC labels; the md5-prefix split rule is a scan-stage expression on the cluster representative.",
+    "t11_sentence_stats": "pure scan-stage HOF chain (punctuate → split → per-sentence token counts); no shuffle before the ordering sort.",
 }
 
 HEADLINE = list(NOTES)
