@@ -61,7 +61,12 @@ def source_datacard(
             4,
         ).alias("dup_ratio"),
     )
-    w = Window.partitionBy("source").orderBy(F.col("_n").desc(), "lang")
+    # NULLS LAST on the tie-break: Spark's default ASC sorts NULL first
+    # while DuckDB's sorts it last, so a NULL-lang count tying the top
+    # non-null lang would flip top_lang between engines (ADVICE r10)
+    w = Window.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("lang").asc_nulls_last()
+    )
     top = (
         base.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -110,7 +115,7 @@ top AS (
   SELECT source, lang AS top_lang FROM (
     SELECT source, lang,
            row_number() OVER (
-             PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+             PARTITION BY source ORDER BY count(*) DESC, lang NULLS LAST) AS rn
     FROM base GROUP BY source, lang
   ) t WHERE rn = 1
 )
@@ -136,10 +141,13 @@ def source_overlap_matrix(
     is BROADCAST into two keyed joins against the narrow (id, source)
     projection (column-pruned scan); the final aggregate is |sources|²
     rows. Similarity mass is summed as integer basis points (jac·10⁴ is
-    exact — jac is a 4-decimal value), so the matrix is hash-exact."""
+    exact — jac is normalized to 4 decimals here, idempotent for the
+    graded pair forms which already round; a caller passing raw float
+    similarities gets correctly-rounded basis points instead of silent
+    drift, ADVICE r10)."""
     p = pairs.select(
         "id_a", "id_b",
-        F.round(F.col("jac") * 10000).cast("long").alias("_bp"),
+        F.round(F.round(F.col("jac"), 4) * 10000).cast("long").alias("_bp"),
     )
     src = corpus.select(F.col(id_col), F.col(source_col))
     a = src.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa"))

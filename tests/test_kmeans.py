@@ -41,6 +41,19 @@ def test_numpy_parity_centroids_and_assignments(spark, sf_dir):
     gmat = np.array([r["embedding"] for r in got_c])
     assert np.allclose(gmat, ref_c, atol=1e-9)
 
+    # guard the exact-equality assertion against near-tie argmax flips:
+    # iteration-2 centroids differ between Spark (distributed partial-sum
+    # order) and numpy by ULPs, so exact assignment equality is only a
+    # sound assertion while every row's top-1/top-2 margin is far above
+    # ULP scale — pin that fixture property loudly here (ADVICE r10)
+    scores = kmeans._normalize_rows(emat) @ kmeans._normalize_rows(ref_c).T
+    top2 = np.sort(scores, axis=1)[:, -2:]
+    margin = float(np.min(top2[:, 1] - top2[:, 0]))
+    assert margin > 1e-9, (
+        f"fixture has a near-tie assignment (margin {margin}); exact "
+        "assignment equality is no longer a sound assertion — switch to a "
+        "margin-aware compare"
+    )
     got_a = {r["vec_id"]: r["cell"] for r in assigned.collect()}
     ref_map = {int(i): int(seed_ids[a]) for i, a in zip(ids, ref_a)}
     assert got_a == ref_map
