@@ -178,11 +178,13 @@ def d47_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are the point), but the uncapped recall-1 form pays
     Σ df² join rows on corpus-wide boilerplate shingles — measured 15s
     at sf0.1 vs ~3s capped. The cap is the same stop-shingle rule every
-    graded dedup entry uses, mirrored exactly by the oracle."""
-    from .dedup import D2_MAX_DF, jaccard_pairs, neardup_corpus
+    graded dedup entry uses, mirrored exactly by the oracle. The pair
+    set comes from the shared graph stage (block='_all' — the global
+    block is this operator's point), derived once per session."""
+    from .dedup import neardup_corpus, neardup_pairs_shared
 
-    corpus = neardup_corpus(spark, sf_dir).withColumn("_all", F.lit(1))
-    pairs = jaccard_pairs(corpus, "_all", "doc_id", 0.5, max_df=D2_MAX_DF)
+    corpus = neardup_corpus(spark, sf_dir)
+    pairs = neardup_pairs_shared(spark, sf_dir, block="_all")
     return source_overlap_matrix(corpus, pairs)
 
 

@@ -838,10 +838,16 @@ def d9_keep_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-mirrored), so the clusters and survivors are integer-exact.
     The oracle mirrors min-label propagation with a recursive CTE, so
     ``connected_components``' label semantics — not just the pair set —
-    are what the hash checks."""
+    are what the hash checks. Pairs + labels come from the shared
+    graph stage (``neardup_pairs_shared``/``neardup_labels_shared``) —
+    same derivation, derived once per session for the whole family."""
     corpus = neardup_corpus(spark, sf_dir)
-    pairs = jaccard_pairs(corpus, "source", "doc_id", 0.5, max_df=D2_MAX_DF)
-    return keep_canonical(corpus, pairs).select("doc_id").orderBy("doc_id")
+    pairs = neardup_pairs_shared(spark, sf_dir)
+    labels = neardup_labels_shared(spark, sf_dir)
+    return (
+        keep_canonical(corpus, pairs, labels=labels)
+        .select("doc_id").orderBy("doc_id")
+    )
 
 
 # the graded d2_blocked pair derivation verbatim, then connected
@@ -1071,13 +1077,81 @@ def connected_components(
     )
 
 
+# ----------------- shared near-dup graph stage (VERDICT r10 ask #2) ----
+#
+# Five reports read the SAME exact near-dup graph of the derived corpus —
+# d9_keep_exact (survivors), d44_pagerank (centrality), d46 (cluster
+# histogram), d47 (cross-source overlap; global block), d48 (leakage-proof
+# split). Each deriving its own pair set (and three their own CC fixpoint)
+# is correct but pays the family's most expensive shuffle up to five
+# times per run; a real 100 TB curation job computes pairs + labels ONCE
+# and feeds every report. These helpers are that stage: the pair set /
+# converged labels are derived once per (Spark app, sf_dir, block) and
+# memoized as the already-localCheckpoint-ed DataFrames (jaccard_pairs
+# materializes eagerly; connected_components checkpoints per round), so
+# reuse is a block-manager read, not a re-derivation. Threshold/max_df
+# are pinned to the graded defaults (0.5 / D2_MAX_DF) — the stage exists
+# for the audited family, not as a general cache.
+
+_GRAPH_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _graph_stage(spark: SparkSession, key: tuple, build) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _GRAPH_STAGE_CACHE if k[0] != app]:
+        # entries from a stopped SparkContext reference dead blocks
+        _GRAPH_STAGE_CACHE.pop(stale, None)
+    full = (app, *key)
+    if full not in _GRAPH_STAGE_CACHE:
+        _GRAPH_STAGE_CACHE[full] = build()
+    return _GRAPH_STAGE_CACHE[full]
+
+
+def clear_graph_stage_cache() -> None:
+    """Drop all memoized pair/label frames (tests, benchmarks)."""
+    _GRAPH_STAGE_CACHE.clear()
+
+
+def neardup_pairs_shared(
+    spark: SparkSession, sf_dir: str, block: str = "source"
+) -> DataFrame:
+    """The exact blocked-Jaccard pair set of the derived corpus, derived
+    once per (session, sf_dir, block). ``block='source'`` is the graded
+    d2_blocked form (d9/d44/d46/d48); ``block='_all'`` is d47's global
+    block (cross-source pairs are its point)."""
+    def build() -> DataFrame:
+        corpus = neardup_corpus(spark, sf_dir)
+        if block == "_all":
+            corpus = corpus.withColumn("_all", F.lit(1))
+        return jaccard_pairs(corpus, block, "doc_id", 0.5, max_df=D2_MAX_DF)
+
+    return _graph_stage(spark, (sf_dir, block, "pairs"), build)
+
+
+def neardup_labels_shared(
+    spark: SparkSession, sf_dir: str, block: str = "source"
+) -> DataFrame:
+    """Converged connected-component labels over the shared pair set,
+    computed once per (session, sf_dir, block)."""
+    return _graph_stage(
+        spark,
+        (sf_dir, block, "labels"),
+        lambda: connected_components(neardup_pairs_shared(spark, sf_dir, block)),
+    )
+
+
 def keep_canonical(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a corpus given its near-dup pairs: keep the min-id member of
     every duplicate cluster plus all unclustered rows — the final step of
-    every near-dup pipeline (pairs → clusters → one survivor each)."""
-    comp = connected_components(pairs)
+    every near-dup pipeline (pairs → clusters → one survivor each).
+    ``labels`` short-circuits the CC fixpoint when the caller already
+    holds the converged (id, comp) frame for these pairs."""
+    comp = labels if labels is not None else connected_components(pairs)
     losers = comp.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )
@@ -1085,7 +1159,10 @@ def keep_canonical(
 
 
 def cluster_size_histogram(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-cluster audit: (cluster_size, n_clusters), the report a
     curation team reads before deciding dedup thresholds ("how much of
@@ -1094,7 +1171,7 @@ def cluster_size_histogram(
     two tiny aggregates (|nodes| → |clusters| → |distinct sizes| rows)
     plus one anti-join count for the singletons; integer-only, so the
     report is hash-exact."""
-    comp = connected_components(pairs)
+    comp = labels if labels is not None else connected_components(pairs)
     hist = (
         comp.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -1117,10 +1194,14 @@ def d46_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D46 (added round 10) — the duplicate-cluster size histogram of the
     derived corpus under the exact blocked-Jaccard pairs (the d9_keep_exact
     edge set): completes the dedup story's audit face (pairs → clusters →
-    survivors → report)."""
+    survivors → report). Reads the shared graph stage — pairs + labels
+    are derived once per session for the whole family."""
     corpus = neardup_corpus(spark, sf_dir)
-    pairs = jaccard_pairs(corpus, "source", "doc_id", 0.5, max_df=D2_MAX_DF)
-    return cluster_size_histogram(corpus, pairs)
+    return cluster_size_histogram(
+        corpus,
+        neardup_pairs_shared(spark, sf_dir),
+        labels=neardup_labels_shared(spark, sf_dir),
+    )
 
 
 def cluster_split(
@@ -1128,6 +1209,7 @@ def cluster_split(
     pairs: DataFrame,
     holdout_prefix: str = "1a",
     id_col: str = "doc_id",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup-aware train/holdout split: the split unit is the
     DUPLICATE CLUSTER, not the document — every member of a cluster
@@ -1138,7 +1220,7 @@ def cluster_split(
     d27 md5-prefix rule (``substr(md5(key), 1, 2) < holdout_prefix`` ≈
     10.2% holdout for '1a') keyed on the cluster's min-id representative
     — SQL-portable, append-stable, shuffle-free past the CC labels."""
-    comp = connected_components(pairs)
+    comp = labels if labels is not None else connected_components(pairs)
     lab = df.join(comp, df[id_col] == comp["id"], "left")
     group_key = F.coalesce(comp["comp"], df[id_col])
     split = F.when(
@@ -1153,10 +1235,14 @@ def cluster_split(
 def d48_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D48 (added round 10) — the leakage-proof split of the derived
     corpus: near-dup clusters (the d9_keep_exact edge set) assigned to
-    train/holdout as units."""
+    train/holdout as units. Reads the shared graph stage — pairs +
+    labels are derived once per session for the whole family."""
     corpus = neardup_corpus(spark, sf_dir)
-    pairs = jaccard_pairs(corpus, "source", "doc_id", 0.5, max_df=D2_MAX_DF)
-    return cluster_split(corpus, pairs)
+    return cluster_split(
+        corpus,
+        neardup_pairs_shared(spark, sf_dir),
+        labels=neardup_labels_shared(spark, sf_dir),
+    )
 
 
 # the shared labels chain, then the md5-prefix rule on the cluster

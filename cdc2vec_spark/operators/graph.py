@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import D2_MAX_DF, _CORPUS_CTE, jaccard_pairs, neardup_corpus
+from .dedup import D2_MAX_DF, _CORPUS_CTE, neardup_pairs_shared
 
 _ITERS = 5
 _R0 = 1_000_000  # initial rank, micro-units
@@ -99,9 +99,10 @@ def pagerank(
 def d44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D44 (added round 10) — PageRank centrality of the exact near-dup
     similarity graph over the derived corpus (the d9_keep_exact edge
-    set), 5 integer-exact iterations."""
-    corpus = neardup_corpus(spark, sf_dir)
-    pairs = jaccard_pairs(corpus, "source", "doc_id", 0.5, max_df=D2_MAX_DF)
+    set), 5 integer-exact iterations. The edge set comes from the shared
+    graph stage (dedup.neardup_pairs_shared) — derived once per session
+    for the whole d9/d44/d46/d47/d48 family."""
+    pairs = neardup_pairs_shared(spark, sf_dir)
     return pagerank(pairs).withColumnRenamed("id", "doc_id")
 
 
