@@ -34,10 +34,13 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import bpe as _bpe
         from cdc2vec_spark.operators import classify as _classify
         from cdc2vec_spark.operators import corpus as _corpus
+        from cdc2vec_spark.operators import datacard as _datacard
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
         from cdc2vec_spark.operators import expect as _expect
         from cdc2vec_spark.operators import funnel as _funnel
+        from cdc2vec_spark.operators import graph as _graph
+        from cdc2vec_spark.operators import keywords as _keywords
         from cdc2vec_spark.operators import html_extract as _html_extract
         from cdc2vec_spark.operators import layout as _layout
         from cdc2vec_spark.operators import lex_index as _lex_index
@@ -62,7 +65,8 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _layout, _retrieval, _retrieval_eval,
              _pii, _span_dedup, _funnel, _classify,
-             _reduce, _winnow, _lm, _html_extract, _urls, _bpe]
+             _reduce, _winnow, _lm, _html_extract, _urls, _bpe,
+             _graph, _datacard, _keywords]
         )
     except ImportError:
         pass

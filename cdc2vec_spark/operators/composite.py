@@ -41,31 +41,41 @@ d25_token_mix, d28_lm_perplexity, d29_shards, d30_html_extract,
 d31_domain_cap, with their exact oracles pinned at two scale factors
 in tests/test_rotated_oracles.py.
 
+Round-11 rotation (VERDICT r10 ask #1): the fourteen round-10
+exact-oracle keys that were composite-delivered — d40_incremental_dedup,
+d9_keep_exact, d44_pagerank, d46_dedup_clusters, d47_source_overlap,
+d48_cluster_split, d41_expectations, c15_rate_anomaly,
+d39_hard_negatives, d42_tfidf_keywords, d43_source_datacard,
+t10_pmi_collocations, t11_sentence_stats and c8_interval_join (its
+batch form gained an exact oracle in round 10, tests/test_joins.py) —
+moved INTO individually graded registry slots. To stay at the 50-entry
+budget, fourteen long-green queries (driver-green in BOTH
+CORRECTNESS_r09 and _r10) rotated OUT: b19_grouping_sets,
+b20_range_frame, b21_zorder, t9_nfc_normalize, d20_pii,
+d33_weighted_sample (→ x4), c9_stream_enrich, c10_funnel, c11_retention
+(→ x1, the streaming-themed probe), d21_span_dedup, d23_selfrep,
+d24_winnow, d26_winnow_pairs (→ x2, the dedup-themed probe) and
+d35_retrieval_eval (→ x3, the ANN/retrieval-themed probe) — spreading
+the parked set across the probes keeps their runtimes balanced. Their
+exact oracles stay pinned at two scale factors in
+tests/test_rotated_oracles.py.
+
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
-                         b16_sketches, c4_watermark, c8_interval_join,
-                         d10_split, d10_pack
+                         b16_sketches, c4_watermark, d10_split, d10_pack
+                         + the round-11 parking set c9_stream_enrich,
+                         c10_funnel, c11_retention
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
-                         own test file), d12_semdedup_exact +
-                         d9_keep_exact (round-10 additions: the
-                         semantic-dedup and survivor-selection
-                         hash-checked anchors, exact two-SF oracles in
-                         tests/test_similarity.py / tests/test_dedup.py)
-                         + d44_pagerank (integer PageRank over the exact
-                         near-dup graph, unrolled-CTE oracle in
-                         tests/test_graph.py) + d46_dedup_clusters
-                         (cluster-size histogram, recursive-CTE oracle
-                         in tests/test_dedup.py) + d47_source_overlap
-                         (cross-source overlap matrix, exact oracle in
-                         tests/test_datacard.py) + d48_cluster_split
-                         (leakage-proof cluster-unit split, exact
-                         oracle in tests/test_dedup.py)
+                         own test file), d12_semdedup_exact (exact
+                         two-SF oracle in tests/test_similarity.py)
+                         + the round-11 parking set d21_span_dedup,
+                         d23_selfrep, d24_winnow, d26_winnow_pairs
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
-                         in tests) + d39_hard_negatives (exact oracle in
-                         tests/test_retrieval.py) + d45_kmeans_refine
+                         in tests) + d45_kmeans_refine
                          (numpy parity in tests/test_kmeans.py)
+                         + the round-11 parking set d35_retrieval_eval
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
                          d14, d15, d17, d18, d19 (rotated out round 8)
                          + the round-9 parking set t1–t7, b1, b11, b12,
@@ -73,13 +83,10 @@ Groupings:
                          set d25, d28, d29, d30, d31 + t8 (rows-only by
                          nature — BPE merges are iterative, pinned vs a
                          pure-Python reference encoder in
-                         tests/test_bpe.py) + the round-10 newcomers
-                         t10_pmi_collocations, t11_sentence_stats,
-                         d42_tfidf_keywords,
-                         d43_source_datacard (exact oracles in
-                         tests/test_text_quality.py, tests/test_keywords.py,
-                         tests/test_datacard.py); all parked exact
-                         oracles pinned at two SFs in
+                         tests/test_bpe.py) + the round-11 parking set
+                         b19_grouping_sets, b20_range_frame, b21_zorder,
+                         t9_nfc_normalize, d20_pii, d33_weighted_sample;
+                         all parked exact oracles pinned at two SFs in
                          tests/test_rotated_oracles.py
 """
 
@@ -99,13 +106,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
-    "c8_interval_join",
-    # round-10 addition: event-rate anomaly z-scores (exact two-SF
-    # oracle in tests/test_windows_extra.py)
-    "c15_rate_anomaly",
-    # round-10 addition: Deequ-style expectations audit (exact two-SF
-    # oracle in tests/test_expect.py)
-    "d41_expectations",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -117,33 +117,11 @@ CONSOLIDATED: tuple[str, ...] = (
     # hash-checked anchor — exact two-SF oracle (recursive-CTE greedy)
     # in tests/test_similarity.py; composite-delivered under the budget
     "d12_semdedup_exact",
-    # round-10 addition: survivor-selection hash-checked anchor (exact
-    # blocked-Jaccard pairs → connected components → keep-min-id; oracle
-    # = recursive-CTE reachability closure in tests/test_dedup.py)
-    "d9_keep_exact",
-    # round-10 addition: asymmetric new-vs-corpus dedup (exact two-SF
-    # oracle in tests/test_dedup.py)
-    "d40_incremental_dedup",
-    # round-10 addition: integer-exact PageRank centrality of the exact
-    # near-dup graph (unrolled-CTE oracle in tests/test_graph.py)
-    "d44_pagerank",
-    # round-10 addition: duplicate-cluster size histogram (exact
-    # recursive-CTE oracle in tests/test_dedup.py)
-    "d46_dedup_clusters",
-    # round-10 addition: cross-source near-dup overlap matrix (exact
-    # two-SF oracle in tests/test_datacard.py)
-    "d47_source_overlap",
-    # round-10 addition: near-dup-aware leakage-proof train/holdout
-    # split (exact recursive-CTE oracle in tests/test_dedup.py)
-    "d48_cluster_split",
     "d3_ivf_topk",
     "d3_hyperplane_topk",
     "d8_lsh_neardup",
     "d3_pq_topk",
     "d22_pca_topk",
-    # round-10 addition: BM25 hard-negative mining (exact two-SF oracle
-    # in tests/test_retrieval.py; composite-delivered in x3)
-    "d39_hard_negatives",
     # round-10 addition: distributed spherical k-means refinement
     # (rows-only — float means; numpy parity in tests/test_kmeans.py)
     "d45_kmeans_refine",
@@ -200,18 +178,27 @@ CONSOLIDATED: tuple[str, ...] = (
     "d29_shards",
     "d30_html_extract",
     "d31_domain_cap",
-    # round-10 addition: PMI collocations (exact two-SF oracle in
-    # tests/test_text_quality.py)
-    "t10_pmi_collocations",
-    # round-10 addition: per-doc sentence shape over deterministically
-    # punctuated text (exact two-SF oracle in tests/test_text_quality.py)
-    "t11_sentence_stats",
-    # round-10 addition: per-doc TF-IDF keywords (exact two-SF oracle in
-    # tests/test_keywords.py)
-    "d42_tfidf_keywords",
-    # round-10 addition: per-source dataset data card (exact two-SF
-    # oracle in tests/test_datacard.py)
-    "d43_source_datacard",
+    # round-11 rotation (VERDICT r10 ask #1): long-green queries
+    # (driver-green in BOTH CORRECTNESS_r09 and _r10) parked so the
+    # fourteen round-10 exact-oracle keys (d40, d9_keep_exact, d44,
+    # d46–d48, d41, c15, c8, d39, d42, d43, t10, t11) get individual
+    # graded slots; oracles stay pinned at two SFs in
+    # tests/test_rotated_oracles.py. Spread across the themed probes:
+    # c9/c10/c11 → x1, d21/d23/d24/d26 → x2, d35 → x3, the rest → x4.
+    "c9_stream_enrich",
+    "c10_funnel",
+    "c11_retention",
+    "d21_span_dedup",
+    "d23_selfrep",
+    "d24_winnow",
+    "d26_winnow_pairs",
+    "d35_retrieval_eval",
+    "b19_grouping_sets",
+    "b20_range_frame",
+    "b21_zorder",
+    "t9_nfc_normalize",
+    "d20_pii",
+    "d33_weighted_sample",
 )
 
 
@@ -238,13 +225,13 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 
 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline/streaming/sketch rows-only probes, consolidated
-    (c8_interval_join and c15_rate_anomaly carry exact two-SF oracles in
-    tests/test_joins.py / tests/test_windows_extra.py)."""
+    """Pipeline/streaming/sketch rows-only probes, consolidated, plus
+    the round-11 streaming-themed parking set (c9/c10/c11 — long-green,
+    oracles pinned in tests/test_rotated_oracles.py)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join
-    from ..streaming.windows import c4_watermark, c15_rate_anomaly
-    from .expect import d41_expectations
+    from ..streaming.joins import c9_stream_enrich
+    from ..streaming.windows import c4_watermark
+    from .funnel import c10_funnel, c11_retention
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
@@ -257,9 +244,9 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("a9_points_pipeline", a9_points_pipeline),
             ("b16_sketches", b16_sketches),
             ("c4_watermark", c4_watermark),
-            ("c8_interval_join", c8_interval_join),
-            ("c15_rate_anomaly", c15_rate_anomaly),
-            ("d41_expectations", d41_expectations),
+            ("c9_stream_enrich", c9_stream_enrich),
+            ("c10_funnel", c10_funnel),
+            ("c11_retention", c11_retention),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -270,22 +257,14 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic-dedup + multimodal-feature + semantic-dedup
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files; d12_semdedup_exact carries an exact two-SF oracle in
-    tests/test_similarity.py — the semantic-dedup hash-checked anchor;
-    d44_pagerank carries an exact unrolled-CTE oracle in
-    tests/test_graph.py)."""
-    from .dedup import (
-        d2_minhash_lsh,
-        d2_simhash,
-        d9_keep_canonical,
-        d9_keep_exact,
-        d40_incremental_dedup,
-        d46_dedup_clusters,
-        d48_cluster_split,
-    )
-    from .datacard import d47_source_overlap
-    from .graph import d44_pagerank
+    tests/test_similarity.py — the semantic-dedup hash-checked anchor),
+    plus the round-11 dedup-themed parking set (d21/d23/d24/d26 —
+    long-green, oracles pinned in tests/test_rotated_oracles.py)."""
+    from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
     from .similarity import d12_semdedup, d12_semdedup_exact
+    from .span_dedup import d21_span_dedup, d23_selfrep
+    from .winnow import d24_winnow, d26_winnow_pairs
 
     return _union(
         spark,
@@ -294,28 +273,26 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d2_minhash_lsh", d2_minhash_lsh),
             ("d2_simhash", d2_simhash),
             ("d9_keep_canonical", d9_keep_canonical),
-            ("d9_keep_exact", d9_keep_exact),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
             ("d12_semdedup_exact", d12_semdedup_exact),
-            ("d40_incremental_dedup", d40_incremental_dedup),
-            ("d44_pagerank", d44_pagerank),
-            ("d46_dedup_clusters", d46_dedup_clusters),
-            ("d47_source_overlap", d47_source_overlap),
-            ("d48_cluster_split", d48_cluster_split),
+            ("d21_span_dedup", d21_span_dedup),
+            ("d23_selfrep", d23_selfrep),
+            ("d24_winnow", d24_winnow),
+            ("d26_winnow_pairs", d26_winnow_pairs),
         ],
     )
 
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN + retrieval rows-only probes (recall pinned vs
-    exact in tests/test_similarity.py, tests/test_quantize.py;
-    d39_hard_negatives carries an exact two-SF oracle in
-    tests/test_retrieval.py)."""
+    exact in tests/test_similarity.py, tests/test_quantize.py), plus the
+    round-11 retrieval-themed parking set (d35 — long-green, oracle
+    pinned in tests/test_rotated_oracles.py)."""
     from .kmeans import d45_kmeans_refine
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval import d39_hard_negatives
+    from .retrieval_eval import d35_retrieval_eval
     from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
 
     return _union(
@@ -327,7 +304,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
-            ("d39_hard_negatives", d39_hard_negatives),
+            ("d35_retrieval_eval", d35_retrieval_eval),
             ("d45_kmeans_refine", d45_kmeans_refine),
         ],
     )
@@ -342,16 +319,20 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t8_bpe. Each parked component's exact DuckDB oracle stays pinned at
     two scale factors in tests/test_rotated_oracles.py via the driver's
     own comparator. Round-10 adds the d25/d28/d29/d30/d31 parking set
-    (each driver-green in CORRECTNESS_r08 AND _r09)."""
+    (each driver-green in CORRECTNESS_r08 AND _r09); round-11 adds
+    b19/b20/b21, t9, d20 and d33 (each driver-green in CORRECTNESS_r09
+    AND _r10)."""
     from .bpe import t8_bpe
-    from .datacard import d43_source_datacard
     from .decontam import d11_decontaminate
     from .html_extract import d30_html_extract
-    from .keywords import d42_tfidf_keywords
+    from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
+    from .pii import d20_pii
     from .urls import d31_domain_cap
     from .relational import (
+        b19_grouping_sets,
+        b20_range_frame,
         b1_scan_count,
         b2_project_filter,
         b3_broadcast_join,
@@ -374,7 +355,12 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b18_unpivot,
     )
     from .retrieval import d19_hybrid
-    from .sampling import d14_stratified, d25_token_mix, d29_shards
+    from .sampling import (
+        d14_stratified,
+        d25_token_mix,
+        d29_shards,
+        d33_weighted_sample,
+    )
     from .selection import d13_dsir
     from .text import (
         d4_text_stats,
@@ -388,8 +374,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t5_regex_tokens,
         t6_length_percentiles,
         t7_vocab_topdf,
-        t10_pmi_collocations,
-        t11_sentence_stats,
+        t9_nfc_normalize,
     )
 
     return _union(
@@ -416,6 +401,9 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b15_scalar_subquery", b15_scalar_subquery),
             ("b17_pivot", b17_pivot),
             ("b18_unpivot", b18_unpivot),
+            ("b19_grouping_sets", b19_grouping_sets),
+            ("b20_range_frame", b20_range_frame),
+            ("b21_zorder", b21_zorder),
             ("d4_text_stats", d4_text_stats),
             ("d5_slicing", d5_slicing),
             ("d11_decontaminate", d11_decontaminate),
@@ -425,11 +413,13 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d17_bm25", d17_bm25),
             ("d18_cdc_bm25", d18_cdc_bm25),
             ("d19_hybrid", d19_hybrid),
+            ("d20_pii", d20_pii),
             ("d25_token_mix", d25_token_mix),
             ("d28_lm_perplexity", d28_lm_perplexity),
             ("d29_shards", d29_shards),
             ("d30_html_extract", d30_html_extract),
             ("d31_domain_cap", d31_domain_cap),
+            ("d33_weighted_sample", d33_weighted_sample),
             ("t1_token_count", t1_token_count),
             ("t2_quality_score", t2_quality_score),
             ("t3_lang_guess", t3_lang_guess),
@@ -438,10 +428,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t6_length_percentiles", t6_length_percentiles),
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
-            ("t10_pmi_collocations", t10_pmi_collocations),
-            ("t11_sentence_stats", t11_sentence_stats),
-            ("d42_tfidf_keywords", d42_tfidf_keywords),
-            ("d43_source_datacard", d43_source_datacard),
+            ("t9_nfc_normalize", t9_nfc_normalize),
         ],
     )
 
@@ -459,34 +446,28 @@ ORACLES: dict[str, str] = {}  # rows-only by construction (that is the point)
 def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The consolidated component queries by their original names — for
     bench.py and tools that time components individually (the driver
-    registry sees only the composites)."""
+    registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..streaming.joins import c8_interval_join
-    from ..streaming.windows import c4_watermark, c15_rate_anomaly
+    from ..streaming.joins import c9_stream_enrich
+    from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
-    from .expect import d41_expectations
     from .decontam import d11_decontaminate
-    from .dedup import (
-        d2_minhash_lsh,
-        d2_simhash,
-        d9_keep_canonical,
-        d9_keep_exact,
-        d40_incremental_dedup,
-        d46_dedup_clusters,
-        d48_cluster_split,
-    )
-    from .graph import d44_pagerank
+    from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .funnel import c10_funnel, c11_retention
     from .html_extract import d30_html_extract
-    from .keywords import d42_tfidf_keywords
     from .kmeans import d45_kmeans_refine
-    from .datacard import d43_source_datacard, d47_source_overlap
+    from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
     from .multimodal import d6_features
+    from .pii import d20_pii
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval import d19_hybrid, d39_hard_negatives
+    from .retrieval import d19_hybrid
+    from .retrieval_eval import d35_retrieval_eval
+    from .span_dedup import d21_span_dedup, d23_selfrep
     from .urls import d31_domain_cap
+    from .winnow import d24_winnow, d26_winnow_pairs
     from .relational import (
         b1_scan_count,
         b2_project_filter,
@@ -509,6 +490,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b16_sketches,
         b17_pivot,
         b18_unpivot,
+        b19_grouping_sets,
+        b20_range_frame,
     )
     from .sampling import (
         d10_pack,
@@ -516,6 +499,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d14_stratified,
         d25_token_mix,
         d29_shards,
+        d33_weighted_sample,
     )
     from .selection import d13_dsir
     from .similarity import (
@@ -537,8 +521,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t5_regex_tokens,
         t6_length_percentiles,
         t7_vocab_topdf,
-        t10_pmi_collocations,
-        t11_sentence_stats,
+        t9_nfc_normalize,
     )
     from .vectors import a8_deterministic_embed
 
@@ -547,16 +530,14 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_points_pipeline": a9_points_pipeline,
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
-        "c8_interval_join": c8_interval_join,
-        "c15_rate_anomaly": c15_rate_anomaly,
-        "d41_expectations": d41_expectations,
+        "c9_stream_enrich": c9_stream_enrich,
+        "c10_funnel": c10_funnel,
+        "c11_retention": c11_retention,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
         "d2_simhash": d2_simhash,
         "d9_keep_canonical": d9_keep_canonical,
-        "d9_keep_exact": d9_keep_exact,
-        "d40_incremental_dedup": d40_incremental_dedup,
         "d6_features": d6_features,
         "d12_semdedup": d12_semdedup,
         "d12_semdedup_exact": d12_semdedup_exact,
@@ -565,7 +546,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
-        "d39_hard_negatives": d39_hard_negatives,
+        "d35_retrieval_eval": d35_retrieval_eval,
+        "d45_kmeans_refine": d45_kmeans_refine,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,
@@ -587,6 +569,9 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_scalar_subquery": b15_scalar_subquery,
         "b17_pivot": b17_pivot,
         "b18_unpivot": b18_unpivot,
+        "b19_grouping_sets": b19_grouping_sets,
+        "b20_range_frame": b20_range_frame,
+        "b21_zorder": b21_zorder,
         "d4_text_stats": d4_text_stats,
         "d5_slicing": d5_slicing,
         "d11_decontaminate": d11_decontaminate,
@@ -596,11 +581,17 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d17_bm25": d17_bm25,
         "d18_cdc_bm25": d18_cdc_bm25,
         "d19_hybrid": d19_hybrid,
+        "d20_pii": d20_pii,
+        "d21_span_dedup": d21_span_dedup,
+        "d23_selfrep": d23_selfrep,
+        "d24_winnow": d24_winnow,
+        "d26_winnow_pairs": d26_winnow_pairs,
         "d25_token_mix": d25_token_mix,
         "d28_lm_perplexity": d28_lm_perplexity,
         "d29_shards": d29_shards,
         "d30_html_extract": d30_html_extract,
         "d31_domain_cap": d31_domain_cap,
+        "d33_weighted_sample": d33_weighted_sample,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,
@@ -608,13 +599,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_regex_tokens": t5_regex_tokens,
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
-        "t10_pmi_collocations": t10_pmi_collocations,
-        "t11_sentence_stats": t11_sentence_stats,
-        "d42_tfidf_keywords": d42_tfidf_keywords,
-        "d43_source_datacard": d43_source_datacard,
-        "d44_pagerank": d44_pagerank,
-        "d45_kmeans_refine": d45_kmeans_refine,
-        "d46_dedup_clusters": d46_dedup_clusters,
-        "d47_source_overlap": d47_source_overlap,
-        "d48_cluster_split": d48_cluster_split,
+        "t9_nfc_normalize": t9_nfc_normalize,
     }

@@ -127,24 +127,26 @@ EXPECTED_QUERIES = frozenset(
     # round-10 rotation (VERDICT r09 ask #1): d25/d28/d29/d30/d31 parked
     # in x4 (green in r08+r09; oracles in tests/test_rotated_oracles.py)
     # to free slots for the round-9 newcomers below
-    + ["d27_full_prep", "d32_web_prep",
-       "d33_weighted_sample", "d34_semantic_decontam"]
+    + ["d27_full_prep", "d32_web_prep", "d34_semantic_decontam"]
     + ["c13_asof_join", "c14_event_paths", "d36_quality_classifier",
        "d37_temperature_mix", "d38_context_pack"]
-    # round-9 rotation (VERDICT r08 ask #1): the round-8
-    # composite-delivered exact-oracle queries take individual slots —
-    # the round-8 newcomers and the round-7 x2 leftovers
-    + ["c9_stream_enrich", "c10_funnel", "c11_retention",
-       "c12_incremental_agg"]
-    + ["b19_grouping_sets", "b20_range_frame", "b21_zorder",
-       "t9_nfc_normalize", "d35_retrieval_eval"]
-    + ["d20_pii", "d21_span_dedup", "d23_selfrep", "d24_winnow",
-       "d26_winnow_pairs"]
+    # IVM anchor, individual since round 9
+    + ["c12_incremental_agg"]
+    # round-11 rotation (VERDICT r10 ask #1): the fourteen round-10
+    # composite-delivered exact-oracle keys take individual slots; the
+    # round-9-era long-green rows (b19/b20/b21, t9, c9/c10/c11, d20,
+    # d21, d23, d24, d26, d33, d35 — green in r09+r10) parked in the
+    # composites with oracles in tests/test_rotated_oracles.py
+    + ["d40_incremental_dedup", "d9_keep_exact", "d44_pagerank",
+       "d46_dedup_clusters", "d47_source_overlap", "d48_cluster_split",
+       "d41_expectations", "c15_rate_anomaly", "c8_interval_join",
+       "d39_hard_negatives", "d42_tfidf_keywords", "d43_source_datacard",
+       "t10_pmi_collocations", "t11_sentence_stats"]
     # the rows-only queries (and the long-green queries rotated out —
-    # b1–b18, t1–t7, d4, d5, d11, d13, d14, d15, d17–d19; oracles
-    # pinned in tests/test_rotated_oracles.py) ride inside these 4
-    # composites so the registry fits the driver's 50-entry grading
-    # budget (SURVEY §2.3)
+    # b1–b21, t1–t9, d4, d5, d11, d13, d14, d15, d17–d21, d23–d26,
+    # d33, d35, c9–c11; oracles pinned in tests/test_rotated_oracles.py)
+    # ride inside these 4 composites so the registry fits the driver's
+    # 50-entry grading budget (SURVEY §2.3)
     + ["x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann",
        "x4_rowsonly_stable"]
 )

@@ -79,19 +79,18 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
     expected = {
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
-            "b16_sketches", "c4_watermark", "c8_interval_join",
-            "c15_rate_anomaly", "d41_expectations", "d10_split", "d10_pack",
+            "b16_sketches", "c4_watermark", "c9_stream_enrich",
+            "c10_funnel", "c11_retention", "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical",
-            "d9_keep_exact", "d40_incremental_dedup", "d6_features",
-            "d12_semdedup", "d12_semdedup_exact", "d44_pagerank",
-            "d46_dedup_clusters", "d47_source_overlap",
-            "d48_cluster_split",
+            "d6_features", "d12_semdedup", "d12_semdedup_exact",
+            "d21_span_dedup", "d23_selfrep", "d24_winnow",
+            "d26_winnow_pairs",
         },
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
-            "d3_pq_topk", "d22_pca_topk", "d39_hard_negatives",
+            "d3_pq_topk", "d22_pca_topk", "d35_retrieval_eval",
             "d45_kmeans_refine",
         },
         "x4_rowsonly_stable": {
@@ -102,16 +101,15 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "b10_running_sum", "b11_topk", "b12_intersect",
             "b13_scalar_funcs", "b14_array_dim", "b14_json_extract",
             "b15_scalar_subquery", "b17_pivot", "b18_unpivot",
+            "b19_grouping_sets", "b20_range_frame", "b21_zorder",
             "d4_text_stats", "d5_slicing",
             "d11_decontaminate", "d13_dsir", "d14_stratified", "d15_chunk",
-            "d17_bm25", "d18_cdc_bm25", "d19_hybrid",
+            "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "d20_pii",
             "d25_token_mix", "d28_lm_perplexity", "d29_shards",
-            "d30_html_extract", "d31_domain_cap",
+            "d30_html_extract", "d31_domain_cap", "d33_weighted_sample",
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
-            "t7_vocab_topdf", "t8_bpe", "t10_pmi_collocations",
-            "t11_sentence_stats",
-            "d42_tfidf_keywords", "d43_source_datacard",
+            "t7_vocab_topdf", "t8_bpe", "t9_nfc_normalize",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)

@@ -16,19 +16,41 @@ from oracle_check import compare_one, duckdb_conn
 
 from cdc2vec_spark.operators import (
     decontam,
+    funnel,
     html_extract,
+    layout,
     lex_index,
     lm,
+    pii,
     relational,
     retrieval,
+    retrieval_eval,
     sampling,
     selection,
+    span_dedup,
     text,
     urls,
+    winnow,
 )
+from cdc2vec_spark.streaming import joins as streaming_joins
 from tests.conftest import SF0001, SF001
 
 ROTATED = [
+    # round-11 parking set (driver-green in CORRECTNESS_r09 AND _r10)
+    ("b19_grouping_sets", relational),
+    ("b20_range_frame", relational),
+    ("b21_zorder", layout),
+    ("t9_nfc_normalize", text),
+    ("c9_stream_enrich", streaming_joins),
+    ("c10_funnel", funnel),
+    ("c11_retention", funnel),
+    ("d20_pii", pii),
+    ("d21_span_dedup", span_dedup),
+    ("d23_selfrep", span_dedup),
+    ("d24_winnow", winnow),
+    ("d26_winnow_pairs", winnow),
+    ("d33_weighted_sample", sampling),
+    ("d35_retrieval_eval", retrieval_eval),
     # round-10 parking set (driver-green in CORRECTNESS_r08 AND _r09)
     ("d25_token_mix", sampling),
     ("d28_lm_perplexity", lm),
