@@ -100,6 +100,9 @@ HEADLINE = [
     "d47_source_overlap",    # cross-source near-dup overlap matrix
     "d48_cluster_split",     # leakage-proof cluster-unit train/holdout split
     "t11_sentence_stats",    # per-doc sentence shape (scan-stage HOFs)
+    # round-11 additions
+    "c8_interval_join",      # batch interval join (graded since round 11)
+    "d45_assign_exact",      # integer-quantized assignment anchor
 ]
 
 

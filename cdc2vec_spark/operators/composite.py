@@ -75,6 +75,9 @@ Groupings:
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests) + d45_kmeans_refine
                          (numpy parity in tests/test_kmeans.py)
+                         + d45_assign_exact (round-11: the
+                         integer-quantized assignment anchor, exact
+                         two-SF oracle in tests/test_kmeans.py)
                          + the round-11 parking set d35_retrieval_eval
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
                          d14, d15, d17, d18, d19 (rotated out round 8)
@@ -125,6 +128,10 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: distributed spherical k-means refinement
     # (rows-only — float means; numpy parity in tests/test_kmeans.py)
     "d45_kmeans_refine",
+    # round-11 addition (VERDICT r10 ask #6): the integer-quantized
+    # assignment anchor for the Lloyd path — exact two-SF oracle in
+    # tests/test_kmeans.py; composite-delivered in x3 under the budget
+    "d45_assign_exact",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -288,8 +295,9 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN + retrieval rows-only probes (recall pinned vs
     exact in tests/test_similarity.py, tests/test_quantize.py), plus the
     round-11 retrieval-themed parking set (d35 — long-green, oracle
-    pinned in tests/test_rotated_oracles.py)."""
-    from .kmeans import d45_kmeans_refine
+    pinned in tests/test_rotated_oracles.py) and the round-11
+    d45_assign_exact anchor (exact oracle in tests/test_kmeans.py)."""
+    from .kmeans import d45_assign_exact, d45_kmeans_refine
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .retrieval_eval import d35_retrieval_eval
@@ -306,6 +314,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d22_pca_topk", d22_pca_topk),
             ("d35_retrieval_eval", d35_retrieval_eval),
             ("d45_kmeans_refine", d45_kmeans_refine),
+            ("d45_assign_exact", d45_assign_exact),
         ],
     )
 
@@ -455,7 +464,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .funnel import c10_funnel, c11_retention
     from .html_extract import d30_html_extract
-    from .kmeans import d45_kmeans_refine
+    from .kmeans import d45_assign_exact, d45_kmeans_refine
     from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
@@ -548,6 +557,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d22_pca_topk": d22_pca_topk,
         "d35_retrieval_eval": d35_retrieval_eval,
         "d45_kmeans_refine": d45_kmeans_refine,
+        "d45_assign_exact": d45_assign_exact,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,

@@ -159,8 +159,120 @@ def d45_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# round-10 addition: rows-only (float centroids), composite-delivered in
+# --------------- d45_assign_exact: the hash-checked assignment anchor
+
+_ASSIGN_K = 8
+_ASSIGN_SCALE = 1000
+
+
+def assign_exact(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = _ASSIGN_SCALE,
+) -> DataFrame:
+    """Integer-quantized nearest-centroid assignment — the hash-checked
+    anchor for the float Lloyd path (VERDICT r10 ask #6, the d12/d9
+    anchor playbook): both sides are symmetrically quantized with
+    ``floor(CAST(x AS DOUBLE) · scale)`` (IEEE multiply then floor —
+    bit-identical in Spark, numpy and DuckDB, unlike round()'s half-up
+    vs half-even split), the score is an exact int64 dot product, and
+    ties go to the smallest centroid id — so the winning cell is pure
+    integer arithmetic and SQL-expressible. This is the int8-style
+    symmetric-quantization trick production ANN systems use for cheap
+    scoring, applied here to make the assignment auditable.
+
+    Scale shape mirrors kmeans_refine's ASSIGN step: centroids are a
+    bounded driver collect (k rows), shipped in the UDF closure, and
+    scoring is ONE narrow Arrow pass doing an int64 matmul per batch —
+    no join, no shuffle (the orderBy is the report's presentation
+    sort)."""
+    cent_rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    qc = np.floor(
+        np.array([r[1] for r in cent_rows], dtype=np.float64) * scale
+    ).astype(np.int64)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vmat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qv = np.floor(vmat * scale).astype(np.int64)
+            scores = qv @ qc.T
+            # argmax takes the FIRST max; cids is sorted, so ties go to
+            # the smallest cell id — the oracle's (score DESC, cell) rule
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": cids[best],
+                    "score": scores[np.arange(len(best)), best],
+                }
+            )
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(batches, schema=f"{id_col} long, cell long, score long")
+        .orderBy(id_col)
+    )
+
+
+def d45_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D45' (added round 11) — integer-quantized assignment of every
+    embedding to its nearest of the first 8 deterministic seed
+    centroids (vec_id % 31, lowest ids): (vec_id, cell, score),
+    hash-exact against the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(_ASSIGN_K)
+    )
+    return assign_exact(emb, cents)
+
+
+D45_ASSIGN_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cell,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ASSIGN_SCALE})
+                                  AS BIGINT)) AS qc
+  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT {_ASSIGN_K}
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ASSIGN_SCALE})
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+scores AS (
+  SELECT q.vec_id, c.cell,
+         CAST(list_sum(list_transform(list_zip(q.q, c.qc),
+                                      p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM qv q CROSS JOIN cent c
+)
+SELECT vec_id, cell, score FROM (
+  SELECT vec_id, cell, score,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cell) AS rn
+  FROM scores
+) t WHERE rn = 1 ORDER BY vec_id
+"""
+
+# d45_kmeans_refine: rows-only (float centroids), composite-delivered in
 # x3; numpy parity, assignment exactness and cosine monotonicity pinned
-# in tests/test_kmeans.py
-QUERIES = {"d45_kmeans_refine": d45_kmeans_refine}
-ORACLES: dict[str, str] = {}
+# in tests/test_kmeans.py. d45_assign_exact (round 11): the integer
+# assignment anchor, exact two-SF oracle in tests/test_kmeans.py,
+# composite-delivered in x3 under the budget.
+QUERIES = {
+    "d45_kmeans_refine": d45_kmeans_refine,
+    "d45_assign_exact": d45_assign_exact,
+}
+ORACLES: dict[str, str] = {"d45_assign_exact": D45_ASSIGN_ORACLE}

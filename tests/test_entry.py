@@ -91,7 +91,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x3_rowsonly_ann": {
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
             "d3_pq_topk", "d22_pca_topk", "d35_retrieval_eval",
-            "d45_kmeans_refine",
+            "d45_kmeans_refine", "d45_assign_exact",
         },
         "x4_rowsonly_stable": {
             "b1_scan_count", "b2_project_filter", "b3_broadcast_join",

@@ -104,6 +104,49 @@ def test_d45_query_shape(spark, sf_dir):
     assert all(-1.0 <= r["avg_cos"] <= 1.0 for r in rows)
 
 
+@pytest.mark.parametrize("sf", [None, "SF0001"])
+def test_d45_assign_exact_matches_duckdb_oracle(spark, sf_dir, sf):
+    """The integer-quantized assignment anchor is hash-exact against the
+    DuckDB oracle at two scale factors (the driver's own comparator)."""
+    from oracle_check import compare_one, duckdb_conn
+    from tests.conftest import SF0001
+
+    d = SF0001 if sf else sf_dir
+    con = duckdb_conn(d)
+    problems = compare_one(
+        spark, con, "d45_assign_exact", kmeans.d45_assign_exact,
+        kmeans.D45_ASSIGN_ORACLE, d,
+    )
+    assert not problems, problems
+
+
+def test_assign_exact_matches_integer_numpy_reference(spark, sf_dir):
+    """assign_exact ≡ the same quantize→int64-matmul→first-argmax in
+    pure numpy (exact integers — no tolerance needed), and the output is
+    invariant under input repartitioning."""
+    emb, emat, ids, seed_ids, cmat0 = _fixture(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(8)
+    got = {
+        r["vec_id"]: (r["cell"], r["score"])
+        for r in kmeans.assign_exact(emb, cents).collect()
+    }
+    k_ids = seed_ids[:8]
+    qc = np.floor(emat[np.isin(ids, k_ids)] * 1000).astype(np.int64)
+    qv = np.floor(emat * 1000).astype(np.int64)
+    scores = qv @ qc.T
+    best = scores.argmax(axis=1)
+    ref = {
+        int(i): (int(k_ids[b]), int(scores[j, b]))
+        for j, (i, b) in enumerate(zip(ids, best))
+    }
+    assert got == ref
+    got_rep = {
+        r["vec_id"]: (r["cell"], r["score"])
+        for r in kmeans.assign_exact(emb.repartition(17), cents).collect()
+    }
+    assert got_rep == ref
+
+
 def test_assignments_partitioning_invariant(spark, sf_dir):
     """Assignment is broadcast-BLAS argmax — integer output, identical
     under any input partitioning."""
