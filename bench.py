@@ -106,6 +106,26 @@ HEADLINE = [
 ]
 
 
+def _quiesce(spark) -> None:
+    """Release block-manager pressure between queries (VERDICT r10 ask
+    #3): ~75 queries in one session accumulate leaked localCheckpoint
+    blocks and per-query persists, which showed up as a near-uniform
+    ~1.3x drift across UNCHANGED scan-stage queries in round 10. Clear
+    the SQL cache, drop py4j refs (gc) and nudge the JVM so the
+    ContextCleaner reaps dead RDD blocks. Deliberately does NOT touch
+    the graph-stage memo (dedup._GRAPH_STAGE_CACHE holds strong refs) —
+    the d9/d44/d46/d47/d48 family sharing one pair derivation is the
+    intended execution model, not leakage."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — cleanup must never fail the bench
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cdc2vec_spark.session import get_spark
@@ -212,6 +232,10 @@ def main() -> None:
     spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
+        # quiesce BETWEEN queries, never between a query's own reps —
+        # within-query persist reuse (d11/d16 broadcast sides) is part
+        # of the measured steady state
+        _quiesce(spark)
         secs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -724,6 +748,14 @@ _CURVE_OPS = [
     "d44_pagerank",
 ]
 
+# sf1 best-of-n reps for curve ops whose single-shot sf1 wall proved
+# unstable (VERDICT r10 ask #4): d40's committed curve said 9.98s while
+# a same-code re-run said 31.2s — AQE's runtime skew-split decision on
+# the per-source postings join flips between plans at that scale. n=3
+# with the spread recorded pins the steady-state number; d9 rides along
+# since its pair join shares the same AQE decision point.
+_CURVE_SF1_REPS = {"d40_incremental_dedup": 3, "d9_keep_exact": 3}
+
 
 def _scale_curve(spark, registry) -> dict:
     """Measured 100x scale curve for the heaviest operators:
@@ -734,11 +766,18 @@ def _scale_curve(spark, registry) -> dict:
     dominates at sf0.1, which is itself evidence of headroom."""
     import shutil
 
+    from cdc2vec_spark.operators import dedup as _dedup
+
     sf1 = _make_sf1(spark)
     out: dict[str, dict] = {}
     try:
         for name in _CURVE_OPS:
             fn = registry[name]
+            # the curve measures each operator's OWN full derivation:
+            # clear the graph-stage memo so d9/d44 don't ride a pair set
+            # a prior curve op (or the headline loop) left behind
+            _dedup.clear_graph_stage_cache()
+            _quiesce(spark)
             # untimed warm-up at the smallest SF: ops outside the
             # headline set (d18) would otherwise charge whole-session
             # JIT/codegen/file-listing cold costs to their first curve
@@ -752,9 +791,21 @@ def _scale_curve(spark, registry) -> dict:
                 ("sf0.1", "/root/testdata/sf0.1"),
                 ("sf1", sf1),
             ):
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                row[label] = round(time.perf_counter() - t0, 3)
+                # sf1 best-of-n for the pinned ops (VERDICT r10 ask #4:
+                # d40's committed sf1 swung 10s vs 31s across rounds —
+                # AQE skew-split variance on the postings join; n=3 with
+                # spread makes the curve trustworthy, and the memo is
+                # cleared between reps so each rep re-derives)
+                reps = _CURVE_SF1_REPS.get(name, 1) if label == "sf1" else 1
+                secs = []
+                for _ in range(reps):
+                    _dedup.clear_graph_stage_cache()
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    secs.append(time.perf_counter() - t0)
+                row[label] = round(min(secs), 3)
+                if reps > 1:
+                    row[f"{label}_spread"] = round(max(secs) - min(secs), 3)
             row["x10_ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
             row["x100_ratio"] = round(row["sf1"] / max(row["sf0.01"], 1e-9), 2)
             out[name] = row
