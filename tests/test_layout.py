@@ -115,6 +115,12 @@ def test_registry_membership_after_rotation():
     import __spark_entry__ as em
 
     qs = em.queries()
-    # round-9 rotation: b21_zorder holds an individual graded slot now
-    assert "b21_zorder" in qs
+    # round-11 rotation: b21_zorder parked in x4_rowsonly_stable (long-green,
+    # driver-green in r09+r10); its oracle stays pinned at two SFs in
+    # tests/test_rotated_oracles.py and its composite membership in
+    # tests/test_entry.py
+    from cdc2vec_spark.operators import composite
+
+    assert "b21_zorder" not in qs
+    assert "b21_zorder" in composite.CONSOLIDATED
     assert "x4_rowsonly_stable" in qs

@@ -66,6 +66,12 @@ def test_registry_membership_after_rotation():
     import __spark_entry__ as em
 
     qs = em.queries()
-    # round-9 rotation: d35_retrieval_eval holds an individual graded slot now
-    assert "d35_retrieval_eval" in qs
+    # round-11 rotation: d35_retrieval_eval parked in x3_rowsonly_ann (long-green,
+    # driver-green in r09+r10); its oracle stays pinned at two SFs in
+    # tests/test_rotated_oracles.py and its composite membership in
+    # tests/test_entry.py
+    from cdc2vec_spark.operators import composite
+
+    assert "d35_retrieval_eval" not in qs
+    assert "d35_retrieval_eval" in composite.CONSOLIDATED
     assert "x3_rowsonly_ann" in qs
