@@ -88,7 +88,10 @@ Groupings:
                          pure-Python reference encoder in
                          tests/test_bpe.py) + the round-11 parking set
                          b19_grouping_sets, b20_range_frame, b21_zorder,
-                         t9_nfc_normalize, d20_pii, d33_weighted_sample;
+                         t9_nfc_normalize, d20_pii, d33_weighted_sample
+                         + the round-11 newcomer d49_snapshot_diff
+                         (per-source dataset-version diff, exact two-SF
+                         oracle in tests/test_datacard.py);
                          all parked exact oracles pinned at two SFs in
                          tests/test_rotated_oracles.py
 """
@@ -206,6 +209,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "t9_nfc_normalize",
     "d20_pii",
     "d33_weighted_sample",
+    # round-11 addition: per-source dataset-version diff (exact two-SF
+    # oracle in tests/test_datacard.py); composite-delivered in x4
+    "d49_snapshot_diff",
 )
 
 
@@ -330,8 +336,10 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     own comparator. Round-10 adds the d25/d28/d29/d30/d31 parking set
     (each driver-green in CORRECTNESS_r08 AND _r09); round-11 adds
     b19/b20/b21, t9, d20 and d33 (each driver-green in CORRECTNESS_r09
-    AND _r10)."""
+    AND _r10). Round-11 also adds the d49_snapshot_diff newcomer (exact
+    oracle in tests/test_datacard.py)."""
     from .bpe import t8_bpe
+    from .datacard import d49_snapshot_diff
     from .decontam import d11_decontaminate
     from .html_extract import d30_html_extract
     from .layout import b21_zorder
@@ -429,6 +437,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d30_html_extract", d30_html_extract),
             ("d31_domain_cap", d31_domain_cap),
             ("d33_weighted_sample", d33_weighted_sample),
+            ("d49_snapshot_diff", d49_snapshot_diff),
             ("t1_token_count", t1_token_count),
             ("t2_quality_score", t2_quality_score),
             ("t3_lang_guess", t3_lang_guess),
@@ -461,6 +470,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
+    from .datacard import d49_snapshot_diff
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .funnel import c10_funnel, c11_retention
     from .html_extract import d30_html_extract
@@ -602,6 +612,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d30_html_extract": d30_html_extract,
         "d31_domain_cap": d31_domain_cap,
         "d33_weighted_sample": d33_weighted_sample,
+        "d49_snapshot_diff": d49_snapshot_diff,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,

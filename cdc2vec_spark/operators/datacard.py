@@ -226,13 +226,130 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-# round-10 additions: composite-delivered (x4 / x2), exact oracles pinned
-# at two SFs in tests/test_datacard.py; rotation candidates for round 11
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source dataset-version diff — the release-notes report behind
+    every corpus version bump ("what changed between crawl v3 and v4"):
+    docs added/removed/changed/unchanged plus integer token movement, so
+    a curation team can sign off a snapshot without diffing documents by
+    hand (the Dolma/FineWeb changelog practice).
+
+    Scale shape: ONE full-outer join on the id (both sides shuffle once
+    on a unique key — no skew surface; at 100 TB both snapshots would be
+    bucketed by id and the exchange disappears) feeding ONE
+    groupBy(source). Change detection is md5 equality, token counts are
+    the d43 whitespace form — everything integer, so the report is
+    hash-exact."""
+    ntok = lambda c: F.size(F.split(F.coalesce(c, F.lit("")), " "))  # noqa: E731
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_src_o"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h_o"),
+        ntok(F.col(text_col)).cast("long").alias("_t_o"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_src_n"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h_n"),
+        ntok(F.col(text_col)).cast("long").alias("_t_n"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    added = F.col("_h_o").isNull()
+    removed = F.col("_h_n").isNull()
+    changed = ~added & ~removed & (F.col("_h_o") != F.col("_h_n"))
+    return (
+        j.select(
+            F.coalesce("_src_n", "_src_o").alias("source"),
+            added.cast("long").alias("_a"),
+            removed.cast("long").alias("_r"),
+            changed.cast("long").alias("_c"),
+            (~added & ~removed & (F.col("_h_o") == F.col("_h_n")))
+            .cast("long").alias("_u"),
+            F.when(added, F.col("_t_n")).otherwise(0).alias("_ta"),
+            F.when(removed, F.col("_t_o")).otherwise(0).alias("_tr"),
+            (F.coalesce("_t_n", F.lit(0)) - F.coalesce("_t_o", F.lit(0)))
+            .alias("_td"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_a").alias("docs_added"),
+            F.sum("_r").alias("docs_removed"),
+            F.sum("_c").alias("docs_changed"),
+            F.sum("_u").alias("docs_unchanged"),
+            F.sum("_ta").alias("tokens_added"),
+            F.sum("_tr").alias("tokens_removed"),
+            F.sum("_td").alias("token_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+def d49_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D49 (added round 11) — the version diff of two deterministic
+    snapshots of the documents table: the OLD snapshot lacks every
+    doc_id % 7 == 0 row (they read as added) and carries a truncated
+    text for doc_id % 5 == 0 (they read as changed); the NEW snapshot
+    lacks every doc_id % 11 == 0 row (removed, where the old side had
+    it). Hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr("substr(text, 1, cast(floor(n_chars / 2.0) as int))"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    new = d.where(F.col("doc_id") % 11 != 0).select("doc_id", "source", "text")
+    return snapshot_diff(old, new)
+
+
+D49_ORACLE_SQL = """
+WITH old AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN substr(text, 1, CAST(floor(n_chars / 2.0) AS INT))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0
+),
+o AS (SELECT doc_id AS id, source AS src_o, md5(coalesce(text, '')) AS h_o,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS t_o
+      FROM old),
+n AS (SELECT doc_id AS id, source AS src_n, md5(coalesce(text, '')) AS h_n,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS t_n
+      FROM new),
+j AS (SELECT * FROM o FULL OUTER JOIN n USING (id))
+SELECT coalesce(src_n, src_o) AS source,
+       CAST(sum(CASE WHEN h_o IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_added,
+       CAST(sum(CASE WHEN h_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+       CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL
+                      AND h_o <> h_n THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+       CAST(sum(CASE WHEN h_o IS NOT NULL AND h_n IS NOT NULL
+                      AND h_o = h_n THEN 1 ELSE 0 END) AS BIGINT) AS docs_unchanged,
+       CAST(sum(CASE WHEN h_o IS NULL THEN t_n ELSE 0 END) AS BIGINT) AS tokens_added,
+       CAST(sum(CASE WHEN h_n IS NULL THEN t_o ELSE 0 END) AS BIGINT) AS tokens_removed,
+       CAST(sum(coalesce(t_n, 0) - coalesce(t_o, 0)) AS BIGINT) AS token_delta
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+# round-10 additions (d43/d47: individually graded since the round-11
+# rotation) + round-11 addition d49 (composite-delivered in x4, exact
+# oracle at two SFs in tests/test_datacard.py)
 QUERIES = {
     "d43_source_datacard": d43_source_datacard,
     "d47_source_overlap": d47_source_overlap,
+    "d49_snapshot_diff": d49_snapshot_diff,
 }
 ORACLES = {
     "d43_source_datacard": D43_ORACLE_SQL,
     "d47_source_overlap": _d47_oracle(),
+    "d49_snapshot_diff": D49_ORACLE_SQL,
 }

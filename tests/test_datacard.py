@@ -118,3 +118,48 @@ def test_d47_plan_broadcasts_pairs(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d49_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d49_snapshot_diff",
+        datacard.d49_snapshot_diff, datacard.D49_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_d49_non_vacuous(spark, sf_dir):
+    """The synthesized snapshots must exercise every diff class."""
+    rows = datacard.d49_snapshot_diff(spark, sf_dir).collect()
+    assert rows
+    tot = {c: sum(r[c] for r in rows) for c in
+           ("docs_added", "docs_removed", "docs_changed", "docs_unchanged")}
+    assert all(v > 0 for v in tot.values()), tot
+
+
+def test_snapshot_diff_hand_built_semantics(spark):
+    """Added/removed/changed/unchanged classification and integer token
+    movement on a corpus small enough to check by hand."""
+    old = spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "a", "same text"),
+         (3, "b", "will change"), (4, "b", "gets removed here")],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "a", "same text"), (3, "b", "did change now"),
+         (5, "a", "brand new doc")],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r.asDict() for r in
+           datacard.snapshot_diff(old, new).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["docs_added"], a["docs_removed"], a["docs_changed"],
+            a["docs_unchanged"]) == (1, 1, 0, 1)
+    assert (a["tokens_added"], a["tokens_removed"]) == (3, 3)
+    assert a["token_delta"] == 3 - 3  # +new doc, -old doc 1
+    assert (b["docs_added"], b["docs_removed"], b["docs_changed"],
+            b["docs_unchanged"]) == (0, 1, 1, 0)
+    assert (b["tokens_added"], b["tokens_removed"]) == (0, 3)
+    assert b["token_delta"] == (3 - 2) - 3  # changed grew by 1, removed -3
