@@ -104,6 +104,7 @@ HEADLINE = [
     "c8_interval_join",      # batch interval join (graded since round 11)
     "d45_assign_exact",      # integer-quantized assignment anchor
     "d49_snapshot_diff",     # per-source dataset-version diff (1 join+1 agg)
+    "c16_incremental_distinct",  # ref-counted COUNT(DISTINCT) IVM (4 batches)
 ]
 
 

@@ -623,6 +623,377 @@ class IncrementalGroupAgg:
         return raw.select(*cols)
 
 
+DV_BUCKET = "dvbucket"
+
+
+class IncrementalDistinctCount:
+    """CDC-maintained ``COUNT(DISTINCT expr)`` per group — the aggregate
+    class ``IncrementalGroupAgg``'s additive accumulators cannot carry
+    (round 11, completing the r9 count/sum/avg/var → r10 min/max
+    progression): a distinct count is NOT additive under deltas — a
+    removed value only lowers the count if no OTHER live row still
+    holds it, which group-level state cannot know. This is the textbook
+    two-level IVM: maintain a REF-COUNTED value table and derive the
+    group count from 0↔>0 transitions.
+
+    Stores (all under ``path``):
+    - ``state`` — the keyed LWW row state (the IncrementalGroupAgg
+      skeleton: merge_batch buckets, before/after images per batch);
+    - ``dv``   — the value level: one row per (group, spec, value)
+      holding ``_cnt`` = number of live rows in the group carrying that
+      value, partitioned by ``dvbucket = pmod(xxhash64(group), n)`` so a
+      batch reads/rewrites only the buckets of the groups it touched;
+    - ``agg``  — one row per group: ``_LIVE`` plus one BIGINT distinct
+      count per spec, maintained ADDITIVELY from the transition deltas
+      (a value appearing: +1; the last live holder leaving: −1).
+
+    Per-batch cost: O(batch + touched state buckets + touched value
+    rows + touched groups) — never O(state), never O(|distinct
+    values|). NULL values are excluded (SQL COUNT(DISTINCT) semantics);
+    NULL group keys are exact (every merge is the union+GROUP BY trick,
+    never a join). Values are compared as their ``CAST(expr AS
+    STRING)`` rendering — injective for the string/整数-typed exprs this
+    is for; document the cast when adding exotic types. Crash
+    consistency follows the IncrementalGroupAgg stamp protocol: state
+    stamp before the three mutations, agg stamp after — a torn batch
+    rebuilds dv + agg from the full live state on the next call.
+    Chunked replace-set mode is not supported (use the base collection's
+    semantics); the constructor rejects it loudly."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        specs: Sequence[dict],
+        group_col: str | None = None,
+        group_cols: Sequence[str] | None = None,
+        text_cols: Sequence[str] = ("after_title", "after_content"),
+        key_cols: Sequence[str] = ("tbl", "pk"),
+        n_buckets: int = 64,
+        dv_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.state_path = path + "/state"
+        self.dv_path = path + "/dv"
+        self.agg_path = path + "/agg"
+        self._epoch_state = path + "/_epoch_state"
+        self._epoch_agg = path + "/_epoch_agg"
+        if group_cols is None:
+            group_cols = (group_col or "after_author",)
+        elif group_col is not None:
+            raise ValueError("pass group_col or group_cols, not both")
+        self.group_cols = tuple(group_cols)
+        self.out_groups = (
+            ("grp",) if len(self.group_cols) == 1 else self.group_cols
+        )
+        self.text_cols = tuple(text_cols)
+        self.key_cols = tuple(key_cols)
+        self.n_buckets = n_buckets
+        self.dv_buckets = dv_buckets
+        if not specs:
+            raise ValueError("at least one {name, col} distinct spec required")
+        names = [s["name"] for s in specs]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate spec names: {names}")
+        bad = set(names) & ({_LIVE} | set(self.out_groups))
+        if bad:
+            raise ValueError(f"spec names collide with internals: {sorted(bad)}")
+        for s in specs:
+            if not s.get("col"):
+                raise ValueError(f"spec {s['name']!r} needs a 'col' expression")
+        self.specs = [{"name": s["name"], "col": s["col"]} for s in specs]
+
+    # ---- level 1: per-(group, spec, value) live ref counts -------------
+
+    def _group_exprs(self) -> list[Column]:
+        return [
+            F.col(g).alias(o) for g, o in zip(self.group_cols, self.out_groups)
+        ]
+
+    def _value_counts(self, df: DataFrame | None) -> DataFrame | None:
+        """(groups…, _spec, _val, _cnt) over the LIVE rows of ``df`` —
+        one aggregation per spec (specs are few), NULL values excluded
+        (SQL COUNT(DISTINCT) ignores them)."""
+        if df is None:
+            return None
+        live = df.where(F.col("op") != OP_DELETE)
+        parts = []
+        for s in self.specs:
+            v = F.expr(s["col"]).cast("string")
+            parts.append(
+                live.where(v.isNotNull())
+                .groupBy(*self._group_exprs(), v.alias("_val"))
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .select(
+                    *self.out_groups,
+                    F.lit(s["name"]).alias("_spec"),
+                    "_val",
+                    "_cnt",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _live_counts(self, df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        return (
+            df.where(F.col("op") != OP_DELETE)
+            .groupBy(*self._group_exprs())
+            .agg(F.count(F.lit(1)).alias(_LIVE))
+        )
+
+    def _dv_bucket_expr(self) -> Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(o) for o in self.out_groups]),
+            F.lit(self.dv_buckets),
+        ).cast("int")
+
+    # ---- crash recovery -------------------------------------------------
+
+    def _rebuild(self) -> None:
+        """O(state) rebuild of dv + agg from the full live state
+        (recovery / first attach after a torn batch)."""
+        import shutil
+
+        full = read_bucketed_state(self.spark, self.state_path)
+        if full is None:
+            for p in (self.dv_path, self.agg_path):
+                shutil.rmtree(p, ignore_errors=True)
+                shutil.rmtree(p + ".old", ignore_errors=True)
+            return
+        dv = self._value_counts(full).withColumn(DV_BUCKET, self._dv_bucket_expr())
+        swap_buckets(
+            dv.repartition(self.dv_buckets, DV_BUCKET),
+            self.dv_path, list(range(self.dv_buckets)), col=DV_BUCKET,
+        )
+        agg = self._live_counts(full)
+        dcounts = (
+            self._value_counts(full)
+            .groupBy(*self.out_groups)
+            .pivot("_spec", [s["name"] for s in self.specs])
+            .agg(F.count(F.lit(1)))
+        )
+        agg = self._merge_agg_sides(agg, dcounts)
+        swap_write(agg.coalesce(1), self.agg_path)
+
+    def _merge_agg_sides(self, live_side: DataFrame, d_side: DataFrame) -> DataFrame:
+        """NULL-group-safe outer merge of the _LIVE frame and the
+        per-spec distinct-count frame (union + GROUP BY, never a join)."""
+        names = [s["name"] for s in self.specs]
+        a = live_side.select(
+            *self.out_groups, _LIVE,
+            *[F.lit(None).cast("long").alias(n) for n in names],
+        )
+        b = d_side.select(
+            *self.out_groups, F.lit(None).cast("long").alias(_LIVE),
+            *[F.col(n).cast("long").alias(n) for n in names],
+        )
+        return (
+            a.unionByName(b)
+            .groupBy(*[F.col(g) for g in self.out_groups])
+            .agg(
+                F.sum(_LIVE).alias(_LIVE),
+                *[F.coalesce(F.sum(n), F.lit(0)).alias(n) for n in names],
+            )
+        )
+
+    def _recover_if_torn(self) -> None:
+        se, ae = _read_epoch(self._epoch_state), _read_epoch(self._epoch_agg)
+        if se == ae:
+            return
+        self._rebuild()
+        _write_epoch(self._epoch_agg, se)
+
+    # ---- per-batch fold ---------------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
+        self._recover_if_torn()
+        bexpr = bucket_expr(self.key_cols, self.n_buckets)
+        ev = eligible_events(batch, self.text_cols).withColumn(BUCKET_COL, bexpr)
+        touched = sorted(
+            r[0] for r in ev.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return
+        prior = read_bucketed_state(self.spark, self.state_path, buckets=touched)
+        merged = merge_batch(
+            prior, batch.withColumn(BUCKET_COL, bexpr), self.text_cols,
+            key_cols=self.key_cols, cluster_col=BUCKET_COL,
+            cluster_partitions=len(touched),
+        )
+        # value-level delta over the touched buckets (additive ref counts)
+        av = self._value_counts(merged)
+        bv = self._value_counts(prior)
+        if bv is not None:
+            delta = (
+                av.unionByName(bv.withColumn("_cnt", -F.col("_cnt")))
+                .groupBy(*self.out_groups, "_spec", "_val")
+                .agg(F.sum("_cnt").alias("_cnt"))
+                .where(F.col("_cnt") != 0)
+            )
+        else:
+            delta = av
+        delta = delta.withColumn(DV_BUCKET, self._dv_bucket_expr())
+        dtouched = sorted(
+            r[0] for r in delta.select(DV_BUCKET).distinct().collect()
+        )
+        # old-vs-new per touched value row: union-tag (o = prior cnt,
+        # d = delta), new = o + d; 0↔>0 transitions drive the group count
+        prior_dv = (
+            read_bucketed_state(
+                self.spark, self.dv_path, col=DV_BUCKET, buckets=dtouched
+            )
+            if dtouched
+            else None
+        )
+        vkey = [*self.out_groups, "_spec", "_val"]
+        sides = [
+            delta.select(
+                *vkey, DV_BUCKET,
+                F.lit(0).cast("long").alias("_o"), F.col("_cnt").alias("_d"),
+            )
+        ]
+        if prior_dv is not None:
+            sides.append(
+                prior_dv.select(
+                    *vkey, DV_BUCKET,
+                    F.col("_cnt").alias("_o"), F.lit(0).cast("long").alias("_d"),
+                )
+            )
+        combined = sides[0]
+        for s in sides[1:]:
+            combined = combined.unionByName(s)
+        combined = combined.groupBy(*vkey, DV_BUCKET).agg(
+            F.sum("_o").alias("_o"), F.sum("_d").alias("_d")
+        ).withColumn("_n", F.col("_o") + F.col("_d"))
+        new_dv = combined.where(F.col("_n") > 0).select(
+            *vkey, F.col("_n").alias("_cnt"), DV_BUCKET
+        )
+        trans = combined.groupBy(*self.out_groups, "_spec").agg(
+            F.sum(
+                ((F.col("_o") <= 0) & (F.col("_n") > 0)).cast("long")
+                - ((F.col("_o") > 0) & (F.col("_n") <= 0)).cast("long")
+            ).alias("_dd")
+        )
+        names = [s["name"] for s in self.specs]
+        dd_wide = trans.groupBy(*[F.col(g) for g in self.out_groups]).agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("_spec") == n, F.col("_dd"))), F.lit(0)
+                ).alias(n)
+                for n in names
+            ]
+        )
+        # group-level _LIVE delta (drop-group-at-zero rule)
+        al = self._live_counts(merged)
+        bl = self._live_counts(prior)
+        if bl is not None:
+            ld = (
+                al.unionByName(bl.withColumn(_LIVE, -F.col(_LIVE)))
+                .groupBy(*self.out_groups)
+                .agg(F.sum(_LIVE).alias(_LIVE))
+            )
+        else:
+            ld = al
+        agg_delta = self._merge_agg_sides(ld, dd_wide)
+        cur = read_state(self.spark, self.agg_path)
+        if cur is not None:
+            new_agg = (
+                cur.select(*agg_delta.columns)
+                .unionByName(agg_delta)
+                .groupBy(*[F.col(g) for g in self.out_groups])
+                .agg(F.sum(_LIVE).alias(_LIVE),
+                     *[F.sum(n).alias(n) for n in names])
+            )
+        else:
+            new_agg = agg_delta
+        new_agg = new_agg.where(F.col(_LIVE) > 0).coalesce(1)
+        # materialize BOTH derived frames before any swap replaces the
+        # files their plans read (prior state + prior dv)
+        new_agg = new_agg.localCheckpoint(eager=True)
+        new_dv = new_dv.localCheckpoint(eager=True)
+        epoch = _read_epoch(self._epoch_state) + 1
+        _write_epoch(self._epoch_state, epoch)
+        swap_buckets(merged, self.state_path, touched)
+        if dtouched:
+            swap_buckets(
+                new_dv.repartition(len(dtouched), DV_BUCKET),
+                self.dv_path, dtouched, col=DV_BUCKET,
+            )
+        swap_write(new_agg, self.agg_path)
+        _write_epoch(self._epoch_agg, epoch)
+
+    def read(self) -> DataFrame | None:
+        """(groups…, <spec name> BIGINT per spec), one row per live group."""
+        self._recover_if_torn()
+        raw = read_state(self.spark, self.agg_path)
+        if raw is None:
+            return None
+        return raw.select(
+            *self.out_groups,
+            *[F.col(s["name"]).cast("long").alias(s["name"]) for s in self.specs],
+        )
+
+
+def c16_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 (added round 11) — replay the change log in 4 LSN-ordered
+    micro-batches through the ref-counted distinct-count IVM; the final
+    table must equal batch ``COUNT(DISTINCT …)`` over the LWW live
+    state (the A6/c12 semantics): distinct titles and distinct content
+    lengths per author."""
+    import shutil
+    import tempfile
+
+    from . import transform
+    from .changelog import MAPPED, changes_df
+
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 4 + 1
+    root = tempfile.mkdtemp(prefix="c16_ivm_")
+    try:
+        dc = IncrementalDistinctCount(
+            spark, f"{root}/dvivm",
+            specs=[
+                {"name": "n_titles", "col": "after_title"},
+                {"name": "n_clens", "col": "length(after_content)"},
+            ],
+            n_buckets=8, dv_buckets=8,
+        )
+        for i in range(4):
+            dc.apply_batch(
+                ch.where(
+                    (F.col("lsn") >= lo + i * step)
+                    & (F.col("lsn") < lo + (i + 1) * step)
+                )
+            )
+        out = dc.read().select(
+            F.col("grp").alias("author"), "n_titles", "n_clens"
+        )
+        return out.localCheckpoint(eager=True).orderBy("author")
+    finally:
+        ch.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+C16_ORACLE_BODY = """
+SELECT after_author AS author,
+       CAST(count(DISTINCT after_title) AS BIGINT) AS n_titles,
+       CAST(count(DISTINCT length(after_content)) AS BIGINT) AS n_clens
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+  FROM changes
+  WHERE tbl IN ('public.documents')
+    AND (op = 'd'
+         OR length(concat_ws(' ', nullif(after_title, ''), nullif(after_content, ''))) > 0)
+) t WHERE rn = 1 AND op <> 'd'
+GROUP BY after_author ORDER BY author
+"""
+
+
 def c12_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12 — replay the change log in 4 LSN-ordered micro-batches
     through the IVM aggregate; the final agg table must equal the batch
@@ -678,10 +1049,18 @@ GROUP BY after_author ORDER BY author
 def _oracles() -> dict:
     from .changelog import CHANGES_CTE
 
-    return {"c12_incremental_agg": CHANGES_CTE + C12_ORACLE_BODY}
+    return {
+        "c12_incremental_agg": CHANGES_CTE + C12_ORACLE_BODY,
+        "c16_incremental_distinct": CHANGES_CTE + C16_ORACLE_BODY,
+    }
 
 
 # round-9 rotation: c12 individually graded (was composite-delivered in
-# x1 for round 8; the same oracle stays pinned at two SFs in tests/test_ivm.py)
-QUERIES: dict = {"c12_incremental_agg": c12_incremental_agg}
+# x1 for round 8; the same oracle stays pinned at two SFs in
+# tests/test_ivm.py). c16 (round 11): the ref-counted distinct-count
+# IVM's graded face — composite-delivered in x1 under the budget.
+QUERIES: dict = {
+    "c12_incremental_agg": c12_incremental_agg,
+    "c16_incremental_distinct": c16_incremental_distinct,
+}
 ORACLES: dict = _oracles()

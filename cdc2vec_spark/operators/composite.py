@@ -64,7 +64,10 @@ Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, d10_split, d10_pack
                          + the round-11 parking set c9_stream_enrich,
-                         c10_funnel, c11_retention
+                         c10_funnel, c11_retention + the round-11
+                         newcomer c16_incremental_distinct (ref-counted
+                         COUNT(DISTINCT) IVM, exact two-SF oracle in
+                         tests/test_ivm.py)
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
                          own test file), d12_semdedup_exact (exact
@@ -112,6 +115,9 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
+    # round-11 addition: ref-counted COUNT(DISTINCT) IVM (exact two-SF
+    # oracle in tests/test_ivm.py); composite-delivered in x1
+    "c16_incremental_distinct",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -240,8 +246,11 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated, plus
     the round-11 streaming-themed parking set (c9/c10/c11 — long-green,
-    oracles pinned in tests/test_rotated_oracles.py)."""
+    oracles pinned in tests/test_rotated_oracles.py) and the round-11
+    c16 newcomer (ref-counted distinct-count IVM, exact oracle in
+    tests/test_ivm.py)."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.ivm import c16_incremental_distinct
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .funnel import c10_funnel, c11_retention
@@ -260,6 +269,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c9_stream_enrich", c9_stream_enrich),
             ("c10_funnel", c10_funnel),
             ("c11_retention", c11_retention),
+            ("c16_incremental_distinct", c16_incremental_distinct),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -466,6 +476,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.ivm import c16_incremental_distinct
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
@@ -552,6 +563,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_stream_enrich": c9_stream_enrich,
         "c10_funnel": c10_funnel,
         "c11_retention": c11_retention,
+        "c16_incremental_distinct": c16_incremental_distinct,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

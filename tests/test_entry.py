@@ -80,7 +80,8 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c9_stream_enrich",
-            "c10_funnel", "c11_retention", "d10_split", "d10_pack",
+            "c10_funnel", "c11_retention", "c16_incremental_distinct",
+            "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical",

@@ -803,3 +803,154 @@ def test_chunked_minmax_recompute_on_replace_set(spark, tmp_path):
         [(4, "d", "points", "B", "B", None, None)], schema))
     got = {r["grp"]: (r["n"], r["longest"]) for r in ivm.read().collect()}
     assert got == {"g1": (1, 2)}, got
+
+
+# ---------------- round 11: ref-counted COUNT(DISTINCT) IVM (c16) ------
+
+def _dc(spark, path, **kw):
+    from cdc2vec_spark.cdc.ivm import IncrementalDistinctCount
+
+    return IncrementalDistinctCount(
+        spark, str(path),
+        specs=[{"name": "n_titles", "col": "after_title"},
+               {"name": "n_clens", "col": "length(after_content)"}],
+        n_buckets=4, dv_buckets=4, **kw,
+    )
+
+
+_DC_SCHEMA = ("lsn long, op string, tbl string, pk string, "
+              "after_title string, after_content string, after_author string")
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_c16_matches_duckdb_oracle(spark, sf):
+    from cdc2vec_spark.cdc.changelog import CHANGES_CTE
+    from cdc2vec_spark.cdc.ivm import C16_ORACLE_BODY, c16_incremental_distinct
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c16_incremental_distinct", c16_incremental_distinct,
+        CHANGES_CTE + C16_ORACLE_BODY, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_distinct_refcounts_survive_partial_deletes(spark, tmp_path):
+    """Deleting a row whose value ANOTHER live row still holds must NOT
+    lower the distinct count; deleting the last holder must. This is
+    exactly the case additive group-level state cannot express."""
+    dc = _dc(spark, tmp_path / "dv")
+    rows = [
+        (1, "c", "public.documents", "k1", "tA", "xx", "g1"),
+        (2, "c", "public.documents", "k2", "tA", "yyy", "g1"),
+        (3, "c", "public.documents", "k3", "tB", "zz", "g1"),
+    ]
+    dc.apply_batch(spark.createDataFrame(rows, _DC_SCHEMA))
+    got = {r["grp"]: (r["n_titles"], r["n_clens"]) for r in dc.read().collect()}
+    # titles {tA, tB}; content lengths {2, 3, 2} -> {2, 3}
+    assert got == {"g1": (2, 2)}, got
+
+    # delete ONE tA holder: k2 also holds tA -> n_titles stays 2;
+    # k1's length-2 content is still held by k3 -> n_clens stays 2
+    dc.apply_batch(spark.createDataFrame(
+        [(4, "d", "public.documents", "k1", None, None, None)], _DC_SCHEMA))
+    got = {r["grp"]: (r["n_titles"], r["n_clens"]) for r in dc.read().collect()}
+    assert got == {"g1": (2, 2)}, got
+
+    # delete the LAST tA holder (k2): n_titles drops; length 3 vanishes
+    dc.apply_batch(spark.createDataFrame(
+        [(5, "d", "public.documents", "k2", None, None, None)], _DC_SCHEMA))
+    got = {r["grp"]: (r["n_titles"], r["n_clens"]) for r in dc.read().collect()}
+    assert got == {"g1": (1, 1)}, got
+
+    # drain the group entirely -> row disappears
+    dc.apply_batch(spark.createDataFrame(
+        [(6, "d", "public.documents", "k3", None, None, None)], _DC_SCHEMA))
+    assert dc.read().collect() == []
+
+
+def test_distinct_update_moves_value_between_buckets(spark, tmp_path):
+    """An UPDATE that changes a row's value is a remove+add at the value
+    level; updates that move a row between GROUPS maintain both."""
+    dc = _dc(spark, tmp_path / "dv")
+    dc.apply_batch(spark.createDataFrame(
+        [(1, "c", "public.documents", "k1", "tA", "xx", "g1"),
+         (2, "c", "public.documents", "k2", "tB", "xx", "g1")], _DC_SCHEMA))
+    # k1: tA -> tB (collapses titles to 1); also move k2 to group g2
+    dc.apply_batch(spark.createDataFrame(
+        [(3, "u", "public.documents", "k1", "tB", "xx", "g1"),
+         (4, "u", "public.documents", "k2", "tB", "xx", "g2")], _DC_SCHEMA))
+    got = {r["grp"]: (r["n_titles"], r["n_clens"]) for r in dc.read().collect()}
+    assert got == {"g1": (1, 1), "g2": (1, 1)}, got
+
+
+def test_distinct_null_values_and_null_groups(spark, tmp_path):
+    """NULL values never count (SQL COUNT(DISTINCT) semantics); a NULL
+    group key aggregates as one real group."""
+    dc = _dc(spark, tmp_path / "dv")
+    dc.apply_batch(spark.createDataFrame(
+        [(1, "c", "public.documents", "k1", None, "xx", None),
+         (2, "c", "public.documents", "k2", "tA", "yy", None)], _DC_SCHEMA))
+    rows = dc.read().collect()
+    assert len(rows) == 1 and rows[0]["grp"] is None
+    assert (rows[0]["n_titles"], rows[0]["n_clens"]) == (1, 1)
+
+
+def test_distinct_incremental_equals_recompute_every_batch(spark, sf_dir, tmp_path):
+    """After EACH replayed micro-batch the maintained distinct counts
+    equal a from-scratch COUNT(DISTINCT) over the LWW live state."""
+    from cdc2vec_spark.cdc.apply import ParquetCollection
+
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 4 + 1
+    dc = _dc(spark, tmp_path / "dv")
+    coll = ParquetCollection(spark, str(tmp_path / "coll"), n_buckets=4)
+    for i in range(4):
+        b = ch.where((F.col("lsn") >= lo + i * step)
+                     & (F.col("lsn") < lo + (i + 1) * step))
+        dc.apply_batch(b)
+        coll.apply_batch(b)
+        live = coll.read()
+        want = {
+            r["grp"]: (r["t"], r["c"])
+            for r in live.where(F.col("op") != "d")
+            .groupBy(F.col("after_author").alias("grp"))
+            .agg(F.countDistinct("after_title").alias("t"),
+                 F.countDistinct(F.length("after_content")).alias("c"))
+            .collect()
+        }
+        got = {r["grp"]: (r["n_titles"], r["n_clens"])
+               for r in dc.read().collect()}
+        assert got == want, f"batch {i}: {got} != {want}"
+    ch.unpersist()
+
+
+def test_distinct_torn_commit_recovers_by_rebuild(spark, tmp_path):
+    """Tearing the state/agg epoch stamps forces an O(state) rebuild
+    that reproduces the exact counts."""
+    from cdc2vec_spark.cdc.ivm import _read_epoch, _write_epoch
+
+    dc = _dc(spark, tmp_path / "dv")
+    dc.apply_batch(spark.createDataFrame(
+        [(1, "c", "public.documents", "k1", "tA", "xx", "g1"),
+         (2, "c", "public.documents", "k2", "tB", "yyy", "g1")], _DC_SCHEMA))
+    want = {(r["grp"], r["n_titles"], r["n_clens"]) for r in dc.read().collect()}
+    # simulate a crash between the swaps: advance the state stamp only
+    _write_epoch(dc._epoch_state, _read_epoch(dc._epoch_state) + 1)
+    got = {(r["grp"], r["n_titles"], r["n_clens"]) for r in dc.read().collect()}
+    assert got == want
+
+
+def test_distinct_spec_hygiene_rejected_at_config_time(spark, tmp_path):
+    from cdc2vec_spark.cdc.ivm import IncrementalDistinctCount
+
+    with pytest.raises(ValueError, match="at least one"):
+        IncrementalDistinctCount(spark, str(tmp_path / "a"), specs=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        IncrementalDistinctCount(
+            spark, str(tmp_path / "b"),
+            specs=[{"name": "x", "col": "a"}, {"name": "x", "col": "b"}])
+    with pytest.raises(ValueError, match="needs a 'col'"):
+        IncrementalDistinctCount(
+            spark, str(tmp_path / "c"), specs=[{"name": "x"}])

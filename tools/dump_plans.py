@@ -113,6 +113,7 @@ NOTES = {
     "d45_kmeans_refine": "broadcast-BLAS assignment (narrow map, no shuffle); update = one groupBy(cell) of per-dimension JVM sums; bounded k-row collect per iteration.",
     "d45_assign_exact": "integer-quantized assignment anchor: bounded k-row centroid collect shipped in the UDF closure; ONE narrow Arrow pass doing an int64 matmul per batch — no join, no shuffle.",
     "d49_snapshot_diff": "dataset-version diff: ONE full-outer sort-merge join on the unique doc id + ONE groupBy(source); everything integer (md5 equality, whitespace token counts) — linear, no skew surface.",
+    "c16_incremental_distinct": "ref-counted COUNT(DISTINCT) IVM: per batch, value-level ref-count deltas over touched state buckets merge into dv buckets pruned by group hash; group counts maintained additively from 0<->>0 transitions — O(batch + touched value rows + groups), never O(state).",
     "d46_dedup_clusters": "two tiny aggregates over the converged CC labels (|nodes| → |clusters| → |sizes| rows) + one anti-join singleton count.",
     "d47_source_overlap": "the small pair set is BROADCAST into two keyed joins against the narrow (id, source) projection; |sources|² aggregate; integer basis-point mass.",
     "d48_cluster_split": "one left join against the converged CC labels; the md5-prefix split rule is a scan-stage expression on the cluster representative.",
