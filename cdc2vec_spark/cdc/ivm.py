@@ -626,6 +626,24 @@ class IncrementalGroupAgg:
 DV_BUCKET = "dvbucket"
 
 
+def distinct_specs(raw: Sequence | None) -> list[dict]:
+    """Normalize/validate a distinct-count spec list ({name, col}) —
+    every rejection at CONFIG time, never at batch N (the agg_specs
+    discipline). Group-column collisions are checked by the class (it
+    knows the group layout)."""
+    if not raw:
+        raise ValueError("at least one {name, col} distinct spec required")
+    names = [s["name"] for s in raw]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
+    if _LIVE in names:
+        raise ValueError(f"spec name {_LIVE!r} collides with an internal column")
+    for s in raw:
+        if not s.get("col"):
+            raise ValueError(f"spec {s['name']!r} needs a 'col' expression")
+    return [{"name": s["name"], "col": s["col"]} for s in raw]
+
+
 class IncrementalDistinctCount:
     """CDC-maintained ``COUNT(DISTINCT expr)`` per group — the aggregate
     class ``IncrementalGroupAgg``'s additive accumulators cannot carry
@@ -690,18 +708,10 @@ class IncrementalDistinctCount:
         self.key_cols = tuple(key_cols)
         self.n_buckets = n_buckets
         self.dv_buckets = dv_buckets
-        if not specs:
-            raise ValueError("at least one {name, col} distinct spec required")
-        names = [s["name"] for s in specs]
-        if len(set(names)) != len(names):
-            raise ValueError(f"duplicate spec names: {names}")
-        bad = set(names) & ({_LIVE} | set(self.out_groups))
+        self.specs = distinct_specs(specs)
+        bad = {s["name"] for s in self.specs} & set(self.out_groups)
         if bad:
-            raise ValueError(f"spec names collide with internals: {sorted(bad)}")
-        for s in specs:
-            if not s.get("col"):
-                raise ValueError(f"spec {s['name']!r} needs a 'col' expression")
-        self.specs = [{"name": s["name"], "col": s["col"]} for s in specs]
+            raise ValueError(f"spec names collide with group columns: {sorted(bad)}")
 
     # ---- level 1: per-(group, spec, value) live ref counts -------------
 

@@ -210,7 +210,8 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
     if sink is None:
         sink = getattr(cfg, "sink", None)
     if sink is None or sink.type not in (
-        "qdrant", "milvus", "ivf_index", "lex_index", "group_agg"
+        "qdrant", "milvus", "ivf_index", "lex_index", "group_agg",
+        "distinct_agg",
     ):
         return None
     opts = sink.options or {}
@@ -286,6 +287,75 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
             if idx_chunked:
                 sel.append(F.col("base_id").alias("base_pk"))
             agg.apply_batch(pts.select(*sel))
+
+        return hook
+
+    if sink.type == "distinct_agg":
+        # maintain the ref-counted COUNT(DISTINCT) materialization from
+        # the same stream (cdc/ivm.py:IncrementalDistinctCount — round
+        # 11, the two-level IVM): per batch only the touched state
+        # buckets and the touched groups' value buckets are read or
+        # rewritten. ``options.specs`` is the {name, col} list with col
+        # expressions over ``after_text`` / the ``after_grp*`` metadata
+        # extracts; the default counts distinct extracted texts per
+        # group (md5(after_text)) — the live exact-dup audit the data
+        # card's n_exact_dups derives from. Spec hygiene is validated at
+        # boot, not batch 40. Not supported with chunked configs (the
+        # per-chunk row state has no document-level distinct semantics).
+        from .cdc.ivm import IncrementalDistinctCount
+
+        dpath = opts.get("path")
+        if not dpath:
+            raise ValueError("distinct_agg sink requires options.path")
+        if idx_chunked:
+            raise ValueError(
+                "distinct_agg sink does not support chunked configs"
+            )
+        dkeys = [
+            k.strip()
+            for k in str(opts.get("group_key", "author")).split(",")
+            if k.strip()
+        ]
+        dcols = (
+            ["after_grp"]
+            if len(dkeys) == 1
+            else [f"after_grp{i}" for i in range(len(dkeys))]
+        )
+        from .cdc.ivm import distinct_specs
+
+        dspecs = distinct_specs(  # validate at boot, not batch 1
+            opts.get("specs")
+            or [{"name": "n_distinct_texts", "col": "md5(after_text)"}]
+        )
+        dbuckets = int(opts.get("n_buckets", 64))
+        dvbuckets = int(opts.get("dv_buckets", 64))
+        dcache: dict[str, IncrementalDistinctCount] = {}
+
+        def hook(pts: DataFrame) -> None:
+            if "text" not in pts.columns:
+                raise ValueError(
+                    "distinct_agg sink needs the extracted text on the "
+                    "points (boot sets keep_text for it automatically)"
+                )
+            dc = dcache.get("d")
+            if dc is None:
+                dc = dcache["d"] = IncrementalDistinctCount(
+                    pts.sparkSession, dpath, specs=dspecs,
+                    group_cols=dcols, text_cols=("after_text",),
+                    n_buckets=dbuckets, dv_buckets=dvbuckets,
+                )
+            dc.apply_batch(
+                pts.select(
+                    F.lit("points").alias("tbl"),
+                    F.col("id").alias("pk"),
+                    F.col("op"), F.col("lsn"),
+                    F.col("text").alias("after_text"),
+                    *[
+                        F.element_at(F.col("metadata"), k).alias(c)
+                        for k, c in zip(dkeys, dcols)
+                    ],
+                )
+            )
 
         return hook
 
@@ -596,7 +666,7 @@ def boot(
     stream = read_file_stream(spark, changes_dir, changes_schema, max_files_per_trigger)
 
     keep_text = isinstance(cfg, PipelineConfig) and any(
-        s.type in ("lex_index", "group_agg") for s in cfg.all_sinks
+        s.type in ("lex_index", "group_agg", "distinct_agg") for s in cfg.all_sinks
     )
 
     # per-batch engine metrics for /healthz (points_out via Observation:
@@ -719,7 +789,7 @@ def boot_with_snapshot(
     coll = _collection_for(spark, cfg, state_dir)
     hook = sink_hooks_for(cfg) if isinstance(cfg, PipelineConfig) else None
     keep_text = isinstance(cfg, PipelineConfig) and any(
-        s.type in ("lex_index", "group_agg") for s in cfg.all_sinks
+        s.type in ("lex_index", "group_agg", "distinct_agg") for s in cfg.all_sinks
     )
     chunk = cfg.engine.chunk if isinstance(cfg, PipelineConfig) else None
     for table, mapping in snapshots:

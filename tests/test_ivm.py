@@ -954,3 +954,82 @@ def test_distinct_spec_hygiene_rejected_at_config_time(spark, tmp_path):
     with pytest.raises(ValueError, match="needs a 'col'"):
         IncrementalDistinctCount(
             spark, str(tmp_path / "c"), specs=[{"name": "x"}])
+
+
+def test_boot_distinct_agg_sink_end_to_end(spark, sf_dir, tmp_path):
+    """sink.type=distinct_agg in the config: boot() maintains the
+    ref-counted COUNT(DISTINCT) table from the live stream; after the
+    replay it equals COUNT(DISTINCT md5(text)) per author over the LWW
+    live state — the live exact-dup audit."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    from cdc2vec_spark.streaming import source
+
+    dpath = str(tmp_path / "dagg")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(
+            type="distinct_agg",
+            options={"path": dpath, "group_key": "after_author",
+                     "n_buckets": 8, "dv_buckets": 8},
+        ),
+    )
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=3, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    from cdc2vec_spark.cdc.ivm import IncrementalDistinctCount
+
+    dc = IncrementalDistinctCount(
+        spark, dpath,
+        specs=[{"name": "n_distinct_texts", "col": "md5(after_text)"}],
+        group_col="after_grp", text_cols=("after_text",),
+        n_buckets=8, dv_buckets=8,
+    )
+    got = {r["grp"]: r["n_distinct_texts"] for r in dc.read().collect()}
+
+    from cdc2vec_spark.cdc.apply import latest_state
+
+    live = latest_state(ch, text_cols=("after_title", "after_content"))
+    txt = F.concat_ws(
+        " ",
+        F.nullif(F.col("after_title"), F.lit("")),
+        F.nullif(F.col("after_content"), F.lit("")),
+    )
+    want = {
+        r["grp"]: r["n"]
+        for r in live.where(F.col("op") != "d")
+        .groupBy(F.col("after_author").alias("grp"))
+        .agg(F.countDistinct(F.md5(txt)).alias("n"))
+        .collect()
+    }
+    assert got == want != {}
+
+
+def test_distinct_agg_sink_rejects_bad_specs_at_boot():
+    """Spec hygiene fails the BOOT, not micro-batch 1."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(
+            type="distinct_agg",
+            options={"path": "/tmp/x", "specs": [{"name": "x"}]},
+        ),
+    )
+    with pytest.raises(ValueError, match="needs a 'col'"):
+        runner.sink_hook_for(cfg)
