@@ -748,6 +748,11 @@ _CURVE_OPS = [
     "d40_incremental_dedup",
     "d9_keep_exact",
     "d44_pagerank",
+    # round 11: the distinct-count IVM replay — like c12, its sf0.1 wall
+    # is fixed per-batch job overhead (4 replayed micro-batches x ~7
+    # jobs), so the curve must show the flat x10/x100 amortization, not
+    # data-proportional growth
+    "c16_incremental_distinct",
 ]
 
 # sf1 best-of-n reps for curve ops whose single-shot sf1 wall proved

@@ -722,29 +722,29 @@ class IncrementalDistinctCount:
 
     def _value_counts(self, df: DataFrame | None) -> DataFrame | None:
         """(groups…, _spec, _val, _cnt) over the LIVE rows of ``df`` —
-        one aggregation per spec (specs are few), NULL values excluded
-        (SQL COUNT(DISTINCT) ignores them)."""
+        ONE scan + ONE aggregation for ALL specs (each row explodes into
+        its |specs| (spec, value) pairs); NULL values excluded (SQL
+        COUNT(DISTINCT) ignores them)."""
         if df is None:
             return None
-        live = df.where(F.col("op") != OP_DELETE)
-        parts = []
-        for s in self.specs:
-            v = F.expr(s["col"]).cast("string")
-            parts.append(
-                live.where(v.isNotNull())
-                .groupBy(*self._group_exprs(), v.alias("_val"))
-                .agg(F.count(F.lit(1)).alias("_cnt"))
-                .select(
-                    *self.out_groups,
+        pairs = F.array(
+            *[
+                F.struct(
                     F.lit(s["name"]).alias("_spec"),
-                    "_val",
-                    "_cnt",
+                    F.expr(s["col"]).cast("string").alias("_val"),
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+                for s in self.specs
+            ]
+        )
+        return (
+            df.where(F.col("op") != OP_DELETE)
+            .select(*self._group_exprs(), F.explode(pairs).alias("_p"))
+            .select(*self.out_groups, F.col("_p._spec").alias("_spec"),
+                    F.col("_p._val").alias("_val"))
+            .where(F.col("_val").isNotNull())
+            .groupBy(*self.out_groups, "_spec", "_val")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
 
     def _live_counts(self, df: DataFrame | None) -> DataFrame | None:
         if df is None:
@@ -834,6 +834,10 @@ class IncrementalDistinctCount:
             key_cols=self.key_cols, cluster_col=BUCKET_COL,
             cluster_partitions=len(touched),
         )
+        # merged feeds THREE consumers (value counts, live counts, the
+        # state swap) — persist the touched-bucket frame so the merge
+        # window runs once, not per consumer
+        merged = merged.persist()
         # value-level delta over the touched buckets (additive ref counts)
         av = self._value_counts(merged)
         bv = self._value_counts(prior)
@@ -846,7 +850,13 @@ class IncrementalDistinctCount:
             )
         else:
             delta = av
-        delta = delta.withColumn(DV_BUCKET, self._dv_bucket_expr())
+        # delta (the one expensive aggregation pass) feeds THREE
+        # consumers — the dv-bucket collect, the new dv table and the
+        # transition deltas driving the agg — so materialize it once;
+        # it is touched-value-row sized, never O(state)
+        delta = delta.withColumn(
+            DV_BUCKET, self._dv_bucket_expr()
+        ).localCheckpoint(eager=True)
         dtouched = sorted(
             r[0] for r in delta.select(DV_BUCKET).distinct().collect()
         )
@@ -879,6 +889,8 @@ class IncrementalDistinctCount:
         combined = combined.groupBy(*vkey, DV_BUCKET).agg(
             F.sum("_o").alias("_o"), F.sum("_d").alias("_d")
         ).withColumn("_n", F.col("_o") + F.col("_d"))
+        # feeds both the new dv table and the transition aggregate
+        combined = combined.persist()
         new_dv = combined.where(F.col("_n") > 0).select(
             *vkey, F.col("_n").alias("_cnt"), DV_BUCKET
         )
@@ -921,13 +933,16 @@ class IncrementalDistinctCount:
         else:
             new_agg = agg_delta
         new_agg = new_agg.where(F.col(_LIVE) > 0).coalesce(1)
-        # materialize BOTH derived frames before any swap replaces the
-        # files their plans read (prior state + prior dv)
+        # materialize the agg before any swap replaces the files its
+        # plan reads (prior agg + the persisted combined's inputs); this
+        # also materializes `combined`'s cache, which new_dv then reads —
+        # new_dv needs no checkpoint of its own (its only other input is
+        # the already-checkpointed delta)
         new_agg = new_agg.localCheckpoint(eager=True)
-        new_dv = new_dv.localCheckpoint(eager=True)
         epoch = _read_epoch(self._epoch_state) + 1
         _write_epoch(self._epoch_state, epoch)
         swap_buckets(merged, self.state_path, touched)
+        merged.unpersist()
         if dtouched:
             swap_buckets(
                 new_dv.repartition(len(dtouched), DV_BUCKET),
@@ -935,6 +950,7 @@ class IncrementalDistinctCount:
             )
         swap_write(new_agg, self.agg_path)
         _write_epoch(self._epoch_agg, epoch)
+        combined.unpersist()
 
     def read(self) -> DataFrame | None:
         """(groups…, <spec name> BIGINT per spec), one row per live group."""
