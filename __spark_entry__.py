@@ -37,6 +37,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import datacard as _datacard
         from cdc2vec_spark.operators import decontam as _decontam
         from cdc2vec_spark.operators import dedup as _dedup
+        from cdc2vec_spark.operators import drift as _drift
         from cdc2vec_spark.operators import expect as _expect
         from cdc2vec_spark.operators import funnel as _funnel
         from cdc2vec_spark.operators import graph as _graph
@@ -61,7 +62,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import vectors as _vectors
 
         modules.extend(
-            [_dedup, _decontam, _expect, _multimodal, _similarity, _quantize,
+            [_dedup, _decontam, _drift, _expect, _multimodal, _similarity, _quantize,
              _selection, _ann_index, _text, _vectors,
              _sampling, _corpus, _lex_index, _layout, _retrieval, _retrieval_eval,
              _pii, _span_dedup, _funnel, _classify,

@@ -65,8 +65,11 @@ Groupings:
                          b16_sketches, c4_watermark, d10_split, d10_pack
                          + the round-11 parking set c9_stream_enrich,
                          c10_funnel, c11_retention + the round-11
-                         newcomer c16_incremental_distinct (ref-counted
+                         newcomers c16_incremental_distinct (ref-counted
                          COUNT(DISTINCT) IVM, exact two-SF oracle in
+                         tests/test_ivm.py) and c17_incremental_topk
+                         (ranked top-k-per-group report off the c16
+                         ref-count state, exact two-SF oracle in
                          tests/test_ivm.py)
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
@@ -82,6 +85,9 @@ Groupings:
                          integer-quantized assignment anchor, exact
                          two-SF oracle in tests/test_kmeans.py)
                          + the round-11 parking set d35_retrieval_eval
+                         + the round-11 newcomer d50_embedding_drift
+                         (per-(label, dim) integer-TVD drift report,
+                         exact two-SF oracle in tests/test_drift.py)
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
                          d14, d15, d17, d18, d19 (rotated out round 8)
                          + the round-9 parking set t1–t7, b1, b11, b12,
@@ -92,9 +98,12 @@ Groupings:
                          tests/test_bpe.py) + the round-11 parking set
                          b19_grouping_sets, b20_range_frame, b21_zorder,
                          t9_nfc_normalize, d20_pii, d33_weighted_sample
-                         + the round-11 newcomer d49_snapshot_diff
+                         + the round-11 newcomers d49_snapshot_diff
                          (per-source dataset-version diff, exact two-SF
-                         oracle in tests/test_datacard.py);
+                         oracle in tests/test_datacard.py) and
+                         t12_repetition_stats (Gopher repetition
+                         filters' integer-basis-point face, exact
+                         two-SF oracle in tests/test_text_quality.py);
                          all parked exact oracles pinned at two SFs in
                          tests/test_rotated_oracles.py
 """
@@ -118,6 +127,10 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-11 addition: ref-counted COUNT(DISTINCT) IVM (exact two-SF
     # oracle in tests/test_ivm.py); composite-delivered in x1
     "c16_incremental_distinct",
+    # round-11 addition: ranked top-k-per-group report straight off the
+    # c16 ref-count state (exact two-SF oracle in tests/test_ivm.py);
+    # composite-delivered in x1
+    "c17_incremental_topk",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -218,6 +231,14 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-11 addition: per-source dataset-version diff (exact two-SF
     # oracle in tests/test_datacard.py); composite-delivered in x4
     "d49_snapshot_diff",
+    # round-11 addition: per-(label, dim) embedding-distribution drift
+    # in integer-TVD basis points (exact two-SF oracle in
+    # tests/test_drift.py); composite-delivered in x3
+    "d50_embedding_drift",
+    # round-11 addition: Gopher repetition filters' hash-exact face —
+    # integer basis points (exact two-SF oracle in
+    # tests/test_text_quality.py); composite-delivered in x4
+    "t12_repetition_stats",
 )
 
 
@@ -250,7 +271,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c16 newcomer (ref-counted distinct-count IVM, exact oracle in
     tests/test_ivm.py)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import c16_incremental_distinct
+    from ..cdc.ivm import c16_incremental_distinct, c17_incremental_topk
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .funnel import c10_funnel, c11_retention
@@ -270,6 +291,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c10_funnel", c10_funnel),
             ("c11_retention", c11_retention),
             ("c16_incremental_distinct", c16_incremental_distinct),
+            ("c17_incremental_topk", c17_incremental_topk),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -313,6 +335,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-11 retrieval-themed parking set (d35 — long-green, oracle
     pinned in tests/test_rotated_oracles.py) and the round-11
     d45_assign_exact anchor (exact oracle in tests/test_kmeans.py)."""
+    from .drift import d50_embedding_drift
     from .kmeans import d45_assign_exact, d45_kmeans_refine
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
@@ -331,6 +354,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d35_retrieval_eval", d35_retrieval_eval),
             ("d45_kmeans_refine", d45_kmeans_refine),
             ("d45_assign_exact", d45_assign_exact),
+            ("d50_embedding_drift", d50_embedding_drift),
         ],
     )
 
@@ -402,6 +426,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t6_length_percentiles,
         t7_vocab_topdf,
         t9_nfc_normalize,
+        t12_repetition_stats,
     )
 
     return _union(
@@ -457,6 +482,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
             ("t9_nfc_normalize", t9_nfc_normalize),
+            ("t12_repetition_stats", t12_repetition_stats),
         ],
     )
 
@@ -476,12 +502,13 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import c16_incremental_distinct
+    from ..cdc.ivm import c16_incremental_distinct, c17_incremental_topk
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .datacard import d49_snapshot_diff
+    from .drift import d50_embedding_drift
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .funnel import c10_funnel, c11_retention
     from .html_extract import d30_html_extract
@@ -552,6 +579,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t6_length_percentiles,
         t7_vocab_topdf,
         t9_nfc_normalize,
+        t12_repetition_stats,
     )
     from .vectors import a8_deterministic_embed
 
@@ -564,6 +592,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_funnel": c10_funnel,
         "c11_retention": c11_retention,
         "c16_incremental_distinct": c16_incremental_distinct,
+        "c17_incremental_topk": c17_incremental_topk,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
@@ -580,6 +609,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d35_retrieval_eval": d35_retrieval_eval,
         "d45_kmeans_refine": d45_kmeans_refine,
         "d45_assign_exact": d45_assign_exact,
+        "d50_embedding_drift": d50_embedding_drift,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,
@@ -633,4 +663,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
         "t9_nfc_normalize": t9_nfc_normalize,
+        "t12_repetition_stats": t12_repetition_stats,
     }

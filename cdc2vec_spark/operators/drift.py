@@ -1,0 +1,193 @@
+"""Embedding-distribution drift detection — the dataset-monitoring
+operator every 100 TB training-data pipeline runs between corpus
+versions and across slices: "did the embedding distribution of slice X
+(or version N+1) move away from the corpus (or version N)?" is the
+guard that catches a broken encoder deploy, a crawl-source shift, or a
+contaminated slice BEFORE a training run pays for it (the
+data-validation practice of Breck et al. 2019, "Data Validation for
+Machine Learning", MLSys — their skew/drift comparators over feature
+histograms; also Rabanser et al. 2019, "Failing Loudly", NeurIPS, on
+two-sample drift detection via dimensionality-reduced histograms).
+
+Distance choice: per-dimension TOTAL VARIATION distance between bucket
+histograms, reported in integer basis points. TVD = ½·Σ_b |p_b − q_b|
+over quantized buckets is (a) the L1 form every histogram comparator
+supports, (b) bounded [0, 1] so "bp over threshold" reads directly, and
+(c) — unlike PSI/KL — exactly computable in BIGINT arithmetic: with
+raw counts c_b (|A| = N_a) and g_b (|B| = N_b),
+
+    tvd_bp = (Σ_b |c_b·N_b − g_b·N_a| · 5000) div (N_a · N_b)
+
+every product stays in int64 for any realistic slice (counts ≤ 10⁹),
+and ``div`` is bit-identical in Spark, DuckDB, and numpy — the d45
+integer-anchor discipline: no float crosses the hashed surface.
+
+Quantization: bucket = floor(CAST(value AS DOUBLE) · scale). The
+float→double widening is exact, scale is a power of two (default 8) so
+the multiply is exact, and floor is exact — bit-identical across
+engines (the d45_assign_exact precedent, which pinned floor() over
+round() for its half-up/half-even portability hazard).
+
+Plan shape (the only big thing is the scan): ONE pass explodes the
+first ``dims`` dimensions (dims·|rows| narrow longs), ONE
+groupBy(slice, dim, bucket) whose map-side partials collapse to at most
+|slices|·dims·|buckets| rows, and everything downstream — global
+histogram, slice sizes, the TVD join — is broadcast-sized. No second
+scan, no wide shuffle; at 1000 executors the exchange moves a few
+thousand counter rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def _bucket_hist(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 8,
+    scale: int = 8,
+) -> DataFrame:
+    """(dim, bucket, c) histogram over the first ``dims`` dimensions —
+    bucket = floor(double(x)·scale), one scan, map-side-combined."""
+    return (
+        df.select(F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("dim", "_v"))
+        .select(
+            "dim",
+            F.floor(F.col("_v").cast("double") * scale).cast("long").alias("bucket"),
+        )
+        .groupBy("dim", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 8,
+    scale: int = 8,
+) -> DataFrame:
+    """Version-vs-version drift: per-dimension TVD (integer basis
+    points) between two frames' embedding distributions — the corpus
+    release gate ("alert if any dim's tvd_bp > 500 between v3 and v4").
+    Returns (dim, n_a, n_b, tvd_bp). Buckets missing on either side
+    contribute their full mass via the outer join's coalesce-to-0."""
+    ha = _bucket_hist(df_a, vec_col, dims, scale)
+    hb = _bucket_hist(df_b, vec_col, dims, scale)
+    na = df_a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = df_b.agg(F.count(F.lit(1)).alias("n_b"))
+    joined = (
+        ha.withColumnRenamed("c", "ca")
+        .join(hb.withColumnRenamed("c", "cb"), ["dim", "bucket"], "full_outer")
+        .select(
+            "dim",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        joined.groupBy("dim", "n_a", "n_b")
+        .agg(F.sum(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))).alias("_num"))
+        .select(
+            "dim",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("_num * 5000 div (n_a * n_b)").alias("tvd_bp"),
+        )
+        .orderBy("dim")
+    )
+
+
+def d50_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D50 (added round 11) — the slice-drift report: per (label, dim),
+    TVD in basis points between the label slice's bucket histogram and
+    the FULL corpus's — "which labeled slices sit away from the corpus
+    distribution" (the per-slice skew comparator of Breck et al. 2019
+    §4.1; a slice whose encoder broke or whose source shifted lights up
+    across dims). All |labels| slices are scored in ONE plan: the slice
+    histograms aggregate from one scan, the corpus histogram is their
+    re-aggregation (no second scan), and the slice×bucket completion —
+    a missing bucket still contributes its corpus mass — is a
+    broadcast cross of the |labels| rows against the dims·|buckets|
+    global histogram. Output (label, dim, n_rows, tvd_bp), all BIGINT
+    ``div`` arithmetic — hash-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims, scale = 8, 8
+    c = (
+        e.select(
+            "label",
+            F.posexplode(F.slice(F.col("embedding"), 1, dims)).alias("dim", "_v"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("_v").cast("double") * scale).cast("long").alias("bucket"),
+        )
+        .groupBy("label", "dim", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = c.groupBy("dim", "bucket").agg(F.sum("c").alias("gc"))
+    nl = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = nl.agg(F.sum("n_l").alias("n"))
+    full = nl.crossJoin(F.broadcast(g))
+    return (
+        full.join(c, ["label", "dim", "bucket"], "left")
+        .select(
+            "label", "dim", "n_l", "gc", F.coalesce("c", F.lit(0)).alias("c0")
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("label", "dim", "n_l", "n")
+        .agg(
+            F.sum(
+                F.abs(F.col("c0") * F.col("n") - F.col("gc") * F.col("n_l"))
+            ).alias("_num")
+        )
+        .select(
+            "label",
+            "dim",
+            F.col("n_l").cast("long").alias("n_rows"),
+            F.expr("_num * 5000 div (n_l * n)").alias("tvd_bp"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+D50_ORACLE_SQL = """
+WITH ex AS (
+  SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 8) AS BIGINT) AS bucket
+  FROM embeddings, unnest(generate_series(1, 8)) AS u(i)
+),
+c AS (SELECT label, dim, bucket, count(*) AS c FROM ex GROUP BY ALL),
+g AS (SELECT dim, bucket, CAST(sum(c) AS BIGINT) AS gc FROM c GROUP BY ALL),
+nl AS (SELECT label, count(*) AS n_l FROM embeddings GROUP BY label),
+tot AS (SELECT count(*) AS n FROM embeddings),
+full_grid AS (SELECT nl.label, nl.n_l, g.dim, g.bucket, g.gc FROM nl CROSS JOIN g),
+j AS (
+  SELECT f.label, f.dim, f.n_l, f.gc, coalesce(c.c, 0) AS c0
+  FROM full_grid f
+  LEFT JOIN c ON c.label = f.label AND c.dim = f.dim AND c.bucket = f.bucket
+)
+SELECT label, dim, CAST(n_l AS BIGINT) AS n_rows,
+       CAST((CAST(sum(abs(c0 * n - gc * n_l)) AS BIGINT) * 5000)
+            // (n_l * n) AS BIGINT) AS tvd_bp
+FROM j CROSS JOIN tot
+GROUP BY label, dim, n_l, n ORDER BY label, dim
+"""
+
+
+QUERIES = {
+    # round-11 addition: composite-delivered (x3), oracle in
+    # tests/test_drift.py; rotation candidate
+    "d50_embedding_drift": d50_embedding_drift,
+}
+
+ORACLES = {
+    "d50_embedding_drift": D50_ORACLE_SQL,
+}

@@ -724,6 +724,116 @@ FROM c ORDER BY doc_id
 """
 
 
+def t12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 (added round 11) — the Gopher repetition filters' hash-exact
+    face (Rae et al. 2021 §A1.1; the float ``repetition_stats`` form
+    stays for engine use): per-doc repeated-token ratio and top-bigram
+    coverage in integer BASIS POINTS, so every value is a BIGINT ``div``
+    — bit-identical in Spark and any SQL oracle, no float rounding in
+    the hashed surface. ``repeated_bp = (n_tokens − n_distinct)·10⁴ div
+    n_tokens``; ``top_bigram_bp = top_count·2·10⁴ div n_tokens``. The
+    winning bigram ties break (count DESC, gram ASC) via ONE aggregate
+    ``min(struct(−count, gram))`` — no window, no second shuffle —
+    portable for the all-ASCII fixture (the d42 term-tie rule). Docs
+    with < 2 tokens have no bigrams: count/bp coalesce to 0, the gram
+    to ''. Plan: repeated_bp is pure scan-stage array math; the winner
+    is one (doc, gram) explode → two-stage count whose map-side
+    partials collapse repeated grams before the shuffle — at most one
+    shuffled row per DISTINCT per-doc gram. Filters like "drop docs
+    with top_bigram_bp > 2000" are the 100 TB corpus-cleaning step this
+    feeds."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    base = d.select("doc_id", toks.alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
+        F.when(
+            F.size("_toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_toks"), i),
+                    F.element_at(F.col("_toks"), i + 1),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("gram").alias("g"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.col("m.g").alias("top_bigram"),
+            (-F.col("m.nc")).cast("long").alias("top_bigram_count"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens", "n_distinct")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "(n_tokens - n_distinct) * 10000 div n_tokens"
+            ).alias("repeated_bp"),
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0).cast("long")).alias(
+                "top_bigram_count"
+            ),
+            F.expr(
+                "coalesce(top_bigram_count, 0) * 20000 div n_tokens"
+            ).alias("top_bigram_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T12_ORACLE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+),
+s AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM base
+),
+gc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM s) GROUP BY ALL
+),
+top AS (
+  SELECT doc_id, gram AS top_bigram, c AS top_bigram_count FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+    FROM gc
+  ) r WHERE rn = 1
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST((s.n_tokens - s.n_distinct) * 10000 // s.n_tokens AS BIGINT)
+           AS repeated_bp,
+       coalesce(top.top_bigram, '') AS top_bigram,
+       CAST(coalesce(top.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CAST(coalesce(top.top_bigram_count, 0) * 20000 // s.n_tokens AS BIGINT)
+           AS top_bigram_bp
+FROM s LEFT JOIN top USING (doc_id) ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "d4_text_stats": d4_text_stats,
     "d5_slicing": d5_slicing,
@@ -746,12 +856,16 @@ QUERIES = {
     # round-10 addition: composite-delivered (x4), oracle in
     # tests/test_text_quality.py; rotation candidate
     "t11_sentence_stats": t11_sentence_stats,
+    # round-11 addition: composite-delivered (x4), oracle in
+    # tests/test_text_quality.py; rotation candidate
+    "t12_repetition_stats": t12_repetition_stats,
 }
 
 ORACLES = {
     "t9_nfc_normalize": T9_ORACLE_SQL,
     "t10_pmi_collocations": T10_ORACLE_SQL,
     "t11_sentence_stats": T11_ORACLE_SQL,
+    "t12_repetition_stats": T12_ORACLE_SQL,
     # round-7 rotation: individually graded (were composite-delivered)
     "d15_chunk": D15_ORACLE_SQL,
     "d17_bm25": D17_ORACLE_SQL,

@@ -1,0 +1,93 @@
+"""d50 — embedding-distribution drift (integer-TVD basis points).
+
+Exact DuckDB oracle at two SFs via the driver's comparator; hand-built
+TVD semantics on crafted frames (identical → 0, disjoint → 10000,
+half-moved → 5000); missing-bucket mass counted via the outer/grid
+completion; plan shape (broadcast joins only, no cartesian product, no
+Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_check import compare_one, duckdb_conn
+
+from cdc2vec_spark.io import load_table
+from cdc2vec_spark.operators.drift import (
+    D50_ORACLE_SQL,
+    d50_embedding_drift,
+    embedding_drift,
+)
+from tests.conftest import SF0001, SF001
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d50_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d50_embedding_drift", d50_embedding_drift,
+        D50_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "id long, embedding array<float>")
+
+
+def test_identical_frames_have_zero_drift(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    got = embedding_drift(e, e).collect()
+    assert len(got) == 8
+    assert all(r["tvd_bp"] == 0 for r in got)
+
+
+def test_hand_built_tvd_semantics(spark):
+    """TVD in bp: disjoint buckets → 10000; half the mass moved → 5000.
+    With scale=8, 0.0 buckets to 0 and 0.5 to 4 — two distinct buckets."""
+    a = _vecs(spark, [(1, [0.0]), (2, [0.0])])
+    b = _vecs(spark, [(3, [0.5]), (4, [0.5])])
+    got = embedding_drift(a, b, dims=1).collect()
+    assert [(r["dim"], r["tvd_bp"]) for r in got] == [(0, 10000)]
+
+    # a = {0.0, 0.0}; c = {0.0, 0.5}: half the mass moved -> 5000
+    c = _vecs(spark, [(5, [0.0]), (6, [0.5])])
+    got = embedding_drift(a, c, dims=1).collect()
+    assert [(r["dim"], r["tvd_bp"]) for r in got] == [(0, 5000)]
+
+    # unequal sizes normalize: a(2 rows, all 0.0) vs d(4 rows, all 0.0)
+    d = _vecs(spark, [(7, [0.0]), (8, [0.0]), (9, [0.0]), (10, [0.0])])
+    got = embedding_drift(a, d, dims=1).collect()
+    assert [(r["dim"], r["tvd_bp"]) for r in got] == [(0, 0)]
+
+
+def test_d50_missing_bucket_mass_is_counted(spark, tmp_path):
+    """A label missing a bucket the corpus has still pays that bucket's
+    corpus mass — the grid completion, not an inner join. Crafted: two
+    labels at disjoint values; each slice's TVD vs the 50/50 corpus is
+    exactly 5000 bp."""
+    import os
+
+    df = spark.createDataFrame(
+        [(1, [0.0], 0), (2, [0.0], 0), (3, [0.5], 1), (4, [0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    got = {
+        (r["label"], r["dim"]): (r["n_rows"], r["tvd_bp"])
+        for r in d50_embedding_drift(spark, sf).collect()
+    }
+    assert got == {(0, 0): (2, 5000), (1, 0): (2, 5000)}, got
+
+
+def test_d50_plan_is_broadcast_only(spark, sf_dir):
+    plan = (
+        d50_embedding_drift(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

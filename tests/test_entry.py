@@ -81,6 +81,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c9_stream_enrich",
             "c10_funnel", "c11_retention", "c16_incremental_distinct",
+            "c17_incremental_topk",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
@@ -93,6 +94,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
             "d3_pq_topk", "d22_pca_topk", "d35_retrieval_eval",
             "d45_kmeans_refine", "d45_assign_exact",
+            "d50_embedding_drift",
         },
         "x4_rowsonly_stable": {
             "b1_scan_count", "b2_project_filter", "b3_broadcast_join",
@@ -112,6 +114,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
             "t7_vocab_topdf", "t8_bpe", "t9_nfc_normalize",
+            "t12_repetition_stats",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)

@@ -1033,3 +1033,112 @@ def test_distinct_agg_sink_rejects_bad_specs_at_boot():
     )
     with pytest.raises(ValueError, match="needs a 'col'"):
         runner.sink_hook_for(cfg)
+
+
+# ---------------- round 11: ranked top-k report off the dv state (c17) --
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_c17_matches_duckdb_oracle(spark, sf):
+    from cdc2vec_spark.cdc.ivm import C17_ORACLE_BODY, c17_incremental_topk
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c17_incremental_topk", c17_incremental_topk,
+        CHANGES_CTE + C17_ORACLE_BODY, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_topk_ranking_ties_and_truncation(spark, tmp_path):
+    """topk ranks by (cnt DESC, value ASC), truncates at k, and a value
+    whose last holder leaves drops out of the report."""
+    dc = _dc(spark, tmp_path / "dv")
+    rows = [
+        (1, "c", "public.documents", "k1", "tB", "xx", "g1"),
+        (2, "c", "public.documents", "k2", "tB", "yy", "g1"),
+        (3, "c", "public.documents", "k3", "tA", "zz", "g1"),
+        (4, "c", "public.documents", "k4", "tC", "ww", "g1"),
+    ]
+    dc.apply_batch(spark.createDataFrame(rows, _DC_SCHEMA))
+    got = [
+        (r["rnk"], r["value"], r["cnt"])
+        for r in dc.topk(2).where("spec = 'n_titles'")
+        .orderBy("rnk").collect()
+    ]
+    # tB holds 2; tA/tC tie at 1 -> value ASC puts tA at rank 2; k=2
+    # truncates tC
+    assert got == [(1, "tB", 2), (2, "tA", 1)], got
+
+    # delete BOTH tB holders: tB vanishes, tA/tC move up
+    dc.apply_batch(spark.createDataFrame(
+        [(5, "d", "public.documents", "k1", None, None, None),
+         (6, "d", "public.documents", "k2", None, None, None)], _DC_SCHEMA))
+    got = [
+        (r["rnk"], r["value"], r["cnt"])
+        for r in dc.topk(2).where("spec = 'n_titles'")
+        .orderBy("rnk").collect()
+    ]
+    assert got == [(1, "tA", 1), (2, "tC", 1)], got
+
+
+def test_topk_equals_recompute_after_every_batch(spark, sf_dir, tmp_path):
+    """After EACH replayed micro-batch, topk over the maintained dv
+    state equals the same ranking recomputed from the LWW live rows."""
+    from cdc2vec_spark.cdc.ivm import IncrementalDistinctCount
+
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 3 + 1
+    dc = IncrementalDistinctCount(
+        spark, str(tmp_path / "dv3"),
+        specs=[{"name": "n_titles", "col": "after_title"}],
+        n_buckets=4, dv_buckets=4,
+    )
+    from pyspark.sql.window import Window
+
+    for i in range(3):
+        cut = lo + (i + 1) * step
+        dc.apply_batch(ch.where(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < cut)))
+        got = {
+            (r["grp"], r["rnk"], r["value"], r["cnt"])
+            for r in dc.topk(3).collect()
+        }
+        # recompute: eligible events (guard-skip on empty-text upserts,
+        # the c16 oracle's WHERE) -> LWW winners over the prefix ->
+        # per-(author, title) live counts -> rank (cnt DESC, value ASC)
+        # -> top 3
+        txt = F.concat_ws(
+            " ",
+            F.nullif(F.col("after_title"), F.lit("")),
+            F.nullif(F.col("after_content"), F.lit("")),
+        )
+        prefix = ch.where(F.col("lsn") < cut).where(
+            (F.col("op") == "d") | (F.length(txt) > 0)
+        )
+        w = Window.partitionBy("pk").orderBy(F.col("lsn").desc())
+        live = (
+            prefix.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1 AND op <> 'd'")
+            .where(F.col("after_title").isNotNull())
+        )
+        vc = live.groupBy(
+            F.col("after_author").alias("grp"),
+            F.col("after_title").alias("value"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        rw = Window.partitionBy("grp").orderBy(
+            F.col("cnt").desc(), F.col("value").asc())
+        want = {
+            (r["grp"], r["rnk"], r["value"], r["cnt"])
+            for r in vc.withColumn(
+                "rnk", F.row_number().over(rw).cast("int"))
+            .where("rnk <= 3").collect()
+        }
+        assert got == want != set(), f"batch {i}"
+    ch.unpersist()
+
+
+def test_topk_rejects_bad_k(spark, tmp_path):
+    dc = _dc(spark, tmp_path / "dv")
+    with pytest.raises(ValueError, match="k must be"):
+        dc.topk(0)

@@ -375,3 +375,66 @@ def test_t11_fixture_nonvacuous(spark, sf_dir):
         for r in t11_sentence_stats(spark, sf_dir).collect()
     }
     assert len(counts) > 1
+
+
+# ---------------- round 11: t12 — the hash-exact repetition face --------
+
+def test_t12_matches_duckdb_oracle(spark):
+    from oracle_check import compare_one, duckdb_conn
+    from tests.conftest import SF0001, SF001
+
+    from cdc2vec_spark.operators.text import T12_ORACLE_SQL, t12_repetition_stats
+
+    for sf in (SF0001, SF001):
+        con = duckdb_conn(sf)
+        problems = compare_one(
+            spark, con, "t12_repetition_stats",
+            t12_repetition_stats, T12_ORACLE_SQL, sf,
+        )
+        assert not problems, (sf, problems)
+
+
+def test_t12_hand_built_semantics(spark, tmp_path):
+    """Integer basis points, tie-break to the lexicographically-smallest
+    bigram, and the short-doc coalesce rules — on crafted docs."""
+    import os
+
+    from cdc2vec_spark.operators.text import t12_repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "a a a b"),   # 4 toks, 2 distinct; "a a"x2, "a b"x1
+            (2, "b a b a"),   # bigrams "b a"x2, "a b"x1
+            (3, "x y z"),     # all distinct; "x y", "y z" tie -> "x y"
+            (4, "hello"),     # 1 token: no bigram
+            (5, "w w"),       # 2 toks 1 distinct; "w w"x1 -> bp 10000
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path)
+    d.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["repeated_bp"], r["top_bigram"],
+            r["top_bigram_count"], r["top_bigram_bp"],
+        )
+        for r in t12_repetition_stats(spark, sf).collect()
+    }
+    assert got == {
+        1: (4, 5000, "a a", 2, 10000),
+        2: (4, 5000, "b a", 2, 10000),
+        3: (3, 0, "x y", 1, 6666),
+        4: (1, 0, "", 0, 0),
+        5: (2, 5000, "w w", 1, 10000),
+    }, got
+
+
+def test_t12_plan_stays_jvm_side(spark, sf_dir):
+    from cdc2vec_spark.operators.text import t12_repetition_stats
+
+    plan = (
+        t12_repetition_stats(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
