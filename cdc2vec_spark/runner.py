@@ -329,7 +329,17 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
         )
         dbuckets = int(opts.get("n_buckets", 64))
         dvbuckets = int(opts.get("dv_buckets", 64))
-        dcache: dict[str, IncrementalDistinctCount] = {}
+        # top-k report cadence (the lex_index health_every twin):
+        # options.topk_every = N materializes topk(topk_k) — the ranked
+        # most-frequent live values per (group, spec), a window over the
+        # already-maintained dv state, no base-data scan — to
+        # options.path + "/topk" after every Nth batch (0 = off); the
+        # last report also lands on hook.last_topk
+        dtopk_every = int(opts.get("topk_every", 0))
+        dtopk_k = int(opts.get("topk_k", 3))
+        if dtopk_every and dtopk_k < 1:
+            raise ValueError("distinct_agg sink: topk_k must be >= 1")
+        dcache: dict = {"n": 0}
 
         def hook(pts: DataFrame) -> None:
             if "text" not in pts.columns:
@@ -356,6 +366,15 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                     ],
                 )
             )
+            dcache["n"] += 1
+            if dtopk_every and dcache["n"] % dtopk_every == 0:
+                from .cdc.apply import swap_write
+
+                report = dc.topk(dtopk_k)
+                if report is not None:
+                    report = report.localCheckpoint(eager=True)
+                    swap_write(report, dpath + "/topk")
+                    hook.last_topk = report
 
         return hook
 

@@ -1142,3 +1142,88 @@ def test_topk_rejects_bad_k(spark, tmp_path):
     dc = _dc(spark, tmp_path / "dv")
     with pytest.raises(ValueError, match="k must be"):
         dc.topk(0)
+
+
+def test_boot_distinct_agg_topk_cadence(spark, sf_dir, tmp_path):
+    """options.topk_every materializes the ranked top-k report to
+    path/topk from the live stream; after the replay it equals the
+    ranking recomputed from the LWW live state."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    from cdc2vec_spark.streaming import source
+
+    dpath = str(tmp_path / "dagg")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(
+            type="distinct_agg",
+            options={"path": dpath, "group_key": "after_author",
+                     "n_buckets": 8, "dv_buckets": 8,
+                     "topk_every": 2, "topk_k": 2},
+        ),
+    )
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=4, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    # 4 batches / topk_every=2 -> the report was written (batch 4 is the
+    # last multiple) and reflects the FULL replayed state
+    got = {
+        (r["grp"], r["spec"], r["rnk"], r["value"], r["cnt"])
+        for r in spark.read.parquet(dpath + "/topk").collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    from cdc2vec_spark.cdc.apply import latest_state
+
+    live = latest_state(ch, text_cols=("after_title", "after_content"))
+    txt = F.concat_ws(
+        " ",
+        F.nullif(F.col("after_title"), F.lit("")),
+        F.nullif(F.col("after_content"), F.lit("")),
+    )
+    vc = (
+        live.where(F.col("op") != "d")
+        .groupBy(
+            F.col("after_author").alias("grp"),
+            F.md5(txt).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rw = Window.partitionBy("grp").orderBy(
+        F.col("cnt").desc(), F.col("value").asc())
+    want = {
+        (r["grp"], "n_distinct_texts", r["rnk"], r["value"], r["cnt"])
+        for r in vc.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .where("rnk <= 2").collect()
+    }
+    assert got == want != set()
+
+
+def test_distinct_agg_sink_rejects_bad_topk_at_boot():
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(
+            type="distinct_agg",
+            options={"path": "/tmp/x", "topk_every": 1, "topk_k": 0},
+        ),
+    )
+    with pytest.raises(ValueError, match="topk_k"):
+        runner.sink_hook_for(cfg)
