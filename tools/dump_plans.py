@@ -118,6 +118,9 @@ NOTES = {
     "d47_source_overlap": "the small pair set is BROADCAST into two keyed joins against the narrow (id, source) projection; |sources|² aggregate; integer basis-point mass.",
     "d48_cluster_split": "one left join against the converged CC labels; the md5-prefix split rule is a scan-stage expression on the cluster representative.",
     "t11_sentence_stats": "pure scan-stage HOF chain (punctuate → split → per-sentence token counts); no shuffle before the ordering sort.",
+    "c17_incremental_topk": "ranked top-k off the c16 dv state: ONE window over the maintained ref-count table (WindowGroupLimit prunes to rnk<=k) — no base-data scan, no re-aggregation; maintenance stays the c16 per-batch delta.",
+    "d50_embedding_drift": "ONE scan explodes 8 dims into a map-side-combined groupBy; corpus histogram re-aggregated from the slice counts (no second scan); slice×bucket grid completion + totals via broadcast joins — everything after the scan is counter-row sized.",
+    "t12_repetition_stats": "repeated_bp is pure scan-stage array math; the bigram winner is one explode → two-stage count (map-side partials collapse repeats) + min(struct) tie-break — no window, at most one shuffled row per distinct per-doc gram.",
 }
 
 HEADLINE = list(NOTES)
