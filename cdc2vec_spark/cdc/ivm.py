@@ -1001,6 +1001,65 @@ class IncrementalDistinctCount:
             )
         )
 
+    def quantiles(
+        self, qs: Sequence[int] = (50, 95), spec: str | None = None
+    ) -> DataFrame | None:
+        """EXACT per-(group, spec) percentiles read off the VALUE level —
+        the report that makes quantiles (NOT self-maintainable under
+        deletes: the classic IVM boundary, same as min/max) free from
+        the already-maintained state: the dv table IS the per-group
+        value distribution, so the exact type-1 discrete quantile —
+        the smallest value v whose cumulative live-row count reaches
+        ceil(q·n/100) — is ONE cumulative-count window + ONE aggregate
+        over O(|dv|) rows, no base-data scan, no re-aggregation, while
+        per-batch maintenance stays ``apply_batch``'s O(batch +
+        touched). Returns (groups…, spec, q INT, value BIGINT).
+
+        Values are interpreted numerically (``CAST(_val AS BIGINT)``) —
+        quantiles only make sense for the integer-typed specs (lengths,
+        counts, sizes); restrict with ``spec=`` when the instance mixes
+        string and numeric specs. The rule ``100·cum ≥ q·n`` is pure
+        BIGINT arithmetic — bit-identical in any SQL oracle (avoids
+        every interpolating percentile variant's float surface)."""
+        from pyspark.sql.window import Window
+
+        qs = [int(q) for q in qs]
+        if not qs or any(q < 1 or q > 100 for q in qs):
+            raise ValueError(f"qs must be percentiles in [1, 100], got {qs}")
+        self._recover_if_torn()
+        raw = read_state(self.spark, self.dv_path)
+        if raw is None:
+            return None
+        if spec is not None:
+            raw = raw.where(F.col("_spec") == spec)
+        keys = [*self.out_groups, "_spec"]
+        # non-numeric renderings cast to NULL — drop them rather than let
+        # NULL sort first and pollute the cumulative counts (dv itself
+        # never stores NULL values, so nothing real is lost)
+        num = raw.select(
+            *keys,
+            F.col("_val").cast("long").alias("v"),
+            F.col("_cnt").cast("long").alias("_cnt"),
+        ).where(F.col("v").isNotNull())
+        wcum = Window.partitionBy(*keys).orderBy("v")
+        wtot = Window.partitionBy(*keys)
+        return (
+            num.withColumn("_cum", F.sum("_cnt").over(wcum))
+            .withColumn("_tot", F.sum("_cnt").over(wtot))
+            .select(
+                *keys, "v", "_cum", "_tot",
+                F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
+            )
+            .where(F.col("_cum") * 100 >= F.col("q") * F.col("_tot"))
+            .groupBy(*self.out_groups, F.col("_spec").alias("spec"), "q")
+            .agg(F.min("v").alias("value"))
+            .select(
+                *self.out_groups, "spec",
+                F.col("q").cast("int").alias("q"),
+                F.col("value").cast("long").alias("value"),
+            )
+        )
+
 
 def c16_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16 (added round 11) — replay the change log in 4 LSN-ordered
@@ -1118,6 +1177,78 @@ SELECT author, spec, rnk, value, CAST(cnt AS BIGINT) AS cnt FROM (
 """
 
 
+def c18_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 (added round 11) — exact percentiles from the ref-counted IVM
+    state: replay the change log in 2 LSN-ordered micro-batches through
+    ``IncrementalDistinctCount`` (the c17 replay shape), then read
+    ``quantiles((25, 50, 95))`` over the content-length spec: per
+    author, the exact type-1 P25/P50/P95 of live content lengths,
+    straight off the maintained (group, value)→ref-count table — one
+    window over state, no base-data scan. Completes the IVM report
+    family: count/sum/avg/var (c12) → min/max → distinct (c16) →
+    ranked values (c17) → quantiles (c18), all maintained by the same
+    touched-bucket delta."""
+    import shutil
+    import tempfile
+
+    from . import transform
+    from .changelog import MAPPED, changes_df
+
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 2 + 1
+    root = tempfile.mkdtemp(prefix="c18_ivm_")
+    try:
+        dc = IncrementalDistinctCount(
+            spark, f"{root}/dvivm",
+            specs=[{"name": "n_clens", "col": "length(after_content)"}],
+            n_buckets=8, dv_buckets=8,
+        )
+        for i in range(2):
+            dc.apply_batch(
+                ch.where(
+                    (F.col("lsn") >= lo + i * step)
+                    & (F.col("lsn") < lo + (i + 1) * step)
+                )
+            )
+        out = dc.quantiles((25, 50, 95)).select(
+            F.col("grp").alias("author"), "spec", "q", "value"
+        )
+        return out.localCheckpoint(eager=True).orderBy("author", "q")
+    finally:
+        ch.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# LWW winners → per-(author, content-length) live-row counts → the
+# smallest value whose cumulative count reaches q% of the author's rows
+C18_ORACLE_BODY = """
+, live AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+    FROM changes
+    WHERE tbl IN ('public.documents')
+      AND (op = 'd'
+           OR length(concat_ws(' ', nullif(after_title, ''), nullif(after_content, ''))) > 0)
+  ) t WHERE rn = 1 AND op <> 'd'
+), vc AS (
+  SELECT after_author AS author, CAST(length(after_content) AS BIGINT) AS v,
+         count(*) AS cnt
+  FROM live WHERE after_content IS NOT NULL GROUP BY ALL
+), cum AS (
+  SELECT author, v,
+         sum(cnt) OVER (PARTITION BY author ORDER BY v) AS c,
+         sum(cnt) OVER (PARTITION BY author) AS n
+  FROM vc
+)
+SELECT author, 'n_clens' AS spec, CAST(q AS INTEGER) AS q,
+       CAST(min(v) AS BIGINT) AS value
+FROM cum CROSS JOIN (VALUES (25), (50), (95)) AS qv(q)
+WHERE c * 100 >= q * n
+GROUP BY author, q ORDER BY author, q
+"""
+
+
 C16_ORACLE_BODY = """
 SELECT after_author AS author,
        CAST(count(DISTINCT after_title) AS BIGINT) AS n_titles,
@@ -1192,6 +1323,7 @@ def _oracles() -> dict:
         "c12_incremental_agg": CHANGES_CTE + C12_ORACLE_BODY,
         "c16_incremental_distinct": CHANGES_CTE + C16_ORACLE_BODY,
         "c17_incremental_topk": CHANGES_CTE + C17_ORACLE_BODY,
+        "c18_incremental_quantiles": CHANGES_CTE + C18_ORACLE_BODY,
     }
 
 
@@ -1203,5 +1335,6 @@ QUERIES: dict = {
     "c12_incremental_agg": c12_incremental_agg,
     "c16_incremental_distinct": c16_incremental_distinct,
     "c17_incremental_topk": c17_incremental_topk,
+    "c18_incremental_quantiles": c18_incremental_quantiles,
 }
 ORACLES: dict = _oracles()

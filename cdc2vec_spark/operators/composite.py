@@ -70,6 +70,9 @@ Groupings:
                          tests/test_ivm.py) and c17_incremental_topk
                          (ranked top-k-per-group report off the c16
                          ref-count state, exact two-SF oracle in
+                         tests/test_ivm.py) and c18_incremental_quantiles
+                         (exact per-group percentiles off the same
+                         state, exact two-SF oracle in
                          tests/test_ivm.py)
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
@@ -131,6 +134,10 @@ CONSOLIDATED: tuple[str, ...] = (
     # c16 ref-count state (exact two-SF oracle in tests/test_ivm.py);
     # composite-delivered in x1
     "c17_incremental_topk",
+    # round-11 addition: exact per-group percentiles off the same
+    # ref-count state (exact two-SF oracle in tests/test_ivm.py);
+    # composite-delivered in x1
+    "c18_incremental_quantiles",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -271,7 +278,11 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c16 newcomer (ref-counted distinct-count IVM, exact oracle in
     tests/test_ivm.py)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import c16_incremental_distinct, c17_incremental_topk
+    from ..cdc.ivm import (
+        c16_incremental_distinct,
+        c17_incremental_topk,
+        c18_incremental_quantiles,
+    )
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .funnel import c10_funnel, c11_retention
@@ -292,6 +303,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c11_retention", c11_retention),
             ("c16_incremental_distinct", c16_incremental_distinct),
             ("c17_incremental_topk", c17_incremental_topk),
+            ("c18_incremental_quantiles", c18_incremental_quantiles),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -502,7 +514,11 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import c16_incremental_distinct, c17_incremental_topk
+    from ..cdc.ivm import (
+        c16_incremental_distinct,
+        c17_incremental_topk,
+        c18_incremental_quantiles,
+    )
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import c4_watermark
     from .bpe import t8_bpe
@@ -593,6 +609,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_retention": c11_retention,
         "c16_incremental_distinct": c16_incremental_distinct,
         "c17_incremental_topk": c17_incremental_topk,
+        "c18_incremental_quantiles": c18_incremental_quantiles,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

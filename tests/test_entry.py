@@ -81,7 +81,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c4_watermark", "c9_stream_enrich",
             "c10_funnel", "c11_retention", "c16_incremental_distinct",
-            "c17_incremental_topk",
+            "c17_incremental_topk", "c18_incremental_quantiles",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {

@@ -1227,3 +1227,117 @@ def test_distinct_agg_sink_rejects_bad_topk_at_boot():
     )
     with pytest.raises(ValueError, match="topk_k"):
         runner.sink_hook_for(cfg)
+
+
+# ---------- round 11: exact quantiles off the dv state (c18) -----------
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_c18_matches_duckdb_oracle(spark, sf):
+    from cdc2vec_spark.cdc.ivm import C18_ORACLE_BODY, c18_incremental_quantiles
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c18_incremental_quantiles", c18_incremental_quantiles,
+        CHANGES_CTE + C18_ORACLE_BODY, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_quantiles_hand_built_type1_semantics(spark, tmp_path):
+    """Type-1 discrete quantile: the smallest value whose cumulative
+    live-row count reaches ceil(q·n/100) — including duplicated values
+    (ref counts > 1) and deletes shifting the distribution."""
+    dc = _dc(spark, tmp_path / "dv")
+    # content lengths: 2,2,3,5 (xx/yy share length 2 via two rows)
+    rows = [
+        (1, "c", "public.documents", "k1", "t1", "xx", "g1"),
+        (2, "c", "public.documents", "k2", "t2", "yy", "g1"),
+        (3, "c", "public.documents", "k3", "t3", "zzz", "g1"),
+        (4, "c", "public.documents", "k4", "t4", "wwwww", "g1"),
+    ]
+    dc.apply_batch(spark.createDataFrame(rows, _DC_SCHEMA))
+    got = {
+        (r["grp"], r["q"]): r["value"]
+        for r in dc.quantiles((25, 50, 75, 100), spec="n_clens").collect()
+    }
+    # n=4: P25 -> cum>=1 -> 2; P50 -> cum>=2 -> 2; P75 -> cum>=3 -> 3;
+    # P100 -> cum>=4 -> 5
+    assert got == {
+        ("g1", 25): 2, ("g1", 50): 2, ("g1", 75): 3, ("g1", 100): 5,
+    }, got
+
+    # delete both length-2 rows: distribution is now {3, 5}
+    dc.apply_batch(spark.createDataFrame(
+        [(5, "d", "public.documents", "k1", None, None, None),
+         (6, "d", "public.documents", "k2", None, None, None)], _DC_SCHEMA))
+    got = {
+        (r["grp"], r["q"]): r["value"]
+        for r in dc.quantiles((50, 100), spec="n_clens").collect()
+    }
+    assert got == {("g1", 50): 3, ("g1", 100): 5}, got
+
+
+def test_quantiles_equals_recompute_after_every_batch(spark, sf_dir, tmp_path):
+    """After EACH replayed micro-batch, quantiles over the maintained dv
+    state equal the type-1 rule recomputed from the LWW live rows."""
+    from pyspark.sql.window import Window
+
+    from cdc2vec_spark.cdc.ivm import IncrementalDistinctCount
+
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 3 + 1
+    dc = IncrementalDistinctCount(
+        spark, str(tmp_path / "dvq"),
+        specs=[{"name": "n_clens", "col": "length(after_content)"}],
+        n_buckets=4, dv_buckets=4,
+    )
+    for i in range(3):
+        cut = lo + (i + 1) * step
+        dc.apply_batch(ch.where(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < cut)))
+        got = {
+            (r["grp"], r["q"]): r["value"]
+            for r in dc.quantiles((50, 95)).collect()
+        }
+        txt = F.concat_ws(
+            " ",
+            F.nullif(F.col("after_title"), F.lit("")),
+            F.nullif(F.col("after_content"), F.lit("")),
+        )
+        prefix = ch.where(F.col("lsn") < cut).where(
+            (F.col("op") == "d") | (F.length(txt) > 0))
+        w = Window.partitionBy("pk").orderBy(F.col("lsn").desc())
+        live = (
+            prefix.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1 AND op <> 'd'")
+            .where(F.col("after_content").isNotNull())
+            .select(
+                F.col("after_author").alias("grp"),
+                F.length("after_content").cast("long").alias("v"),
+            )
+        )
+        vc = live.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+        wc = Window.partitionBy("grp").orderBy("v")
+        wt = Window.partitionBy("grp")
+        cum = (
+            vc.withColumn("c", F.sum("cnt").over(wc))
+            .withColumn("n", F.sum("cnt").over(wt))
+            .select("grp", "v", "c", "n",
+                    F.explode(F.array(F.lit(50), F.lit(95))).alias("q"))
+            .where(F.col("c") * 100 >= F.col("q") * F.col("n"))
+            .groupBy("grp", "q").agg(F.min("v").alias("value"))
+        )
+        want = {(r["grp"], r["q"]): r["value"] for r in cum.collect()}
+        assert got == want != {}, f"batch {i}"
+    ch.unpersist()
+
+
+def test_quantiles_rejects_bad_qs(spark, tmp_path):
+    dc = _dc(spark, tmp_path / "dv")
+    with pytest.raises(ValueError, match="percentiles"):
+        dc.quantiles(())
+    with pytest.raises(ValueError, match="percentiles"):
+        dc.quantiles((0, 50))
+    with pytest.raises(ValueError, match="percentiles"):
+        dc.quantiles((101,))

@@ -121,6 +121,7 @@ NOTES = {
     "c17_incremental_topk": "ranked top-k off the c16 dv state: ONE window over the maintained ref-count table (WindowGroupLimit prunes to rnk<=k) — no base-data scan, no re-aggregation; maintenance stays the c16 per-batch delta.",
     "d50_embedding_drift": "ONE scan explodes 8 dims into a map-side-combined groupBy; corpus histogram re-aggregated from the slice counts (no second scan); slice×bucket grid completion + totals via broadcast joins — everything after the scan is counter-row sized.",
     "t12_repetition_stats": "repeated_bp is pure scan-stage array math; the bigram winner is one explode → two-stage count (map-side partials collapse repeats) + min(struct) tie-break — no window, at most one shuffled row per distinct per-doc gram.",
+    "c18_incremental_quantiles": "exact type-1 percentiles off the c16 dv state: one cumulative-count window + one min-aggregate over O(|dv|) rows — pure BIGINT 100·cum >= q·n rule, no base-data scan.",
 }
 
 HEADLINE = list(NOTES)
