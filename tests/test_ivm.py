@@ -1356,3 +1356,71 @@ def test_c17_c18_share_one_replay(spark, sf_dir):
         assert len(ivm._REPLAY_BUILDS) == 1, ivm._REPLAY_BUILDS
     finally:
         ivm.clear_replay_cache()
+
+
+def test_randomized_topk_and_quantiles_match_python_reference(spark, tmp_path):
+    """Fixed-seed fuzz: random op sequences through the distinct-count
+    IVM in 3 batches; after the replay, topk and quantiles over the dv
+    state must equal a pure-Python LWW + rank / type-1-quantile
+    reference."""
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        rows = []
+        for lsn in range(1, 101):
+            pk = f"k{rng.randrange(10)}"
+            op = rng.choice(["c", "u", "u", "d"])
+            if op == "d":
+                rows.append((lsn, op, "public.documents", pk, None, None, None))
+            else:
+                title = rng.choice(["tA", "tB", "tC", "tD"])
+                content = rng.choice(["x", "yy", "zzz", "wwww", None])
+                grp = rng.choice(["g1", "g2"])
+                rows.append(
+                    (lsn, op, "public.documents", pk, title, content, grp))
+        rng.shuffle(rows)
+
+        # python reference: LWW by lsn with A6 guard-skip semantics
+        state = {}
+        for lsn, op, tbl, pk, t, c, g in sorted(rows):
+            if op == "d":
+                state[pk] = None
+            elif len(" ".join(x for x in (t, c) if x)) > 0:
+                state[pk] = (g, t, c)
+        live = [v for v in state.values() if v is not None]
+
+        from collections import Counter
+
+        want_topk = set()
+        want_q = set()
+        for grp in {v[0] for v in live}:
+            titles = Counter(t for g, t, c in live if g == grp and t is not None)
+            ranked = sorted(titles.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rnk, (val, cnt) in enumerate(ranked[:2], start=1):
+                want_topk.add((grp, "n_titles", rnk, val, cnt))
+            lens = sorted(
+                len(c) for g, t, c in live if g == grp and c is not None)
+            n = len(lens)
+            for q in (50, 95):
+                if n:
+                    # type-1: smallest v with 100*cum >= q*n
+                    idx = next(i for i in range(n) if (i + 1) * 100 >= q * n)
+                    want_q.add((grp, "n_clens", q, lens[idx]))
+
+        dc = _dc(spark, tmp_path / f"fz{seed}")
+        third = len(rows) // 3 + 1
+        for i in range(3):
+            b = rows[i * third:(i + 1) * third]
+            if b:
+                dc.apply_batch(spark.createDataFrame(b, _DC_SCHEMA))
+        got_topk = {
+            (r["grp"], r["spec"], r["rnk"], r["value"], r["cnt"])
+            for r in dc.topk(2).where("spec = 'n_titles'").collect()
+        }
+        got_q = {
+            (r["grp"], r["spec"], r["q"], r["value"])
+            for r in dc.quantiles((50, 95), spec="n_clens").collect()
+        }
+        assert got_topk == want_topk, (seed, got_topk, want_topk)
+        assert got_q == want_q, (seed, got_q, want_q)
