@@ -105,6 +105,11 @@ HEADLINE = [
     "d45_assign_exact",      # integer-quantized assignment anchor
     "d49_snapshot_diff",     # per-source dataset-version diff (1 join+1 agg)
     "c16_incremental_distinct",  # ref-counted COUNT(DISTINCT) IVM (4 batches)
+    # round-11 late additions
+    "c17_incremental_topk",  # ranked top-k off the dv state (shared replay)
+    "c18_incremental_quantiles",  # exact type-1 percentiles off the dv state
+    "d50_embedding_drift",   # per-(label, dim) integer-TVD drift report
+    "t12_repetition_stats",  # Gopher repetition face (integer basis points)
 ]
 
 
@@ -753,6 +758,11 @@ _CURVE_OPS = [
     # jobs), so the curve must show the flat x10/x100 amortization, not
     # data-proportional growth
     "c16_incremental_distinct",
+    # round 11 (late): the drift report must track the one embeddings
+    # scan (everything after it is counter-row sized), and the
+    # repetition face the documents scan + its distinct-gram exchange
+    "d50_embedding_drift",
+    "t12_repetition_stats",
 ]
 
 # sf1 best-of-n reps for curve ops whose single-shot sf1 wall proved
