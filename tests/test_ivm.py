@@ -1343,16 +1343,18 @@ def test_quantiles_rejects_bad_qs(spark, tmp_path):
         dc.quantiles((101,))
 
 
-def test_c17_c18_share_one_replay(spark, sf_dir):
-    """The two report faces must pay the 2-batch replay ONCE per
-    (session, sf_dir) — the dedup shared-graph-stage discipline."""
+def test_c16_c17_c18_share_one_replay(spark, sf_dir):
+    """The three report faces must pay the 4-batch replay ONCE per
+    (session, sf_dir) — the dedup shared-graph-stage discipline: one
+    stream maintains the state, many dashboards read it."""
     from cdc2vec_spark.cdc import ivm
 
     ivm.clear_replay_cache()
     try:
-        a = ivm.c17_incremental_topk(spark, sf_dir)
-        b = ivm.c18_incremental_quantiles(spark, sf_dir)
-        assert a.count() > 0 and b.count() > 0
+        a = ivm.c16_incremental_distinct(spark, sf_dir)
+        b = ivm.c17_incremental_topk(spark, sf_dir)
+        c = ivm.c18_incremental_quantiles(spark, sf_dir)
+        assert a.count() > 0 and b.count() > 0 and c.count() > 0
         assert len(ivm._REPLAY_BUILDS) == 1, ivm._REPLAY_BUILDS
     finally:
         ivm.clear_replay_cache()
