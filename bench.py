@@ -783,6 +783,7 @@ def _scale_curve(spark, registry) -> dict:
     dominates at sf0.1, which is itself evidence of headroom."""
     import shutil
 
+    from cdc2vec_spark.cdc import ivm as _ivm
     from cdc2vec_spark.operators import dedup as _dedup
 
     sf1 = _make_sf1(spark)
@@ -791,9 +792,11 @@ def _scale_curve(spark, registry) -> dict:
         for name in _CURVE_OPS:
             fn = registry[name]
             # the curve measures each operator's OWN full derivation:
-            # clear the graph-stage memo so d9/d44 don't ride a pair set
-            # a prior curve op (or the headline loop) left behind
+            # clear the graph-stage AND ivm-replay memos so d9/d44 and
+            # c16 don't ride a pair set / replayed state a prior curve
+            # op (or the headline loop) left behind
             _dedup.clear_graph_stage_cache()
+            _ivm.clear_replay_cache()
             _quiesce(spark)
             # untimed warm-up at the smallest SF: ops outside the
             # headline set (d18) would otherwise charge whole-session
@@ -817,6 +820,15 @@ def _scale_curve(spark, registry) -> dict:
                 secs = []
                 for _ in range(reps):
                     _dedup.clear_graph_stage_cache()
+                    _ivm.clear_replay_cache()
+                    # quiesce between reps too: the curve runs ~20 min
+                    # into the session, and an un-reaped block-manager /
+                    # heap backlog shows up as a single 20s+ GC-shaped
+                    # outlier rep (r11: d40 sf1 min 11.8s, spread 21.3s
+                    # while the committed 16-run quiet experiment says
+                    # 7.9-10.7s across all AQE configs)
+                    if reps > 1:
+                        _quiesce(spark)
                     t0 = time.perf_counter()
                     fn(spark, d).write.format("noop").mode("overwrite").save()
                     secs.append(time.perf_counter() - t0)

