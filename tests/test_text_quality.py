@@ -438,3 +438,49 @@ def test_t12_plan_stays_jvm_side(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t12_randomized_python_cross_check(spark, tmp_path):
+    """Fixed-seed fuzz: random small-vocab docs (heavy repetition, empty
+    strings, single tokens) — the Spark bp/tie rules must equal a pure
+    python reference."""
+    import os
+    import random
+
+    from cdc2vec_spark.operators.text import t12_repetition_stats
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "dd"]
+    rows = []
+    for i in range(60):
+        n = rng.randrange(0, 9)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path)
+    d.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    def ref(text):
+        toks = text.split(" ")  # python split(' ') keeps empties like Spark
+        nt, nd = len(toks), len(set(toks))
+        grams = [
+            " ".join(toks[i:i + 2]) for i in range(len(toks) - 1)
+        ] if nt >= 2 else []
+        from collections import Counter
+
+        if grams:
+            cnt = Counter(grams)
+            top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            g, c = top
+        else:
+            g, c = "", 0
+        return (nt, (nt - nd) * 10000 // nt, g, c, c * 20000 // nt)
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["repeated_bp"], r["top_bigram"],
+            r["top_bigram_count"], r["top_bigram_bp"],
+        )
+        for r in t12_repetition_stats(spark, sf).collect()
+    }
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
