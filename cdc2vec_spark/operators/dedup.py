@@ -187,14 +187,12 @@ def jaccard_pairs(
     large exact-dup cluster pushes ALL its shingles over the cap.
     Default None preserves the uncapped exact semantics."""
     hashed = shingle_hashes(df, n, text_col)
-    # persist: both self-join sides re-derive the shingle UDF pass
-    # otherwise (a full duplicated corpus scan + Python pass)
     ex = hashed.select(
         F.col(block_col).alias("_b"),
         F.col(id_col).alias("_id"),
         F.size("sh").alias("_n"),
         F.explode("sh").alias("_h"),
-    ).persist()
+    )
     if max_df is not None:
         from pyspark.sql.window import Window
 
@@ -210,6 +208,15 @@ def jaccard_pairs(
             .withColumn("_n", F.count(F.lit(1)).over(wdoc))
             .drop("_df")
         )
+    # persist AFTER the df-cap windows (both self-join sides are then
+    # cheap reads of the cached frame, not re-runs of the shingle UDF +
+    # window chain) and materialize EAGERLY: the self-join schedules both
+    # sides' sort/exchange stages concurrently, and with a still-lazy
+    # cache they race to build it — each recomputing the full chain in
+    # parallel. Same race d40 fixed (dedup.py d40 pin, VERDICT r11 ask
+    # #1: d2_blocked's sf1 point swung 10.8→24.1s between runs).
+    ex = ex.persist()
+    ex.count()
     a = ex.select("_b", F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_h")
     b = ex.select("_b", F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_h")
     pairs = (
@@ -462,7 +469,14 @@ def minhash_neardup(
     rows = num_perm // bands
     both = shingle_minhash(df, n, num_perm, text_col)
     if cache:
+        # eager pin (VERDICT r11 ask #1): the bucket join and the two
+        # verify sides schedule their stages concurrently; a still-lazy
+        # cache makes them race to build it, each re-running the fused
+        # Arrow shingle+minhash pass (measured as d2_minhash_lsh's sf1
+        # point swinging 15.1→67.6s between runs). One count() pins the
+        # cache before any reader — the exact fix that killed d40's wall.
         both = both.persist()
+        both.count()
     sigs = both.where(F.col("sig").isNotNull()).select(id_col, "sig")
     cands = lsh_candidate_pairs(sigs, bands, rows, id_col, max_bucket=max_bucket)
     out = _verify_jaccard(cands, both, threshold, id_col)
@@ -516,7 +530,10 @@ def lsh_exact_pairs(
     hash-checked anchor for the rows-only probabilistic entries."""
     hashed = shingle_hashes(df, n, text_col)
     if cache:
+        # eager pin — same two-consumer (candidates + verify) race as
+        # minhash_neardup above; see that comment (VERDICT r11 ask #1)
         hashed = hashed.persist()
+        hashed.count()
     banded = hashed.where(F.size("sh") > 0).select(
         id_col, F.lit(0).alias("band"), F.explode("sh").alias("bv")
     )
@@ -599,7 +616,11 @@ def simhash_neardup(
     unpersists."""
     sigs = simhash_signatures(df, id_col, text_col)
     if cache:
+        # eager pin — the banded self-join's two sides race to build a
+        # lazy cache (duplicated full-corpus simhash UDF pass); see the
+        # minhash_neardup comment (VERDICT r11 ask #1)
         sigs = sigs.persist()
+        sigs.count()
     bands = F.array(
         *[
             F.struct(
