@@ -1087,7 +1087,11 @@ def c16_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dashboards read it. Stale-app entries are evicted; the state dirs
 # live until process exit (atexit).
 _REPLAY_CACHE: dict = {}
-_REPLAY_BUILDS: list = []  # build log, pinned by tests
+_REPLAY_BUILDS: list = []  # build log for live cache entries, pinned by tests
+_REPLAY_ATEXIT_REGISTERED = False  # register the cleanup hook exactly once
+# (ADVICE r11: the old `not cache and not builds` guard re-registered it
+# after every clear_replay_cache()+rebuild cycle — harmless duplicates,
+# but they accumulate over a long test session)
 
 
 def _cleanup_replay_cache() -> None:
@@ -1112,14 +1116,19 @@ def _replayed_distinct_state(
     from . import transform
     from .changelog import MAPPED, changes_df
 
+    global _REPLAY_ATEXIT_REGISTERED
     app = spark.sparkContext.applicationId
     for stale in [k for k in _REPLAY_CACHE if k[0] != app]:
         _, old_root = _REPLAY_CACHE.pop(stale)
         shutil.rmtree(old_root, ignore_errors=True)
+        # keep the build log consistent with the cache (ADVICE r11)
+        while stale in _REPLAY_BUILDS:
+            _REPLAY_BUILDS.remove(stale)
     key = (app, sf_dir)
     if key not in _REPLAY_CACHE:
-        if not _REPLAY_CACHE and not _REPLAY_BUILDS:
+        if not _REPLAY_ATEXIT_REGISTERED:
             atexit.register(_cleanup_replay_cache)
+            _REPLAY_ATEXIT_REGISTERED = True
         root = tempfile.mkdtemp(prefix="ivm_reports_")
         dc = IncrementalDistinctCount(
             spark, f"{root}/dvivm",

@@ -18,9 +18,21 @@ raw counts c_b (|A| = N_a) and g_b (|B| = N_b),
 
     tvd_bp = (Σ_b |c_b·N_b − g_b·N_a| · 5000) div (N_a · N_b)
 
-every product stays in int64 for any realistic slice (counts ≤ 10⁹),
-and ``div`` is bit-identical in Spark, DuckDB, and numpy — the d45
+The cross products c·N reach N_a·N_b, which exceeds int64 once the two
+sides' row counts multiply past ~9.2×10¹⁸ (e.g. a 10⁶-row slice against
+a 10¹³-row corpus would be fine, but ×5000 head-room dies 4 orders of
+magnitude earlier) — so the numerator runs in DECIMAL(38,0) on the
+Spark side and HUGEINT (int128) in the DuckDB oracle, both exact
+integer arithmetic, and only the final ≤10⁴ quotient is cast back to
+BIGINT. ``div`` is integral division in both engines — the d45
 integer-anchor discipline: no float crosses the hashed surface.
+
+Rows whose vector is NULL or shorter than ``dims`` are excluded from
+BOTH the histograms and the row counts (one explicit filter, mirrored
+in the oracle) — otherwise a ragged row would count in N but contribute
+nothing to the buckets, silently skewing the normalization (and Spark's
+slice() and DuckDB's unnest(generate_series) disagree about what an
+out-of-range index produces).
 
 Quantization: bucket = floor(CAST(value AS DOUBLE) · scale). The
 float→double widening is exact, scale is a power of two (default 8) so
@@ -52,7 +64,8 @@ def _bucket_hist(
     scale: int = 8,
 ) -> DataFrame:
     """(dim, bucket, c) histogram over the first ``dims`` dimensions —
-    bucket = floor(double(x)·scale), one scan, map-side-combined."""
+    bucket = floor(double(x)·scale), one scan, map-side-combined.
+    Callers must pre-filter ragged rows with :func:`_well_formed`."""
     return (
         df.select(F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("dim", "_v"))
         .select(
@@ -62,6 +75,20 @@ def _bucket_hist(
         .groupBy("dim", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _well_formed(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """Drop NULL/short vectors so histograms and row counts see the same
+    population (ADVICE r11: a ragged row counted in N but absent from
+    the buckets skews the TVD normalization silently)."""
+    return df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dims))
+
+
+# DECIMAL(38,0) numerator: |c·N − g·N| sums to ≤ 2·N_a·N_b, which ×5000
+# overflows int64 once N_a·N_b > ~9.2e14 — real at 100 TB (a 1e6-row
+# slice vs a 1e9-row corpus). 38-digit decimal holds ~1e38: safe to
+# ~1e17 rows per side. `div` on decimals is integral in Spark.
+_TVD_BP = "cast(_num * 5000 div (cast({na} as decimal(38,0)) * {nb}) as long)"
 
 
 def embedding_drift(
@@ -76,10 +103,13 @@ def embedding_drift(
     release gate ("alert if any dim's tvd_bp > 500 between v3 and v4").
     Returns (dim, n_a, n_b, tvd_bp). Buckets missing on either side
     contribute their full mass via the outer join's coalesce-to-0."""
+    df_a = _well_formed(df_a, vec_col, dims)
+    df_b = _well_formed(df_b, vec_col, dims)
     ha = _bucket_hist(df_a, vec_col, dims, scale)
     hb = _bucket_hist(df_b, vec_col, dims, scale)
     na = df_a.agg(F.count(F.lit(1)).alias("n_a"))
     nb = df_b.agg(F.count(F.lit(1)).alias("n_b"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     joined = (
         ha.withColumnRenamed("c", "ca")
         .join(hb.withColumnRenamed("c", "cb"), ["dim", "bucket"], "full_outer")
@@ -93,12 +123,12 @@ def embedding_drift(
     )
     return (
         joined.groupBy("dim", "n_a", "n_b")
-        .agg(F.sum(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))).alias("_num"))
+        .agg(F.sum(F.abs(dec("ca") * dec("n_b") - dec("cb") * dec("n_a"))).alias("_num"))
         .select(
             "dim",
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.expr("_num * 5000 div (n_a * n_b)").alias("tvd_bp"),
+            F.expr(_TVD_BP.format(na="n_a", nb="n_b")).alias("tvd_bp"),
         )
         .orderBy("dim")
     )
@@ -117,8 +147,8 @@ def d50_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross of the |labels| rows against the dims·|buckets|
     global histogram. Output (label, dim, n_rows, tvd_bp), all BIGINT
     ``div`` arithmetic — hash-exact."""
-    e = load_table(spark, sf_dir, "embeddings")
     dims, scale = 8, 8
+    e = _well_formed(load_table(spark, sf_dir, "embeddings"), "embedding", dims)
     c = (
         e.select(
             "label",
@@ -145,29 +175,36 @@ def d50_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim", "n_l", "n")
         .agg(
             F.sum(
-                F.abs(F.col("c0") * F.col("n") - F.col("gc") * F.col("n_l"))
+                F.abs(
+                    F.col("c0").cast("decimal(38,0)") * F.col("n")
+                    - F.col("gc").cast("decimal(38,0)") * F.col("n_l")
+                )
             ).alias("_num")
         )
         .select(
             "label",
             "dim",
             F.col("n_l").cast("long").alias("n_rows"),
-            F.expr("_num * 5000 div (n_l * n)").alias("tvd_bp"),
+            F.expr(_TVD_BP.format(na="n_l", nb="n")).alias("tvd_bp"),
         )
         .orderBy("label", "dim")
     )
 
 
 D50_ORACLE_SQL = """
-WITH ex AS (
+WITH src AS (
+  SELECT label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= 8
+),
+ex AS (
   SELECT label, CAST(i - 1 AS INTEGER) AS dim,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * 8) AS BIGINT) AS bucket
-  FROM embeddings, unnest(generate_series(1, 8)) AS u(i)
+  FROM src, unnest(generate_series(1, 8)) AS u(i)
 ),
 c AS (SELECT label, dim, bucket, count(*) AS c FROM ex GROUP BY ALL),
 g AS (SELECT dim, bucket, CAST(sum(c) AS BIGINT) AS gc FROM c GROUP BY ALL),
-nl AS (SELECT label, count(*) AS n_l FROM embeddings GROUP BY label),
-tot AS (SELECT count(*) AS n FROM embeddings),
+nl AS (SELECT label, count(*) AS n_l FROM src GROUP BY label),
+tot AS (SELECT count(*) AS n FROM src),
 full_grid AS (SELECT nl.label, nl.n_l, g.dim, g.bucket, g.gc FROM nl CROSS JOIN g),
 j AS (
   SELECT f.label, f.dim, f.n_l, f.gc, coalesce(c.c, 0) AS c0
@@ -175,8 +212,8 @@ j AS (
   LEFT JOIN c ON c.label = f.label AND c.dim = f.dim AND c.bucket = f.bucket
 )
 SELECT label, dim, CAST(n_l AS BIGINT) AS n_rows,
-       CAST((CAST(sum(abs(c0 * n - gc * n_l)) AS BIGINT) * 5000)
-            // (n_l * n) AS BIGINT) AS tvd_bp
+       CAST((sum(abs(CAST(c0 AS HUGEINT) * n - CAST(gc AS HUGEINT) * n_l)) * 5000)
+            // (CAST(n_l AS HUGEINT) * n) AS BIGINT) AS tvd_bp
 FROM j CROSS JOIN tot
 GROUP BY label, dim, n_l, n ORDER BY label, dim
 """

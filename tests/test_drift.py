@@ -71,7 +71,12 @@ def test_d50_missing_bucket_mass_is_counted(spark, tmp_path):
     import os
 
     df = spark.createDataFrame(
-        [(1, [0.0], 0), (2, [0.0], 0), (3, [0.5], 1), (4, [0.5], 1)],
+        [
+            (1, [0.0] * 8, 0),
+            (2, [0.0] * 8, 0),
+            (3, [0.5] * 8, 1),
+            (4, [0.5] * 8, 1),
+        ],
         "vec_id long, embedding array<float>, label int",
     )
     sf = str(tmp_path)
@@ -80,7 +85,56 @@ def test_d50_missing_bucket_mass_is_counted(spark, tmp_path):
         (r["label"], r["dim"]): (r["n_rows"], r["tvd_bp"])
         for r in d50_embedding_drift(spark, sf).collect()
     }
-    assert got == {(0, 0): (2, 5000), (1, 0): (2, 5000)}, got
+    assert got == {
+        (lbl, dim): (2, 5000) for lbl in (0, 1) for dim in range(8)
+    }, got
+
+
+def test_d50_ragged_rows_excluded_consistently(spark, tmp_path):
+    """NULL/short vectors are excluded from BOTH the histograms and the
+    row counts, in the operator AND the oracle (ADVICE r11: counting a
+    ragged row in n while it contributes nothing to the buckets skews
+    the normalization; Spark's slice() and DuckDB's generate_series also
+    disagree about out-of-range indices). Crafted: each label carries
+    one short and one NULL row on top of the two well-formed ones — the
+    answer must equal the fixed-width case above, and the DuckDB oracle
+    must agree hash-exactly."""
+    import os
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0] * 8, 0),
+            (2, [0.0] * 8, 0),
+            (3, [0.5] * 8, 1),
+            (4, [0.5] * 8, 1),
+            (5, [0.0] * 3, 0),   # short: dropped
+            (6, None, 0),        # null: dropped
+            (7, [0.5] * 7, 1),   # short: dropped
+            (8, None, 1),        # null: dropped
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    got = {
+        (r["label"], r["dim"]): (r["n_rows"], r["tvd_bp"])
+        for r in d50_embedding_drift(spark, sf).collect()
+    }
+    assert got == {
+        (lbl, dim): (2, 5000) for lbl in (0, 1) for dim in range(8)
+    }, got
+    import duckdb
+
+    con = duckdb.connect()  # Spark wrote a parquet DIR; glob the parts
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'embeddings.parquet', '*.parquet')}')"
+    )
+    problems = compare_one(
+        spark, con, "d50_embedding_drift", d50_embedding_drift,
+        D50_ORACLE_SQL, sf,
+    )
+    assert not problems, problems
 
 
 def test_d50_plan_is_broadcast_only(spark, sf_dir):
