@@ -42,6 +42,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         from cdc2vec_spark.operators import funnel as _funnel
         from cdc2vec_spark.operators import graph as _graph
         from cdc2vec_spark.operators import keywords as _keywords
+        from cdc2vec_spark.operators import kmeans as _kmeans
         from cdc2vec_spark.operators import html_extract as _html_extract
         from cdc2vec_spark.operators import layout as _layout
         from cdc2vec_spark.operators import lex_index as _lex_index
@@ -67,7 +68,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
              _sampling, _corpus, _lex_index, _layout, _retrieval, _retrieval_eval,
              _pii, _span_dedup, _funnel, _classify,
              _reduce, _winnow, _lm, _html_extract, _urls, _bpe,
-             _graph, _datacard, _keywords]
+             _graph, _datacard, _keywords, _kmeans]
         )
     except ImportError:
         pass

@@ -60,37 +60,42 @@ the parked set across the probes keeps their runtimes balanced. Their
 exact oracles stay pinned at two scale factors in
 tests/test_rotated_oracles.py.
 
+Round-12 rotation (VERDICT r11 ask #2): the seven round-11 exact-oracle
+keys that were composite-delivered — c16_incremental_distinct,
+c17_incremental_topk, c18_incremental_quantiles (ref-counted IVM report
+family, oracles in tests/test_ivm.py), d45_assign_exact (the Lloyd
+path's integer anchor, tests/test_kmeans.py), d49_snapshot_diff
+(tests/test_datacard.py), d50_embedding_drift (tests/test_drift.py) and
+t12_repetition_stats (tests/test_text_quality.py) — moved INTO
+individually graded registry slots. To stay at the 50-entry budget,
+seven long-green queries (driver-green in BOTH CORRECTNESS_r10 and
+_r11) rotated OUT: c1_tumbling, c2_sliding, c3_session, c5_dedup_count
+(→ x1, the streaming-themed probe), d8_cosine_neardup (→ x2, the
+dedup-themed probe), d3_multi_topk and d7_embedding_stats (→ x3, the
+ANN/vector-themed probe). Their exact oracles stay pinned at two scale
+factors in tests/test_rotated_oracles.py.
+
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, d10_split, d10_pack
                          + the round-11 parking set c9_stream_enrich,
-                         c10_funnel, c11_retention + the round-11
-                         newcomers c16_incremental_distinct (ref-counted
-                         COUNT(DISTINCT) IVM, exact two-SF oracle in
-                         tests/test_ivm.py) and c17_incremental_topk
-                         (ranked top-k-per-group report off the c16
-                         ref-count state, exact two-SF oracle in
-                         tests/test_ivm.py) and c18_incremental_quantiles
-                         (exact per-group percentiles off the same
-                         state, exact two-SF oracle in
-                         tests/test_ivm.py)
+                         c10_funnel, c11_retention + the round-12
+                         parking set c1_tumbling, c2_sliding,
+                         c3_session, c5_dedup_count
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
                          own test file), d12_semdedup_exact (exact
                          two-SF oracle in tests/test_similarity.py)
                          + the round-11 parking set d21_span_dedup,
                          d23_selfrep, d24_winnow, d26_winnow_pairs
+                         + the round-12 parking set d8_cosine_neardup
   x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
                          d3_pq_topk, d22_pca_topk (recall/parity pinned
                          in tests) + d45_kmeans_refine
                          (numpy parity in tests/test_kmeans.py)
-                         + d45_assign_exact (round-11: the
-                         integer-quantized assignment anchor, exact
-                         two-SF oracle in tests/test_kmeans.py)
                          + the round-11 parking set d35_retrieval_eval
-                         + the round-11 newcomer d50_embedding_drift
-                         (per-(label, dim) integer-TVD drift report,
-                         exact two-SF oracle in tests/test_drift.py)
+                         + the round-12 parking set d3_multi_topk,
+                         d7_embedding_stats
   x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
                          d14, d15, d17, d18, d19 (rotated out round 8)
                          + the round-9 parking set t1–t7, b1, b11, b12,
@@ -100,13 +105,7 @@ Groupings:
                          pure-Python reference encoder in
                          tests/test_bpe.py) + the round-11 parking set
                          b19_grouping_sets, b20_range_frame, b21_zorder,
-                         t9_nfc_normalize, d20_pii, d33_weighted_sample
-                         + the round-11 newcomers d49_snapshot_diff
-                         (per-source dataset-version diff, exact two-SF
-                         oracle in tests/test_datacard.py) and
-                         t12_repetition_stats (Gopher repetition
-                         filters' integer-basis-point face, exact
-                         two-SF oracle in tests/test_text_quality.py);
+                         t9_nfc_normalize, d20_pii, d33_weighted_sample;
                          all parked exact oracles pinned at two SFs in
                          tests/test_rotated_oracles.py
 """
@@ -127,17 +126,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
-    # round-11 addition: ref-counted COUNT(DISTINCT) IVM (exact two-SF
-    # oracle in tests/test_ivm.py); composite-delivered in x1
-    "c16_incremental_distinct",
-    # round-11 addition: ranked top-k-per-group report straight off the
-    # c16 ref-count state (exact two-SF oracle in tests/test_ivm.py);
-    # composite-delivered in x1
-    "c17_incremental_topk",
-    # round-11 addition: exact per-group percentiles off the same
-    # ref-count state (exact two-SF oracle in tests/test_ivm.py);
-    # composite-delivered in x1
-    "c18_incremental_quantiles",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -157,10 +145,6 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: distributed spherical k-means refinement
     # (rows-only — float means; numpy parity in tests/test_kmeans.py)
     "d45_kmeans_refine",
-    # round-11 addition (VERDICT r10 ask #6): the integer-quantized
-    # assignment anchor for the Lloyd path — exact two-SF oracle in
-    # tests/test_kmeans.py; composite-delivered in x3 under the budget
-    "d45_assign_exact",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -235,17 +219,22 @@ CONSOLIDATED: tuple[str, ...] = (
     "t9_nfc_normalize",
     "d20_pii",
     "d33_weighted_sample",
-    # round-11 addition: per-source dataset-version diff (exact two-SF
-    # oracle in tests/test_datacard.py); composite-delivered in x4
-    "d49_snapshot_diff",
-    # round-11 addition: per-(label, dim) embedding-distribution drift
-    # in integer-TVD basis points (exact two-SF oracle in
-    # tests/test_drift.py); composite-delivered in x3
-    "d50_embedding_drift",
-    # round-11 addition: Gopher repetition filters' hash-exact face —
-    # integer basis points (exact two-SF oracle in
-    # tests/test_text_quality.py); composite-delivered in x4
-    "t12_repetition_stats",
+    # round-12 rotation (VERDICT r11 ask #2): long-green queries
+    # (driver-green in BOTH CORRECTNESS_r10 and _r11) parked so the
+    # seven round-11 exact-oracle keys (c16_incremental_distinct,
+    # c17_incremental_topk, c18_incremental_quantiles, d45_assign_exact,
+    # d49_snapshot_diff, d50_embedding_drift, t12_repetition_stats) get
+    # individual graded slots; oracles stay pinned at two SFs in
+    # tests/test_rotated_oracles.py. Spread across the themed probes:
+    # c1/c2/c3/c5 → x1 (streaming), d8 → x2 (dedup), d3_multi/d7 → x3
+    # (ANN/vectors).
+    "c1_tumbling",
+    "c2_sliding",
+    "c3_session",
+    "c5_dedup_count",
+    "d8_cosine_neardup",
+    "d3_multi_topk",
+    "d7_embedding_stats",
 )
 
 
@@ -273,18 +262,18 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated, plus
-    the round-11 streaming-themed parking set (c9/c10/c11 — long-green,
-    oracles pinned in tests/test_rotated_oracles.py) and the round-11
-    c16 newcomer (ref-counted distinct-count IVM, exact oracle in
-    tests/test_ivm.py)."""
+    the round-11 streaming-themed parking set (c9/c10/c11) and the
+    round-12 parking set (c1/c2/c3/c5 — long-green, driver-green in
+    r10 AND r11, oracles pinned in tests/test_rotated_oracles.py)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import (
-        c16_incremental_distinct,
-        c17_incremental_topk,
-        c18_incremental_quantiles,
-    )
     from ..streaming.joins import c9_stream_enrich
-    from ..streaming.windows import c4_watermark
+    from ..streaming.windows import (
+        c1_tumbling,
+        c2_sliding,
+        c3_session,
+        c4_watermark,
+        c5_dedup_count,
+    )
     from .funnel import c10_funnel, c11_retention
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
@@ -297,13 +286,14 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("a8_deterministic_embed", a8_deterministic_embed),
             ("a9_points_pipeline", a9_points_pipeline),
             ("b16_sketches", b16_sketches),
+            ("c1_tumbling", c1_tumbling),
+            ("c2_sliding", c2_sliding),
+            ("c3_session", c3_session),
             ("c4_watermark", c4_watermark),
+            ("c5_dedup_count", c5_dedup_count),
             ("c9_stream_enrich", c9_stream_enrich),
             ("c10_funnel", c10_funnel),
             ("c11_retention", c11_retention),
-            ("c16_incremental_distinct", c16_incremental_distinct),
-            ("c17_incremental_topk", c17_incremental_topk),
-            ("c18_incremental_quantiles", c18_incremental_quantiles),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -315,11 +305,12 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only probes (recall/precision pinned vs exact answers in their
     own test files; d12_semdedup_exact carries an exact two-SF oracle in
     tests/test_similarity.py — the semantic-dedup hash-checked anchor),
-    plus the round-11 dedup-themed parking set (d21/d23/d24/d26 —
-    long-green, oracles pinned in tests/test_rotated_oracles.py)."""
+    plus the round-11 dedup-themed parking set (d21/d23/d24/d26) and
+    the round-12 parking set (d8 — long-green, driver-green in r10 AND
+    r11, oracle pinned in tests/test_rotated_oracles.py)."""
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .multimodal import d6_features
-    from .similarity import d12_semdedup, d12_semdedup_exact
+    from .similarity import d8_cosine_neardup, d12_semdedup, d12_semdedup_exact
     from .span_dedup import d21_span_dedup, d23_selfrep
     from .winnow import d24_winnow, d26_winnow_pairs
 
@@ -329,6 +320,7 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("d2_minhash_lsh", d2_minhash_lsh),
             ("d2_simhash", d2_simhash),
+            ("d8_cosine_neardup", d8_cosine_neardup),
             ("d9_keep_canonical", d9_keep_canonical),
             ("d6_features", d6_features),
             ("d12_semdedup", d12_semdedup),
@@ -344,15 +336,21 @@ def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-ANN + retrieval rows-only probes (recall pinned vs
     exact in tests/test_similarity.py, tests/test_quantize.py), plus the
-    round-11 retrieval-themed parking set (d35 — long-green, oracle
-    pinned in tests/test_rotated_oracles.py) and the round-11
-    d45_assign_exact anchor (exact oracle in tests/test_kmeans.py)."""
-    from .drift import d50_embedding_drift
-    from .kmeans import d45_assign_exact, d45_kmeans_refine
+    round-11 retrieval-themed parking set (d35) and the round-12
+    parking set (d3_multi_topk, d7_embedding_stats — long-green,
+    driver-green in r10 AND r11, oracles pinned in
+    tests/test_rotated_oracles.py)."""
+    from .kmeans import d45_kmeans_refine
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .retrieval_eval import d35_retrieval_eval
-    from .similarity import d3_hyperplane_topk, d3_ivf_topk, d8_lsh_neardup
+    from .similarity import (
+        d3_hyperplane_topk,
+        d3_ivf_topk,
+        d3_multi_topk,
+        d8_lsh_neardup,
+    )
+    from .vectors import d7_embedding_stats
 
     return _union(
         spark,
@@ -360,13 +358,13 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("d3_ivf_topk", d3_ivf_topk),
             ("d3_hyperplane_topk", d3_hyperplane_topk),
+            ("d3_multi_topk", d3_multi_topk),
+            ("d7_embedding_stats", d7_embedding_stats),
             ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
             ("d22_pca_topk", d22_pca_topk),
             ("d35_retrieval_eval", d35_retrieval_eval),
             ("d45_kmeans_refine", d45_kmeans_refine),
-            ("d45_assign_exact", d45_assign_exact),
-            ("d50_embedding_drift", d50_embedding_drift),
         ],
     )
 
@@ -382,10 +380,8 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     own comparator. Round-10 adds the d25/d28/d29/d30/d31 parking set
     (each driver-green in CORRECTNESS_r08 AND _r09); round-11 adds
     b19/b20/b21, t9, d20 and d33 (each driver-green in CORRECTNESS_r09
-    AND _r10). Round-11 also adds the d49_snapshot_diff newcomer (exact
-    oracle in tests/test_datacard.py)."""
+    AND _r10)."""
     from .bpe import t8_bpe
-    from .datacard import d49_snapshot_diff
     from .decontam import d11_decontaminate
     from .html_extract import d30_html_extract
     from .layout import b21_zorder
@@ -438,7 +434,6 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         t6_length_percentiles,
         t7_vocab_topdf,
         t9_nfc_normalize,
-        t12_repetition_stats,
     )
 
     return _union(
@@ -484,7 +479,6 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d30_html_extract", d30_html_extract),
             ("d31_domain_cap", d31_domain_cap),
             ("d33_weighted_sample", d33_weighted_sample),
-            ("d49_snapshot_diff", d49_snapshot_diff),
             ("t1_token_count", t1_token_count),
             ("t2_quality_score", t2_quality_score),
             ("t3_lang_guess", t3_lang_guess),
@@ -494,7 +488,6 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
             ("t9_nfc_normalize", t9_nfc_normalize),
-            ("t12_repetition_stats", t12_repetition_stats),
         ],
     )
 
@@ -514,21 +507,20 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.ivm import (
-        c16_incremental_distinct,
-        c17_incremental_topk,
-        c18_incremental_quantiles,
-    )
     from ..streaming.joins import c9_stream_enrich
-    from ..streaming.windows import c4_watermark
+    from ..streaming.windows import (
+        c1_tumbling,
+        c2_sliding,
+        c3_session,
+        c4_watermark,
+        c5_dedup_count,
+    )
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
-    from .datacard import d49_snapshot_diff
-    from .drift import d50_embedding_drift
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .funnel import c10_funnel, c11_retention
     from .html_extract import d30_html_extract
-    from .kmeans import d45_assign_exact, d45_kmeans_refine
+    from .kmeans import d45_kmeans_refine
     from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
@@ -578,6 +570,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
+        d3_multi_topk,
+        d8_cosine_neardup,
         d8_lsh_neardup,
         d12_semdedup,
         d12_semdedup_exact,
@@ -595,21 +589,21 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t6_length_percentiles,
         t7_vocab_topdf,
         t9_nfc_normalize,
-        t12_repetition_stats,
     )
-    from .vectors import a8_deterministic_embed
+    from .vectors import a8_deterministic_embed, d7_embedding_stats
 
     return {
         "a8_deterministic_embed": a8_deterministic_embed,
         "a9_points_pipeline": a9_points_pipeline,
         "b16_sketches": b16_sketches,
         "c4_watermark": c4_watermark,
+        "c1_tumbling": c1_tumbling,
+        "c2_sliding": c2_sliding,
+        "c3_session": c3_session,
+        "c5_dedup_count": c5_dedup_count,
         "c9_stream_enrich": c9_stream_enrich,
         "c10_funnel": c10_funnel,
         "c11_retention": c11_retention,
-        "c16_incremental_distinct": c16_incremental_distinct,
-        "c17_incremental_topk": c17_incremental_topk,
-        "c18_incremental_quantiles": c18_incremental_quantiles,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
@@ -620,13 +614,14 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_semdedup_exact": d12_semdedup_exact,
         "d3_ivf_topk": d3_ivf_topk,
         "d3_hyperplane_topk": d3_hyperplane_topk,
+        "d3_multi_topk": d3_multi_topk,
+        "d7_embedding_stats": d7_embedding_stats,
+        "d8_cosine_neardup": d8_cosine_neardup,
         "d8_lsh_neardup": d8_lsh_neardup,
         "d3_pq_topk": d3_pq_topk,
         "d22_pca_topk": d22_pca_topk,
         "d35_retrieval_eval": d35_retrieval_eval,
         "d45_kmeans_refine": d45_kmeans_refine,
-        "d45_assign_exact": d45_assign_exact,
-        "d50_embedding_drift": d50_embedding_drift,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,
@@ -671,7 +666,6 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d30_html_extract": d30_html_extract,
         "d31_domain_cap": d31_domain_cap,
         "d33_weighted_sample": d33_weighted_sample,
-        "d49_snapshot_diff": d49_snapshot_diff,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,
@@ -680,5 +674,4 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
         "t9_nfc_normalize": t9_nfc_normalize,
-        "t12_repetition_stats": t12_repetition_stats,
     }

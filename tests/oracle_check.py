@@ -115,13 +115,11 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> list
 EXPECTED_QUERIES = frozenset(
     ["a1_mapped_filter", "a2_guards", "a3_text_concat", "a4_key_derivation",
      "a5_metadata", "a6_last_write_wins", "a7_l2_normalize"]
-    + ["c1_tumbling", "c2_sliding", "c3_session",
-       "c5_dedup_count", "c6_cdc_apply", "c7_stateful_lww"]
+    + ["c6_cdc_apply", "c7_stateful_lww"]
     + ["d1_exact_dedup", "d2_blocked_jaccard", "d2_lsh_exact",
-       "d3_exact_topk", "d3_multi_topk",
+       "d3_exact_topk",
        "d3_cdc_index",
-       "d6_multimodal", "d7_embedding_stats",
-       "d8_cosine_neardup"]
+       "d6_multimodal"]
     # corpus-composition anchor, individual since round 8
     + ["d16_corpus_pipeline"]
     # round-10 rotation (VERDICT r09 ask #1): d25/d28/d29/d30/d31 parked
@@ -142,6 +140,13 @@ EXPECTED_QUERIES = frozenset(
        "d41_expectations", "c15_rate_anomaly", "c8_interval_join",
        "d39_hard_negatives", "d42_tfidf_keywords", "d43_source_datacard",
        "t10_pmi_collocations", "t11_sentence_stats"]
+    # round-12 rotation (VERDICT r11 ask #2): the seven round-11
+    # composite-delivered exact-oracle keys take individual slots; the
+    # long-green c1/c2/c3/c5, d3_multi, d7, d8 rows (green in r10+r11)
+    # parked in the composites with oracles in tests/test_rotated_oracles.py
+    + ["c16_incremental_distinct", "c17_incremental_topk",
+       "c18_incremental_quantiles", "d45_assign_exact",
+       "d49_snapshot_diff", "d50_embedding_drift", "t12_repetition_stats"]
     # the rows-only queries (and the long-green queries rotated out —
     # b1–b21, t1–t9, d4, d5, d11, d13, d14, d15, d17–d21, d23–d26,
     # d33, d35, c9–c11; oracles pinned in tests/test_rotated_oracles.py)

@@ -79,22 +79,23 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
     expected = {
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
-            "b16_sketches", "c4_watermark", "c9_stream_enrich",
-            "c10_funnel", "c11_retention", "c16_incremental_distinct",
-            "c17_incremental_topk", "c18_incremental_quantiles",
+            "b16_sketches", "c1_tumbling", "c2_sliding", "c3_session",
+            "c4_watermark", "c5_dedup_count", "c9_stream_enrich",
+            "c10_funnel", "c11_retention",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
-            "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical",
+            "d2_minhash_lsh", "d2_simhash", "d8_cosine_neardup",
+            "d9_keep_canonical",
             "d6_features", "d12_semdedup", "d12_semdedup_exact",
             "d21_span_dedup", "d23_selfrep", "d24_winnow",
             "d26_winnow_pairs",
         },
         "x3_rowsonly_ann": {
-            "d3_ivf_topk", "d3_hyperplane_topk", "d8_lsh_neardup",
+            "d3_ivf_topk", "d3_hyperplane_topk", "d3_multi_topk",
+            "d7_embedding_stats", "d8_lsh_neardup",
             "d3_pq_topk", "d22_pca_topk", "d35_retrieval_eval",
-            "d45_kmeans_refine", "d45_assign_exact",
-            "d50_embedding_drift",
+            "d45_kmeans_refine",
         },
         "x4_rowsonly_stable": {
             "b1_scan_count", "b2_project_filter", "b3_broadcast_join",
@@ -110,11 +111,9 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "d20_pii",
             "d25_token_mix", "d28_lm_perplexity", "d29_shards",
             "d30_html_extract", "d31_domain_cap", "d33_weighted_sample",
-            "d49_snapshot_diff",
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
             "t7_vocab_topdf", "t8_bpe", "t9_nfc_normalize",
-            "t12_repetition_stats",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)

@@ -27,15 +27,26 @@ from cdc2vec_spark.operators import (
     retrieval_eval,
     sampling,
     selection,
+    similarity,
     span_dedup,
     text,
     urls,
+    vectors,
     winnow,
 )
 from cdc2vec_spark.streaming import joins as streaming_joins
+from cdc2vec_spark.streaming import windows as streaming_windows
 from tests.conftest import SF0001, SF001
 
 ROTATED = [
+    # round-12 parking set (driver-green in CORRECTNESS_r10 AND _r11)
+    ("c1_tumbling", streaming_windows),
+    ("c2_sliding", streaming_windows),
+    ("c3_session", streaming_windows),
+    ("c5_dedup_count", streaming_windows),
+    ("d3_multi_topk", similarity),
+    ("d7_embedding_stats", vectors),
+    ("d8_cosine_neardup", similarity),
     # round-11 parking set (driver-green in CORRECTNESS_r09 AND _r10)
     ("b19_grouping_sets", relational),
     ("b20_range_frame", relational),
