@@ -45,8 +45,25 @@ def swap_write(df: DataFrame, path: str) -> None:
     empty store. Rename-based, so local-filesystem only: on object
     stores (no rename) use cdc.manifest.ManifestCollection — the
     manifest-generation commit protocol — or Delta/Iceberg MERGE."""
+    swap_write_begin(df, path)
+    swap_write_commit(path)
+
+
+def swap_write_begin(df: DataFrame, path: str) -> None:
+    """Phase 1 of swap_write: materialize df to `<path>.tmp` (the one
+    Spark job) WITHOUT touching `path`. Lets a caller whose df reads
+    files that other swaps are about to replace write first and promote
+    later — one write job instead of an eager checkpoint + a write
+    (the IVM per-batch constant, VERDICT r11 ask #6)."""
     tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
+
+
+def swap_write_commit(path: str) -> None:
+    """Phase 2 of swap_write: atomically promote `<path>.tmp`. Crash
+    semantics identical to the fused swap_write (read_state promotes
+    `.old` if the second rename never ran)."""
+    tmp = path + ".tmp"
     old = path + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
@@ -227,9 +244,29 @@ def swap_buckets(
     are never read, rewritten, or even listed. On a real cluster this is
     `MERGE INTO state` on a table partitioned/clustered by bucket —
     Delta/Iceberg prune to the same touched file set."""
+    swap_buckets_begin(merged, path, col)
+    swap_buckets_commit(path, touched, col)
+
+
+def swap_buckets_begin(
+    merged: DataFrame, path: str, col: str = BUCKET_COL
+) -> None:
+    """Phase 1 of swap_buckets: the one Spark job, materializing merged
+    to `<path>.tmp/<col>=<i>/` WITHOUT touching `path` — so a caller can
+    run it concurrently with other jobs that still READ `path` (the IVM
+    per-batch fold, VERDICT r11 ask #6) and flip directories later."""
     tmp = path + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy(col).parquet(tmp)
+
+
+def swap_buckets_commit(
+    path: str, touched: Sequence[int], col: str = BUCKET_COL
+) -> None:
+    """Phase 2 of swap_buckets: per-bucket atomic directory flips (crash
+    semantics identical to the fused call — read_bucketed_state recovers
+    any bucket stranded under `.old`)."""
+    tmp = path + ".tmp"
     os.makedirs(path, exist_ok=True)
     oldroot = path + ".old"
     for b in touched:
