@@ -133,3 +133,72 @@ def test_graph_reports_from_state_equal_from_scratch(spark, sf_dir, tmp_path):
     snd.apply_batch(batches[1])
     assert _pairs(snd.accumulated_pairs()) == snap
     corpus.unpersist()
+
+
+def test_boot_neardup_sink_report_cadence(spark, sf_dir, tmp_path):
+    """sink.type=neardup in the config (round 12, VERDICT r11 ask #5):
+    boot() maintains the streaming LSH state from the live stream and
+    options.report_every materializes the five graph-family reports
+    (survivors / cluster_histogram / split / pagerank / source_overlap)
+    from the MAINTAINED state to path/reports/<name> — each re-readable
+    and bit-equal to a fresh graph_reports() over the same state, with
+    the source dimension carried from the configured metadata key."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.cdc import transform
+    from cdc2vec_spark.cdc.changelog import MAPPED, changes_df
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    from cdc2vec_spark.streaming import source
+
+    npath = str(tmp_path / "nd")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(
+            type="neardup",
+            options={"path": npath, "report_every": 2,
+                     "source_key": "after_author", "n_buckets": 8},
+        ),
+    )
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED)
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=4, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    # 4 batches / report_every=2 -> written at batch 4, reflecting the
+    # full ingested state; every report re-reads and matches a fresh
+    # graph_reports() over the same maintained state
+    from cdc2vec_spark.streaming.neardup import StreamingNearDup
+
+    nd = StreamingNearDup(
+        spark, npath, id_col="id", text_col="text",
+        carry_cols=("source",), n_buckets=8,
+    )
+    want = nd.graph_reports(id_col="id")
+    for name in (
+        "survivors", "cluster_histogram", "split", "pagerank",
+        "source_overlap",
+    ):
+        got = spark.read.parquet(f"{npath}/reports/{name}")
+        w = want[name]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, w.collect())
+        ), name
+    # the doc universe flowed: survivors is non-empty and ids are the
+    # point ids; the contamination matrix's sources are real authors
+    surv = spark.read.parquet(f"{npath}/reports/survivors")
+    assert surv.count() > 0
+    assert surv.first()["id"].startswith("public.documents:")
+    srcs = {
+        r["source_a"]
+        for r in spark.read.parquet(f"{npath}/reports/source_overlap").collect()
+    }
+    assert srcs and "unknown" not in srcs
