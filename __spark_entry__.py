@@ -24,9 +24,10 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     modules = [relational]
     try:
         from cdc2vec_spark.cdc import changelog as _changelog
+        from cdc2vec_spark.cdc import delta_join as _delta_join
         from cdc2vec_spark.cdc import ivm as _ivm
 
-        modules.extend([_changelog, _ivm])
+        modules.extend([_changelog, _ivm, _delta_join])
     except ImportError:
         pass
     try:

@@ -126,6 +126,10 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
+    # round-12 addition: two-sided delta-join IVM (exact two-SF oracle
+    # in tests/test_delta_join.py); composite-delivered in x1 —
+    # rotation candidate for round 13
+    "c19_incremental_join",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -145,6 +149,11 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: distributed spherical k-means refinement
     # (rows-only — float means; numpy parity in tests/test_kmeans.py)
     "d45_kmeans_refine",
+    # round-12 addition: cluster-balanced diversity sampling on the
+    # integer assignment anchor (exact two-SF oracle in
+    # tests/test_kmeans.py); composite-delivered in x3 — rotation
+    # candidate for round 13
+    "d51_balanced_sample",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -266,6 +275,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-12 parking set (c1/c2/c3/c5 — long-green, driver-green in
     r10 AND r11, oracles pinned in tests/test_rotated_oracles.py)."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.delta_join import c19_incremental_join
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import (
         c1_tumbling,
@@ -294,6 +304,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c9_stream_enrich", c9_stream_enrich),
             ("c10_funnel", c10_funnel),
             ("c11_retention", c11_retention),
+            ("c19_incremental_join", c19_incremental_join),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -340,7 +351,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     parking set (d3_multi_topk, d7_embedding_stats — long-green,
     driver-green in r10 AND r11, oracles pinned in
     tests/test_rotated_oracles.py)."""
-    from .kmeans import d45_kmeans_refine
+    from .kmeans import d45_kmeans_refine, d51_balanced_sample
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .retrieval_eval import d35_retrieval_eval
@@ -365,6 +376,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d22_pca_topk", d22_pca_topk),
             ("d35_retrieval_eval", d35_retrieval_eval),
             ("d45_kmeans_refine", d45_kmeans_refine),
+            ("d51_balanced_sample", d51_balanced_sample),
         ],
     )
 
@@ -507,6 +519,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.delta_join import c19_incremental_join
     from ..streaming.joins import c9_stream_enrich
     from ..streaming.windows import (
         c1_tumbling,
@@ -520,7 +533,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .funnel import c10_funnel, c11_retention
     from .html_extract import d30_html_extract
-    from .kmeans import d45_kmeans_refine
+    from .kmeans import d45_kmeans_refine, d51_balanced_sample
     from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
@@ -604,6 +617,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_stream_enrich": c9_stream_enrich,
         "c10_funnel": c10_funnel,
         "c11_retention": c11_retention,
+        "c19_incremental_join": c19_incremental_join,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
@@ -622,6 +636,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d22_pca_topk": d22_pca_topk,
         "d35_retrieval_eval": d35_retrieval_eval,
         "d45_kmeans_refine": d45_kmeans_refine,
+        "d51_balanced_sample": d51_balanced_sample,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,

@@ -266,13 +266,115 @@ SELECT vec_id, cell, score FROM (
 ) t WHERE rn = 1 ORDER BY vec_id
 """
 
+# ------------- d51: cluster-balanced diversity sampling (round 12)
+
+_D51_QUOTA = 12
+
+
+def balanced_sample(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    quota: int = _D51_QUOTA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced subset selection — the diversity-sampling step
+    of SemDeDup-style pipelines (Abbas et al. 2023) and the
+    cluster-spread pruning of Sorscher et al. 2022 ("Beyond neural
+    scaling laws"): instead of sampling the corpus uniformly (which
+    reproduces its cluster skew — the dominant mode floods the sample),
+    take up to ``quota`` items from EVERY embedding cluster, so the
+    subset covers the space. Deterministic end to end: the integer
+    assign_exact anchor picks the cell, and within a cell the md5 of
+    the stringified id orders the picks (the engine's standard
+    RNG-free sampling rule — d14/d29/d33), id ascending on ties.
+
+    Plan: one narrow Arrow int64-matmul pass (assignment, no shuffle) →
+    ONE hash shuffle on cell for the rank window → quota filter. At
+    100 TB the window partitions by cell (k cells); size k to the
+    corpus like any k-means codebook — cells are the parallelism."""
+    from pyspark.sql.window import Window
+
+    assigned = assign_exact(embeddings, centroids, id_col, vec_col)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= quota)
+        .select(id_col, "cell", "rnk")
+        .orderBy("cell", "rnk")
+    )
+
+
+def d51_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D51 (added round 12) — diversity-balanced corpus subset: up to
+    12 vectors per cluster of the 8-cell integer assignment (the
+    d45_assign_exact cells), picked by md5-rank within each cluster.
+    (vec_id, cell, rnk), hash-exact against the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(_ASSIGN_K)
+    )
+    return balanced_sample(emb, cents)
+
+
+D51_ORACLE_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ASSIGN_SCALE})
+                                  AS BIGINT)) AS qc
+  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT {_ASSIGN_K}
+),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_ASSIGN_SCALE})
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+scores AS (
+  SELECT q.vec_id, c.cell,
+         CAST(list_sum(list_transform(list_zip(q.q, c.qc),
+                                      p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM qv q CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores
+  ) t WHERE rn = 1
+)
+SELECT vec_id, cell, rnk FROM (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS BIGINT) AS rnk
+  FROM assigned
+) t WHERE rnk <= {_D51_QUOTA}
+ORDER BY cell, rnk
+"""
+
 # d45_kmeans_refine: rows-only (float centroids), composite-delivered in
 # x3; numpy parity, assignment exactness and cosine monotonicity pinned
 # in tests/test_kmeans.py. d45_assign_exact (round 11): the integer
-# assignment anchor, exact two-SF oracle in tests/test_kmeans.py,
-# composite-delivered in x3 under the budget.
+# assignment anchor, exact two-SF oracle in tests/test_kmeans.py;
+# individually graded since the round-12 rotation. d51_balanced_sample
+# (round 12): cluster-balanced diversity sampling on the same anchor,
+# exact two-SF oracle in tests/test_kmeans.py; composite-delivered in
+# x3 — rotation candidate for round 13.
 QUERIES = {
     "d45_kmeans_refine": d45_kmeans_refine,
     "d45_assign_exact": d45_assign_exact,
+    "d51_balanced_sample": d51_balanced_sample,
 }
-ORACLES: dict[str, str] = {"d45_assign_exact": D45_ASSIGN_ORACLE}
+ORACLES: dict[str, str] = {
+    "d45_assign_exact": D45_ASSIGN_ORACLE,
+    "d51_balanced_sample": D51_ORACLE_SQL,
+}

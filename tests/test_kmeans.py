@@ -157,3 +157,44 @@ def test_assignments_partitioning_invariant(spark, sf_dir):
     m1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
     m2 = {r["vec_id"]: r["cell"] for r in a2.collect()}
     assert m1 == m2
+
+
+@pytest.mark.parametrize("sf", [None, "SF0001"])
+def test_d51_balanced_sample_matches_duckdb_oracle(spark, sf_dir, sf):
+    """The cluster-balanced diversity sample is hash-exact against the
+    DuckDB oracle at two scale factors (the driver's own comparator)."""
+    from oracle_check import compare_one, duckdb_conn
+    from tests.conftest import SF0001
+
+    d = SF0001 if sf else sf_dir
+    con = duckdb_conn(d)
+    problems = compare_one(
+        spark, con, "d51_balanced_sample", kmeans.d51_balanced_sample,
+        kmeans.D51_ORACLE_SQL, d,
+    )
+    assert not problems, problems
+
+
+def test_d51_balances_across_clusters(spark, sf_dir):
+    """The sample takes ≤ quota per cell, covers EVERY non-empty cell
+    (the diversity property uniform sampling lacks), ranks are
+    contiguous from 1, and the pick is repartitioning-invariant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(8)
+    got = kmeans.balanced_sample(emb, cents).collect()
+    per_cell: dict = {}
+    for r in got:
+        per_cell.setdefault(r["cell"], []).append(r["rnk"])
+    assigned_cells = {
+        r["cell"]
+        for r in kmeans.assign_exact(emb, cents).select("cell").distinct().collect()
+    }
+    assert set(per_cell) == assigned_cells  # every live cluster sampled
+    for cell, rnks in per_cell.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), cell
+        assert len(rnks) <= 12, cell
+    got_rep = {
+        (r["vec_id"], r["cell"], r["rnk"])
+        for r in kmeans.balanced_sample(emb.repartition(17), cents).collect()
+    }
+    assert got_rep == {(r["vec_id"], r["cell"], r["rnk"]) for r in got}
