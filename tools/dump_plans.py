@@ -122,6 +122,8 @@ NOTES = {
     "d50_embedding_drift": "ONE scan explodes 8 dims into a map-side-combined groupBy; corpus histogram re-aggregated from the slice counts (no second scan); slice×bucket grid completion + totals via broadcast joins — everything after the scan is counter-row sized.",
     "t12_repetition_stats": "repeated_bp is pure scan-stage array math; the bigram winner is one explode → two-stage count (map-side partials collapse repeats) + min(struct) tie-break — no window, at most one shuffled row per distinct per-doc gram.",
     "c18_incremental_quantiles": "exact type-1 percentiles off the c16 dv state: one cumulative-count window + one min-aggregate over O(|dv|) rows — pure BIGINT 100·cum >= q·n rule, no base-data scan.",
+    "c19_incremental_join": "delta-join IVM read face: the maintained view is a bucketed-parquet scan (maintenance already paid per batch: LWW merges + fkidx retire/add + dirty-bucket view rewrite, all touched-bucket pruned).",
+    "d51_balanced_sample": "cluster-balanced sampling: bounded k-row centroid collect + ONE narrow Arrow int64-matmul pass (assignment), then a single hash exchange on cell for the md5-rank window; quota filter via WindowGroupLimit.",
 }
 
 HEADLINE = list(NOTES)
