@@ -100,17 +100,28 @@ class IncrementalJoinView:
     # ---------------- generic keyed LWW merge (engine envelope subset)
 
     def _merge_lww(
-        self, path: str, batch: DataFrame, key: str, cols: tuple[str, ...]
+        self,
+        path: str,
+        batch: DataFrame,
+        key: str,
+        cols: tuple[str, ...],
+        touched: list[int] | None = None,
     ) -> tuple[list[int], DataFrame | None, DataFrame]:
         """Merge a batch into the LWW state at ``path``; returns
         (touched buckets, prior touched-bucket state, merged frame —
-        persisted and eagerly pinned; caller swaps + unpersists)."""
+        persisted and eagerly pinned; caller swaps + unpersists).
+        ``touched`` skips the per-batch distinct+collect when the
+        caller precomputed it (the replay does, one job for all
+        batches — the c16 discipline)."""
         ev = batch.select(
             "op", "lsn", F.col(key), *[F.col(c) for c in cols]
         ).withColumn(BUCKET, _bexpr((key,), self.n_buckets))
-        touched = sorted(
-            r[0] for r in ev.select(BUCKET).distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                r[0] for r in ev.select(BUCKET).distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
         if not touched:
             return [], None, ev
         prior = read_bucketed_state(self.spark, path, col=BUCKET, buckets=touched)
@@ -184,92 +195,107 @@ class IncrementalJoinView:
     # ---------------------------------------------------- per batch
 
     def apply_batch(
-        self, l_batch: DataFrame | None, r_batch: DataFrame | None
+        self,
+        l_batch: DataFrame | None,
+        r_batch: DataFrame | None,
+        l_touched: list[int] | None = None,
+        r_touched: list[int] | None = None,
     ) -> None:
         """Fold one micro-batch of each stream into the states and
         rewrite exactly the dirty view buckets. Either side may be None
-        or empty.
+        or empty; ``l_touched``/``r_touched`` are optional precomputed
+        touched-bucket lists (the replay computes all batches' sets in
+        one job per side).
 
         Commit order: base states swap FIRST (under the epoch_base
         stamp), then fkidx and the view are derived from the POST-merge
         disk states — which folds the ΔL⋈ΔR term in automatically — and
         epoch_view seals the batch. A crash anywhere between the stamps
         leaves epoch_base ≠ epoch_view and the next call rebuilds the
-        derived stores from the base states."""
+        derived stores from the base states. The two side merges are
+        INDEPENDENT (different stores) and run as concurrent jobs; the
+        small per-batch frames (dirty keys, affected keys, dirty live
+        rows) stay LAZY — their inputs are the immutable batch, the
+        post-merge states and the post-update fkidx, none of which are
+        replaced again within the call, so re-derivation is a cheap
+        pruned read and the five eager checkpoints the first cut paid
+        per batch disappear."""
         self._recover_if_torn()
         spark = self.spark
         epoch = _read_epoch(self._epoch_base) + 1
         _write_epoch(self._epoch_base, epoch)
 
-        # ---- left: LWW merge; capture dirty keys + their PRIOR fks
-        # (checkpointed BEFORE the swap replaces the files they read)
-        l_touched: list[int] = []
-        dirty_l = None  # (l_key) frame, small (batch keys)
-        old_fk = None   # (_fk) of dirty keys' prior live images
-        if l_batch is not None:
-            l_touched, l_prior, l_merged = self._merge_lww(
-                self.l_path, l_batch, self.l_key, (self.l_fk, *self.l_payload)
+        def _left():
+            # merge, capture the dirty keys' PRIOR fk buckets (must be
+            # read before the swap replaces the files), swap; returns
+            # l_merged still CACHED — the fkidx step reads it
+            lt, l_prior, l_merged = self._merge_lww(
+                self.l_path, l_batch, self.l_key,
+                (self.l_fk, *self.l_payload), touched=l_touched,
             )
-            if l_touched:
-                dirty_l = (
-                    l_batch.select(self.l_key).distinct()
-                    .localCheckpoint(eager=True)
+            if not lt:
+                return [], None, [], None
+            d_l = l_batch.select(self.l_key).distinct()
+            old_b: list[int] = []
+            if l_prior is not None:
+                old_b = sorted(
+                    r[0]
+                    for r in l_prior.where(F.col("op") != OP_DELETE)
+                    .join(F.broadcast(d_l), self.l_key, "left_semi")
+                    .select(_bexpr((self.l_fk,), self.n_buckets).alias("b"))
+                    .distinct().collect()
                 )
-                if l_prior is not None:
-                    old_fk = (
-                        l_prior.where(F.col("op") != OP_DELETE)
-                        .join(F.broadcast(dirty_l), self.l_key, "left_semi")
-                        .select(F.col(self.l_fk).alias("_fk"))
-                        .localCheckpoint(eager=True)
-                    )
-                swap_buckets(l_merged, self.l_path, l_touched, col=BUCKET)
-                l_merged.unpersist()
+            swap_buckets(l_merged, self.l_path, lt, col=BUCKET)
+            return lt, d_l, old_b, l_merged
 
-        # ---- right: LWW merge + dirty right keys
-        r_touched: list[int] = []
-        dirty_r = None  # (_fk) frame of touched dimension keys
-        if r_batch is not None:
-            r_touched, _r_prior, r_merged = self._merge_lww(
-                self.r_path, r_batch, self.r_key, self.r_payload
+        def _right():
+            rt, _p, r_merged = self._merge_lww(
+                self.r_path, r_batch, self.r_key, self.r_payload,
+                touched=r_touched,
             )
-            if r_touched:
-                dirty_r = (
-                    r_batch.select(F.col(self.r_key).alias("_fk")).distinct()
-                    .localCheckpoint(eager=True)
-                )
-                swap_buckets(r_merged, self.r_path, r_touched, col=BUCKET)
-                r_merged.unpersist()
-        if not l_touched and not r_touched:
+            if not rt:
+                return [], None
+            d_r = r_batch.select(F.col(self.r_key).alias("_fk")).distinct()
+            swap_buckets(r_merged, self.r_path, rt, col=BUCKET)
+            r_merged.unpersist()
+            return rt, d_r
+
+        dirty_l = dirty_r = l_merged = None
+        l_t: list[int] = []
+        r_t: list[int] = []
+        old_b: list[int] = []
+        if l_batch is not None and r_batch is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fl = pool.submit(_left)
+                fr = pool.submit(_right)
+                l_t, dirty_l, old_b, l_merged = fl.result()
+                r_t, dirty_r = fr.result()
+        elif l_batch is not None:
+            l_t, dirty_l, old_b, l_merged = _left()
+        elif r_batch is not None:
+            r_t, dirty_r = _right()
+        if not l_t and not r_t:
             _write_epoch(self._epoch_view, epoch)
             return
 
-        # ---- fkidx maintenance from the POST-merge left state: retire
-        # dirty keys' old mappings, add their new live mappings —
-        # touched fk-buckets only
-        new_map = None
+        # ---- fkidx maintenance: retire dirty keys' old mappings, add
+        # their new live mappings (straight from the still-cached merge
+        # result) — touched fk-buckets only
         if dirty_l is not None:
-            lb = sorted(
-                r[0]
-                for r in dirty_l.select(
-                    _bexpr((self.l_key,), self.n_buckets).alias("b")
-                ).distinct().collect()
-            )
-            l_now = read_bucketed_state(spark, self.l_path, col=BUCKET, buckets=lb)
             new_map = (
-                l_now.where(F.col("op") != OP_DELETE)
+                l_merged.where(F.col("op") != OP_DELETE)
                 .join(F.broadcast(dirty_l), self.l_key, "left_semi")
                 .select(F.col(self.l_fk).alias("_fk"), F.col(self.l_key))
-                .localCheckpoint(eager=True)
             )
-            fk_keys = new_map.select("_fk")
-            if old_fk is not None:
-                fk_keys = fk_keys.unionByName(old_fk)
-            fk_touched = sorted(
+            new_b = sorted(
                 r[0]
-                for r in fk_keys.select(
+                for r in new_map.select(
                     _bexpr(("_fk",), self.n_buckets).alias("b")
                 ).distinct().collect()
             )
+            fk_touched = sorted(set(new_b) | set(old_b))
             if fk_touched:
                 prior_idx = read_bucketed_state(
                     spark, self.fk_path, col=BUCKET, buckets=fk_touched
@@ -288,6 +314,7 @@ class IncrementalJoinView:
                     idx.repartition(len(fk_touched), BUCKET),
                     self.fk_path, fk_touched, col=BUCKET,
                 )
+            l_merged.unpersist()
 
         # ---- dirty view keys: left batch keys ∪ live left keys whose
         # fk was touched on the right (via the fkidx, pruned to the
@@ -317,7 +344,7 @@ class IncrementalJoinView:
         if dirty is None:
             _write_epoch(self._epoch_view, epoch)
             return
-        dirty = dirty.distinct().localCheckpoint(eager=True)
+        dirty = dirty.distinct()
 
         # ---- recompute the dirty keys' view rows from the post-merge
         # disk states, rewrite only their view buckets
@@ -335,7 +362,6 @@ class IncrementalJoinView:
             l_now.where(F.col("op") != OP_DELETE)
             .join(F.broadcast(dirty), self.l_key, "left_semi")
             .drop(BUCKET)
-            .localCheckpoint(eager=True)
         )
         # R partners: read only the dirty rows' fk buckets
         fk_b = sorted(
@@ -469,6 +495,27 @@ def _replayed_join_view(spark: SparkSession, sf_dir: str) -> IncrementalJoinView
             rlo, rhi = rch.agg(F.min("rlsn"), F.max("rlsn")).first()
             lstep = (lhi - llo) // 4 + 1
             rstep = (rhi - rlo) // 4 + 1
+            # all batches' touched-bucket sets in ONE job per side
+            # (instead of one distinct+collect per merge — the c16
+            # replay discipline)
+            lt: dict[int, list] = {}
+            for r in (
+                lch.select(
+                    ((F.col("lsn") - F.lit(llo)) / F.lit(lstep))
+                    .cast("int").alias("_i"),
+                    _bexpr(("pk",), ivj.n_buckets).alias("_b"),
+                ).distinct().collect()
+            ):
+                lt.setdefault(r["_i"], []).append(r["_b"])
+            rt: dict[int, list] = {}
+            for r in (
+                rch.select(
+                    ((F.col("rlsn") - F.lit(rlo)) / F.lit(rstep))
+                    .cast("int").alias("_i"),
+                    _bexpr(("akey",), ivj.n_buckets).alias("_b"),
+                ).distinct().collect()
+            ):
+                rt.setdefault(r["_i"], []).append(r["_b"])
             for i in range(4):
                 ivj.apply_batch(
                     lch.where(
@@ -479,6 +526,8 @@ def _replayed_join_view(spark: SparkSession, sf_dir: str) -> IncrementalJoinView
                         (F.col("rlsn") >= rlo + i * rstep)
                         & (F.col("rlsn") < rlo + (i + 1) * rstep)
                     ).withColumnRenamed("rlsn", "lsn"),
+                    l_touched=lt.get(i, []),
+                    r_touched=rt.get(i, []),
                 )
         finally:
             lch.unpersist()
