@@ -110,6 +110,9 @@ HEADLINE = [
     "c18_incremental_quantiles",  # exact type-1 percentiles off the dv state
     "d50_embedding_drift",   # per-(label, dim) integer-TVD drift report
     "t12_repetition_stats",  # Gopher repetition face (integer basis points)
+    # round-12 additions
+    "c19_incremental_join",  # delta-join IVM (two streams, 4 batches each)
+    "d51_balanced_sample",   # cluster-balanced diversity sampling
 ]
 
 
@@ -237,6 +240,24 @@ def main() -> None:
     # cross-round swing on untouched code is self-documenting as noise.
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    # hard barrier before the query loop (VERDICT r11 ask #7): drop any
+    # memoized shared state the probes above left behind (graph-stage
+    # pair sets, IVM replays — localCheckpoint blocks that would
+    # otherwise live in the block manager for the whole loop) and
+    # quiesce twice so the loop starts from a reaped heap. The memos are
+    # deliberately NOT cleared between query groups inside the loop:
+    # the d9/d44/d46/d47/d48 family sharing ONE pair derivation (and
+    # c16-c18 sharing one replayed state) is the intended execution
+    # model, and the family members are not adjacent in HEADLINE.
+    from cdc2vec_spark.cdc import delta_join as _dj_mod
+    from cdc2vec_spark.cdc import ivm as _ivm_mod
+    from cdc2vec_spark.operators import dedup as _dedup_mod
+
+    _dedup_mod.clear_graph_stage_cache()
+    _ivm_mod.clear_replay_cache()
+    _dj_mod.clear_join_cache()
+    _quiesce(spark)
+    _quiesce(spark)
     for name in HEADLINE:
         fn = registry[name]
         # quiesce BETWEEN queries, never between a query's own reps —
@@ -252,6 +273,21 @@ def main() -> None:
         spread[name] = round(max(secs) - min(secs), 3)
         print(f"# {name}: {timings[name]}s (+{spread[name]} spread)", file=sys.stderr)
         record("queries", dict(timings), emit=False)  # file only, per query
+
+    # re-measure the sink rate LATE (after ~85 queries) to attribute the
+    # cross-round throughput drift (VERDICT r11 ask #3): if late ≪ the
+    # fresh-session number above, the decline the driver records is
+    # session pressure on the shared JVM/mock, not per-batch cost growth
+    sink_rate_late = _sink_upsert_rate(spark)
+    print(f"# sink_upserts_per_sec_late: {sink_rate_late}", file=sys.stderr)
+    record("sink_upserts_per_sec_late", sink_rate_late)
+
+    # streaming near-dup graph reports: per-batch ingest + the O(pairs)
+    # report refresh FROM STATE vs the batch family's full derivation
+    # (round 12, VERDICT r11 ask #5)
+    nd_probe = _neardup_report_probe(spark, sf_dir, registry)
+    print(f"# neardup_reports: {nd_probe}", file=sys.stderr)
+    record("neardup_reports", nd_probe)
 
     scale_curve = _scale_curve(spark, registry)
     print(f"# scale_curve: {scale_curve}", file=sys.stderr)
@@ -284,8 +320,32 @@ def main() -> None:
         evidence[k] = v
     record("value", headline["value"], emit=False)  # flush merged evidence
     # the judged headline metrics LAST and compact, so a bounded tail
-    # capture of stdout always retains the complete headline JSON line
-    print(json.dumps(headline, separators=(",", ":")), flush=True)
+    # capture of stdout always retains the complete headline JSON line.
+    # The driver's tail capture is ~2000 chars (BENCH_r11's parse failed
+    # because the 81-query line outgrew it — VERDICT r11 ask #8), so the
+    # final line is BUDGETED: if the full record doesn't fit, the full
+    # per-query map is printed as its own preceding line and the final
+    # line keeps the slowest queries that fit, with the omission counted
+    # and the complete map in BENCH_SELF_r{N}.json (committed).
+    budget = 1900
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > budget:
+        print(
+            json.dumps({"queries_full": timings}, separators=(",", ":")),
+            flush=True,
+        )
+        by_cost = sorted(timings, key=lambda q: -timings[q])
+        kept = dict(timings)
+        while by_cost and len(line) > budget:
+            kept.pop(by_cost.pop())  # drop the cheapest until it fits
+            trimmed = {
+                **headline,
+                "queries": {q: kept[q] for q in sorted(kept)},
+                "queries_omitted": len(timings) - len(kept),
+                "queries_full_in": f"BENCH_SELF_r{_round_number()}.json",
+            }
+            line = json.dumps(trimmed, separators=(",", ":"))
+    print(line, flush=True)
 
 
 def _mock_http_server(response: dict):
@@ -656,6 +716,75 @@ def _multi_sink_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def _neardup_report_probe(spark, sf_dir: str, registry) -> dict:
+    """Ingest the near-dup corpus through StreamingNearDup in 3 batches,
+    then time: (a) one steady-state batch ingest, (b) the five-report
+    graph refresh FROM the maintained pair state (graph_reports — the
+    boot() report-cadence path), and (c) the batch family's same five
+    reports derived from scratch (shared graph stage, memo cleared).
+    The refresh must cost O(pairs + docs), never a shingle/candidate
+    re-derivation — (b) ≪ (c) is the evidence (VERDICT r11 ask #5)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc2vec_spark.operators import dedup as _dedup
+    from cdc2vec_spark.operators.dedup import neardup_corpus
+    from cdc2vec_spark.streaming.neardup import StreamingNearDup
+
+    corpus = neardup_corpus(spark, sf_dir).withColumn(
+        "source", (F.col("doc_id") % 3).cast("string")
+    ).persist()
+    corpus.count()
+    root = tempfile.mkdtemp(prefix="bench_nd_")
+    out: dict = {}
+    try:
+        nd = StreamingNearDup(
+            spark, f"{root}/nd", threshold=0.5, carry_cols=("source",)
+        )
+        n = corpus.count()
+        cuts = [n // 3, 2 * n // 3]
+        ids = corpus.select("doc_id").orderBy("doc_id").collect()
+        c1, c2 = ids[cuts[0]][0], ids[cuts[1]][0]
+        batches = [
+            corpus.where(F.col("doc_id") <= c1),
+            corpus.where((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+            corpus.where(F.col("doc_id") > c2),
+        ]
+        walls = []
+        for b in batches:
+            t0 = time.perf_counter()
+            nd.apply_batch(b)
+            walls.append(time.perf_counter() - t0)
+        out["ingest_batch_secs"] = round(walls[-1], 3)  # steady state
+        secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for df in nd.graph_reports().values():
+                df.write.format("noop").mode("overwrite").save()
+            secs.append(time.perf_counter() - t0)
+        out["reports_refresh_secs"] = round(min(secs), 3)
+        # the batch path: same five reports, full derivation (ONE shared
+        # pair/CC stage + five reads — dedup._graph_stage)
+        _dedup.clear_graph_stage_cache()
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        for q in ("d9_keep_exact", "d46_dedup_clusters", "d48_cluster_split",
+                  "d44_pagerank", "d47_source_overlap"):
+            registry[q](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        out["batch_family_secs"] = round(time.perf_counter() - t0, 3)
+        out["refresh_over_batch_ratio"] = round(
+            out["reports_refresh_secs"] / max(out["batch_family_secs"], 1e-9), 2
+        )
+    finally:
+        corpus.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _round_number() -> int:
     """Next round number inferred from the driver's BENCH_r*.json files
     (the driver writes BENCH_r{N} after bench runs, so at run time the
@@ -763,6 +892,10 @@ _CURVE_OPS = [
     # repetition face the documents scan + its distinct-gram exchange
     "d50_embedding_drift",
     "t12_repetition_stats",
+    # round 12: the delta-join replay — like c16, its wall is fixed
+    # per-batch maintenance overhead; the curve must show the flat
+    # amortization, not data-proportional growth
+    "c19_incremental_join",
 ]
 
 # sf1 best-of-n reps for curve ops whose single-shot sf1 wall proved
@@ -770,8 +903,16 @@ _CURVE_OPS = [
 # a same-code re-run said 31.2s — AQE's runtime skew-split decision on
 # the per-source postings join flips between plans at that scale. n=3
 # with the spread recorded pins the steady-state number; d9 rides along
-# since its pair join shares the same AQE decision point.
-_CURVE_SF1_REPS = {"d40_incremental_dedup": 3, "d9_keep_exact": 3}
+# since its pair join shares the same AQE decision point. Round 12
+# (VERDICT r11 ask #1): d2_minhash_lsh / d2_blocked_jaccard join the
+# n=3 set to evidence the eager-cache-pin fix (their sf1 points swung
+# 15.1→67.6s / 10.8→24.1s across r11 runs on the lazy-persist race).
+_CURVE_SF1_REPS = {
+    "d40_incremental_dedup": 3,
+    "d9_keep_exact": 3,
+    "d2_minhash_lsh": 3,
+    "d2_blocked_jaccard": 3,
+}
 
 
 def _scale_curve(spark, registry) -> dict:
@@ -783,6 +924,7 @@ def _scale_curve(spark, registry) -> dict:
     dominates at sf0.1, which is itself evidence of headroom."""
     import shutil
 
+    from cdc2vec_spark.cdc import delta_join as _dj
     from cdc2vec_spark.cdc import ivm as _ivm
     from cdc2vec_spark.operators import dedup as _dedup
 
@@ -797,6 +939,7 @@ def _scale_curve(spark, registry) -> dict:
             # op (or the headline loop) left behind
             _dedup.clear_graph_stage_cache()
             _ivm.clear_replay_cache()
+            _dj.clear_join_cache()
             _quiesce(spark)
             # untimed warm-up at the smallest SF: ops outside the
             # headline set (d18) would otherwise charge whole-session
@@ -818,9 +961,12 @@ def _scale_curve(spark, registry) -> dict:
                 # cleared between reps so each rep re-derives)
                 reps = _CURVE_SF1_REPS.get(name, 1) if label == "sf1" else 1
                 secs = []
+                tasks: list[int] = []
+                st = spark.sparkContext.statusTracker()
                 for _ in range(reps):
                     _dedup.clear_graph_stage_cache()
                     _ivm.clear_replay_cache()
+                    _dj.clear_join_cache()
                     # quiesce between reps too: the curve runs ~20 min
                     # into the session, and an un-reaped block-manager /
                     # heap backlog shows up as a single 20s+ GC-shaped
@@ -829,12 +975,26 @@ def _scale_curve(spark, registry) -> dict:
                     # 7.9-10.7s across all AQE configs)
                     if reps > 1:
                         _quiesce(spark)
+                    j0 = set(st.getJobIdsForGroup(None) or [])
                     t0 = time.perf_counter()
                     fn(spark, d).write.format("noop").mode("overwrite").save()
                     secs.append(time.perf_counter() - t0)
+                    if reps > 1:
+                        n = 0
+                        for j in set(st.getJobIdsForGroup(None) or []) - j0:
+                            ji = st.getJobInfo(j)
+                            for sid in ji.stageIds if ji else ():
+                                si = st.getStageInfo(sid)
+                                n += si.numTasks if si else 0
+                        tasks.append(n)
                 row[label] = round(min(secs), 3)
                 if reps > 1:
                     row[f"{label}_spread"] = round(max(secs) - min(secs), 3)
+                    # identical task counts across reps = the WORK is
+                    # deterministic (no cache race re-derivation, no AQE
+                    # replan); any residual spread is wall noise, not
+                    # recomputation (VERDICT r11 ask #1's real question)
+                    row[f"{label}_tasks"] = tasks
             row["x10_ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
             row["x100_ratio"] = round(row["sf1"] / max(row["sf0.01"], 1e-9), 2)
             out[name] = row
