@@ -75,13 +75,25 @@ dedup-themed probe), d3_multi_topk and d7_embedding_stats (→ x3, the
 ANN/vector-themed probe). Their exact oracles stay pinned at two scale
 factors in tests/test_rotated_oracles.py.
 
+Round-13 rotation (VERDICT r12 ask #1): the two round-12 exact-oracle
+keys that were composite-delivered and never individually driver-graded
+— c19_incremental_join (two-sided delta-join IVM, exact two-SF oracle
+in tests/test_delta_join.py) and d51_balanced_sample (cluster-balanced
+sampling, exact two-SF oracle in tests/test_kmeans.py) — moved INTO
+individually graded registry slots. To stay at the 50-entry budget, two
+long-green queries (driver-green in BOTH CORRECTNESS_r11 and _r12)
+rotated OUT into x1: c13_asof_join and c14_event_paths, with their
+exact oracles pinned at two scale factors in
+tests/test_rotated_oracles.py.
+
 Groupings:
   x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
                          b16_sketches, c4_watermark, d10_split, d10_pack
                          + the round-11 parking set c9_stream_enrich,
                          c10_funnel, c11_retention + the round-12
                          parking set c1_tumbling, c2_sliding,
-                         c3_session, c5_dedup_count
+                         c3_session, c5_dedup_count + the round-13
+                         parking set c13_asof_join, c14_event_paths
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
                          own test file), d12_semdedup_exact (exact
@@ -126,10 +138,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
-    # round-12 addition: two-sided delta-join IVM (exact two-SF oracle
-    # in tests/test_delta_join.py); composite-delivered in x1 —
-    # rotation candidate for round 13
-    "c19_incremental_join",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -149,11 +157,6 @@ CONSOLIDATED: tuple[str, ...] = (
     # round-10 addition: distributed spherical k-means refinement
     # (rows-only — float means; numpy parity in tests/test_kmeans.py)
     "d45_kmeans_refine",
-    # round-12 addition: cluster-balanced diversity sampling on the
-    # integer assignment anchor (exact two-SF oracle in
-    # tests/test_kmeans.py); composite-delivered in x3 — rotation
-    # candidate for round 13
-    "d51_balanced_sample",
     "t8_bpe",
     # round-9 rotation: long-green queries parked in x4 so the round-8
     # newcomers (d35/b19/b20/b21/t9/c9–c12) and the round-7 leftovers
@@ -244,6 +247,16 @@ CONSOLIDATED: tuple[str, ...] = (
     "d8_cosine_neardup",
     "d3_multi_topk",
     "d7_embedding_stats",
+    # round-13 rotation (VERDICT r12 ask #1): long-green queries
+    # (driver-green in BOTH CORRECTNESS_r11 and _r12) parked so the two
+    # round-12 exact-oracle keys never individually graded —
+    # c19_incremental_join (oracle in tests/test_delta_join.py) and
+    # d51_balanced_sample (oracle in tests/test_kmeans.py) — get
+    # individual graded slots. Both parked keys go to x1 (streaming/
+    # event-analytics themed); their exact oracles stay pinned at two
+    # SFs in tests/test_rotated_oracles.py.
+    "c13_asof_join",
+    "c14_event_paths",
 )
 
 
@@ -271,12 +284,12 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated, plus
-    the round-11 streaming-themed parking set (c9/c10/c11) and the
-    round-12 parking set (c1/c2/c3/c5 — long-green, driver-green in
-    r10 AND r11, oracles pinned in tests/test_rotated_oracles.py)."""
+    the round-11 streaming-themed parking set (c9/c10/c11), the
+    round-12 parking set (c1/c2/c3/c5) and the round-13 parking set
+    (c13/c14 — long-green, driver-green in r11 AND r12, oracles pinned
+    in tests/test_rotated_oracles.py)."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.delta_join import c19_incremental_join
-    from ..streaming.joins import c9_stream_enrich
+    from ..streaming.joins import c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
         c2_sliding,
@@ -284,7 +297,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4_watermark,
         c5_dedup_count,
     )
-    from .funnel import c10_funnel, c11_retention
+    from .funnel import c10_funnel, c11_retention, c14_event_paths
     from .relational import b16_sketches
     from .sampling import d10_pack, d10_split
     from .vectors import a8_deterministic_embed
@@ -304,7 +317,8 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c9_stream_enrich", c9_stream_enrich),
             ("c10_funnel", c10_funnel),
             ("c11_retention", c11_retention),
-            ("c19_incremental_join", c19_incremental_join),
+            ("c13_asof_join", c13_asof_join),
+            ("c14_event_paths", c14_event_paths),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -351,7 +365,7 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     parking set (d3_multi_topk, d7_embedding_stats — long-green,
     driver-green in r10 AND r11, oracles pinned in
     tests/test_rotated_oracles.py)."""
-    from .kmeans import d45_kmeans_refine, d51_balanced_sample
+    from .kmeans import d45_kmeans_refine
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
     from .retrieval_eval import d35_retrieval_eval
@@ -376,7 +390,6 @@ def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d22_pca_topk", d22_pca_topk),
             ("d35_retrieval_eval", d35_retrieval_eval),
             ("d45_kmeans_refine", d45_kmeans_refine),
-            ("d51_balanced_sample", d51_balanced_sample),
         ],
     )
 
@@ -519,8 +532,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
-    from ..cdc.delta_join import c19_incremental_join
-    from ..streaming.joins import c9_stream_enrich
+    from ..streaming.joins import c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
         c2_sliding,
@@ -531,9 +543,9 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
-    from .funnel import c10_funnel, c11_retention
+    from .funnel import c10_funnel, c11_retention, c14_event_paths
     from .html_extract import d30_html_extract
-    from .kmeans import d45_kmeans_refine, d51_balanced_sample
+    from .kmeans import d45_kmeans_refine
     from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
@@ -617,7 +629,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_stream_enrich": c9_stream_enrich,
         "c10_funnel": c10_funnel,
         "c11_retention": c11_retention,
-        "c19_incremental_join": c19_incremental_join,
+        "c13_asof_join": c13_asof_join,
+        "c14_event_paths": c14_event_paths,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
@@ -636,7 +649,6 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d22_pca_topk": d22_pca_topk,
         "d35_retrieval_eval": d35_retrieval_eval,
         "d45_kmeans_refine": d45_kmeans_refine,
-        "d51_balanced_sample": d51_balanced_sample,
         "t8_bpe": t8_bpe,
         "b1_scan_count": b1_scan_count,
         "b2_project_filter": b2_project_filter,

@@ -126,7 +126,7 @@ EXPECTED_QUERIES = frozenset(
     # in x4 (green in r08+r09; oracles in tests/test_rotated_oracles.py)
     # to free slots for the round-9 newcomers below
     + ["d27_full_prep", "d32_web_prep", "d34_semantic_decontam"]
-    + ["c13_asof_join", "c14_event_paths", "d36_quality_classifier",
+    + ["d36_quality_classifier",
        "d37_temperature_mix", "d38_context_pack"]
     # IVM anchor, individual since round 9
     + ["c12_incremental_agg"]
@@ -147,6 +147,12 @@ EXPECTED_QUERIES = frozenset(
     + ["c16_incremental_distinct", "c17_incremental_topk",
        "c18_incremental_quantiles", "d45_assign_exact",
        "d49_snapshot_diff", "d50_embedding_drift", "t12_repetition_stats"]
+    # round-13 rotation (VERDICT r12 ask #1): the two round-12
+    # composite-delivered exact-oracle keys — c19_incremental_join and
+    # d51_balanced_sample — take individual slots; the long-green
+    # c13_asof_join and c14_event_paths rows (green in r11+r12) parked
+    # in x1 with oracles in tests/test_rotated_oracles.py
+    + ["c19_incremental_join", "d51_balanced_sample"]
     # the rows-only queries (and the long-green queries rotated out —
     # b1–b21, t1–t9, d4, d5, d11, d13, d14, d15, d17–d21, d23–d26,
     # d33, d35, c9–c11; oracles pinned in tests/test_rotated_oracles.py)

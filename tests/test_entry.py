@@ -81,8 +81,8 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c1_tumbling", "c2_sliding", "c3_session",
             "c4_watermark", "c5_dedup_count", "c9_stream_enrich",
-            "c10_funnel", "c11_retention", "c19_incremental_join",
-            "d10_split", "d10_pack",
+            "c10_funnel", "c11_retention", "c13_asof_join",
+            "c14_event_paths", "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d8_cosine_neardup",
@@ -95,7 +95,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d3_ivf_topk", "d3_hyperplane_topk", "d3_multi_topk",
             "d7_embedding_stats", "d8_lsh_neardup",
             "d3_pq_topk", "d22_pca_topk", "d35_retrieval_eval",
-            "d45_kmeans_refine", "d51_balanced_sample",
+            "d45_kmeans_refine",
         },
         "x4_rowsonly_stable": {
             "b1_scan_count", "b2_project_filter", "b3_broadcast_join",

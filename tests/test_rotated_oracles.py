@@ -39,6 +39,9 @@ from cdc2vec_spark.streaming import windows as streaming_windows
 from tests.conftest import SF0001, SF001
 
 ROTATED = [
+    # round-13 parking set (driver-green in CORRECTNESS_r11 AND _r12)
+    ("c13_asof_join", streaming_joins),
+    ("c14_event_paths", funnel),
     # round-12 parking set (driver-green in CORRECTNESS_r10 AND _r11)
     ("c1_tumbling", streaming_windows),
     ("c2_sliding", streaming_windows),
