@@ -140,9 +140,6 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cdc2vec_spark.session import get_spark
 
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
     import __spark_entry__ as entry_mod
     from cdc2vec_spark.operators import composite
 
@@ -151,16 +148,20 @@ def main() -> None:
     # components individually so per-operator numbers stay comparable
     # across rounds
     registry = {**entry_mod.queries(), **composite.component_queries()}
-    # Warm the JVM/file-listing paths once so q1 isn't charged for JIT/startup.
-    registry["b1_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Progressive evidence: every completed section is immediately
     # (a) printed to stdout as its own compact JSON line and (b) folded
-    # into BENCH_SELF_r{N}.json on disk — a mid-run kill (driver timeout,
-    # OOM) leaves every finished section's numbers recoverable instead
-    # of an empty stdout (the all-at-the-end failure mode).
+    # into a GITIGNORED BENCH_SELF_r{N}.live.json on disk — a mid-run
+    # kill (driver timeout, OOM) leaves every finished section's numbers
+    # recoverable instead of an empty stdout. The live path is
+    # gitignored (VERDICT r12 ask #4, fourth recurrence: writing the
+    # committed BENCH_SELF_r{N}.json in place meant the driver's re-run
+    # clobbered the committed builder numbers and left the tree dirty at
+    # round end). The builder promotes live → committed in its record
+    # commit by running with BENCH_PROMOTE=1.
     evidence: dict = {}
-    self_path = os.path.join(REPO, f"BENCH_SELF_r{_round_number()}.json")
+    rnd = _round_number()
+    self_path = os.path.join(REPO, f"BENCH_SELF_r{rnd}.live.json")
 
     def record(key, value, emit: bool = True) -> None:
         evidence[key] = value
@@ -173,11 +174,70 @@ def main() -> None:
         if emit:
             print(json.dumps({key: value}, separators=(",", ":")), flush=True)
 
+    # ---- PHASE 1: the per-query headline loop, in its OWN pristine
+    # SparkContext (VERDICT r12 ask #3: both r12 runs showed a +31%
+    # headline drift with NON-reproducing per-key regressions — classic
+    # session pressure from the probes that used to run first; the late
+    # sink re-probe proved the mechanism, 70.2k/s early → 51.2k/s late).
+    # The throughput probes get their own fresh context in phase 2, so
+    # the judged cdc metric keeps its fresh-session measurement too.
+    spark = get_spark("bench-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM/file-listing paths once so q1 isn't charged for JIT/startup.
+    registry["b1_scan_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # best-of-3 per query: single-shot numbers on a busy 32-thread box swing
+    # 2-4x with GC/compilation/co-tenant noise; min is the standard
+    # steady-state read. Spread (max-min) is emitted per query so a
+    # cross-round swing on untouched code is self-documenting as noise.
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    # The memos are deliberately NOT cleared between query groups inside
+    # the loop: the d9/d44/d46/d47/d48 family sharing ONE pair
+    # derivation (and c16-c18 sharing one replayed state) is the
+    # intended execution model, and the family members are not adjacent
+    # in HEADLINE.
+    from cdc2vec_spark.cdc import delta_join as _dj_mod
+    from cdc2vec_spark.cdc import ivm as _ivm_mod
+    from cdc2vec_spark.operators import dedup as _dedup_mod
+
+    for name in HEADLINE:
+        fn = registry[name]
+        # quiesce BETWEEN queries, never between a query's own reps —
+        # within-query persist reuse (d11/d16 broadcast sides) is part
+        # of the measured steady state
+        _quiesce(spark)
+        secs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            secs.append(time.perf_counter() - t0)
+        timings[name] = round(min(secs), 3)
+        spread[name] = round(max(secs) - min(secs), 3)
+        print(f"# {name}: {timings[name]}s (+{spread[name]} spread)", file=sys.stderr)
+        record("queries", dict(timings), emit=False)  # file only, per query
+    record("queries_spread", spread, emit=False)
+
+    # retire phase 1's context: its block-manager state (leaked
+    # localCheckpoint blocks, per-query persists from ~85 queries × 3
+    # reps) dies with it, so phase 2's probes start unpressured. The
+    # module memos hold DataFrames bound to the dead context — clear
+    # them before anything in phase 2 can touch them.
+    _dedup_mod.clear_graph_stage_cache()
+    _ivm_mod.clear_replay_cache()
+    _dj_mod.clear_join_cache()
+    spark.stop()
+
+    # ---- PHASE 2: throughput probes + scale curve, fresh context.
+    spark = get_spark("bench-probes")
+    spark.sparkContext.setLogLevel("ERROR")
+
     # CDC-apply sustained throughput (BASELINE.md target: >= 5,000 changes/s;
     # the reference publishes 1,000-5,000). 10x-replicated change log at the
     # reference's default dim 768 to amortize fixed job overhead. Measured
-    # FIRST (before 20 queries pollute executor storage) and best-of-3 —
-    # this is the judged metric, so it must not ride on GC luck.
+    # FIRST in the fresh probe context (nothing pollutes executor storage
+    # before it) and best-of-3 — this is the judged metric, so it must
+    # not ride on GC luck.
     from pyspark.sql import functions as F
 
     from cdc2vec_spark.cdc import changelog as C
@@ -234,54 +294,6 @@ def main() -> None:
     print(f"# lex_index: {lex_probe}", file=sys.stderr)
     record("lex_index", lex_probe)
 
-    # best-of-3 per query: single-shot numbers on a busy 32-thread box swing
-    # 2-4x with GC/compilation/co-tenant noise; min is the standard
-    # steady-state read. Spread (max-min) is emitted per query so a
-    # cross-round swing on untouched code is self-documenting as noise.
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    # hard barrier before the query loop (VERDICT r11 ask #7): drop any
-    # memoized shared state the probes above left behind (graph-stage
-    # pair sets, IVM replays — localCheckpoint blocks that would
-    # otherwise live in the block manager for the whole loop) and
-    # quiesce twice so the loop starts from a reaped heap. The memos are
-    # deliberately NOT cleared between query groups inside the loop:
-    # the d9/d44/d46/d47/d48 family sharing ONE pair derivation (and
-    # c16-c18 sharing one replayed state) is the intended execution
-    # model, and the family members are not adjacent in HEADLINE.
-    from cdc2vec_spark.cdc import delta_join as _dj_mod
-    from cdc2vec_spark.cdc import ivm as _ivm_mod
-    from cdc2vec_spark.operators import dedup as _dedup_mod
-
-    _dedup_mod.clear_graph_stage_cache()
-    _ivm_mod.clear_replay_cache()
-    _dj_mod.clear_join_cache()
-    _quiesce(spark)
-    _quiesce(spark)
-    for name in HEADLINE:
-        fn = registry[name]
-        # quiesce BETWEEN queries, never between a query's own reps —
-        # within-query persist reuse (d11/d16 broadcast sides) is part
-        # of the measured steady state
-        _quiesce(spark)
-        secs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            secs.append(time.perf_counter() - t0)
-        timings[name] = round(min(secs), 3)
-        spread[name] = round(max(secs) - min(secs), 3)
-        print(f"# {name}: {timings[name]}s (+{spread[name]} spread)", file=sys.stderr)
-        record("queries", dict(timings), emit=False)  # file only, per query
-
-    # re-measure the sink rate LATE (after ~85 queries) to attribute the
-    # cross-round throughput drift (VERDICT r11 ask #3): if late ≪ the
-    # fresh-session number above, the decline the driver records is
-    # session pressure on the shared JVM/mock, not per-batch cost growth
-    sink_rate_late = _sink_upsert_rate(spark)
-    print(f"# sink_upserts_per_sec_late: {sink_rate_late}", file=sys.stderr)
-    record("sink_upserts_per_sec_late", sink_rate_late)
-
     # streaming near-dup graph reports: per-batch ingest + the O(pairs)
     # report refresh FROM STATE vs the batch family's full derivation
     # (round 12, VERDICT r11 ask #5)
@@ -299,6 +311,15 @@ def main() -> None:
     multi_sink = _multi_sink_probe(spark, sf_dir)
     print(f"# multi_sink: {multi_sink}", file=sys.stderr)
     record("multi_sink", multi_sink)
+
+    # re-measure the sink rate LATE (the pressure control, VERDICT r11
+    # ask #3 / r12 ask #3): this context has now run every probe + the
+    # scale curve; if late ≪ the fresh number above, any cross-round
+    # throughput decline the driver records is session pressure on the
+    # shared JVM/mock, not per-batch cost growth
+    sink_rate_late = _sink_upsert_rate(spark)
+    print(f"# sink_upserts_per_sec_late: {sink_rate_late}", file=sys.stderr)
+    record("sink_upserts_per_sec_late", sink_rate_late)
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -342,10 +363,20 @@ def main() -> None:
                 **headline,
                 "queries": {q: kept[q] for q in sorted(kept)},
                 "queries_omitted": len(timings) - len(kept),
-                "queries_full_in": f"BENCH_SELF_r{_round_number()}.json",
+                "queries_full_in": f"BENCH_SELF_r{rnd}.json",
             }
             line = json.dumps(trimmed, separators=(",", ":"))
     print(line, flush=True)
+    # promotion: the builder's record run (BENCH_PROMOTE=1) copies the
+    # finished live evidence to the committed name; a plain run (the
+    # driver's re-run) touches only the gitignored live path, so the
+    # tree stays clean at round end (VERDICT r12 ask #4)
+    if os.environ.get("BENCH_PROMOTE") == "1":
+        import shutil
+
+        shutil.copyfile(
+            self_path, os.path.join(REPO, f"BENCH_SELF_r{rnd}.json")
+        )
 
 
 def _mock_http_server(response: dict):
@@ -914,6 +945,40 @@ _CURVE_SF1_REPS = {
     "d2_blocked_jaccard": 3,
 }
 
+# Attribution notes for the curve shapes the r12 verdict flagged (x100 ≥ 5
+# with absolute sf1 walls ≤ 7s — VERDICT r12 ask #9). All four are
+# token-linear by design; the expectation is attribution, not
+# re-planning. The evidence emitted alongside: per-SF corpus char volume
+# (the real input growth — the sf1 synthesis is 10x sf0.1 rows and
+# ~100x sf0.01 chars) and per-label executed task counts. A ratio of
+# 5-7 against ~100x input chars means per-char cost FELL ~15-20x from
+# sf0.01 to sf1 — fixed job/stage overhead dominating the small points,
+# the expected shape for scan-dominated token-linear operators (the
+# flat-ratio ops on the curve are per-batch-constant replays, a
+# different cost model, not a better one).
+_CURVE_ATTRIBUTION_NOTES = {
+    "t12_repetition_stats": (
+        "token-linear: one documents scan + explode(bigrams) + two-stage "
+        "count; wall tracks input chars — sf0.01's wall is mostly fixed "
+        "job overhead, so x100 ≈ 5-7 is amortization, not superlinearity"
+    ),
+    "d36_quality_classifier": (
+        "scan-stage hashed-linear classifier, no shuffle; wall = one "
+        "documents scan, token-linear HOF math — x100 tracks the char "
+        "volume growth over a near-constant job floor"
+    ),
+    "d21_span_dedup": (
+        "cross-doc span dedup: shingle explode + df filter + group — "
+        "shuffle volume is token-linear (repeated spans only); x100 "
+        "reflects char growth against the small points' fixed overhead"
+    ),
+    "d26_winnow_pairs": (
+        "winnowing fingerprints: scan-stage rolling-hash windows + one "
+        "fingerprint exchange; exchange rows are ~chars/w — token-linear; "
+        "x100 tracks input volume over the job floor"
+    ),
+}
+
 
 def _scale_curve(spark, registry) -> dict:
     """Measured 100x scale curve for the heaviest operators:
@@ -931,6 +996,22 @@ def _scale_curve(spark, registry) -> dict:
     sf1 = _make_sf1(spark)
     out: dict[str, dict] = {}
     try:
+        # input-volume evidence for the attribution notes (ask #9): the
+        # actual char growth each curve point reads, so a 5-7x wall
+        # ratio against ~100x chars is self-documenting amortization
+        from pyspark.sql import functions as F
+
+        from cdc2vec_spark.io import load_table
+
+        vols: dict[str, int] = {}
+        for label, d in (("sf0.01", "/root/testdata/sf0.01"),
+                         ("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)):
+            vols[label] = (
+                load_table(spark, d, "documents")
+                .agg(F.sum(F.length("text")))
+                .collect()[0][0]
+            )
+        out["_input_chars"] = vols
         for name in _CURVE_OPS:
             fn = registry[name]
             # the curve measures each operator's OWN full derivation:
@@ -960,6 +1041,10 @@ def _scale_curve(spark, registry) -> dict:
                 # spread makes the curve trustworthy, and the memo is
                 # cleared between reps so each rep re-derives)
                 reps = _CURVE_SF1_REPS.get(name, 1) if label == "sf1" else 1
+                # the attribution set also records executed task counts
+                # at EVERY curve point (ask #9 evidence: task growth ≈
+                # partition growth, wall growth ≪ both)
+                track_tasks = reps > 1 or name in _CURVE_ATTRIBUTION_NOTES
                 secs = []
                 tasks: list[int] = []
                 st = spark.sparkContext.statusTracker()
@@ -979,7 +1064,7 @@ def _scale_curve(spark, registry) -> dict:
                     t0 = time.perf_counter()
                     fn(spark, d).write.format("noop").mode("overwrite").save()
                     secs.append(time.perf_counter() - t0)
-                    if reps > 1:
+                    if track_tasks:
                         n = 0
                         for j in set(st.getJobIdsForGroup(None) or []) - j0:
                             ji = st.getJobInfo(j)
@@ -990,6 +1075,7 @@ def _scale_curve(spark, registry) -> dict:
                 row[label] = round(min(secs), 3)
                 if reps > 1:
                     row[f"{label}_spread"] = round(max(secs) - min(secs), 3)
+                if track_tasks:
                     # identical task counts across reps = the WORK is
                     # deterministic (no cache race re-derivation, no AQE
                     # replan); any residual spread is wall noise, not
@@ -997,6 +1083,8 @@ def _scale_curve(spark, registry) -> dict:
                     row[f"{label}_tasks"] = tasks
             row["x10_ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 2)
             row["x100_ratio"] = round(row["sf1"] / max(row["sf0.01"], 1e-9), 2)
+            if name in _CURVE_ATTRIBUTION_NOTES:
+                row["attribution"] = _CURVE_ATTRIBUTION_NOTES[name]
             out[name] = row
             print(f"# curve {name}: {row}", file=sys.stderr)
     finally:
