@@ -393,9 +393,10 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
         # report set also lands on hook.last_reports.
         # ``options.source_key`` names the metadata key carried into the
         # docs state as the contamination matrix's source dimension.
-        # Deletes are skipped: the near-dup index is an ingestion-side
-        # corpus filter (append-only doc universe), not an LWW state —
-        # documented divergence from the keyed collections.
+        # Deletes retire the ids from all three state tables (round 13,
+        # VERDICT r12 ask #6 — StreamingNearDup.delete_batch), so the
+        # live pair state and the cadence reports track the surviving
+        # collection like every other keyed state.
         from .streaming.neardup import StreamingNearDup
 
         npath = opts.get("path")
@@ -435,6 +436,9 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                     ).alias("source")
                 )
             nd.apply_batch(pts.where(F.col("op") != "d").select(*cols))
+            # retire deleted ids from index/docs/pairs (cheap no-op when
+            # the batch carries no deletes: one tiny distinct-collect)
+            nd.delete_batch(pts.where(F.col("op") == "d").select("id"))
             ncache["n"] += 1
             if nreport_every and ncache["n"] % nreport_every == 0:
                 from .cdc.apply import swap_write

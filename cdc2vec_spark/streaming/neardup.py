@@ -40,6 +40,15 @@ is discovered either in the arrival batch of its later doc (new-vs-old)
 or within one batch (new-vs-new) — so streaming the corpus in ANY batch
 split emits exactly the pairs the batch operator finds on the full
 corpus (pinned in tests/test_neardup_stream.py).
+
+Deletes (round 13, VERDICT r12 ask #6): ``delete_batch(ids)`` retires
+the ids from all three tables — docs by pruned dbucket rewrite, index
+by recomputing the band keys from the stored shingle sets (``sig`` is a
+pure function of ``sh``) so the read prunes to exactly the deleted
+docs' buckets, pairs by one O(pairs) semi-join locating the affected
+pbuckets followed by a pruned anti-join rewrite. The live graph state
+and the cadence reports therefore track the SURVIVING corpus; pinned
+delete ≡ never-ingested in tests/test_neardup_stream.py.
 """
 
 from __future__ import annotations
@@ -231,6 +240,97 @@ class StreamingNearDup:
         both.unpersist()
         self._merge_pairs_state(pairs)
         return pairs
+
+    def delete_batch(self, ids: DataFrame) -> None:
+        """Retire a batch of DELETED doc ids from all three state tables
+        (round 13, VERDICT r12 ask #6 — the live near-dup graph must
+        track the collection when documents are deleted, like every
+        other keyed state in the engine):
+
+        - ``docs``:  drop the ids' rows — pruned to their dbucket dirs.
+        - ``index``: the ids' (band, bv) rows are found WITHOUT a scan —
+          ``sig`` is a pure function of the stored ``sh``
+          (minhash_signatures), so the deleted docs' band keys are
+          recomputed from the docs state and prune the index read to
+          exactly their buckets; an anti-join drops the rows.
+        - ``pairs``: pairs referencing a deleted id can live in any
+          pbucket (the bucket key is the pair hash), so affected buckets
+          are located with one O(pairs) semi-join scan — pairs ≪ corpus
+          (it is the near-dup graph, the same frame every report refresh
+          already reads) — and only those buckets are rewritten with the
+          anti-join.
+
+        Idempotent (anti-joins converge); a delete for a never-ingested
+        id is a no-op. Re-ingesting a deleted id later behaves like a
+        brand-new doc: its index/docs rows re-merge and new-vs-old
+        re-verifies its pairs against the surviving corpus."""
+        from ..operators.dedup import minhash_signatures
+
+        dids = ids.select(self.id_col).distinct().localCheckpoint(eager=True)
+        dbuckets = sorted(
+            r[0]
+            for r in dids.select(
+                F.pmod(F.xxhash64(self.id_col), F.lit(self.n_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        )
+        if not dbuckets:
+            return
+        docs = read_bucketed_state(
+            self.spark, self.docs_path, col=DBUCKET, buckets=dbuckets
+        )
+        if docs is not None:
+            mine = docs.join(F.broadcast(dids), self.id_col, "left_semi")
+            sigs = minhash_signatures(
+                mine.select(self.id_col, "sh"), self.num_perm,
+                id_col=self.id_col,
+            )
+            banded = self._banded(sigs)
+            ibuckets = sorted(
+                r[0] for r in banded.select(BUCKET).distinct().collect()
+            )
+            if ibuckets:
+                idx = read_bucketed_state(
+                    self.spark, self.index_path, col=BUCKET, buckets=ibuckets
+                )
+                if idx is not None:
+                    keep_idx = idx.join(
+                        F.broadcast(dids), self.id_col, "left_anti"
+                    )
+                    swap_buckets(
+                        keep_idx.repartition(len(ibuckets), BUCKET),
+                        self.index_path, ibuckets, col=BUCKET,
+                    )
+            keep_docs = docs.join(F.broadcast(dids), self.id_col, "left_anti")
+            swap_buckets(
+                keep_docs.repartition(len(dbuckets), DBUCKET),
+                self.docs_path, dbuckets, col=DBUCKET,
+            )
+        pairs = read_bucketed_state(self.spark, self.pairs_path, col=PBUCKET)
+        if pairs is not None:
+            da = dids.select(F.col(self.id_col).alias("id_a"))
+            db = dids.select(F.col(self.id_col).alias("id_b"))
+            hit = (
+                pairs.join(F.broadcast(da), "id_a", "left_semi")
+                .select(PBUCKET)
+                .unionByName(
+                    pairs.join(F.broadcast(db), "id_b", "left_semi")
+                    .select(PBUCKET)
+                )
+            )
+            pbuckets = sorted(r[0] for r in hit.distinct().collect())
+            if pbuckets:
+                sub = read_bucketed_state(
+                    self.spark, self.pairs_path, col=PBUCKET, buckets=pbuckets
+                )
+                keep_pairs = (
+                    sub.join(F.broadcast(da), "id_a", "left_anti")
+                    .join(F.broadcast(db), "id_b", "left_anti")
+                )
+                swap_buckets(
+                    keep_pairs.repartition(len(pbuckets), PBUCKET),
+                    self.pairs_path, pbuckets, col=PBUCKET,
+                )
 
     # --------------------------- incremental graph state + reports
 

@@ -135,6 +135,62 @@ def test_graph_reports_from_state_equal_from_scratch(spark, sf_dir, tmp_path):
     corpus.unpersist()
 
 
+def test_delete_retires_state_equals_never_ingested(spark, sf_dir, tmp_path):
+    """Round 13 (VERDICT r12 ask #6): after delete_batch, all three
+    state tables are row-for-row identical to a stream that NEVER
+    ingested the deleted docs — so every graph report from state equals
+    the batch family on the surviving corpus by construction. Also:
+    deleting an unknown id is a no-op, replaying the delete is
+    idempotent, and a deleted doc re-ingests like a brand-new one."""
+    corpus = neardup_corpus(spark, sf_dir).persist()
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    b1 = corpus.where(F.col("doc_id") <= cut)
+    b2 = corpus.where(F.col("doc_id") > cut)
+
+    snd = StreamingNearDup(spark, str(tmp_path / "nd"), threshold=0.5)
+    for b in (b1, b2):
+        snd.apply_batch(b)
+    # delete a set that includes docs with verified pairs
+    paired = {r["id_a"] for r in snd.accumulated_pairs().limit(5).collect()}
+    assert paired, "fixture has near-dups"
+    victims = sorted(paired)[:3] + [ids[0], 10**12]  # + unpaired + unknown
+    vdf = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    snd.delete_batch(vdf)
+
+    survivors = corpus.where(~F.col("doc_id").isin(victims))
+    ref = StreamingNearDup(spark, str(tmp_path / "nd_ref"), threshold=0.5)
+    ref.apply_batch(survivors)
+
+    def state_rows(s):
+        idx = spark.read.parquet(s.index_path)
+        docs = spark.read.parquet(s.docs_path)
+        return (
+            sorted(map(tuple, idx.select("doc_id", "band", "bv").collect())),
+            sorted(
+                (r["doc_id"], tuple(r["sh"]))
+                for r in docs.select("doc_id", "sh").collect()
+            ),
+        )
+
+    assert state_rows(snd) == state_rows(ref)
+    assert _pairs(snd.accumulated_pairs()) == _pairs(ref.accumulated_pairs())
+    # report parity on the surviving corpus follows, but pin one anyway
+    got = snd.graph_reports(survivors)["survivors"].collect()
+    want = ref.graph_reports(survivors)["survivors"].collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # idempotent replay of the delete
+    snd.delete_batch(vdf)
+    assert state_rows(snd) == state_rows(ref)
+
+    # a deleted doc re-ingests like a new one: its pairs re-verify
+    back = corpus.where(F.col("doc_id") == victims[0])
+    re_pairs = _pairs(snd.apply_batch(back))
+    assert any(victims[0] in (a, b) for a, b, _ in re_pairs)
+    corpus.unpersist()
+
+
 def test_boot_neardup_sink_report_cadence(spark, sf_dir, tmp_path):
     """sink.type=neardup in the config (round 12, VERDICT r11 ask #5):
     boot() maintains the streaming LSH state from the live stream and
@@ -202,3 +258,29 @@ def test_boot_neardup_sink_report_cadence(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{npath}/reports/source_overlap").collect()
     }
     assert srcs and "unknown" not in srcs
+    # deletes flowed (round 13, VERDICT r12 ask #6): the fixture stream
+    # carries delete events, and every key whose FINAL event is a
+    # delete must be absent from the docs state, the survivors report
+    # and the maintained pair set — the live graph tracks the SURVIVING
+    # collection
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pk").orderBy(F.col("lsn").desc())
+    dead = {
+        "public.documents:" + r["pk"]
+        for r in ch.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "d"))
+        .select("pk").collect()
+    }
+    assert dead, "fixture stream should end some keys deleted"
+    docs_ids = {
+        r["id"] for r in spark.read.parquet(f"{npath}/docs").select("id").collect()
+    }
+    assert not (dead & docs_ids)
+    assert not (dead & {r["id"] for r in surv.collect()})
+    pair_ids = {
+        x
+        for r in nd.accumulated_pairs().collect()
+        for x in (r["id_a"], r["id_b"])
+    }
+    assert not (dead & pair_ids)
