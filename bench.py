@@ -113,6 +113,8 @@ HEADLINE = [
     # round-12 additions
     "c19_incremental_join",  # delta-join IVM (two streams, 4 batches each)
     "d51_balanced_sample",   # cluster-balanced diversity sampling
+    # round-13 addition
+    "c20_incremental_join_agg",  # maintained GROUP BY over the join view
 ]
 
 

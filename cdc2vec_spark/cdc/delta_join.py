@@ -81,12 +81,28 @@ class IncrementalJoinView:
         r_key: str,
         r_payload: tuple[str, ...],
         n_buckets: int = 16,
+        agg_group: tuple[str, ...] = (),
+        agg_sums: dict[str, str] | None = None,
     ):
+        """``agg_group``/``agg_sums`` (round 13, c20) opt into a FOURTH
+        derived store: a maintained GROUP BY over the join view — the
+        materialized star-rollup composing the IVM family's join views
+        with its aggregates. ``agg_group`` names view columns to group
+        by; ``agg_sums`` maps output names to integer SQL expressions
+        over the view columns, each maintained as a running BIGINT sum
+        alongside the implicit live row count ``_n``. Maintenance is
+        DELTA-DRIVEN: each batch's view rewrite already knows exactly
+        which rows leave (the dirty keys' prior view rows) and which
+        arrive (their recomputed rows), so the new aggregate is ONE
+        groupBy over (arrivals +, departures −, the prior tiny agg
+        table) — O(batch), never a view scan. Groups drained to zero
+        rows drop (the c16 discipline)."""
         self.spark = spark
         self.l_path = path + "/lstate"
         self.r_path = path + "/rstate"
         self.fk_path = path + "/fkidx"
         self.view_path = path + "/view"
+        self.agg_path = path + "/agg"
         self._epoch_base = path + "/_epoch_base"
         self._epoch_view = path + "/_epoch_view"
         self.l_key, self.l_fk = l_key, l_fk
@@ -94,6 +110,10 @@ class IncrementalJoinView:
         self.r_key = r_key
         self.r_payload = tuple(r_payload)
         self.n_buckets = n_buckets
+        self.agg_group = tuple(agg_group)
+        self.agg_sums = dict(agg_sums or {})
+        if self.agg_sums and not self.agg_group:
+            raise ValueError("agg_sums requires agg_group")
         if l_fk in (l_key,) or r_key in self.r_payload:
             raise ValueError("join columns must be distinct from keys")
 
@@ -145,15 +165,44 @@ class IncrementalJoinView:
 
     # ----------------------------------------------------- recovery
 
+    def _agg_cols(self) -> list[str]:
+        return ["_n", *self.agg_sums]
+
+    def _agg_contrib(self, rows: DataFrame, sign: int) -> DataFrame:
+        """Rows of the view → signed aggregate contributions."""
+        return rows.select(
+            *[F.col(g) for g in self.agg_group],
+            F.lit(sign).cast("long").alias("_n"),
+            *[
+                (F.lit(sign) * F.expr(e)).cast("long").alias(name)
+                for name, e in self.agg_sums.items()
+            ],
+        )
+
+    def _agg_fold(self, *sides: DataFrame) -> DataFrame:
+        out = sides[0]
+        for s in sides[1:]:
+            out = out.unionByName(s.select(*out.columns))
+        return (
+            out.groupBy(*[F.col(g) for g in self.agg_group])
+            .agg(*[F.sum(c).alias(c) for c in self._agg_cols()])
+            .where(F.col("_n") > 0)
+            .coalesce(1)
+        )
+
     def _rebuild(self) -> None:
         import shutil
+
+        def _drop(*paths):
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
+                shutil.rmtree(p + ".old", ignore_errors=True)
+                shutil.rmtree(p + ".tmp", ignore_errors=True)
 
         l_full = read_bucketed_state(self.spark, self.l_path, col=BUCKET)
         r_full = read_bucketed_state(self.spark, self.r_path, col=BUCKET)
         if l_full is None:
-            for p in (self.fk_path, self.view_path):
-                shutil.rmtree(p, ignore_errors=True)
-                shutil.rmtree(p + ".old", ignore_errors=True)
+            _drop(self.fk_path, self.view_path, self.agg_path)
             return
         l_live = l_full.where(F.col("op") != OP_DELETE)
         fkidx = l_live.select(
@@ -164,14 +213,21 @@ class IncrementalJoinView:
             self.fk_path, list(range(self.n_buckets)), col=BUCKET,
         )
         if r_full is None:  # no right rows ever: inner view is empty
-            shutil.rmtree(self.view_path, ignore_errors=True)
-            shutil.rmtree(self.view_path + ".old", ignore_errors=True)
+            _drop(self.view_path, self.agg_path)
             return
         view = self._join_rows(l_live, r_full)
         swap_buckets(
             view.repartition(self.n_buckets, BUCKET),
             self.view_path, list(range(self.n_buckets)), col=BUCKET,
         )
+        if self.agg_group:
+            full = read_bucketed_state(self.spark, self.view_path, col=BUCKET)
+            if full is None:
+                _drop(self.agg_path)
+            else:
+                from .apply import swap_write
+
+                swap_write(self._agg_fold(self._agg_contrib(full, 1)), self.agg_path)
 
     def _recover_if_torn(self) -> None:
         be, ve = _read_epoch(self._epoch_base), _read_epoch(self._epoch_view)
@@ -481,6 +537,7 @@ class IncrementalJoinView:
         )
         if fresh is None and keep is None:
             # no surviving partners and no prior rows in these buckets
+            # (prior_view is None here, so nothing leaves the agg either)
             if idx is not None:
                 swap_buckets_begin(
                     idx.repartition(len(fk_touched), BUCKET),
@@ -495,10 +552,36 @@ class IncrementalJoinView:
         else:
             out = keep.select(*fresh.columns).unionByName(fresh)
 
-        # stage both derived stores concurrently (one job wall), flip
-        # directories only after both staging jobs finished — every
-        # lazy read above (pre-update fkidx, prior view) stays valid
-        # through its materializing job
+        # delta-driven join-agg maintenance (c20): arrivals are exactly
+        # `fresh`, departures exactly the dirty keys' PRIOR view rows —
+        # both already derived for the view rewrite, so the new agg is
+        # one tiny groupBy over (+fresh, −removed, prior agg rows)
+        new_agg = None
+        if self.agg_group:
+            from .apply import read_state, swap_write_begin, swap_write_commit
+
+            contribs = []
+            if fresh is not None:
+                contribs.append(self._agg_contrib(fresh, 1))
+            if prior_view is not None:
+                removed = prior_view.join(
+                    F.broadcast(dirty), self.l_key, "left_semi"
+                )
+                contribs.append(self._agg_contrib(removed, -1))
+            cur = read_state(spark, self.agg_path)
+            if cur is not None:
+                contribs.append(
+                    cur.select(
+                        *self.agg_group,
+                        *[F.col(c).cast("long").alias(c) for c in self._agg_cols()],
+                    )
+                )
+            new_agg = self._agg_fold(*contribs)
+
+        # stage every derived store concurrently (one job wall), flip
+        # directories only after all staging jobs finished — every
+        # lazy read above (pre-update fkidx, prior view, prior agg)
+        # stays valid through its materializing job
         def _begin_idx() -> None:
             if idx is not None:
                 swap_buckets_begin(
@@ -511,13 +594,23 @@ class IncrementalJoinView:
                 out.repartition(len(vb), BUCKET), self.view_path, col=BUCKET
             )
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fi, fv = pool.submit(_begin_idx), pool.submit(_begin_view)
-            fi.result()
-            fv.result()
+        def _begin_agg() -> None:
+            if new_agg is not None:
+                swap_write_begin(new_agg, self.agg_path)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_begin_idx),
+                pool.submit(_begin_view),
+                pool.submit(_begin_agg),
+            ]
+            for f in futs:
+                f.result()
         if idx is not None:
             swap_buckets_commit(self.fk_path, fk_touched, col=BUCKET)
         swap_buckets_commit(self.view_path, vb, col=BUCKET)
+        if new_agg is not None:
+            swap_write_commit(self.agg_path)
         if l_merged is not None:
             l_merged.unpersist()
         _write_epoch(self._epoch_view, epoch)
@@ -527,6 +620,16 @@ class IncrementalJoinView:
         self._recover_if_torn()
         v = read_bucketed_state(self.spark, self.view_path, col=BUCKET)
         return None if v is None else v.drop(BUCKET)
+
+    def read_agg(self) -> DataFrame | None:
+        """The maintained join-aggregate (agg_group…, _n, agg_sums…) —
+        None when the instance has no agg spec or the view is empty."""
+        if not self.agg_group:
+            return None
+        self._recover_if_torn()
+        from .apply import read_state
+
+        return read_state(self.spark, self.agg_path)
 
 
 # ---------------------------------------------------------------- c19
@@ -608,10 +711,15 @@ def _replayed_join_view(spark: SparkSession, sf_dir: str) -> IncrementalJoinView
             atexit.register(_cleanup_join_cache)
             _JOIN_ATEXIT = True
         root = tempfile.mkdtemp(prefix="ivm_join_")
+        # ONE replayed instance serves both faces (the shared-state
+        # discipline of c16/c17/c18): c19 reads the view, c20 reads the
+        # composed join-aggregate maintained alongside it
         ivj = IncrementalJoinView(
             spark, f"{root}/jv",
             l_key="pk", l_fk="after_author", l_payload=("after_title",),
             r_key="akey", r_payload=("tier",), n_buckets=4,
+            agg_group=("tier",),
+            agg_sums={"title_chars": "coalesce(length(after_title), 0)"},
         )
         lch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
         rch = dim_changes_df(spark, sf_dir).persist()
@@ -694,6 +802,25 @@ def c19_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True).orderBy("pk")
 
 
+def c20_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 (added round 13) — the composed join-AGGREGATE face: the
+    same two-stream replay maintains a GROUP BY over the join view (per
+    author tier: live fact count + total title chars), delta-driven —
+    each batch folds exactly the view rows that arrive and leave into
+    the running sums, never rescanning the view (the materialized
+    star-rollup every warehouse maintains by hand, here maintained by
+    the engine). Shares the c19 replay instance (one replay, two
+    faces — the c16/c17/c18 shared-state discipline)."""
+    ivj = _replayed_join_view(spark, sf_dir)
+    a = ivj.read_agg()
+    out = a.select(
+        F.col("tier").cast("long").alias("tier"),
+        F.col("_n").cast("long").alias("n_facts"),
+        F.col("title_chars").cast("long").alias("title_chars"),
+    )
+    return out.localCheckpoint(eager=True).orderBy("tier")
+
+
 from .changelog import CHANGES_CTE as _CHANGES_CTE  # noqa: E402
 
 C19_ORACLE_SQL = _CHANGES_CTE + """
@@ -726,12 +853,50 @@ FROM live l JOIN dim_live d ON l.after_author = d.akey
 ORDER BY pk
 """
 
+C20_ORACLE_SQL = _CHANGES_CTE + """
+, lww AS (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+  FROM changes WHERE tbl = 'public.documents'
+),
+live AS (
+  SELECT pk, after_author, after_title FROM lww WHERE rn = 1 AND op <> 'd'
+),
+authors AS (
+  SELECT source, CAST(substr(source, 4) AS INT) AS n
+  FROM (SELECT DISTINCT source FROM documents)
+),
+dim_changes AS (
+  SELECT n*4 AS rlsn, 'c' AS op, source AS akey, CAST(n % 3 AS BIGINT) AS tier
+  FROM authors
+  UNION ALL
+  SELECT n*4+1, 'u', source, CAST((n+5) % 3 AS BIGINT)
+  FROM authors WHERE n % 2 = 0
+  UNION ALL
+  SELECT n*4+2, 'd', source, NULL
+  FROM authors WHERE n % 5 = 3
+),
+dim_lww AS (
+  SELECT *, row_number() OVER (PARTITION BY akey ORDER BY rlsn DESC) AS rn
+  FROM dim_changes
+),
+dim_live AS (SELECT akey, tier FROM dim_lww WHERE rn = 1 AND op <> 'd')
+SELECT d.tier AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(COALESCE(length(l.after_title), 0)) AS BIGINT) AS title_chars
+FROM live l JOIN dim_live d ON l.after_author = d.akey
+GROUP BY d.tier
+ORDER BY tier
+"""
+
 QUERIES = {
-    # round-12 addition: composite-delivered (x1), exact two-SF oracle
-    # in tests/test_delta_join.py; rotation candidate for round 13
+    # c19 individually graded since the round-13 rotation; c20 (round
+    # 13) is composite-delivered (x1) with its exact two-SF oracle in
+    # tests/test_delta_join.py — rotation candidate for round 14
     "c19_incremental_join": c19_incremental_join,
+    "c20_incremental_join_agg": c20_incremental_join_agg,
 }
 
 ORACLES = {
     "c19_incremental_join": C19_ORACLE_SQL,
+    "c20_incremental_join_agg": C20_ORACLE_SQL,
 }

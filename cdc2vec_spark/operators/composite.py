@@ -94,6 +94,9 @@ Groupings:
                          parking set c1_tumbling, c2_sliding,
                          c3_session, c5_dedup_count + the round-13
                          parking set c13_asof_join, c14_event_paths
+                         + the round-13 newcomer c20_incremental_join_agg
+                         (exact two-SF oracle in tests/test_delta_join.py;
+                         rotation candidate for round 14)
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
                          own test file), d12_semdedup_exact (exact
@@ -138,6 +141,10 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
+    # round-13 addition: the composed join-AGGREGATE face of the delta-
+    # join IVM (exact two-SF oracle in tests/test_delta_join.py);
+    # composite-delivered in x1 — rotation candidate for round 14
+    "c20_incremental_join_agg",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -289,6 +296,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c13/c14 — long-green, driver-green in r11 AND r12, oracles pinned
     in tests/test_rotated_oracles.py)."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.delta_join import c20_incremental_join_agg
     from ..streaming.joins import c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
@@ -319,6 +327,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c11_retention", c11_retention),
             ("c13_asof_join", c13_asof_join),
             ("c14_event_paths", c14_event_paths),
+            ("c20_incremental_join_agg", c20_incremental_join_agg),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -532,6 +541,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
     from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.delta_join import c20_incremental_join_agg
     from ..streaming.joins import c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
@@ -631,6 +641,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_retention": c11_retention,
         "c13_asof_join": c13_asof_join,
         "c14_event_paths": c14_event_paths,
+        "c20_incremental_join_agg": c20_incremental_join_agg,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

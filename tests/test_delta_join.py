@@ -16,8 +16,10 @@ from oracle_check import compare_one, duckdb_conn
 
 from cdc2vec_spark.cdc.delta_join import (
     C19_ORACLE_SQL,
+    C20_ORACLE_SQL,
     IncrementalJoinView,
     c19_incremental_join,
+    c20_incremental_join_agg,
     clear_join_cache,
 )
 from cdc2vec_spark.cdc.ivm import _read_epoch, _write_epoch
@@ -31,6 +33,20 @@ def test_c19_matches_duckdb_oracle(spark, sf):
     problems = compare_one(
         spark, con, "c19_incremental_join", c19_incremental_join,
         C19_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_c20_matches_duckdb_oracle(spark, sf):
+    """c20 (round 13): the composed join-AGGREGATE face — per-tier live
+    fact count + total title chars maintained delta-driven alongside the
+    view, vs the batch GROUP BY over the joined LWW closures."""
+    clear_join_cache()
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "c20_incremental_join_agg", c20_incremental_join_agg,
+        C20_ORACLE_SQL, sf,
     )
     assert not problems, (sf, problems)
 
@@ -100,14 +116,38 @@ def _batch_join(l_rows, r_rows):
     return out
 
 
+def _agg_ref(view_rows):
+    """Python reference for the maintained join-agg: per tier, live
+    fact count + sum(coalesce(length(t), 0)) over the reference view."""
+    out: dict = {}
+    for _pk, _fk, t, tier in view_rows:
+        n, s = out.get(tier, (0, 0))
+        out[tier] = (n + 1, s + (len(t) if t is not None else 0))
+    return {(tier, n, s) for tier, (n, s) in out.items()}
+
+
+def _agg_rows(ivj):
+    a = ivj.read_agg()
+    if a is None:
+        return set()
+    return {
+        (r["tier"], r["_n"], r["tchars"])
+        for r in a.collect()
+    }
+
+
 def test_incremental_equals_recompute_every_batch(spark, tmp_path):
     """The crafted walk: fk-moving fact update, dim update fanning out,
     dim delete dropping facts, fact delete + reinsert — after EVERY
-    batch the maintained view equals the batch join of the LWW states."""
+    batch the maintained view equals the batch join of the LWW states,
+    and the maintained join-AGGREGATE (c20's engine) equals the same
+    reference grouped per tier."""
     ivj = IncrementalJoinView(
         spark, str(tmp_path / "jv"),
         l_key="pk", l_fk="fk", l_payload=("t",),
         r_key="k", r_payload=("tier",), n_buckets=4,
+        agg_group=("tier",),
+        agg_sums={"tchars": "coalesce(length(t), 0)"},
     )
     batches = [
         # batch 1: plain inserts both sides
@@ -144,7 +184,9 @@ def test_incremental_equals_recompute_every_batch(spark, tmp_path):
             _mk(spark, l_rows, "pk", "fk string, t string"),
             _mk(spark, r_rows, "k", "tier string"),
         )
-        assert _view_rows(ivj) == _batch_join(seen_l, seen_r)
+        ref = _batch_join(seen_l, seen_r)
+        assert _view_rows(ivj) == ref
+        assert _agg_rows(ivj) == _agg_ref(ref)
 
 
 def test_replay_idempotent(spark, tmp_path):
@@ -189,6 +231,8 @@ def test_torn_commit_rebuilds_from_base_states(spark, tmp_path):
         spark, str(tmp_path / "jv"),
         l_key="pk", l_fk="fk", l_payload=("t",),
         r_key="k", r_payload=("tier",), n_buckets=4,
+        agg_group=("tier",),
+        agg_sums={"tchars": "coalesce(length(t), 0)"},
     )
     l = [("c", 1, "p1", "a", "x"), ("c", 2, "p2", "b", "y")]
     r = [("c", 1, "a", "t0"), ("c", 2, "b", "t1")]
@@ -197,10 +241,50 @@ def test_torn_commit_rebuilds_from_base_states(spark, tmp_path):
         _mk(spark, r, "k", "tier string"),
     )
     want = _view_rows(ivj)
-    # simulate a crash between the base swaps and the view commit
+    want_agg = _agg_rows(ivj)
+    # simulate a crash between the base swaps and the derived commits
     import shutil
 
     shutil.rmtree(ivj.view_path, ignore_errors=True)
+    shutil.rmtree(ivj.agg_path, ignore_errors=True)
     _write_epoch(ivj._epoch_base, _read_epoch(ivj._epoch_base) + 1)
     assert _view_rows(ivj) == want  # read() rebuilt the derived stores
     assert _read_epoch(ivj._epoch_base) == _read_epoch(ivj._epoch_view)
+    assert _agg_rows(ivj) == want_agg  # the join-agg rebuilt too
+
+
+def test_deferred_batches_equal_full_path(spark, tmp_path):
+    """apply_batch_deferred (the replay's merge-only fast path) followed
+    by a read() must land on the same view AND join-agg as running every
+    batch through the full incremental path — for a deferred-only run
+    and for the replay's defer-then-full mix."""
+    batches = [
+        ([("c", 1, "p1", "a", "x"), ("c", 2, "p2", "a", "yy")],
+         [("c", 1, "a", "t0"), ("c", 2, "b", "t1")]),
+        ([("u", 10, "p1", "b", "x2"), ("c", 11, "p3", "b", "zzz")],
+         [("u", 10, "a", "t0b")]),
+        ([("d", 20, "p2", None, None)], [("c", 21, "c", "t2")]),
+    ]
+
+    def run(path, mode):
+        ivj = IncrementalJoinView(
+            spark, path,
+            l_key="pk", l_fk="fk", l_payload=("t",),
+            r_key="k", r_payload=("tier",), n_buckets=4,
+            agg_group=("tier",),
+            agg_sums={"tchars": "coalesce(length(t), 0)"},
+        )
+        for i, (l_rows, r_rows) in enumerate(batches):
+            lb = _mk(spark, l_rows, "pk", "fk string, t string")
+            rb = _mk(spark, r_rows, "k", "tier string")
+            defer = mode == "all_deferred" or (mode == "mix" and i < 2)
+            if defer:
+                ivj.apply_batch_deferred(lb, rb)
+            else:
+                ivj.apply_batch(lb, rb)
+        return _view_rows(ivj), _agg_rows(ivj)
+
+    full = run(str(tmp_path / "full"), "full")
+    assert full[0]  # non-vacuous
+    assert run(str(tmp_path / "deferred"), "all_deferred") == full
+    assert run(str(tmp_path / "mix"), "mix") == full

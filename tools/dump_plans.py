@@ -123,6 +123,7 @@ NOTES = {
     "t12_repetition_stats": "repeated_bp is pure scan-stage array math; the bigram winner is one explode → two-stage count (map-side partials collapse repeats) + min(struct) tie-break — no window, at most one shuffled row per distinct per-doc gram.",
     "c18_incremental_quantiles": "exact type-1 percentiles off the c16 dv state: one cumulative-count window + one min-aggregate over O(|dv|) rows — pure BIGINT 100·cum >= q·n rule, no base-data scan.",
     "c19_incremental_join": "delta-join IVM read face: the maintained view is a bucketed-parquet scan (maintenance already paid per batch: LWW merges + fkidx retire/add + dirty-bucket view rewrite, all touched-bucket pruned).",
+    "c20_incremental_join_agg": "composed join-agg read face: the maintained aggregate is a tiny single-file scan (maintenance delta-driven per batch: +arrivals/-departures the view rewrite already derives, one counter-row groupBy, never a view scan).",
     "d51_balanced_sample": "cluster-balanced sampling: bounded k-row centroid collect + ONE narrow Arrow int64-matmul pass (assignment), then a single hash exchange on cell for the md5-rank window; quota filter via WindowGroupLimit.",
 }
 
