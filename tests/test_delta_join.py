@@ -1,10 +1,12 @@
-"""c19 — two-sided delta-join IVM (IncrementalJoinView).
+"""c19/c20 — two-sided delta-join IVM (IncrementalJoinView) and the
+composed join-AGGREGATE view maintained alongside it.
 
-Exact DuckDB oracle at two SFs via the driver's comparator; per-batch
-incremental≡recompute on crafted streams covering fact updates that
-MOVE the join key, dim updates fanning out to every joined fact, dim
-deletes dropping their facts, fact deletes and reinserts; replay
-idempotence; torn-commit rebuild.
+Exact DuckDB oracles at two SFs via the driver's comparator; per-batch
+incremental≡recompute (view AND aggregate) on crafted streams covering
+fact updates that MOVE the join key, dim updates fanning out to every
+joined fact, dim deletes dropping their facts, fact deletes and
+reinserts; replay idempotence; torn-commit rebuild of every derived
+store; deferred≡full-path parity for the replay's merge-only fast path.
 """
 
 from __future__ import annotations
