@@ -255,6 +255,59 @@ def test_torn_commit_rebuilds_from_base_states(spark, tmp_path):
     assert _agg_rows(ivj) == want_agg  # the join-agg rebuilt too
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_walk_matches_reference(spark, tmp_path, seed):
+    """Seeded random-walk fuzz (the IVM family's topk/quantiles fuzz
+    discipline applied to the join view): 5 batches of random
+    insert/update/delete traffic on BOTH streams over small key spaces
+    (so fk moves, dim churn, deletes and re-inserts all occur by
+    density), after each batch view AND join-agg equal the Python LWW
+    reference. Deterministic seeds — no runtime RNG in the engine."""
+    import random
+
+    rng = random.Random(seed)
+    pks = [f"p{i}" for i in range(8)]
+    fks = [f"k{i}" for i in range(4)]
+    tiers = ["t0", "t1", "t2"]
+    ivj = IncrementalJoinView(
+        spark, str(tmp_path / "jv"),
+        l_key="pk", l_fk="fk", l_payload=("t",),
+        r_key="k", r_payload=("tier",), n_buckets=4,
+        agg_group=("tier",),
+        agg_sums={"tchars": "coalesce(length(t), 0)"},
+    )
+    seen_l: list = []
+    seen_r: list = []
+    lsn = 0
+    for _ in range(5):
+        l_rows, r_rows = [], []
+        for _ in range(rng.randint(0, 6)):
+            lsn += 1
+            if rng.random() < 0.25:
+                l_rows.append(("d", lsn, rng.choice(pks), None, None))
+            else:
+                l_rows.append(
+                    ("u", lsn, rng.choice(pks), rng.choice(fks),
+                     "x" * rng.randint(0, 5) or None)
+                )
+        for _ in range(rng.randint(0, 4)):
+            lsn += 1
+            if rng.random() < 0.25:
+                r_rows.append(("d", lsn, rng.choice(fks), None))
+            else:
+                r_rows.append(("u", lsn, rng.choice(fks), rng.choice(tiers)))
+        seen_l += l_rows
+        seen_r += r_rows
+        ivj.apply_batch(
+            _mk(spark, l_rows, "pk", "fk string, t string")
+            if l_rows else None,
+            _mk(spark, r_rows, "k", "tier string") if r_rows else None,
+        )
+        ref = _batch_join(seen_l, seen_r)
+        assert _view_rows(ivj) == ref
+        assert _agg_rows(ivj) == _agg_ref(ref)
+
+
 def test_deferred_batches_equal_full_path(spark, tmp_path):
     """apply_batch_deferred (the replay's merge-only fast path) followed
     by a read() must land on the same view AND join-agg as running every
