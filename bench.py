@@ -1020,6 +1020,18 @@ _CURVE_ATTRIBUTION_NOTES = {
         "fingerprint exchange; exchange rows are ~chars/w — token-linear; "
         "x100 tracks input volume over the job floor"
     ),
+    "d11_decontaminate": (
+        "train/eval n-gram overlap: broadcast eval-side gram set + one "
+        "train scan explode — shuffle-free, token-linear in the train "
+        "side; x100 tracks char volume over the fixed join/broadcast floor"
+    ),
+    "d2_minhash_lsh": (
+        "fused Arrow shingle+minhash pass + banded bucket self-join: "
+        "UDF time is token-linear, candidate pairs grow with real "
+        "near-dup density (the sf1 synthesis adds 10 near-copies per "
+        "doc); x100 of ~5 against ~103x chars is amortization plus the "
+        "denser pair set, not superlinearity"
+    ),
 }
 
 
