@@ -113,8 +113,9 @@ HEADLINE = [
     # round-12 additions
     "c19_incremental_join",  # delta-join IVM (two streams, 4 batches each)
     "d51_balanced_sample",   # cluster-balanced diversity sampling
-    # round-13 addition
+    # round-13 additions
     "c20_incremental_join_agg",  # maintained GROUP BY over the join view
+    "c21_scd2_history",      # SCD2 validity intervals (one pk window)
 ]
 
 

@@ -250,6 +250,53 @@ def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def c21_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 (added round 13) — SCD Type-2 dimension history from the CDC
+    change log (Kimball's slowly-changing-dimension type 2, the standard
+    warehouse answer to "what did this row look like at LSN t"): every
+    upsert event opens a version valid from its LSN until the key's next
+    event (a delete closes the open version without opening one);
+    ``is_current`` marks the open versions — together they ARE the A6
+    live state, which is the containment invariant pinned in tests.
+
+    Plan: ONE window (lead(lsn) over pk) = one hash exchange on the key
+    — the canonical SCD2 form; at 100 TB this partitions by key with no
+    skew surface beyond per-key history length (bounded by the change
+    log's per-key event count). Complements the manifest's
+    snapshot-level time travel (cdc/manifest.py) with row-level validity
+    intervals."""
+    from pyspark.sql.window import Window
+
+    ch = changes_df(spark, sf_dir).where(F.col("tbl") == "public.documents")
+    w = Window.partitionBy("pk").orderBy("lsn")
+    hist = ch.withColumn("valid_to", F.lead("lsn").over(w))
+    return (
+        hist.where(F.col("op") != OP_DELETE)
+        .select(
+            "pk",
+            F.col("after_author").alias("author"),
+            F.col("lsn").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("pk", "valid_from")
+    )
+
+
+C21_ORACLE_BODY = """
+, doc AS (SELECT * FROM changes WHERE tbl = 'public.documents'),
+hist AS (
+  SELECT pk, op, after_author, lsn,
+         lead(lsn) OVER (PARTITION BY pk ORDER BY lsn) AS valid_to
+  FROM doc
+)
+SELECT pk, after_author AS author, lsn AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM hist WHERE op <> 'd'
+ORDER BY pk, valid_from
+"""
+
+
 A6_ORACLE_BODY = """
 SELECT pk, after_title, after_content, after_author FROM (
   SELECT *, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
@@ -270,6 +317,7 @@ QUERIES = {
     "a6_last_write_wins": a6_last_write_wins,
     "a9_points_pipeline": a9_points_pipeline,
     "c6_cdc_apply": c6_cdc_apply,
+    "c21_scd2_history": c21_scd2_history,
 }
 
 ORACLES = {
@@ -294,4 +342,5 @@ ORACLES = {
     ),
     "a6_last_write_wins": CHANGES_CTE + A6_ORACLE_BODY,
     "c6_cdc_apply": CHANGES_CTE + A6_ORACLE_BODY,
+    "c21_scd2_history": CHANGES_CTE + C21_ORACLE_BODY,
 }

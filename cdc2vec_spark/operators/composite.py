@@ -94,9 +94,11 @@ Groupings:
                          parking set c1_tumbling, c2_sliding,
                          c3_session, c5_dedup_count + the round-13
                          parking set c13_asof_join, c14_event_paths
-                         + the round-13 newcomer c20_incremental_join_agg
-                         (exact two-SF oracle in tests/test_delta_join.py;
-                         rotation candidate for round 14)
+                         + the round-13 newcomers c20_incremental_join_agg
+                         (exact two-SF oracle in tests/test_delta_join.py)
+                         and c21_scd2_history (exact two-SF oracle in
+                         tests/test_scd2.py) — both rotation candidates
+                         for round 14
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
                          own test file), d12_semdedup_exact (exact
@@ -145,6 +147,11 @@ CONSOLIDATED: tuple[str, ...] = (
     # join IVM (exact two-SF oracle in tests/test_delta_join.py);
     # composite-delivered in x1 — rotation candidate for round 14
     "c20_incremental_join_agg",
+    # round-13 addition: SCD Type-2 row-validity history off the change
+    # log (exact two-SF oracle + A6-containment invariant in
+    # tests/test_scd2.py); composite-delivered in x1 — rotation
+    # candidate for round 14
+    "c21_scd2_history",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -295,7 +302,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-12 parking set (c1/c2/c3/c5) and the round-13 parking set
     (c13/c14 — long-green, driver-green in r11 AND r12, oracles pinned
     in tests/test_rotated_oracles.py)."""
-    from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.changelog import a9_points_pipeline, c21_scd2_history
     from ..cdc.delta_join import c20_incremental_join_agg
     from ..streaming.joins import c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
@@ -328,6 +335,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c13_asof_join", c13_asof_join),
             ("c14_event_paths", c14_event_paths),
             ("c20_incremental_join_agg", c20_incremental_join_agg),
+            ("c21_scd2_history", c21_scd2_history),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -540,7 +548,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The consolidated component queries by their original names — for
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
-    from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.changelog import a9_points_pipeline, c21_scd2_history
     from ..cdc.delta_join import c20_incremental_join_agg
     from ..streaming.joins import c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
@@ -642,6 +650,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c13_asof_join": c13_asof_join,
         "c14_event_paths": c14_event_paths,
         "c20_incremental_join_agg": c20_incremental_join_agg,
+        "c21_scd2_history": c21_scd2_history,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

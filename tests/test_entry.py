@@ -83,7 +83,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "c4_watermark", "c5_dedup_count", "c9_stream_enrich",
             "c10_funnel", "c11_retention", "c13_asof_join",
             "c14_event_paths", "c20_incremental_join_agg",
-            "d10_split", "d10_pack",
+            "c21_scd2_history", "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d8_cosine_neardup",
