@@ -116,6 +116,7 @@ HEADLINE = [
     # round-13 additions
     "c20_incremental_join_agg",  # maintained GROUP BY over the join view
     "c21_scd2_history",      # SCD2 validity intervals (one pk window)
+    "d52_token_drift",       # per-source token TVD between versions
 ]
 
 

@@ -152,6 +152,11 @@ CONSOLIDATED: tuple[str, ...] = (
     # tests/test_scd2.py); composite-delivered in x1 — rotation
     # candidate for round 14
     "c21_scd2_history",
+    # round-13 addition: per-source token-distribution TVD between the
+    # d49 snapshot pair (exact two-SF oracle + hand-built TVD semantics
+    # in tests/test_drift.py); composite-delivered in x4 — rotation
+    # candidate for round 14
+    "d52_token_drift",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -425,6 +430,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND _r10)."""
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
+    from .drift import d52_token_drift
     from .html_extract import d30_html_extract
     from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
@@ -521,6 +527,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d30_html_extract", d30_html_extract),
             ("d31_domain_cap", d31_domain_cap),
             ("d33_weighted_sample", d33_weighted_sample),
+            ("d52_token_drift", d52_token_drift),
             ("t1_token_count", t1_token_count),
             ("t2_quality_score", t2_quality_score),
             ("t3_lang_guess", t3_lang_guess),
@@ -561,6 +568,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .drift import d52_token_drift
     from .funnel import c10_funnel, c11_retention, c14_event_paths
     from .html_extract import d30_html_extract
     from .kmeans import d45_kmeans_refine
@@ -713,6 +721,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d30_html_extract": d30_html_extract,
         "d31_domain_cap": d31_domain_cap,
         "d33_weighted_sample": d33_weighted_sample,
+        "d52_token_drift": d52_token_drift,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,

@@ -191,6 +191,127 @@ def d50_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_drift(
+    old: DataFrame,
+    new: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source TOKEN-distribution drift between two corpus versions —
+    the lexical twin of :func:`embedding_drift` and the release gate the
+    d49 doc-level diff cannot provide ("the doc counts barely moved but
+    version N+1's token mix shifted" — a template change, a boilerplate
+    source, a truncation bug). TVD over the two versions' per-source
+    unigram distributions, in integer basis points with the exact
+    DECIMAL(38,0) arithmetic of the d50 comparator (no float crosses the
+    hashed surface; HUGEINT in the oracle).
+
+    Plan shape: ONE explode of both sides' tokens (side-tagged union,
+    narrow) → ONE map-side-combined groupBy(source, token) → the
+    per-source totals re-aggregate from those counter rows (no second
+    scan) and broadcast back — the TVD sum is a second counter-row
+    aggregate. Vocabulary union is implicit: a token absent on one side
+    carries count 0 in its (source, token) row; tokens absent on both
+    sides contribute nothing. Sources empty on EITHER side are excluded
+    (TVD against an empty distribution is undefined; mirrored in the
+    oracle). Returns (source, n_o, n_n, tvd_bp), all BIGINT."""
+    def toks(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            F.col(source_col).alias("source"),
+            F.lit(side).alias("_s"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("tok"),
+        )
+
+    counts = (
+        toks(old, 0)
+        .unionByName(toks(new, 1))
+        .groupBy("source", "tok")
+        .agg(
+            F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).alias("c_o"),
+            F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("c_n"),
+        )
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("c_o").alias("n_o"), F.sum("c_n").alias("n_n")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .where((F.col("n_o") > 0) & (F.col("n_n") > 0))
+        .groupBy("source", "n_o", "n_n")
+        .agg(
+            F.sum(F.abs(dec("c_o") * dec("n_n") - dec("c_n") * dec("n_o"))).alias(
+                "_num"
+            )
+        )
+        .select(
+            "source",
+            F.col("n_o").cast("long").alias("n_o"),
+            F.col("n_n").cast("long").alias("n_n"),
+            F.expr(_TVD_BP.format(na="n_o", nb="n_n")).alias("tvd_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def d52_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D52 (added round 13) — token drift between the SAME two
+    deterministic corpus snapshots d49 diffs at the doc level (old:
+    doc_id%7==0 missing, doc_id%5==0 half-truncated; new: doc_id%11==0
+    missing), so the two reports read as one release sign-off: d49 says
+    WHICH docs moved, d52 says whether the token MIX moved. Hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0).select(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr("substr(text, 1, cast(floor(n_chars / 2.0) as int))"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    new = d.where(F.col("doc_id") % 11 != 0).select("source", "text")
+    return token_drift(old, new)
+
+
+D52_ORACLE_SQL = """
+WITH old AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0
+              THEN substr(text, 1, CAST(floor(n_chars / 2.0) AS INT))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT source, text FROM documents WHERE doc_id % 11 <> 0
+),
+tk AS (
+  SELECT source, 0 AS s, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM old
+  UNION ALL
+  SELECT source, 1 AS s, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM new
+),
+counts AS (
+  SELECT source, tok,
+         CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_o,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_n
+  FROM tk GROUP BY ALL
+),
+tot AS (
+  SELECT source, CAST(sum(c_o) AS BIGINT) AS n_o, CAST(sum(c_n) AS BIGINT) AS n_n
+  FROM counts GROUP BY source
+)
+SELECT c.source AS source, t.n_o AS n_o, t.n_n AS n_n,
+       CAST((sum(abs(CAST(c.c_o AS HUGEINT) * t.n_n
+                     - CAST(c.c_n AS HUGEINT) * t.n_o)) * 5000)
+            // (CAST(t.n_o AS HUGEINT) * t.n_n) AS BIGINT) AS tvd_bp
+FROM counts c JOIN tot t USING (source)
+WHERE t.n_o > 0 AND t.n_n > 0
+GROUP BY c.source, t.n_o, t.n_n ORDER BY c.source
+"""
+
+
 D50_ORACLE_SQL = """
 WITH src AS (
   SELECT label, embedding FROM embeddings
@@ -220,11 +341,14 @@ GROUP BY label, dim, n_l, n ORDER BY label, dim
 
 
 QUERIES = {
-    # round-11 addition: composite-delivered (x3), oracle in
-    # tests/test_drift.py; rotation candidate
+    # d50 individually graded since the round-12 rotation; d52 (round
+    # 13) composite-delivered (x4), oracle in tests/test_drift.py —
+    # rotation candidate for round 14
     "d50_embedding_drift": d50_embedding_drift,
+    "d52_token_drift": d52_token_drift,
 }
 
 ORACLES = {
     "d50_embedding_drift": D50_ORACLE_SQL,
+    "d52_token_drift": D52_ORACLE_SQL,
 }

@@ -17,8 +17,11 @@ from oracle_check import compare_one, duckdb_conn
 from cdc2vec_spark.io import load_table
 from cdc2vec_spark.operators.drift import (
     D50_ORACLE_SQL,
+    D52_ORACLE_SQL,
     d50_embedding_drift,
+    d52_token_drift,
     embedding_drift,
+    token_drift,
 )
 from tests.conftest import SF0001, SF001
 
@@ -31,6 +34,57 @@ def test_d50_matches_duckdb_oracle(spark, sf):
         D50_ORACLE_SQL, sf,
     )
     assert not problems, (sf, problems)
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d52_matches_duckdb_oracle(spark, sf):
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d52_token_drift", d52_token_drift,
+        D52_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def test_token_drift_hand_built_semantics(spark):
+    """Identical versions → 0; disjoint vocabularies → 10000; half the
+    mass moved → 5000; unequal corpus sizes with the same distribution
+    → 0; a source empty on one side is excluded; NULL text counts as
+    one empty token (the d49 tokenizer parity rule)."""
+    a = _docs(spark, [("s", "x x"), ("s", "x y")])
+    got = token_drift(a, a).collect()
+    assert [(r["source"], r["tvd_bp"]) for r in got] == [("s", 0)]
+
+    b = _docs(spark, [("s", "p q"), ("s", "q q")])  # disjoint vocab
+    got = token_drift(a, b).collect()
+    assert [(r["source"], r["tvd_bp"]) for r in got] == [("s", 10000)]
+
+    c = _docs(spark, [("s", "x x"), ("s", "x q")])  # y's mass → q: 1/4 moved
+    got = token_drift(a, c).collect()
+    assert [(r["source"], r["tvd_bp"]) for r in got] == [("s", 2500)]
+
+    # unequal corpus sizes with the SAME distribution normalize to 0:
+    # both sides are p(x)=3/4, p(y)=1/4 (4 vs 8 tokens)
+    f = _docs(spark, [("s", "x x x x x x y y")])
+    got = token_drift(a, f).collect()
+    assert [(r["source"], r["tvd_bp"]) for r in got] == [("s", 0)]
+
+    # a source present only on one side drops (TVD undefined vs empty)
+    g = _docs(spark, [("s", "x"), ("only_old", "z z")])
+    got = token_drift(g, a).collect()
+    assert [r["source"] for r in got] == ["s"]
+
+    # NULL text tokenizes to one empty-string token on both engines
+    h = _docs(spark, [("s", None)])
+    i = _docs(spark, [("s", "")])
+    got = token_drift(h, i).collect()
+    assert [(r["source"], r["n_o"], r["n_n"], r["tvd_bp"]) for r in got] == [
+        ("s", 1, 1, 0)
+    ]
 
 
 def _vecs(spark, rows):
