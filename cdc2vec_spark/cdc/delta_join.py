@@ -794,6 +794,10 @@ def c19_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts."""
     ivj = _replayed_join_view(spark, sf_dir)
     v = ivj.read()
+    if v is None:  # empty corpus / all rows deleted: empty view, not a crash
+        return spark.createDataFrame(
+            [], "pk string, author string, tier long"
+        )
     out = v.select(
         F.col("pk"),
         F.col("after_author").alias("author"),
@@ -813,6 +817,10 @@ def c20_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     faces — the c16/c17/c18 shared-state discipline)."""
     ivj = _replayed_join_view(spark, sf_dir)
     a = ivj.read_agg()
+    if a is None:  # empty view -> empty rollup, like the oracle's GROUP BY
+        return spark.createDataFrame(
+            [], "tier long, n_facts long, title_chars long"
+        )
     out = a.select(
         F.col("tier").cast("long").alias("tier"),
         F.col("_n").cast("long").alias("n_facts"),

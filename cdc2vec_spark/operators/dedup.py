@@ -34,6 +34,52 @@ from pyspark.sql import types as T
 
 from ..io import load_table, rebalance
 
+# ------------------------------------------------- scoped AQE pin (shared)
+
+_AQE_PIN_LOCK = __import__("threading").RLock()
+_AQE_PIN_DEPTH = 0
+_AQE_PIN_SAVED = "true"
+
+
+class _aqe_pinned_off:
+    """Scoped spark.sql.adaptive.enabled=false, safe under concurrency
+    (ADVICE r13 #2): the conf flip is session-GLOBAL, so two overlapping
+    pinned calls on one SparkSession could previously restore the wrong
+    saved value, and any concurrent query silently ran with AQE off. An
+    RLock serializes pinned sections (each materializes its result
+    eagerly inside the scope, so the hold is bounded to the operator's
+    own wall), and a depth counter makes nesting restore the OUTERMOST
+    saved value. Concurrent non-pinned queries on the same session still
+    see AQE off for the pinned window — that is inherent to a global
+    conf; the alternative (a dedicated session) would lose the shared
+    relation cache these operators rely on, and the pinned window is the
+    one place determinism was measured to matter (see incremental_dedup's
+    rationale)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        global _AQE_PIN_DEPTH, _AQE_PIN_SAVED
+        _AQE_PIN_LOCK.acquire()
+        if _AQE_PIN_DEPTH == 0:
+            _AQE_PIN_SAVED = self.spark.conf.get(
+                "spark.sql.adaptive.enabled", "true"
+            )
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_PIN_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _AQE_PIN_DEPTH
+        _AQE_PIN_DEPTH -= 1
+        if _AQE_PIN_DEPTH == 0:
+            self.spark.conf.set(
+                "spark.sql.adaptive.enabled", _AQE_PIN_SAVED
+            )
+        _AQE_PIN_LOCK.release()
+        return False
+
 # ---------------------------------------------------------------- corpus
 
 _CORPUS_CTE = """
@@ -467,8 +513,25 @@ def minhash_neardup(
     and uncollapsed exact-dup clusters going quadratic; run
     d1/exact_dedup first so true duplicate mass is gone."""
     rows = num_perm // bands
-    both = shingle_minhash(df, n, num_perm, text_col)
-    if cache:
+    if not cache:
+        # lazy path: the result executes outside this call, so a scoped
+        # AQE pin could not cover it — plain derivation, caller's confs
+        both = shingle_minhash(df, n, num_perm, text_col)
+        sigs = both.where(F.col("sig").isNotNull()).select(id_col, "sig")
+        cands = lsh_candidate_pairs(
+            sigs, bands, rows, id_col, max_bucket=max_bucket
+        )
+        return _verify_jaccard(cands, both, threshold, id_col)
+    # Eager path runs with AQE OFF (scoped + lock-guarded, see
+    # _aqe_pinned_off). Round 14, VERDICT r13 watch item: d2_minhash_lsh
+    # still showed the work-nondeterminism signature after the eager pin
+    # alone (driver sf1 task counts [1284, 804, 1284], sf1_spread 23.1s)
+    # — the same stats-dependent AQE re-planning that destabilized d40.
+    # Like incremental_dedup, this plan is fully hand-specified (fixed
+    # banding, bucket caps, fixed shuffle partitions); pinning AQE off
+    # makes the executed task count a constant of the input.
+    with _aqe_pinned_off(df.sparkSession):
+        both = shingle_minhash(df, n, num_perm, text_col)
         # eager pin (VERDICT r11 ask #1): the bucket join and the two
         # verify sides schedule their stages concurrently; a still-lazy
         # cache makes them race to build it, each re-running the fused
@@ -477,12 +540,14 @@ def minhash_neardup(
         # cache before any reader — the exact fix that killed d40's wall.
         both = both.persist()
         both.count()
-    sigs = both.where(F.col("sig").isNotNull()).select(id_col, "sig")
-    cands = lsh_candidate_pairs(sigs, bands, rows, id_col, max_bucket=max_bucket)
-    out = _verify_jaccard(cands, both, threshold, id_col)
-    if cache:
+        sigs = both.where(F.col("sig").isNotNull()).select(id_col, "sig")
+        cands = lsh_candidate_pairs(
+            sigs, bands, rows, id_col, max_bucket=max_bucket
+        )
+        out = _verify_jaccard(cands, both, threshold, id_col)
         # materialize the (small) result eagerly so the big intermediate
-        # can be unpersisted NOW instead of leaking until driver GC
+        # can be unpersisted NOW instead of leaking until driver GC —
+        # and so the AQE pin actually covers every job of this operator
         out = out.localCheckpoint(eager=True)
         both.unpersist()
     return out
@@ -728,15 +793,10 @@ def incremental_dedup(
     # structurally (blocking + df caps), and the headline ops keep AQE
     # on — this pin is local to the one operator whose plan it
     # destabilized.
-    spark = new_docs.sparkSession
-    _aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with _aqe_pinned_off(new_docs.sparkSession):
         return _incremental_dedup_impl(
             new_docs, corpus, threshold, n, max_df, id_col, text_col, block_col
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", _aqe_saved)
 
 
 def _incremental_dedup_impl(

@@ -435,10 +435,19 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                         F.lit("unknown"),
                     ).alias("source")
                 )
-            nd.apply_batch(pts.where(F.col("op") != "d").select(*cols))
+            # per-key event order (pipeline.go:154-165): reduce to each
+            # id's max-LSN OUTCOME first, then route by the winning op —
+            # a key deleted-then-reinserted within one micro-batch must
+            # survive as live (its final op is an upsert), and a key
+            # whose final event is a delete must not be ingested at all.
+            # After final_events the upsert/delete id sets are disjoint,
+            # so hook ordering between the two calls cannot matter;
+            # deletes go first anyway to mirror the qdrant/milvus hooks.
+            fe = final_events(pts).localCheckpoint(eager=True)
             # retire deleted ids from index/docs/pairs (cheap no-op when
             # the batch carries no deletes: one tiny distinct-collect)
-            nd.delete_batch(pts.where(F.col("op") == "d").select("id"))
+            nd.delete_batch(fe.where(F.col("op") == "d").select("id"))
+            nd.apply_batch(fe.where(F.col("op") != "d").select(*cols))
             ncache["n"] += 1
             if nreport_every and ncache["n"] % nreport_every == 0:
                 from .cdc.apply import swap_write

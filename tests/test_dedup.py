@@ -440,3 +440,45 @@ def test_cluster_split_append_stable(spark):
     a = {r["doc_id"]: r["split"] for r in dedup.cluster_split(corpus1, pairs).collect()}
     b = {r["doc_id"]: r["split"] for r in dedup.cluster_split(corpus2, pairs).collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_aqe_pin_nested_and_concurrent_restore(spark):
+    """Round 14 (ADVICE r13 #2): the scoped AQE pin is lock-guarded and
+    nest-safe — overlapping pinned sections serialize, nesting restores
+    the OUTERMOST saved value, and the session conf always ends where it
+    started even when two threads race."""
+    import threading
+
+    from cdc2vec_spark.operators.dedup import _aqe_pinned_off
+
+    key = "spark.sql.adaptive.enabled"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        # nesting: inner exit must NOT restore early
+        with _aqe_pinned_off(spark):
+            assert spark.conf.get(key) == "false"
+            with _aqe_pinned_off(spark):
+                assert spark.conf.get(key) == "false"
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "true"
+
+        # two racing threads: each sees AQE off inside its own scope and
+        # the final state is the original value, never a stale "false"
+        errs = []
+
+        def work():
+            try:
+                for _ in range(25):
+                    with _aqe_pinned_off(spark):
+                        assert spark.conf.get(key) == "false"
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=work) for _ in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert not errs
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, saved)

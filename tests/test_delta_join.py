@@ -343,3 +343,33 @@ def test_deferred_batches_equal_full_path(spark, tmp_path):
     assert full[0]  # non-vacuous
     assert run(str(tmp_path / "deferred"), "all_deferred") == full
     assert run(str(tmp_path / "mix"), "mix") == full
+
+
+def test_c19_c20_empty_view_yields_empty_frames(spark, monkeypatch):
+    """Round 14 (ADVICE r13 #3): when the maintained view/agg state is
+    empty (all left rows deleted, or an empty corpus) read()/read_agg()
+    return None — the graded wrappers must surface that as an EMPTY
+    result with the declared schema, exactly like the oracle's join /
+    GROUP BY over zero rows, not an AttributeError."""
+    from cdc2vec_spark.cdc import delta_join as dj
+
+    class _EmptyIVJ:
+        def read(self):
+            return None
+
+        def read_agg(self):
+            return None
+
+    monkeypatch.setattr(
+        dj, "_replayed_join_view", lambda spark, sf_dir: _EmptyIVJ()
+    )
+    v = dj.c19_incremental_join(spark, "ignored")
+    assert v.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in v.schema.fields] == [
+        ("pk", "string"), ("author", "string"), ("tier", "bigint"),
+    ]
+    a = dj.c20_incremental_join_agg(spark, "ignored")
+    assert a.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in a.schema.fields] == [
+        ("tier", "bigint"), ("n_facts", "bigint"), ("title_chars", "bigint"),
+    ]

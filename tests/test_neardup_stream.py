@@ -284,3 +284,58 @@ def test_boot_neardup_sink_report_cadence(spark, sf_dir, tmp_path):
         for x in (r["id_a"], r["id_b"])
     }
     assert not (dead & pair_ids)
+
+
+def test_hook_orders_by_final_event_within_batch(spark, tmp_path):
+    """Round 14 (ADVICE r13 #1): the neardup sink hook must reduce each
+    micro-batch to per-id max-LSN OUTCOMES before routing (final_events,
+    pipeline.go:154-165). A key deleted then RE-INSERTED within one batch
+    (delete lsn < insert lsn) ends live and must be ingested — applying
+    all upserts then all deletes would permanently erase it. Conversely a
+    key whose final event is a delete must never enter the state, and of
+    two upserts for one id only the max-LSN text may win."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    npath = str(tmp_path / "nd")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(type="neardup",
+                        options={"path": npath, "n_buckets": 4}),
+    )
+    hook = runner.sink_hook_for(cfg)
+    t_old = "the quick brown fox jumps over the lazy dog again and again"
+    t_new = "a completely different final text that wins the lsn race ok"
+    pts = spark.createDataFrame(
+        [
+            # X: delete (lsn 1) then re-insert (lsn 2) -> must survive
+            ("X", None, "d", 1),
+            ("X", t_old, "c", 2),
+            # Y: insert (lsn 1) then delete (lsn 2) -> must be absent
+            ("Y", t_old, "c", 1),
+            ("Y", None, "d", 2),
+            # Z: two upserts -> only the max-LSN text is ingested
+            ("Z", t_old, "c", 1),
+            ("Z", t_new, "u", 2),
+        ],
+        "id string, text string, op string, lsn long",
+    )
+    hook(pts)
+    docs = spark.read.parquet(f"{npath}/docs")
+    by_id = {r["id"]: r["sh"] for r in docs.collect()}
+    assert set(by_id) == {"X", "Z"}
+
+    # Z carries exactly the winning text's shingles: equal to a clean
+    # single-event ingest of (Z, t_new) into a fresh state
+    from cdc2vec_spark.streaming.neardup import StreamingNearDup
+
+    ref = StreamingNearDup(
+        spark, str(tmp_path / "ref"), id_col="id", text_col="text",
+        n_buckets=4,
+    )
+    ref.apply_batch(spark.createDataFrame([("Z", t_new)], "id string, text string"))
+    want_sh = {r["id"]: r["sh"] for r in
+               spark.read.parquet(f"{tmp_path}/ref/docs").collect()}["Z"]
+    assert sorted(by_id["Z"]) == sorted(want_sh)
