@@ -94,11 +94,9 @@ Groupings:
                          parking set c1_tumbling, c2_sliding,
                          c3_session, c5_dedup_count + the round-13
                          parking set c13_asof_join, c14_event_paths
-                         + the round-13 newcomers c20_incremental_join_agg
-                         (exact two-SF oracle in tests/test_delta_join.py)
-                         and c21_scd2_history (exact two-SF oracle in
-                         tests/test_scd2.py) — both rotation candidates
-                         for round 14
+                         + the round-14 parking set c8_interval_join,
+                         c15_rate_anomaly (long-green; freed their
+                         slots for the round-13 newcomers c20/c21/d52)
   x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
                          d6_features, d12_semdedup (each pinned in its
                          own test file), d12_semdedup_exact (exact
@@ -143,20 +141,6 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
-    # round-13 addition: the composed join-AGGREGATE face of the delta-
-    # join IVM (exact two-SF oracle in tests/test_delta_join.py);
-    # composite-delivered in x1 — rotation candidate for round 14
-    "c20_incremental_join_agg",
-    # round-13 addition: SCD Type-2 row-validity history off the change
-    # log (exact two-SF oracle + A6-containment invariant in
-    # tests/test_scd2.py); composite-delivered in x1 — rotation
-    # candidate for round 14
-    "c21_scd2_history",
-    # round-13 addition: per-source token-distribution TVD between the
-    # d49 snapshot pair (exact two-SF oracle + hand-built TVD semantics
-    # in tests/test_drift.py); composite-delivered in x4 — rotation
-    # candidate for round 14
-    "d52_token_drift",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -276,6 +260,19 @@ CONSOLIDATED: tuple[str, ...] = (
     # SFs in tests/test_rotated_oracles.py.
     "c13_asof_join",
     "c14_event_paths",
+    # round-14 rotation: the three round-13 exact-oracle keys that were
+    # composite-delivered and never individually driver-graded —
+    # c20_incremental_join_agg (oracle in tests/test_delta_join.py),
+    # c21_scd2_history (tests/test_scd2.py) and d52_token_drift
+    # (tests/test_drift.py) — get individual graded slots. To stay at
+    # the 50-entry budget, three long-green queries (driver-green in
+    # CORRECTNESS_r11, _r12 AND _r13) park: c8_interval_join and
+    # c15_rate_anomaly → x1 (streaming/window-themed), d42_tfidf_keywords
+    # → x4; their exact oracles stay pinned at two SFs in
+    # tests/test_rotated_oracles.py.
+    "c8_interval_join",
+    "c15_rate_anomaly",
+    "d42_tfidf_keywords",
 )
 
 
@@ -304,18 +301,19 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline/streaming/sketch rows-only probes, consolidated, plus
     the round-11 streaming-themed parking set (c9/c10/c11), the
-    round-12 parking set (c1/c2/c3/c5) and the round-13 parking set
-    (c13/c14 — long-green, driver-green in r11 AND r12, oracles pinned
-    in tests/test_rotated_oracles.py)."""
-    from ..cdc.changelog import a9_points_pipeline, c21_scd2_history
-    from ..cdc.delta_join import c20_incremental_join_agg
-    from ..streaming.joins import c9_stream_enrich, c13_asof_join
+    round-12 parking set (c1/c2/c3/c5), the round-13 parking set
+    (c13/c14) and the round-14 parking set (c8/c15 — long-green,
+    driver-green in r11 through r13, oracles pinned in
+    tests/test_rotated_oracles.py)."""
+    from ..cdc.changelog import a9_points_pipeline
+    from ..streaming.joins import c8_interval_join, c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
         c2_sliding,
         c3_session,
         c4_watermark,
         c5_dedup_count,
+        c15_rate_anomaly,
     )
     from .funnel import c10_funnel, c11_retention, c14_event_paths
     from .relational import b16_sketches
@@ -334,13 +332,13 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c3_session", c3_session),
             ("c4_watermark", c4_watermark),
             ("c5_dedup_count", c5_dedup_count),
+            ("c8_interval_join", c8_interval_join),
             ("c9_stream_enrich", c9_stream_enrich),
             ("c10_funnel", c10_funnel),
             ("c11_retention", c11_retention),
             ("c13_asof_join", c13_asof_join),
             ("c14_event_paths", c14_event_paths),
-            ("c20_incremental_join_agg", c20_incremental_join_agg),
-            ("c21_scd2_history", c21_scd2_history),
+            ("c15_rate_anomaly", c15_rate_anomaly),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -427,11 +425,12 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     own comparator. Round-10 adds the d25/d28/d29/d30/d31 parking set
     (each driver-green in CORRECTNESS_r08 AND _r09); round-11 adds
     b19/b20/b21, t9, d20 and d33 (each driver-green in CORRECTNESS_r09
-    AND _r10)."""
+    AND _r10); round-14 adds d42_tfidf_keywords (driver-green in
+    CORRECTNESS_r11 through _r13)."""
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
-    from .drift import d52_token_drift
     from .html_extract import d30_html_extract
+    from .keywords import d42_tfidf_keywords
     from .layout import b21_zorder
     from .lex_index import d18_cdc_bm25
     from .lm import d28_lm_perplexity
@@ -527,7 +526,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d30_html_extract", d30_html_extract),
             ("d31_domain_cap", d31_domain_cap),
             ("d33_weighted_sample", d33_weighted_sample),
-            ("d52_token_drift", d52_token_drift),
+            ("d42_tfidf_keywords", d42_tfidf_keywords),
             ("t1_token_count", t1_token_count),
             ("t2_quality_score", t2_quality_score),
             ("t3_lang_guess", t3_lang_guess),
@@ -555,20 +554,20 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The consolidated component queries by their original names — for
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
-    from ..cdc.changelog import a9_points_pipeline, c21_scd2_history
-    from ..cdc.delta_join import c20_incremental_join_agg
-    from ..streaming.joins import c9_stream_enrich, c13_asof_join
+    from ..cdc.changelog import a9_points_pipeline
+    from ..streaming.joins import c8_interval_join, c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
         c2_sliding,
         c3_session,
         c4_watermark,
         c5_dedup_count,
+        c15_rate_anomaly,
     )
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
-    from .drift import d52_token_drift
+    from .keywords import d42_tfidf_keywords
     from .funnel import c10_funnel, c11_retention, c14_event_paths
     from .html_extract import d30_html_extract
     from .kmeans import d45_kmeans_refine
@@ -657,8 +656,8 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_retention": c11_retention,
         "c13_asof_join": c13_asof_join,
         "c14_event_paths": c14_event_paths,
-        "c20_incremental_join_agg": c20_incremental_join_agg,
-        "c21_scd2_history": c21_scd2_history,
+        "c8_interval_join": c8_interval_join,
+        "c15_rate_anomaly": c15_rate_anomaly,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,
@@ -721,7 +720,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d30_html_extract": d30_html_extract,
         "d31_domain_cap": d31_domain_cap,
         "d33_weighted_sample": d33_weighted_sample,
-        "d52_token_drift": d52_token_drift,
+        "d42_tfidf_keywords": d42_tfidf_keywords,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,

@@ -135,10 +135,12 @@ EXPECTED_QUERIES = frozenset(
     # round-9-era long-green rows (b19/b20/b21, t9, c9/c10/c11, d20,
     # d21, d23, d24, d26, d33, d35 — green in r09+r10) parked in the
     # composites with oracles in tests/test_rotated_oracles.py
+    # (c8_interval_join, c15_rate_anomaly and d42_tfidf_keywords from
+    # this set parked in round 14 — see the round-14 rotation below)
     + ["d40_incremental_dedup", "d9_keep_exact", "d44_pagerank",
        "d46_dedup_clusters", "d47_source_overlap", "d48_cluster_split",
-       "d41_expectations", "c15_rate_anomaly", "c8_interval_join",
-       "d39_hard_negatives", "d42_tfidf_keywords", "d43_source_datacard",
+       "d41_expectations",
+       "d39_hard_negatives", "d43_source_datacard",
        "t10_pmi_collocations", "t11_sentence_stats"]
     # round-12 rotation (VERDICT r11 ask #2): the seven round-11
     # composite-delivered exact-oracle keys take individual slots; the
@@ -153,6 +155,13 @@ EXPECTED_QUERIES = frozenset(
     # c13_asof_join and c14_event_paths rows (green in r11+r12) parked
     # in x1 with oracles in tests/test_rotated_oracles.py
     + ["c19_incremental_join", "d51_balanced_sample"]
+    # round-14 rotation (VERDICT r13): the three round-13
+    # composite-delivered exact-oracle keys — c20_incremental_join_agg,
+    # c21_scd2_history and d52_token_drift — take individual slots; the
+    # long-green c8_interval_join, c15_rate_anomaly (→ x1) and
+    # d42_tfidf_keywords (→ x4) rows (green in r11+r12+r13) parked with
+    # oracles in tests/test_rotated_oracles.py
+    + ["c20_incremental_join_agg", "c21_scd2_history", "d52_token_drift"]
     # the rows-only queries (and the long-green queries rotated out —
     # b1–b21, t1–t9, d4, d5, d11, d13, d14, d15, d17–d21, d23–d26,
     # d33, d35, c9–c11; oracles pinned in tests/test_rotated_oracles.py)

@@ -80,10 +80,11 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         "x1_rowsonly_pipeline": {
             "a8_deterministic_embed", "a9_points_pipeline",
             "b16_sketches", "c1_tumbling", "c2_sliding", "c3_session",
-            "c4_watermark", "c5_dedup_count", "c9_stream_enrich",
+            "c4_watermark", "c5_dedup_count", "c8_interval_join",
+            "c9_stream_enrich",
             "c10_funnel", "c11_retention", "c13_asof_join",
-            "c14_event_paths", "c20_incremental_join_agg",
-            "c21_scd2_history", "d10_split", "d10_pack",
+            "c14_event_paths", "c15_rate_anomaly",
+            "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
             "d2_minhash_lsh", "d2_simhash", "d8_cosine_neardup",
@@ -112,7 +113,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "d20_pii",
             "d25_token_mix", "d28_lm_perplexity", "d29_shards",
             "d30_html_extract", "d31_domain_cap", "d33_weighted_sample",
-            "d52_token_drift",
+            "d42_tfidf_keywords",
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
             "t7_vocab_topdf", "t8_bpe", "t9_nfc_normalize",

@@ -18,6 +18,7 @@ from cdc2vec_spark.operators import (
     decontam,
     funnel,
     html_extract,
+    keywords,
     layout,
     lex_index,
     lm,
@@ -39,6 +40,10 @@ from cdc2vec_spark.streaming import windows as streaming_windows
 from tests.conftest import SF0001, SF001
 
 ROTATED = [
+    # round-14 parking set (driver-green in CORRECTNESS_r11, _r12 AND _r13)
+    ("c8_interval_join", streaming_joins),
+    ("c15_rate_anomaly", streaming_windows),
+    ("d42_tfidf_keywords", keywords),
     # round-13 parking set (driver-green in CORRECTNESS_r11 AND _r12)
     ("c13_asof_join", streaming_joins),
     ("c14_event_paths", funnel),
