@@ -117,6 +117,8 @@ HEADLINE = [
     "c20_incremental_join_agg",  # maintained GROUP BY over the join view
     "c21_scd2_history",      # SCD2 validity intervals (one pk window)
     "d52_token_drift",       # per-source token TVD between versions
+    # round-14 additions
+    "c22_log_compaction",    # change-log compaction at the midpoint LSN
 ]
 
 

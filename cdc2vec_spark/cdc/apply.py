@@ -89,6 +89,47 @@ def eligible_events(changes: DataFrame, text_cols: Sequence[str]) -> DataFrame:
     return transform.guard_nonempty(changes.withColumn("_txt", txt), "_txt").drop("_txt")
 
 
+def compact_changes(
+    changes: DataFrame,
+    horizon: int,
+    key_cols: Sequence[str] = ("tbl", "pk"),
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Kafka-style log compaction of a CDC change log at an LSN horizon
+    (round 14; the operation that bounds replay cost — the reference
+    replays its WAL from the last committed LSN, pipeline.go:154-165,
+    and a compacted log is the smallest prefix replacement that
+    preserves that replay):
+
+    - events at or below ``horizon``: only each key's max-LSN event
+      survives, and it is dropped entirely when it is a delete (the
+      tombstone has done its work — compaction collects it);
+    - events above ``horizon``: kept verbatim (the raw tail).
+
+    The invariant (pinned in tests/test_compaction.py): last-write-wins
+    replay of the compacted log equals replay of the full log, for ANY
+    horizon — so checkpoints can replace their history prefix with the
+    compacted snapshot and lose nothing. Compacting is idempotent and
+    composes monotonically: compact(compact(log, h1), h2) ==
+    compact(log, h2) for h1 <= h2.
+
+    Plan/scale: the head is ONE row_number window = one hash exchange on
+    the key columns (per-key skew bounded by per-key history length);
+    the tail is a pure filter that reaches the scan. At 100 TB this is
+    the same shape as the a6/latest_state materialization — compaction
+    IS a snapshot plus a filter, not a new primitive."""
+    head = changes.where(F.col(lsn_col) <= F.lit(horizon))
+    w = Window.partitionBy(*key_cols).orderBy(F.col(lsn_col).desc())
+    snap = (
+        head.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != OP_DELETE))
+        .drop("_rn")
+    )
+    tail = changes.where(F.col(lsn_col) > F.lit(horizon))
+    return snap.unionByName(tail)
+
+
 def latest_state(
     changes: DataFrame,
     text_cols: Sequence[str] = ("after_title", "after_content"),

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..config import DOCUMENTS_MAPPING
 from ..io import load_table
 from . import transform
-from .apply import latest_state
+from .apply import compact_changes, latest_state
 from .envelope import OP_DELETE, OP_INSERT, OP_UPDATE
 
 MAPPED = ("public.documents",)
@@ -283,6 +283,60 @@ def c21_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c22_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 (added round 14) — Kafka-style log compaction of the change
+    log at the midpoint LSN horizon (``cdc/apply.py:compact_changes``):
+    per-key max-LSN winners at/below the horizon (delete winners
+    collected), the raw tail above it verbatim. The graded face tags
+    each surviving event with its segment so the oracle checks BOTH the
+    snapshot reduction and the untouched tail hash-exactly; the
+    replay-equivalence invariant (LWW state of compacted ≡ full, any
+    horizon) plus idempotence/monotone-composition live in
+    tests/test_compaction.py."""
+    ch = (
+        changes_df(spark, sf_dir)
+        .where(F.col("tbl") == "public.documents")
+        .persist()
+    )
+    try:
+        lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+        horizon = (int(lo) + int(hi)) // 2
+        comp = compact_changes(ch, horizon)
+        seg = (
+            F.when(F.col("lsn") <= F.lit(horizon), F.lit("snapshot"))
+            .otherwise(F.lit("tail"))
+        )
+        out = comp.select(
+            seg.alias("segment"),
+            "pk",
+            "op",
+            "lsn",
+            F.col("after_author").alias("author"),
+        )
+        return out.localCheckpoint(eager=True).orderBy("lsn")
+    finally:
+        ch.unpersist()
+
+
+C22_ORACLE_BODY = """
+, doc AS (SELECT * FROM changes WHERE tbl = 'public.documents'),
+h AS (
+  SELECT CAST(floor((min(lsn) + max(lsn)) / 2.0) AS BIGINT) AS horizon
+  FROM doc
+),
+head AS (
+  SELECT d.*, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+  FROM doc d, h WHERE d.lsn <= h.horizon
+)
+SELECT 'snapshot' AS segment, pk, op, lsn, after_author AS author
+FROM head WHERE rn = 1 AND op <> 'd'
+UNION ALL
+SELECT 'tail', pk, op, lsn, after_author
+FROM doc, h WHERE lsn > h.horizon
+ORDER BY lsn
+"""
+
+
 C21_ORACLE_BODY = """
 , doc AS (SELECT * FROM changes WHERE tbl = 'public.documents'),
 hist AS (
@@ -318,6 +372,7 @@ QUERIES = {
     "a9_points_pipeline": a9_points_pipeline,
     "c6_cdc_apply": c6_cdc_apply,
     "c21_scd2_history": c21_scd2_history,
+    "c22_log_compaction": c22_log_compaction,
 }
 
 ORACLES = {
@@ -343,4 +398,5 @@ ORACLES = {
     "a6_last_write_wins": CHANGES_CTE + A6_ORACLE_BODY,
     "c6_cdc_apply": CHANGES_CTE + A6_ORACLE_BODY,
     "c21_scd2_history": CHANGES_CTE + C21_ORACLE_BODY,
+    "c22_log_compaction": CHANGES_CTE + C22_ORACLE_BODY,
 }

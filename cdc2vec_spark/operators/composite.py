@@ -141,6 +141,11 @@ CONSOLIDATED: tuple[str, ...] = (
     "a9_points_pipeline",
     "b16_sketches",
     "c4_watermark",
+    # round-14 addition: Kafka-style change-log compaction at an LSN
+    # horizon (exact two-SF oracle + replay-equivalence invariants in
+    # tests/test_compaction.py); composite-delivered in x1 — rotation
+    # candidate for round 15
+    "c22_log_compaction",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -305,7 +310,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c13/c14) and the round-14 parking set (c8/c15 — long-green,
     driver-green in r11 through r13, oracles pinned in
     tests/test_rotated_oracles.py)."""
-    from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.changelog import a9_points_pipeline, c22_log_compaction
     from ..streaming.joins import c8_interval_join, c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
@@ -339,6 +344,7 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c13_asof_join", c13_asof_join),
             ("c14_event_paths", c14_event_paths),
             ("c15_rate_anomaly", c15_rate_anomaly),
+            ("c22_log_compaction", c22_log_compaction),
             ("d10_split", d10_split),
             ("d10_pack", d10_pack),
         ],
@@ -554,7 +560,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The consolidated component queries by their original names — for
     bench.py and tools that time components individually (the driver
     registry sees only the composites). Key set ≡ CONSOLIDATED."""
-    from ..cdc.changelog import a9_points_pipeline
+    from ..cdc.changelog import a9_points_pipeline, c22_log_compaction
     from ..streaming.joins import c8_interval_join, c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
@@ -658,6 +664,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c14_event_paths": c14_event_paths,
         "c8_interval_join": c8_interval_join,
         "c15_rate_anomaly": c15_rate_anomaly,
+        "c22_log_compaction": c22_log_compaction,
         "d10_split": d10_split,
         "d10_pack": d10_pack,
         "d2_minhash_lsh": d2_minhash_lsh,

@@ -84,6 +84,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "c9_stream_enrich",
             "c10_funnel", "c11_retention", "c13_asof_join",
             "c14_event_paths", "c15_rate_anomaly",
+            "c22_log_compaction",
             "d10_split", "d10_pack",
         },
         "x2_rowsonly_dedup": {
