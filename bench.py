@@ -119,6 +119,7 @@ HEADLINE = [
     "d52_token_drift",       # per-source token TVD between versions
     # round-14 additions
     "c22_log_compaction",    # change-log compaction at the midpoint LSN
+    "d53_ngram_novelty",     # per-doc n-gram novelty vs the reference release
 ]
 
 

@@ -146,6 +146,11 @@ CONSOLIDATED: tuple[str, ...] = (
     # tests/test_compaction.py); composite-delivered in x1 — rotation
     # candidate for round 15
     "c22_log_compaction",
+    # round-14 addition: per-doc n-gram novelty vs the reference release
+    # (exact two-SF oracle + hand-built semantics in
+    # tests/test_drift.py); composite-delivered in x4 — rotation
+    # candidate for round 15
+    "d53_ngram_novelty",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -435,6 +440,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORRECTNESS_r11 through _r13)."""
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
+    from .drift import d53_ngram_novelty
     from .html_extract import d30_html_extract
     from .keywords import d42_tfidf_keywords
     from .layout import b21_zorder
@@ -533,6 +539,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("d31_domain_cap", d31_domain_cap),
             ("d33_weighted_sample", d33_weighted_sample),
             ("d42_tfidf_keywords", d42_tfidf_keywords),
+            ("d53_ngram_novelty", d53_ngram_novelty),
             ("t1_token_count", t1_token_count),
             ("t2_quality_score", t2_quality_score),
             ("t3_lang_guess", t3_lang_guess),
@@ -573,6 +580,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .bpe import t8_bpe
     from .decontam import d11_decontaminate
     from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
+    from .drift import d53_ngram_novelty
     from .keywords import d42_tfidf_keywords
     from .funnel import c10_funnel, c11_retention, c14_event_paths
     from .html_extract import d30_html_extract
@@ -728,6 +736,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d31_domain_cap": d31_domain_cap,
         "d33_weighted_sample": d33_weighted_sample,
         "d42_tfidf_keywords": d42_tfidf_keywords,
+        "d53_ngram_novelty": d53_ngram_novelty,
         "t1_token_count": t1_token_count,
         "t2_quality_score": t2_quality_score,
         "t3_lang_guess": t3_lang_guess,

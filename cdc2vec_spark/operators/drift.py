@@ -274,6 +274,139 @@ def d52_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_drift(old, new)
 
 
+def ngram_novelty(
+    reference: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY of a corpus version against a
+    reference release — the third face of the d49/d52 version gate:
+    d49 says WHICH docs moved, d52 whether the token MIX moved, this
+    says how much genuinely NEW text each doc carries (the memorization
+    /freshness signal a training-data refresh wants before paying to
+    re-train: a "new" crawl whose docs are 95% old n-grams is recycled
+    boilerplate, not new data — the n-gram-overlap lens of the GPT-3
+    contamination methodology, Brown et al. 2020 appendix C, pointed at
+    novelty instead of leakage).
+
+    For each new-side document: the fraction of its DISTINCT word
+    n-grams (``operators/decontam.py:gram_strings`` — the audited d11
+    construction, short docs contribute their whole text as one gram so
+    every doc has >= 1 gram) absent from the reference side's corpus-
+    wide distinct gram set, in integer basis points
+    (``novel * 10000 div n_grams`` — the d45 discipline, no float on
+    the hashed surface). Returns (id, n_grams, novel_grams,
+    novelty_bp), all BIGINT.
+
+    Plan/scale: both sides dedup grams BEFORE their explode (shuffle
+    bounded by per-doc vocabulary, not length); the reference set is
+    ONE map-side-combined distinct on the 16-byte gram hash — unlike
+    d11's broadcast benchmark it is corpus-sized, so membership is a
+    co-partitioned shuffle join on ``g`` (at 100 TB: both sides hash-
+    partition on the gram hash; bucketing the reference release by
+    ``g`` makes refresh scoring shuffle-free on the reference side);
+    the per-doc aggregate is the only other exchange."""
+    from .decontam import gram_strings
+
+    ref_grams = (
+        reference.select(
+            F.explode(gram_strings(F.col(text_col), n)).alias("gs")
+        )
+        .select(F.md5("gs").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new_grams = new.select(
+        F.col(id_col),
+        F.explode(gram_strings(F.col(text_col), n)).alias("gs"),
+    ).select(id_col, F.md5("gs").alias("g"))
+    return (
+        new_grams.join(ref_grams, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "novel_grams",
+            F.expr("novel_grams * 10000 div n_grams")
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def d53_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D53 (added round 14) — per-doc n-gram novelty of the SAME
+    deterministic snapshot pair d49/d52 gate (reference: doc_id%7==0
+    missing, doc_id%5==0 half-truncated; new: doc_id%11==0 missing), so
+    the three reports read as one release sign-off. The truncated
+    reference docs make their restored full-text counterparts partially
+    novel — exactly the "how much of this refresh is new text" answer.
+    Hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0).select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr("substr(text, 1, cast(floor(n_chars / 2.0) as int))"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    new = d.where(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    return ngram_novelty(old, new)
+
+
+D53_ORACLE_SQL = """
+WITH old AS (
+  SELECT CASE WHEN doc_id % 5 = 0
+              THEN substr(text, 1, CAST(floor(n_chars / 2.0) AS INT))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+),
+otoks AS (
+  SELECT string_split(lower(text), ' ') AS t, lower(text) AS lt FROM old
+),
+ogr AS (
+  SELECT DISTINCT unnest(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [md5(lt)] END
+         ) AS g, 1 AS hit
+  FROM otoks
+),
+ntoks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t, lower(text) AS lt
+  FROM new
+),
+ngr AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [md5(lt)] END
+         )) AS g
+  FROM ntoks
+)
+SELECT n.doc_id,
+       count(*) AS n_grams,
+       count(*) - count(o.hit) AS novel_grams,
+       (count(*) - count(o.hit)) * 10000 // count(*) AS novelty_bp
+FROM ngr n LEFT JOIN ogr o USING (g)
+GROUP BY n.doc_id
+ORDER BY n.doc_id
+"""
+
+
 D52_ORACLE_SQL = """
 WITH old AS (
   SELECT source,
@@ -341,14 +474,16 @@ GROUP BY label, dim, n_l, n ORDER BY label, dim
 
 
 QUERIES = {
-    # d50 individually graded since the round-12 rotation; d52 (round
-    # 13) composite-delivered (x4), oracle in tests/test_drift.py —
-    # rotation candidate for round 14
+    # d50 individually graded since the round-12 rotation; d52 since the
+    # round-14 rotation; d53 (round 14) composite-delivered (x4), oracle
+    # in tests/test_drift.py — rotation candidate for round 15
     "d50_embedding_drift": d50_embedding_drift,
     "d52_token_drift": d52_token_drift,
+    "d53_ngram_novelty": d53_ngram_novelty,
 }
 
 ORACLES = {
     "d50_embedding_drift": D50_ORACLE_SQL,
     "d52_token_drift": D52_ORACLE_SQL,
+    "d53_ngram_novelty": D53_ORACLE_SQL,
 }

@@ -199,3 +199,57 @@ def test_d50_plan_is_broadcast_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_d53_matches_duckdb_oracle(spark, sf):
+    from cdc2vec_spark.operators import drift
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "d53_ngram_novelty",
+        drift.QUERIES["d53_ngram_novelty"],
+        drift.ORACLES["d53_ngram_novelty"], sf,
+    )
+    assert not problems, problems
+
+
+def test_ngram_novelty_hand_built_semantics(spark):
+    """Verbatim doc → 0 bp; fully disjoint doc → 10000 bp; a doc whose
+    distinct trigrams are half old, half new → 5000 bp; short docs
+    (< n tokens) match on their whole text: known-short → 0, unseen
+    short → 10000. Counts are distinct-gram counts."""
+    from cdc2vec_spark.operators.drift import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [("a b c d e",), ("tiny doc",)], "text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # verbatim: grams {abc, bcd, cde}
+            (2, "x y z w"),            # disjoint: {xyz, yzw}
+            (3, "a b c d x y z"),      # {abc, bcd} old + {cdx, dxy, xyz}... 
+            (4, "tiny doc"),           # short, known verbatim
+            (5, "other short",),       # short, unseen
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(ref, new).collect()}
+    assert out[1]["novelty_bp"] == 0 and out[1]["n_grams"] == 3
+    assert out[2]["novelty_bp"] == 10000 and out[2]["novel_grams"] == 2
+    # doc 3 grams: abc bcd cdx dxy xyz -> 2 old, 3 novel = 6000 bp
+    assert (out[3]["n_grams"], out[3]["novel_grams"], out[3]["novelty_bp"]) \
+        == (5, 3, 6000)
+    assert out[4]["novelty_bp"] == 0
+    assert out[5]["novelty_bp"] == 10000
+
+
+def test_ngram_novelty_self_is_zero(spark, sf_dir):
+    """A release scored against itself is 0-novel everywhere — the
+    identity the gate's alert threshold is anchored to."""
+    from cdc2vec_spark.operators.drift import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ngram_novelty(d, d)
+    assert out.where(F.col("novelty_bp") != 0).count() == 0
+    assert out.count() == d.count()

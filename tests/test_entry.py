@@ -114,7 +114,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "d20_pii",
             "d25_token_mix", "d28_lm_perplexity", "d29_shards",
             "d30_html_extract", "d31_domain_cap", "d33_weighted_sample",
-            "d42_tfidf_keywords",
+            "d42_tfidf_keywords", "d53_ngram_novelty",
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
             "t7_vocab_topdf", "t8_bpe", "t9_nfc_normalize",
