@@ -211,7 +211,7 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
         sink = getattr(cfg, "sink", None)
     if sink is None or sink.type not in (
         "qdrant", "milvus", "ivf_index", "lex_index", "group_agg",
-        "distinct_agg", "neardup",
+        "distinct_agg", "neardup", "scd2_history",
     ):
         return None
     opts = sink.options or {}
@@ -459,6 +459,47 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
                     swap_write(df, f"{npath}/reports/{name}")
                     out[name] = df
                 hook.last_reports = out
+
+        return hook
+
+    if sink.type == "scd2_history":
+        # maintain the SCD Type-2 row-validity history live from the
+        # stream (cdc/scd2.py — c21's streaming face, round 14): every
+        # point event becomes a version row (deletes become closure
+        # markers), touched buckets recompute their intervals per batch.
+        # NOTE: unlike the delivery hooks this consumes EVERY event, not
+        # the final_events reduction — intra-batch ordering is resolved
+        # by the lead(lsn) window inside apply_batch, and an SCD2 history
+        # that dropped superseded versions would not be a history.
+        from .cdc.scd2 import Scd2History
+
+        spath = opts.get("path")
+        if not spath:
+            raise ValueError("scd2_history sink requires options.path")
+        sbuckets = int(opts.get("n_buckets", 16))
+        # metadata keys carried onto each version row (comma-separated)
+        sattrs = tuple(
+            a.strip()
+            for a in str(opts.get("attrs", "after_author")).split(",")
+            if a.strip()
+        )
+        scache: dict = {}
+
+        def hook(pts: DataFrame) -> None:
+            sh = scache.get("sh")
+            if sh is None:
+                sh = scache["sh"] = Scd2History(
+                    pts.sparkSession, spath, key_col="id",
+                    payload_cols=sattrs, n_buckets=sbuckets,
+                )
+            ev = pts.select(
+                "id", "lsn", "op",
+                *[
+                    F.element_at(F.col("metadata"), a).alias(a)
+                    for a in sattrs
+                ],
+            )
+            sh.apply_batch(ev)
 
         return hook
 

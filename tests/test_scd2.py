@@ -111,3 +111,176 @@ def test_walkthrough_semantics(spark, tmp_path):
         ("p1", "a3", 9, None, True),  # re-insert opens after the gap
         ("p2", "b1", 2, None, True),
     }
+
+
+# ---------------------------------------------------------------- streaming
+
+def _hist_rows(sh, key="pk"):
+    h = sh.history()
+    return sorted(
+        map(tuple, h.select(
+            key, "author", "valid_from", "valid_to", "is_current"
+        ).collect())
+    )
+
+
+def test_stream_equals_batch_any_split(spark, sf_dir, tmp_path):
+    """Round 14: the incrementally maintained history (cdc/scd2.py —
+    the scd2_history sink's engine) equals the one-window batch c21
+    derivation under ANY batch split of the change log, including the
+    degenerate 1-batch replay."""
+    from cdc2vec_spark.cdc.scd2 import Scd2History
+
+    ch = (
+        changelog.changes_df(spark, sf_dir)
+        .where(F.col("tbl") == "public.documents")
+        .select("pk", "lsn", "op", F.col("after_author").alias("author"))
+        .persist()
+    )
+    want = sorted(map(tuple, c21_scd2_history(spark, sf_dir).collect()))
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    for n_batches in (1, 4):
+        sh = Scd2History(
+            spark, str(tmp_path / f"h{n_batches}"), key_col="pk",
+            payload_cols=("author",), n_buckets=8,
+        )
+        step = (hi - lo) // n_batches + 1
+        for i in range(n_batches):
+            sh.apply_batch(ch.where(
+                (F.col("lsn") >= lo + i * step)
+                & (F.col("lsn") < lo + (i + 1) * step)
+            ))
+        assert _hist_rows(sh) == want, n_batches
+    ch.unpersist()
+
+
+def test_replay_idempotent_and_current_is_lww(spark, sf_dir, tmp_path):
+    from cdc2vec_spark.cdc.scd2 import Scd2History
+    from pyspark.sql.window import Window
+
+    ch = (
+        changelog.changes_df(spark, sf_dir)
+        .where(F.col("tbl") == "public.documents")
+        .select("pk", "lsn", "op", F.col("after_author").alias("author"))
+        .persist()
+    )
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    sh = Scd2History(
+        spark, str(tmp_path / "h"), key_col="pk",
+        payload_cols=("author",), n_buckets=8,
+    )
+    b1, b2 = ch.where(F.col("lsn") <= mid), ch.where(F.col("lsn") > mid)
+    sh.apply_batch(b1)
+    sh.apply_batch(b2)
+    before = _hist_rows(sh)
+    sh.apply_batch(b2)  # replay: byte-identical state
+    sh.apply_batch(b1)  # even out of order — the window re-derives
+    assert _hist_rows(sh) == before
+
+    # the open versions ARE the raw LWW live state
+    w = Window.partitionBy("pk").orderBy(F.col("lsn").desc())
+    lww = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") != "d"))
+        .select("pk", "author", F.col("lsn").alias("valid_from"))
+    )
+    cur = sh.current().select("pk", "author", "valid_from")
+    assert sorted(map(tuple, cur.collect())) == sorted(
+        map(tuple, lww.collect())
+    )
+    ch.unpersist()
+
+
+def test_as_of_walkthrough(spark, tmp_path):
+    """Point-in-time reads across insert→update→delete→re-insert."""
+    from cdc2vec_spark.cdc.scd2 import Scd2History
+
+    sh = Scd2History(
+        spark, str(tmp_path / "h"), key_col="pk",
+        payload_cols=("author",), n_buckets=4,
+    )
+    b1 = spark.createDataFrame(
+        [("k1", 1, "c", "ann"), ("k1", 5, "u", "bob"), ("k2", 3, "c", "cyd")],
+        "pk string, lsn long, op string, author string",
+    )
+    b2 = spark.createDataFrame(
+        [("k1", 9, "d", None), ("k1", 12, "c", "dee")],
+        "pk string, lsn long, op string, author string",
+    )
+    sh.apply_batch(b1)
+    sh.apply_batch(b2)
+
+    def snap(lsn):
+        return sorted(
+            (r["pk"], r["author"]) for r in sh.as_of(lsn).collect()
+        )
+
+    assert snap(0) == []
+    assert snap(1) == [("k1", "ann")]
+    assert snap(6) == [("k1", "bob"), ("k2", "cyd")]
+    assert snap(10) == [("k2", "cyd")]          # k1 deleted at 9
+    assert snap(12) == [("k1", "dee"), ("k2", "cyd")]
+    # and the full history shape
+    assert _hist_rows(sh) == [
+        ("k1", "ann", 1, 5, False),
+        ("k1", "bob", 5, 9, False),
+        ("k1", "dee", 12, None, True),
+        ("k2", "cyd", 3, None, True),
+    ]
+
+
+def test_boot_scd2_sink_e2e(spark, sf_dir, tmp_path):
+    """sink.type=scd2_history in the config: boot() maintains the
+    validity-interval history live from the stream; the open versions
+    must equal the engine's own keyed live collection (ids + authors),
+    and every closed interval must be well-formed."""
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.cdc import transform
+    from cdc2vec_spark.cdc.scd2 import Scd2History
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+    from cdc2vec_spark.streaming import source
+
+    spath = str(tmp_path / "scd2")
+    cfg = PipelineConfig(
+        engine=DEFAULT_CONFIG, source=SourceConfig(),
+        sink=SinkConfig(
+            type="scd2_history",
+            options={"path": spath, "n_buckets": 8, "attrs": "after_author"},
+        ),
+    )
+    ch = transform.filter_mapped(
+        changelog.changes_df(spark, sf_dir), changelog.MAPPED
+    )
+    chunks = str(tmp_path / "chunks")
+    source.write_chunks(ch, chunks, n_chunks=4, order_col="lsn")
+    query, coll, _ = runner.boot(
+        spark, config=cfg, changes_dir=chunks, changes_schema=ch.schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    sh = Scd2History(
+        spark, spath, key_col="id", payload_cols=("after_author",),
+        n_buckets=8,
+    )
+    cur = {
+        (r["id"], r["after_author"]) for r in sh.current().collect()
+    }
+    live = {
+        (r["id"], r["metadata"]["after_author"])
+        for r in coll.live().select("id", "metadata").collect()
+    }
+    assert cur == live and cur
+    # interval sanity over the whole maintained history
+    h = sh.history()
+    assert h.where(
+        F.col("valid_to").isNotNull()
+        & (F.col("valid_to") <= F.col("valid_from"))
+    ).count() == 0
