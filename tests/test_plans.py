@@ -163,3 +163,40 @@ def test_funnel_counts_read_checkpoints_not_the_corpus(spark, sf):
     plan = _plan(c10_funnel(spark, sf))
     assert "FileScan parquet" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 3, plan  # one per step
+
+
+def test_c22_compaction_plan_shape(spark, tmp_path):
+    """compact_changes (round 14): exactly ONE exchange — the pk window
+    on the head (with map-side partial WindowGroupLimit: each input
+    partition pre-prunes to its local top-1 per key before the shuffle)
+    — and BOTH horizon filters reach the parquet scan as PushedFilters;
+    the tail branch is a pure filtered scan, no shuffle at all."""
+    from cdc2vec_spark.cdc.apply import compact_changes
+
+    spark.createDataFrame(
+        [(f"k{i % 10}", i, "c" if i % 3 else "u") for i in range(100)],
+        "pk string, lsn long, op string",
+    ).write.parquet(f"{tmp_path}/ch")
+    ch = spark.read.parquet(f"{tmp_path}/ch")
+    plan = _plan(compact_changes(ch, 50, key_cols=("pk",)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "LessThanOrEqual(lsn,50)" in plan, plan     # head reaches the scan
+    assert "GreaterThan(lsn,50)" in plan, plan         # tail reaches the scan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_d53_novelty_plan_is_jvm_side_single_join(spark, sf):
+    """d53 (round 14): the whole derivation is JVM-side (gram build =
+    split/transform/md5 codegen expressions — no Python eval anywhere),
+    membership is exactly ONE join against the reference gram set, and
+    both aggregates (reference distinct, per-doc novelty counts) run
+    with map-side partials. The join strategy is AQE's choice (the tiny
+    fixture reference broadcasts; a corpus-sized reference shuffles on
+    g) — the pinned property is the single-join shape, not the
+    strategy."""
+    from cdc2vec_spark.operators.drift import d53_ngram_novelty
+
+    plan = _plan(d53_ngram_novelty(spark, sf))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Join") == 1, plan
+    assert "partial" in plan.lower(), plan
