@@ -126,7 +126,7 @@ NOTES = {
     "c20_incremental_join_agg": "composed join-agg read face: the maintained aggregate is a tiny single-file scan (maintenance delta-driven per batch: +arrivals/-departures the view rewrite already derives, one counter-row groupBy, never a view scan).",
     "c21_scd2_history": "SCD2 validity intervals: ONE lead(lsn) window = one hash exchange on pk; no join, no second sort.",
     "d52_token_drift": "token-TVD between versions: one side-tagged explode, ONE map-side-combined groupBy(source, token), totals re-aggregate from counter rows and broadcast back — no second scan, DECIMAL(38,0) exact.",
-    "c22_log_compaction": "log compaction: the head is ONE row_number window (one hash exchange on pk), the tail a pure filter reaching the scan; union of the two — a snapshot plus a filter, no new primitive.",
+    "c22_log_compaction": "log compaction: the head is ONE row_number window (one hash exchange on pk, map-side partial WindowGroupLimit), the tail a pure filter reaching the scan; the dumped plan is the post-localCheckpoint residual (the graded face materializes inside, like c6) — the real shape is pinned on a raw parquet input in tests/test_plans.py::test_c22_compaction_plan_shape.",
     "d53_ngram_novelty": "n-gram novelty: both sides dedup grams before the explode; reference set is one map-side-combined distinct on the 16-byte hash; membership is a co-partitioned shuffle join on g (corpus-sized, NOT broadcast); one per-doc aggregate.",
     "d51_balanced_sample": "cluster-balanced sampling: bounded k-row centroid collect + ONE narrow Arrow int64-matmul pass (assignment), then a single hash exchange on cell for the md5-rank window; quota filter via WindowGroupLimit.",
 }
