@@ -120,6 +120,7 @@ HEADLINE = [
     # round-14 additions
     "c22_log_compaction",    # change-log compaction at the midpoint LSN
     "d53_ngram_novelty",     # per-doc n-gram novelty vs the reference release
+    "t13_readability",       # Flesch reading-ease in integer micro units
 ]
 
 

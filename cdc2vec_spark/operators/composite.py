@@ -151,6 +151,11 @@ CONSOLIDATED: tuple[str, ...] = (
     # tests/test_drift.py); composite-delivered in x4 — rotation
     # candidate for round 15
     "d53_ngram_novelty",
+    # round-14 addition: per-doc Flesch reading-ease in integer micro
+    # units (exact two-SF oracle + hand-built walkthrough in
+    # tests/test_text_quality.py); composite-delivered in x4 — rotation
+    # candidate for round 15
+    "t13_readability",
     "d10_split",
     "d10_pack",
     "d2_minhash_lsh",
@@ -485,6 +490,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         d5_slicing,
         d15_chunk,
         d17_bm25,
+        t13_readability,
         t1_token_count,
         t2_quality_score,
         t3_lang_guess,
@@ -549,6 +555,7 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t7_vocab_topdf", t7_vocab_topdf),
             ("t8_bpe", t8_bpe),
             ("t9_nfc_normalize", t9_nfc_normalize),
+            ("t13_readability", t13_readability),
         ],
     )
 
@@ -645,6 +652,7 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d5_slicing,
         d15_chunk,
         d17_bm25,
+        t13_readability,
         t1_token_count,
         t2_quality_score,
         t3_lang_guess,
@@ -745,4 +753,5 @@ def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_length_percentiles": t6_length_percentiles,
         "t7_vocab_topdf": t7_vocab_topdf,
         "t9_nfc_normalize": t9_nfc_normalize,
+        "t13_readability": t13_readability,
     }

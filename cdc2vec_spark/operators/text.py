@@ -834,6 +834,126 @@ FROM s LEFT JOIN top USING (doc_id) ORDER BY s.doc_id
 """
 
 
+def t13_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (added round 14) — per-doc Flesch reading-ease in integer
+    MICRO units (Flesch 1948; the readability band every web-corpus
+    quality report carries next to t2's heuristic score — C4 and
+    RefinedWeb both slice by readability-class signals): with
+    wps = words/sentence and spw = syllables/word,
+
+        flesch_micro = 206_835_000
+                     - (1015 * wps_micro) div 1000
+                     - (84600 * spw_micro) div 1000
+
+    where ``*_micro`` are the two ratios in integer micro units
+    (``a * 1_000_000 div b`` — the d45/t12 no-float-on-the-hashed-
+    surface discipline; every operand stays far inside int64).
+
+    Inputs are deterministic: sentences come from the t11 synthesized
+    punctuation (a period after every 7th token — the fixture corpus
+    carries none of its own); words are the raw text's non-empty
+    lowercased tokens; syllables use the standard vowel-group heuristic
+    max(1, count of ``[aeiouy]+`` runs per word) — a regexp count the
+    oracle mirrors with ``regexp_extract_all``. Pure scan-stage
+    expression work (one regexp per token inside a HOF aggregate — the
+    t4 bounded-interpreted-HOF shape); the only exchange is the
+    presentation sort. Docs with zero words are excluded (mirrored)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda w: w != "",
+    )
+    n_words = F.size(toks)
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda a, w: a
+        + F.greatest(F.lit(1), F.regexp_count(w, F.lit("[aeiouy]+"))),
+    )
+    # t11's deterministic sentence synthesis + segmentation rule
+    rtoks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    punct = F.array_join(
+        F.transform(
+            rtoks,
+            lambda x, i: F.when((i + 1) % 7 == 0, F.concat(x, F.lit(".")))
+            .otherwise(x),
+        ),
+        " ",
+    )
+    sents = F.split(punct, "[.!?]+")
+    n_sents = F.size(
+        F.filter(
+            F.transform(
+                sents,
+                lambda s: F.size(F.filter(F.split(s, " "), lambda w: w != "")),
+            ),
+            lambda c: c > 0,
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sents.cast("long").alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+        )
+        .where((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(
+                "206835000"
+                " - (1015 * (n_words * 1000000 div n_sentences)) div 1000"
+                " - (84600 * (n_syllables * 1000000 div n_words)) div 1000"
+            ).cast("long").alias("flesch_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T13_ORACLE_SQL = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         text
+  FROM base
+),
+counts AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(
+           toks,
+           t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))
+         )), 0) AS BIGINT) AS n_syllables,
+         array_to_string(list_transform(
+           string_split(text, ' '),
+           (x, i) -> CASE WHEN i % 7 = 0 THEN x || '.' ELSE x END
+         ), ' ') AS ptext
+  FROM w
+),
+s AS (
+  SELECT doc_id, n_words, n_syllables,
+         CAST(len(list_filter(list_transform(
+           string_split_regex(ptext, '[.!?]+'),
+           seg -> len(list_filter(string_split(seg, ' '), x -> x <> ''))
+         ), c -> c > 0)) AS BIGINT) AS n_sentences
+  FROM counts
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206835000
+         - (1015 * (n_words * 1000000 // n_sentences)) // 1000
+         - (84600 * (n_syllables * 1000000 // n_words)) // 1000 AS flesch_micro
+FROM s
+WHERE n_words > 0 AND n_sentences > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d4_text_stats": d4_text_stats,
     "d5_slicing": d5_slicing,
@@ -859,6 +979,9 @@ QUERIES = {
     # round-11 addition: composite-delivered (x4), oracle in
     # tests/test_text_quality.py; rotation candidate
     "t12_repetition_stats": t12_repetition_stats,
+    # round-14 addition: composite-delivered (x4), oracle in
+    # tests/test_text_quality.py; rotation candidate for round 15
+    "t13_readability": t13_readability,
 }
 
 ORACLES = {
@@ -866,6 +989,7 @@ ORACLES = {
     "t10_pmi_collocations": T10_ORACLE_SQL,
     "t11_sentence_stats": T11_ORACLE_SQL,
     "t12_repetition_stats": T12_ORACLE_SQL,
+    "t13_readability": T13_ORACLE_SQL,
     # round-7 rotation: individually graded (were composite-delivered)
     "d15_chunk": D15_ORACLE_SQL,
     "d17_bm25": D17_ORACLE_SQL,

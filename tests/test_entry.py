@@ -118,6 +118,7 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
             "t1_token_count", "t2_quality_score", "t3_lang_guess",
             "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
             "t7_vocab_topdf", "t8_bpe", "t9_nfc_normalize",
+            "t13_readability",
         },
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)

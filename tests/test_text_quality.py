@@ -484,3 +484,46 @@ def test_t12_randomized_python_cross_check(spark, tmp_path):
     }
     want = {i: ref(t) for i, t in rows}
     assert got == want
+
+
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_t13_readability_matches_duckdb_oracle(spark, sf):
+    from oracle_check import compare_one, duckdb_conn
+
+    from cdc2vec_spark.operators import text
+
+    con = duckdb_conn(sf)
+    problems = compare_one(
+        spark, con, "t13_readability",
+        text.t13_readability, text.T13_ORACLE_SQL, sf,
+    )
+    assert not problems, (sf, problems)
+
+
+def test_t13_hand_built_flesch(spark, tmp_path, monkeypatch):
+    """Hand-computed Flesch on crafted docs. Doc 1: 9 monosyllabic
+    words; token 7 takes the synthesized period, so 2 sentences (7 and
+    2 tokens). wps_micro = 9*1e6 // 2 = 4_500_000; spw_micro =
+    9*1e6 // 9 = 1_000_000; flesch_micro = 206_835_000 -
+    1015*4_500_000//1000 - 84600*1_000_000//1000. Doc 2 pins the
+    vowel-run syllable heuristic: 'banana' has 3 [aeiouy]+ runs."""
+    import shutil
+
+    from cdc2vec_spark.operators import text
+
+    root = tmp_path / "sf"
+    root.mkdir()
+    spark.createDataFrame(
+        [(1, "the cat sat on a mat a rat x", 29, "en", "src1"),
+         (2, "banana", 6, "en", "src1")],
+        "doc_id long, text string, n_chars long, lang string, source string",
+    ).write.parquet(str(root / "documents.parquet"))
+    out = {r["doc_id"]: r for r in text.t13_readability(spark, str(root)).collect()}
+    r1 = out[1]
+    # 9 words: token 7 ('a') takes the period -> sentences of 7 and 2 tokens
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (9, 2, 9)
+    assert r1["flesch_micro"] == 206_835_000 - (1015 * 4_500_000) // 1000 \
+        - (84600 * 1_000_000) // 1000
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 3)
+    shutil.rmtree(root, ignore_errors=True)

@@ -128,6 +128,7 @@ NOTES = {
     "d52_token_drift": "token-TVD between versions: one side-tagged explode, ONE map-side-combined groupBy(source, token), totals re-aggregate from counter rows and broadcast back — no second scan, DECIMAL(38,0) exact.",
     "c22_log_compaction": "log compaction: the head is ONE row_number window (one hash exchange on pk, map-side partial WindowGroupLimit), the tail a pure filter reaching the scan; the dumped plan is the post-localCheckpoint residual (the graded face materializes inside, like c6) — the real shape is pinned on a raw parquet input in tests/test_plans.py::test_c22_compaction_plan_shape.",
     "d53_ngram_novelty": "n-gram novelty: both sides dedup grams before the explode; reference set is one map-side-combined distinct on the 16-byte hash; membership is a co-partitioned shuffle join on g (corpus-sized, NOT broadcast); one per-doc aggregate.",
+    "t13_readability": "readability: pure scan-stage expression work (token HOFs + one bounded regexp count per token); the only exchange is the presentation sort.",
     "d51_balanced_sample": "cluster-balanced sampling: bounded k-row centroid collect + ONE narrow Arrow int64-matmul pass (assignment), then a single hash exchange on cell for the md5-rank window; quota filter via WindowGroupLimit.",
 }
 
