@@ -1036,7 +1036,10 @@ _CURVE_ATTRIBUTION_NOTES = {
         "UDF time is token-linear, candidate pairs grow with real "
         "near-dup density (the sf1 synthesis adds 10 near-copies per "
         "doc); x100 of ~5 against ~103x chars is amortization plus the "
-        "denser pair set, not superlinearity"
+        "denser pair set, not superlinearity. Round 14: the operator "
+        "runs with AQE pinned off (the d40 discipline — VERDICT r13 "
+        "flagged sf1 task counts varying [1284, 804, 1284]); quiet-"
+        "session probe after the pin: tasks [530, 530, 530] constant"
     ),
 }
 
