@@ -124,3 +124,46 @@ def test_compaction_shrinks_head(spark, sf_dir):
         compact_changes(ch, horizon).where(F.col("lsn") <= horizon).count()
     )
     assert comp_head < raw_head
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_log_fuzz_matches_python_reference(spark, seed):
+    """Seeded fuzz (the delta-join random-walk discipline): random
+    insert/update/delete traffic over a small key space, compacted at
+    three random horizons — the compacted log must equal a pure-Python
+    reference (per-key max-lsn winner below the horizon, delete winners
+    dropped, tail verbatim), and LWW replay must be preserved."""
+    import random
+
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(6)]
+    events = []
+    for lsn in range(1, 61):
+        op = "d" if rng.random() < 0.3 else rng.choice(["c", "u"])
+        events.append((rng.choice(keys), lsn, op))
+    ch = spark.createDataFrame(events, "pk string, lsn long, op string")
+
+    for horizon in sorted(rng.sample(range(0, 62), 3)):
+        # python reference
+        head = [e for e in events if e[1] <= horizon]
+        tail = [e for e in events if e[1] > horizon]
+        winners = {}
+        for pk, lsn, op in head:
+            if pk not in winners or lsn > winners[pk][1]:
+                winners[pk] = (pk, lsn, op)
+        want = sorted(
+            [w for w in winners.values() if w[2] != "d"]
+            + [(pk, lsn, op) for pk, lsn, op in tail]
+        )
+        got = sorted(
+            (r["pk"], r["lsn"], r["op"])
+            for r in compact_changes(ch, horizon, key_cols=("pk",)).collect()
+        )
+        assert got == want, (seed, horizon)
+        # replay preservation on the raw LWW
+        def lww(evts):
+            last = {}
+            for pk, lsn, op in sorted(evts, key=lambda e: e[1]):
+                last[pk] = (lsn, op)
+            return {pk: v for pk, v in last.items() if v[1] != "d"}
+        assert lww(want) == lww(events), (seed, horizon)

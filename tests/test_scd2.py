@@ -284,3 +284,50 @@ def test_boot_scd2_sink_e2e(spark, sf_dir, tmp_path):
         F.col("valid_to").isNotNull()
         & (F.col("valid_to") <= F.col("valid_from"))
     ).count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scd2_random_walk_matches_python_reference(spark, tmp_path, seed):
+    """Seeded fuzz: random per-key event walks applied in random batch
+    splits — the maintained history must equal a pure-Python SCD2
+    reference (each upsert opens a version until the key's next event;
+    deletes close without opening) after every batch."""
+    import random
+
+    from cdc2vec_spark.cdc.scd2 import Scd2History
+
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(5)]
+    events = []
+    for lsn in range(1, 41):
+        op = "d" if rng.random() < 0.3 else rng.choice(["c", "u"])
+        events.append((rng.choice(keys), lsn, op, f"a{rng.randint(0, 2)}"))
+
+    sh = Scd2History(
+        spark, str(tmp_path / "h"), key_col="pk",
+        payload_cols=("author",), n_buckets=4,
+    )
+    applied = []
+    cuts = sorted(rng.sample(range(2, 40), 3)) + [41]
+    lo = 1
+    for hi in cuts:
+        batch = [e for e in events if lo <= e[1] < hi]
+        lo = hi
+        if not batch:
+            continue
+        applied += batch
+        sh.apply_batch(spark.createDataFrame(
+            batch, "pk string, lsn long, op string, author string"
+        ))
+        # python reference over everything applied so far
+        by_key: dict = {}
+        for pk, lsn, op, author in sorted(applied, key=lambda e: e[1]):
+            by_key.setdefault(pk, []).append((lsn, op, author))
+        want = []
+        for pk, evts in by_key.items():
+            for i, (lsn, op, author) in enumerate(evts):
+                if op == "d":
+                    continue
+                nxt = evts[i + 1][0] if i + 1 < len(evts) else None
+                want.append((pk, author, lsn, nxt, nxt is None))
+        assert _hist_rows(sh) == sorted(want), (seed, hi)
