@@ -476,6 +476,12 @@ def sink_hook_for(cfg: PipelineConfig, sink=None):
         spath = opts.get("path")
         if not spath:
             raise ValueError("scd2_history sink requires options.path")
+        if idx_chunked:
+            # chunked points version per CHUNK id, but a shrinking update
+            # emits no closure event for its dropped tail chunks — their
+            # versions would stay open forever. Reject loudly (the
+            # neardup/ivf discipline for id-keyed sinks under chunking).
+            raise ValueError("scd2_history sink does not support chunked configs")
         sbuckets = int(opts.get("n_buckets", 16))
         # metadata keys carried onto each version row (comma-separated)
         sattrs = tuple(

@@ -331,3 +331,27 @@ def test_scd2_random_walk_matches_python_reference(spark, tmp_path, seed):
                 nxt = evts[i + 1][0] if i + 1 < len(evts) else None
                 want.append((pk, author, lsn, nxt, nxt is None))
         assert _hist_rows(sh) == sorted(want), (seed, hi)
+
+
+def test_chunked_config_rejected(spark, tmp_path):
+    """Chunked points version per CHUNK id, but a shrinking update emits
+    no closure event for its dropped tail chunks — their versions would
+    stay open forever. The sink factory must reject the combination
+    loudly (same contract as the neardup sink)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from cdc2vec_spark import runner
+    from cdc2vec_spark.config import (
+        DEFAULT_CONFIG, PipelineConfig, SinkConfig, SourceConfig,
+    )
+
+    chunked_engine = dataclasses.replace(DEFAULT_CONFIG, chunk_tokens=128)
+    for stype in ("scd2_history", "neardup"):
+        cfg = PipelineConfig(
+            engine=chunked_engine, source=SourceConfig(),
+            sink=SinkConfig(type=stype, options={"path": str(tmp_path / stype)}),
+        )
+        with _pytest.raises(ValueError, match="chunked"):
+            runner.sink_hook_for(cfg)
