@@ -115,6 +115,42 @@ class Scd2History:
             return None
         return h.where(F.col("is_current")).drop("is_current")
 
+    def prune(self, before_lsn: int) -> None:
+        """Retention — the SCD2 analogue of log compaction
+        (apply.py:compact_changes): drop versions that were CLOSED
+        before ``before_lsn`` and delete markers at/below it. Because
+        validity intervals are contiguous and increasing per key, the
+        surviving rows are exactly the tail of each key's event chain,
+        so a later ``apply_batch`` recomputing intervals over the
+        pruned bucket reproduces the same ``valid_to`` values — pruning
+        never corrupts future maintenance (pinned in
+        tests/test_scd2.py). After pruning, ``as_of(t)`` stays exact
+        for every t >= before_lsn; older points in time are forgotten —
+        that is the retention contract. Idempotent; rewrites every
+        bucket that holds prunable rows (run it on a compaction
+        cadence, not per batch)."""
+        df = self.read()
+        if df is None:
+            return
+        h = F.lit(before_lsn)
+        prunable = (
+            ((F.col("op") != OP_DELETE)
+             & F.col("valid_to").isNotNull() & (F.col("valid_to") <= h))
+            | ((F.col("op") == OP_DELETE) & (F.col("lsn") <= h))
+        )
+        touched = sorted(
+            r[0]
+            for r in df.where(prunable).select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return
+        keep = read_bucketed_state(
+            self.spark, self.path, buckets=touched
+        ).where(~prunable)
+        swap_buckets(
+            keep.repartition(len(touched), BUCKET_COL), self.path, touched
+        )
+
     def as_of(self, lsn: int) -> DataFrame | None:
         """Point-in-time read: each key's version valid at ``lsn``
         (valid_from <= lsn < valid_to) — the row-level time travel that

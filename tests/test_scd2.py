@@ -355,3 +355,55 @@ def test_chunked_config_rejected(spark, tmp_path):
         )
         with _pytest.raises(ValueError, match="chunked"):
             runner.sink_hook_for(cfg)
+
+
+def test_prune_retention_contract(spark, sf_dir, tmp_path):
+    """prune(H): closed-before-H versions and spent delete markers go;
+    as_of(t) stays exact for t >= H; and maintenance AFTER a prune
+    recomputes the surviving intervals correctly (the contiguous-suffix
+    argument in the docstring, exercised for real)."""
+    from cdc2vec_spark.cdc.scd2 import Scd2History
+
+    ch = (
+        changelog.changes_df(spark, sf_dir)
+        .where(F.col("tbl") == "public.documents")
+        .select("pk", "lsn", "op", F.col("after_author").alias("author"))
+        .persist()
+    )
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+
+    # full history, no prune — the reference
+    full = Scd2History(spark, str(tmp_path / "full"), key_col="pk",
+                       payload_cols=("author",), n_buckets=8)
+    full.apply_batch(ch)
+
+    # pruned run: first half, prune at mid, then second half
+    pr = Scd2History(spark, str(tmp_path / "pr"), key_col="pk",
+                     payload_cols=("author",), n_buckets=8)
+    pr.apply_batch(ch.where(F.col("lsn") <= mid))
+    before = pr.read().count()
+    pr.prune(mid)
+    after = pr.read().count()
+    assert after < before  # the fixture has closed history below mid
+    pr.prune(mid)  # idempotent
+    assert pr.read().count() == after
+    pr.apply_batch(ch.where(F.col("lsn") > mid))
+
+    def hist(sh):
+        return sorted(map(tuple, sh.history().collect()))
+
+    # every surviving version row must match the full history exactly
+    full_rows = set(hist(full))
+    for row in hist(pr):
+        assert row in full_rows, row
+    # as_of at/after the horizon is exact
+    for t in (mid, (mid + hi) // 2, hi):
+        assert sorted(map(tuple, pr.as_of(t).collect())) == sorted(
+            map(tuple, full.as_of(t).collect())
+        ), t
+    # current state identical
+    assert sorted(map(tuple, pr.current().collect())) == sorted(
+        map(tuple, full.current().collect())
+    )
+    ch.unpersist()
