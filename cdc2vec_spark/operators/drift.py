@@ -350,8 +350,15 @@ def d53_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three reports read as one release sign-off. The truncated
     reference docs make their restored full-text counterparts partially
     novel — exactly the "how much of this refresh is new text" answer.
-    Hash-exact."""
-    d = load_table(spark, sf_dir, "documents")
+    Hash-exact.
+
+    rebalance: the fixture is a single parquet split and the gram
+    HOF is the expensive stage — same single-split hazard d11 fixed
+    (decontam.py:127; measured here: the two gram builds serialized
+    onto one core cost the entry 8-15s at sf0.1, ~3s rebalanced)."""
+    from ..io import rebalance
+
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     old = d.where(F.col("doc_id") % 7 != 0).select(
         F.when(
             F.col("doc_id") % 5 == 0,
