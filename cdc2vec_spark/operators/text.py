@@ -732,68 +732,85 @@ def t12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bit-identical in Spark and any SQL oracle, no float rounding in
     the hashed surface. ``repeated_bp = (n_tokens − n_distinct)·10⁴ div
     n_tokens``; ``top_bigram_bp = top_count·2·10⁴ div n_tokens``. The
-    winning bigram ties break (count DESC, gram ASC) via ONE aggregate
-    ``min(struct(−count, gram))`` — no window, no second shuffle —
-    portable for the all-ASCII fixture (the d42 term-tie rule). Docs
-    with < 2 tokens have no bigrams: count/bp coalesce to 0, the gram
-    to ''. Plan: repeated_bp is pure scan-stage array math; the winner
-    is one (doc, gram) explode → two-stage count whose map-side
-    partials collapse repeated grams before the shuffle — at most one
-    shuffled row per DISTINCT per-doc gram. Filters like "drop docs
-    with top_bigram_bp > 2000" are the 100 TB corpus-cleaning step this
-    feeds."""
-    d = load_table(spark, sf_dir, "documents")
+    winning bigram ties break (count DESC, gram ASC), which the
+    longest-run scan below reproduces exactly. Docs with < 2 tokens
+    have no bigrams: count/bp are 0, the gram ''. Plan (round 14,
+    guide §2.4 — remove shuffles outright): the winner is computed
+    ENTIRELY in the scan stage — sort the per-doc gram array and take
+    the longest run (strictly-greater update, so on a count tie the
+    FIRST — i.e. smallest — gram wins, exactly the old
+    ``min(struct(−count, gram))`` rule). The old shape (explode → two
+    aggregation Exchanges, one a SortAggregate on min(struct) → join
+    back to a SECOND documents scan) is gone: one scan, zero mid-plan
+    exchanges, the presentation sort is the only one left. Filters
+    like "drop docs with top_bigram_bp > 2000" are the 100 TB
+    corpus-cleaning step this feeds — and per-doc scan-stage math is
+    the shape that scales there."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     base = d.select("doc_id", toks.alias("_toks")).select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
-        F.when(
-            F.size("_toks") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_toks") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("_toks"), i),
-                    F.element_at(F.col("_toks"), i + 1),
+        F.array_sort(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_toks"), i),
+                        F.element_at(F.col("_toks"), i + 1),
+                    ),
                 ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_grams"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_sg"),
     )
-    top = (
-        base.select("doc_id", F.explode("_grams").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("c")).alias("nc"), F.col("gram").alias("g"))
-            ).alias("m")
-        )
-        .select(
-            "doc_id",
-            F.col("m.g").alias("top_bigram"),
-            (-F.col("m.nc")).cast("long").alias("top_bigram_count"),
-        )
+    # run boundaries over the sorted array (1-based start positions);
+    # runs[k] spans [starts[k], starts[k+1]-1]. A run struct compares
+    # (len, −k): array_max picks the longest run, ties the EARLIEST —
+    # i.e. the smallest gram, the old (count DESC, gram ASC) rule.
+    sg = F.col("_sg")
+    n = F.size(sg)
+    neq = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(sg, i) != F.element_at(sg, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.when(
+        n >= 1, F.concat(F.array(F.lit(1)), neq)
+    ).otherwise(F.array().cast("array<int>"))
+    base = base.withColumn("_st", starts)
+    st = F.col("_st")
+    runs = F.transform(
+        st,
+        lambda s, k: F.struct(
+            (
+                F.coalesce(F.try_element_at(st, k + 2), F.size(F.col("_sg")) + 1)
+                - s
+            ).cast("long").alias("len"),
+            (-k).alias("negk"),
+            F.element_at(F.col("_sg"), s).alias("g"),
+        ),
     )
+    win = F.array_max(runs)
     return (
-        base.select("doc_id", "n_tokens", "n_distinct")
-        .join(top, "doc_id", "left")
-        .select(
+        base.select(
             "doc_id",
             "n_tokens",
             F.expr(
                 "(n_tokens - n_distinct) * 10000 div n_tokens"
             ).alias("repeated_bp"),
-            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
-            F.coalesce(F.col("top_bigram_count"), F.lit(0).cast("long")).alias(
+            F.coalesce(win["g"], F.lit("")).alias("top_bigram"),
+            F.coalesce(win["len"], F.lit(0).cast("long")).alias(
                 "top_bigram_count"
             ),
-            F.expr(
-                "coalesce(top_bigram_count, 0) * 20000 div n_tokens"
-            ).alias("top_bigram_bp"),
+        )
+        .withColumn(
+            "top_bigram_bp",
+            F.expr("top_bigram_count * 20000 div n_tokens"),
         )
         .orderBy("doc_id")
     )
