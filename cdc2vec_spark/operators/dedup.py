@@ -146,33 +146,59 @@ def shingle(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     )
 
 
+# Per-WORKER gram→hash memo (optimization guide §4.5: cache expensive
+# per-task state in a module global so a reused Python worker keeps it
+# across tasks — this module is importable on executors, so the nested
+# UDFs reference `_gram_hashes` by module attribute and every task in a
+# worker shares ONE dict). Near-dup corpora repeat 3-grams heavily
+# (~10× at sf0.1 by DuckDB count, more on real web text), so the md5 —
+# about half the fused Arrow pass — runs once per DISTINCT gram per
+# worker instead of once per occurrence. The cap bounds worker RSS
+# (≈60 MB at the cap); past it, new grams are hashed without inserting,
+# so behavior degrades to the uncached cost, never OOM. Values are pure
+# functions of the gram — a hit and a miss are bit-identical.
+_GRAM_HASH_MEMO: dict[str, int] = {}
+_GRAM_HASH_MEMO_CAP = 1 << 19
+
+
+def _gram_hashes(t: str | None, n: int) -> list[int]:
+    """Sorted distinct md5-derived shingle hashes for one document."""
+    import hashlib
+    import struct
+
+    toks = t.split(" ") if t else []
+    if len(toks) < n:
+        return []
+    grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    memo = _GRAM_HASH_MEMO
+    out = []
+    for g in grams:
+        h = memo.get(g)
+        if h is None:
+            h = struct.unpack("<q", hashlib.md5(g.encode()).digest()[:8])[0]
+            if len(memo) < _GRAM_HASH_MEMO_CAP:
+                memo[g] = h
+        out.append(h)
+    out.sort()
+    return out
+
+
 def shingle_hashes(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingle HASHES per doc (array<long>, sorted).
 
     The hot path for every near-dup operator. A vectorized pandas UDF
     beats the Catalyst route here by ~5×: higher-order-function lambdas
     are evaluated interpreted (no whole-stage codegen, per-element
-    boxing), while Python md5 over a gram is ~0.7 µs. The UDF ships only
+    boxing), while Python md5 over a gram is ~0.7 µs — and the
+    per-worker memo above removes most of even that. The UDF ships only
     the text column over Arrow and returns fixed-width longs; downstream
     ops (explode/join/agg) never touch strings again. md5-derived hashes
     are platform/run stable; the list is SORTED so the column is
     deterministic (Python set order is not)."""
-    import hashlib
-    import struct
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sh(texts: pd.Series) -> pd.Series:
-        def one(t: str | None) -> list[int]:
-            toks = t.split(" ") if t else []
-            if len(toks) < n:
-                return []
-            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            return sorted(
-                struct.unpack("<q", hashlib.md5(g.encode()).digest()[:8])[0]
-                for g in grams
-            )
-
-        return texts.map(one)
+        return texts.map(lambda t: _gram_hashes(t, n))
 
     return df.withColumn("sh", _sh(F.col(text_col)))
 
@@ -340,10 +366,9 @@ def shingle_minhash(
     and are dropped by the candidate step). The raw ``text_col`` is
     dropped from the output — downstream LSH stages only touch hashes,
     and persisting the corpus text alongside them would double the
-    cached footprint."""
-    import hashlib
-    import struct
-
+    cached footprint. Gram hashing goes through the per-worker
+    ``_gram_hashes`` memo (guide §4.5) — same values, md5 paid once per
+    distinct gram per worker."""
     a, b = _perm_constants(num_perm)
     out_t = T.StructType(
         [
@@ -356,16 +381,11 @@ def shingle_minhash(
     def _both(texts: pd.Series) -> pd.DataFrame:
         shs, sigs = [], []
         for t in texts:
-            toks = t.split(" ") if t else []
-            if len(toks) < n:
+            h = _gram_hashes(t, n)
+            if not h:
                 shs.append([])
                 sigs.append(None)
                 continue
-            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            h = sorted(
-                struct.unpack("<q", hashlib.md5(g.encode()).digest()[:8])[0]
-                for g in grams
-            )
             shs.append(h)
             hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
             sigs.append(((hv[:, None] * a + b).min(axis=0)).astype(np.int64).tolist())
