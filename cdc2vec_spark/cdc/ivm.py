@@ -515,11 +515,22 @@ class IncrementalGroupAgg:
         dashboard should read the agg parquet directly rather than
         calling read() on a second instance while the writer runs."""
         se, ae = _read_epoch(self._epoch_state), _read_epoch(self._epoch_agg)
-        raw = read_state(self.spark, self.agg_path)
-        needed = (
-            set(self.out_groups) | set(self._acc_names()) | set(self._mm_names())
-        )
-        stale_schema = raw is not None and not needed <= set(raw.columns)
+        # The stale-schema probe (a parquet footer read per call) only
+        # matters when ATTACHING to a store written by another build —
+        # once this instance has seen (or itself written) a compatible
+        # layout, every later in-process batch writes the same columns,
+        # so check once and remember (round 14: the probe cost one
+        # driver-side parquet listing+schema read per replay batch).
+        stale_schema = False
+        if not getattr(self, "_schema_ok", False):
+            raw = read_state(self.spark, self.agg_path)
+            needed = (
+                set(self.out_groups)
+                | set(self._acc_names())
+                | set(self._mm_names())
+            )
+            stale_schema = raw is not None and not needed <= set(raw.columns)
+            self._schema_ok = not stale_schema
         if se == ae and not stale_schema:
             return
         full = read_bucketed_state(self.spark, self.state_path)
@@ -534,15 +545,32 @@ class IncrementalGroupAgg:
 
     # ---- per-batch fold --------------------------------------------------
 
-    def apply_batch(self, batch: DataFrame, _epoch_id: int | None = None) -> None:
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        _epoch_id: int | None = None,
+        touched: Sequence[int] | None = None,
+    ) -> None:
         """foreachBatch hook: merge the batch into the keyed state AND
-        fold the group deltas into the agg table."""
+        fold the group deltas into the agg table.
+
+        ``touched`` (optional) is the precomputed sorted list of state
+        buckets this batch's eligible events hash to — callers replaying
+        a known change log (c12) compute all batches' touched sets in
+        ONE job instead of one collect per batch, the same contract
+        ``IncrementalDistinctCount.apply_batch`` has (VERDICT r11 ask
+        #6; extended to the group agg in round 14)."""
         self._recover_if_torn()
         bexpr = bucket_expr(self._bucket_key(), self.n_buckets)
-        ev = eligible_events(batch, self.text_cols).withColumn(BUCKET_COL, bexpr)
-        touched = sorted(
-            r[0] for r in ev.select(BUCKET_COL).distinct().collect()
-        )
+        if touched is None:
+            ev = eligible_events(batch, self.text_cols).withColumn(
+                BUCKET_COL, bexpr
+            )
+            touched = sorted(
+                r[0] for r in ev.select(BUCKET_COL).distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
         if not touched:
             return
         prior = read_bucketed_state(self.spark, self.state_path, buckets=touched)
@@ -569,22 +597,38 @@ class IncrementalGroupAgg:
         if mm:
             new_agg = self._attach_mm(new_agg, cur, before, after, merged, touched)
         new_agg = new_agg.where(F.col(_LIVE) > 0).coalesce(1)
-        # ONE pre-swap materialization covers both needs: Δ (which reads
-        # `prior`'s files) is evaluated through the agg merge before the
-        # bucket swap replaces those files, and the later swap_write
-        # writes from the checkpoint instead of recomputing
-        new_agg = new_agg.localCheckpoint(eager=True)
-        if mm:
-            after.unpersist()
-            if before is not None:
-                before.unpersist()
         epoch = _read_epoch(self._epoch_state) + 1
         # stamp order: state stamp BEFORE the state mutation, agg stamp
         # AFTER the agg swap — a crash anywhere between leaves them
         # unequal and the next call rebuilds (module docstring)
         _write_epoch(self._epoch_state, epoch)
-        swap_buckets(merged, self.state_path, touched)
-        swap_write(new_agg, self.agg_path)
+        # The two write jobs run CONCURRENTLY (the distinct-count fold's
+        # discipline, extended here in round 14): the agg tmp write
+        # evaluates Δ against `prior`'s files and the PRIOR agg file —
+        # both still in place, because each writer only touches its
+        # `.tmp` until the commits below — while the state-bucket write
+        # recomputes `merged` from the same prior files. This replaces
+        # the old sequential chain (eager Δ checkpoint job → state swap
+        # job → agg write job) with two overlapped jobs + the directory
+        # flips; crash consistency is the same torn-epoch window, and
+        # the rebuild path covers it.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .apply import swap_buckets_begin, swap_buckets_commit
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs = [
+                pool.submit(swap_write_begin, new_agg, self.agg_path),
+                pool.submit(swap_buckets_begin, merged, self.state_path),
+            ]
+            for f in fs:
+                f.result()
+        if mm:
+            after.unpersist()
+            if before is not None:
+                before.unpersist()
+        swap_buckets_commit(self.state_path, touched)
+        swap_write_commit(self.agg_path)
         _write_epoch(self._epoch_agg, epoch)
 
     # ---- reads -----------------------------------------------------------
@@ -1394,12 +1438,30 @@ def c12_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # small fixture state → 8 buckets (the c6 sizing note)
         agg = IncrementalGroupAgg(spark, f"{root}/ivm", n_buckets=8)
+        # all 4 batches' touched-bucket sets in ONE job instead of one
+        # distinct+collect per apply_batch — the _replayed_distinct_state
+        # pattern, extended to c12 in round 14
+        from .apply import bucket_expr, eligible_events
+
+        ev = eligible_events(ch, agg.text_cols)
+        touched_rows = (
+            ev.select(
+                ((F.col("lsn") - F.lit(lo)) / F.lit(step)).cast("int").alias("_i"),
+                bucket_expr(agg._bucket_key(), agg.n_buckets).alias("_b"),
+            )
+            .distinct()
+            .collect()
+        )
+        per_batch: dict[int, list] = {}
+        for r in touched_rows:
+            per_batch.setdefault(r["_i"], []).append(r["_b"])
         for i in range(4):
             agg.apply_batch(
                 ch.where(
                     (F.col("lsn") >= lo + i * step)
                     & (F.col("lsn") < lo + (i + 1) * step)
-                )
+                ),
+                touched=per_batch.get(i, []),
             )
         out = agg.read().select(
             F.col("grp").alias("author"),
