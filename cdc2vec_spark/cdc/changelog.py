@@ -232,11 +232,29 @@ def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # writer tasks + 64 dir swaps of pure fixed overhead for a few
         # hundred rows (measured 4.3s → 2.7s at sf0.1)
         coll = ParquetCollection(spark, f"{root}/state", n_buckets=8)
+        # all 4 batches' touched-bucket sets in ONE job instead of one
+        # distinct+collect per batch (the IVM replay contract, extended
+        # to the c6 replay in round 14)
+        from .apply import bucket_expr, eligible_events
+
+        ev = eligible_events(ch, coll.text_cols)
+        touched_rows = (
+            ev.select(
+                ((F.col("lsn") - F.lit(lo)) / F.lit(step)).cast("int").alias("_i"),
+                bucket_expr(coll.key_cols, coll.n_buckets).alias("_b"),
+            )
+            .distinct()
+            .collect()
+        )
+        per_batch: dict[int, list] = {}
+        for r in touched_rows:
+            per_batch.setdefault(r["_i"], []).append(r["_b"])
         for i in range(4):
             coll.apply_batch(
                 ch.where(
                     (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
-                )
+                ),
+                touched=per_batch.get(i, []),
             )
         out = coll.state().select(
             "pk", "after_title", "after_content", "after_author"
