@@ -51,18 +51,34 @@ def kmeans_refine(
     iters: int = _ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_cos: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Refine ``centroids`` with ``iters`` spherical Lloyd passes over
     ``embeddings``. Returns (refined_centroids, final_assignment):
     centroids as (cell, centroid array<double>) — unit-normalized —
-    and the final (id, vec, cell) assignment frame."""
+    and the final (id, vec, cell) assignment frame (plus the assigned
+    cosine when ``with_cos``, read straight out of the assign pass).
+
+    Round-14 iteration shape (guide §4.2/§2.3): each Lloyd pass is ONE
+    ``mapInPandas`` job over just the vector column that fuses ASSIGN
+    and the UPDATE's partial sums — per task it scores every batch
+    against the broadcast centroids and accumulates (cell, count,
+    Σvec) in numpy, emitting k partial rows per task instead of
+    returning the assignment to the JVM. The reduce is a narrow
+    (cell, dim-position) aggregation of those partials — k·dim tiny
+    rows — replacing the previous per-iteration shape (full Arrow
+    round-trip of (id, vec, cell) + a dim-wide ``sum(element_at(vec,
+    i))`` hash aggregate whose 65-column codegen dominated the wall).
+    Only the FINAL assignment materializes per-row output."""
     spark = embeddings.sparkSession
     cent_rows = sorted(
         centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )
     cids = [r[0] for r in cent_rows]
     cmat = _normalize_rows(np.array([r[1] for r in cent_rows], dtype=np.float64))
-    dim = cmat.shape[1]
+    k, dim = cmat.shape
+    sc = spark.sparkContext
+    vecs = embeddings.select(vec_col)
 
     def _to_df(mat: np.ndarray) -> DataFrame:
         return spark.createDataFrame(
@@ -70,30 +86,69 @@ def kmeans_refine(
             f"{id_col} long, {vec_col} array<double>",
         )
 
-    assigned: DataFrame | None = None
     for _ in range(iters):
-        assigned = ivf_assign(embeddings, _to_df(cmat), id_col, vec_col)
-        sums = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
+        bc = sc.broadcast(cmat)
+
+        def partials(batches, _bc=bc):
+            import pandas as pd
+
+            cmat_n = _bc.value  # already row-normalized
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                enorm = np.linalg.norm(emat, axis=1, keepdims=True)
+                enorm[enorm == 0.0] = 1.0
+                # same argmax/tie rule as ivf_assign (first max, cids asc)
+                best = np.argmax((emat / enorm) @ cmat_n.T, axis=1)
+                counts += np.bincount(best, minlength=k)
+                np.add.at(sums, best, emat)
+            live = np.nonzero(counts)[0]
+            # dtype=object for the list column: an EMPTY partition's
+            # frame otherwise defaults it to float64, which Arrow cannot
+            # convert to list<double>
+            yield pd.DataFrame(
+                {
+                    "j": pd.Series(live.astype(np.int64), dtype=np.int64),
+                    "n": pd.Series(counts[live], dtype=np.int64),
+                    "s": pd.Series(
+                        [sums[j].tolist() for j in live], dtype=object
+                    ),
+                }
             )
-            .collect()  # bounded: k rows (pq_train pattern), never the corpus
+
+        part = vecs.mapInPandas(
+            partials, schema="j long, n long, s array<double>"
         )
-        by_cell = {r["cell"]: r for r in sums}
+        # narrow reduce of the per-task partials: k·dim rows, one tiny
+        # exchange — the count rides the i==0 rows so one aggregation
+        # serves both
+        red = (
+            part.select("j", "n", F.posexplode("s").alias("_i", "_v"))
+            .groupBy("j", "_i")
+            .agg(
+                F.sum("_v").alias("_sv"),
+                F.sum(F.when(F.col("_i") == 0, F.col("n"))).alias("_n0"),
+            )
+            .collect()
+        )
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for r in red:
+            sums[r["j"], r["_i"]] = r["_sv"]
+            if r["_i"] == 0:
+                counts[r["j"]] = r["_n0"]
         new = cmat.copy()  # dead cells keep their previous centroid
-        for j, c in enumerate(cids):
-            r = by_cell.get(c)
-            if r is not None and r["_n"] > 0:
-                new[j] = np.array([r[f"_s{i}"] for i in range(dim)]) / r["_n"]
+        live = counts > 0
+        new[live] = sums[live] / counts[live, None]
         cmat = _normalize_rows(new)
 
     final_cents = _to_df(cmat).withColumnRenamed(id_col, "cell")
-    assigned = ivf_assign(embeddings, _to_df(cmat), id_col, vec_col)
+    assigned = ivf_assign(
+        embeddings, _to_df(cmat), id_col, vec_col, with_cos=with_cos
+    )
     return final_cents, assigned
 
 
@@ -125,35 +180,17 @@ def d45_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float means are not SQL-portable — the d22 precedent); numpy
     parity + monotonicity pinned in tests/test_kmeans.py."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # with_cos: the assigned cosine is the winning matmul score the
+    # final Arrow pass already computed — no broadcast re-join, no
+    # interpreted HOF dot product over the vectors (round 14)
     cents, assigned = kmeans_refine(
-        emb, _deterministic_centroid_ids(emb, "vec_id", 31)
+        emb, _deterministic_centroid_ids(emb, "vec_id", 31), with_cos=True
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("_c"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = dot / F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
     return (
-        assigned.join(
-            F.broadcast(cents.withColumnRenamed("embedding", "_c")), "cell"
-        )
-        .select("cell", cos.alias("_cos"))
-        .groupBy("cell")
+        assigned.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg("_cos"), 4).alias("avg_cos"),
+            F.round(F.avg("cos"), 4).alias("avg_cos"),
         )
         .orderBy("cell")
     )

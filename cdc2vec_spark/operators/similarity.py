@@ -240,6 +240,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_cos: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; ties →
     lowest centroid id). The centroid matrix is collected to the driver,
@@ -262,22 +263,35 @@ def ivf_assign(
     bc = embeddings.sparkSession.sparkContext.broadcast((cids, cmat / cnorm))
 
     src = embeddings.select(id_col, vec_col)
-    out_schema = T.StructType(
-        list(src.schema.fields) + [T.StructField("cell", T.LongType(), False)]
-    )
+    extra = [T.StructField("cell", T.LongType(), False)]
+    if with_cos:
+        # ``with_cos=True`` also emits the winning cosine — it is already
+        # computed by the matmul below, so callers that need the assigned
+        # similarity (d45's report) read it out of THIS Arrow pass instead
+        # of re-deriving it with a broadcast join + interpreted HOF dot
+        # product (round 14, guide §4.2)
+        extra.append(T.StructField("cos", T.DoubleType(), False))
+    out_schema = T.StructType(list(src.schema.fields) + extra)
 
     def assign(batches):
         b_cids, b_cmat_n = bc.value
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(cell=np.array([], dtype=np.int64))
+                out = pdf.assign(cell=np.array([], dtype=np.int64))
+                if with_cos:
+                    out = out.assign(cos=np.array([], dtype=np.float64))
+                yield out
                 continue
             emat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             enorm = np.linalg.norm(emat, axis=1, keepdims=True)
             enorm[enorm == 0.0] = 1.0
             sims = (emat / enorm) @ b_cmat_n.T
             # argmax takes the FIRST max; cids sorted asc → ties → lowest id
-            yield pdf.assign(cell=b_cids[np.argmax(sims, axis=1)])
+            best = np.argmax(sims, axis=1)
+            out = pdf.assign(cell=b_cids[best])
+            if with_cos:
+                out = out.assign(cos=sims[np.arange(len(best)), best])
+            yield out
 
     return src.mapInPandas(assign, schema=out_schema)
 
