@@ -109,16 +109,31 @@ def remove_repeated_spans(
             "within-doc repetition is remove_self_repeats' job)"
         )
     base, grams = _doc_grams(docs, n, id_col, text_col)
-    dup = (
-        grams.select(id_col, "g")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("ddf"))
-        .where(F.col("ddf") >= min_docs)
-        .select("g")
+    # ONE exchange on the gram hash (round 14, guide §2.4): group the
+    # occurrences per gram and keep grams spanning >= min_docs DISTINCT
+    # docs — replacing the old distinct → groupBy(g) → join(grams, dup)
+    # chain, which shuffled twice more AND derived the md5-gram HOF
+    # build a second time for the join's probe side. The occurrence
+    # list per gram is exactly the fan-out the old join emitted, so the
+    # 100 TB skew bound is unchanged (corpus-wide boilerplate grams are
+    # the winnow stop-fingerprint problem either way).
+    occ = (
+        grams.groupBy("g")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("_id"), F.col("pos").alias("_p"))
+            ).alias("_occ")
+        )
+        .where(
+            F.size(
+                F.array_distinct(F.transform(F.col("_occ"), lambda o: o["_id"]))
+            )
+            >= min_docs
+        )
     )
     starts = (
-        grams.join(dup, "g")
+        occ.select(F.explode("_occ").alias("_o"))
+        .select(F.col("_o._id").alias(id_col), F.col("_o._p").alias("pos"))
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("_ss"))
     )
