@@ -296,6 +296,12 @@ def d32_web_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # deduped feeds the LM (bigram source + per-doc re-attach) AND the
+    # final report join — un-pinned, the synthesize→extract→cap→dedup
+    # chain re-derived once per consumer (the d32 plan carried 6
+    # documents scans / 50 exchanges). One row per surviving doc —
+    # bounded (round 14).
+    deduped = deduped.localCheckpoint(eager=True)
     scored = lm_perplexity(deduped, F.col("lang") == "en")
     return (
         deduped.select(

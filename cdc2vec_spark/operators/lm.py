@@ -60,6 +60,7 @@ def lm_perplexity(
     n_buckets: int = _N_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pin: bool = True,
 ) -> DataFrame:
     """Score every document with the NLL of a hashed-bigram LM trained
     on the ``is_reference`` slice, and bucket the corpus CCNet-style.
@@ -100,7 +101,11 @@ def lm_perplexity(
     # call, a bare persist would leak a cache entry per invocation.
     bg = bg.localCheckpoint(eager=True)
     pairs = bg.where("_r").groupBy("cb", "wb").agg(F.count(F.lit(1)).alias("c2"))
-    ctxs = bg.where("_r").groupBy("cb").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts are the pair counts re-aggregated (Σ_wb c2 ≡ the
+    # per-cb bigram count, exact integers) — ≤ n_buckets² rows instead
+    # of a SECOND full pass + exchange over bg (round 14, guide §2.3
+    # "aggregate before you shuffle")
+    ctxs = pairs.groupBy("cb").agg(F.sum("c2").alias("c1"))
     v = float(n_buckets)
     # per-bigram NLL in micro-nats; unseen pair → c2=0, unseen context
     # → c1=0, both handled by the same smoothed formula. round() runs
@@ -137,6 +142,13 @@ def lm_perplexity(
             F.when(F.col("n_bigrams") > 0, F.expr("nll_micro div n_bigrams")),
         )
     )
+    # perdoc feeds TWO consumers (the tercile cutoffs and the labeled
+    # output); un-pinned, the whole scoring-join subtree executed twice
+    # (visible as a duplicated plan branch under the cutoff aggregate).
+    # One row per doc — bounded, the d13/bg discipline (round 14).
+    # ``pin=False`` keeps the plan lazy for shape inspection (tests).
+    if pin:
+        perdoc = perdoc.localCheckpoint(eager=True)
     # CCNet tercile cutoffs: two order statistics over one bigint per
     # doc, broadcast back as a single row (no global-sort window)
     cuts = perdoc.where("n_bigrams > 0").agg(
