@@ -143,30 +143,45 @@ def winnow_neardup_pairs(
     the MOSS match step on top of ``winnow_fingerprints``.
 
     Fingerprints occurring in more than ``max_df`` documents are dropped
-    BEFORE the self-join (stop-fingerprint removal): corpus-wide
-    boilerplate grams would otherwise create quadratic hot keys — the
-    same economy d2_blocked gets from its blocking key. The join is an
-    inverted-index equi-join on the fingerprint hash, so pairs sharing
-    nothing never materialize; the shuffle is bounded by fingerprint
-    count (≈ 2/(w+1) of token count), not pairs.
-    """
-    fps = (
-        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select(id_col, "fp")
-        .distinct()
-    )
-    rare = (
+    BEFORE pairing (stop-fingerprint removal): corpus-wide boilerplate
+    grams would otherwise create quadratic hot keys — the same economy
+    d2_blocked gets from its blocking key.
+
+    Round-14 shape (guide §2.4): ONE exchange on the fingerprint hash
+    groups each fp's distinct posting list; the df cap, the distinct-
+    per-doc dedupe and the pair generation are then array math on that
+    list (≤ max_df ids → ≤ max_df²/2 pairs per fp, the exact fan-out
+    the old a⋈b self-join emitted), followed by the per-pair count.
+    The old chain (distinct → groupBy(fp) → join(fps, rare) → self-join
+    → count) shuffled five times and re-derived the winnow HOF scan for
+    every consumer (8 documents scans in the executed plan)."""
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select(id_col, "fp")
+    occ = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_df)
-        .select("fp")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list(F.col(id_col)))
+            ).alias("_ids")
+        )
+        .where(F.size("_ids") <= max_df)
     )
-    fps = fps.join(rare, "fp")
-    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
-    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    ids = F.col("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(
+                    ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
+        occ.select(F.explode(pairs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
