@@ -262,40 +262,53 @@ def jaccard_pairs(
     ex = hashed.select(
         F.col(block_col).alias("_b"),
         F.col(id_col).alias("_id"),
-        F.size("sh").alias("_n"),
         F.explode("sh").alias("_h"),
     )
     if max_df is not None:
         from pyspark.sql.window import Window
 
         # document frequency per (block, shingle) via a window over the
-        # same key the join shuffles on — the exchange is shared, and
-        # the per-doc retained-shingle count replaces the original size
-        # so Jaccard stays a true similarity over the kept space
+        # same key the join shuffles on — the exchange is shared. The
+        # per-doc retained-shingle count is NOT windowed back onto the
+        # exploded frame any more (round 14): the old second window
+        # re-partitioned the whole exploded frame by (block, doc) and
+        # destroyed the (block, hash) clustering the self-join needs, so
+        # both join sides paid a fresh exchange + sort. Sizes now attach
+        # to the (tiny) aggregated pair set instead, and the persisted
+        # frame stays clustered for the join.
         wdf = Window.partitionBy("_b", "_h")
-        wdoc = Window.partitionBy("_b", "_id")
         ex = (
             ex.withColumn("_df", F.count(F.lit(1)).over(wdf))
             .where(F.col("_df") <= max_df)
-            .withColumn("_n", F.count(F.lit(1)).over(wdoc))
             .drop("_df")
         )
-    # persist AFTER the df-cap windows (both self-join sides are then
-    # cheap reads of the cached frame, not re-runs of the shingle UDF +
-    # window chain) and materialize EAGERLY: the self-join schedules both
-    # sides' sort/exchange stages concurrently, and with a still-lazy
-    # cache they race to build it — each recomputing the full chain in
-    # parallel. Same race d40 fixed (dedup.py d40 pin, VERDICT r11 ask
-    # #1: d2_blocked's sf1 point swung 10.8→24.1s between runs).
+    # persist AFTER the df-cap window (the self-join sides and the size
+    # aggregate are then cheap reads of the cached frame, not re-runs of
+    # the shingle UDF + window chain) and materialize EAGERLY: the
+    # self-join schedules both sides' stages concurrently, and with a
+    # still-lazy cache they race to build it — each recomputing the full
+    # chain in parallel. Same race d40 fixed (dedup.py d40 pin, VERDICT
+    # r11 ask #1: d2_blocked's sf1 point swung 10.8→24.1s between runs).
     ex = ex.persist()
     ex.count()
-    a = ex.select("_b", F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_h")
-    b = ex.select("_b", F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_h")
+    # per-doc retained size: one row per doc (id determines its block),
+    # broadcast onto the pair aggregate below
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = ex.select("_b", F.col("_id").alias("id_a"), "_h")
+    b = ex.select("_b", F.col("_id").alias("id_b"), "_h")
     pairs = (
         a.join(b, ["_b", "_h"])
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "_na", "_nb")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_i"))
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))),
+            "id_b",
+        )
     )
     jac = F.round(
         F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4
