@@ -151,20 +151,64 @@ def remove_self_repeats(
     first occurrence survives) — the degenerate-generation /
     scraped-page-loop cleaner that complements the cross-doc remover.
 
-    Purely per-document: the only shuffle is the per-doc window +
-    start-list aggregate (both key on ``id_col``); no cross-doc join at
-    all, so this scales embarrassingly at 100 TB."""
-    from pyspark.sql.window import Window
-
-    base, grams = _doc_grams(docs, n, id_col, text_col)
-    w = Window.partitionBy(id_col, "g").orderBy("pos")
-    starts = (
-        grams.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") > 1)
-        .groupBy(id_col)
-        .agg(F.collect_list("pos").alias("_ss"))
+    Purely per-document — and since round 14 purely per-ROW: the
+    duplicate-start list is derived inside the row by sorting the
+    (gram, pos) structs and keeping every entry whose predecessor
+    carries the same gram (all but the earliest occurrence, exactly the
+    set the old per-(doc, gram) window ranked). ZERO exchanges, no
+    re-attach join — the old form shuffled every exploded gram twice
+    (window on (id, g), then groupBy(id)) to compute something local to
+    the document."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    gram_arr = F.when(
+        F.size("_t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("_t"), i + j) for j in range(n)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gpos = F.transform(
+        gram_arr,
+        lambda g, i: F.struct(g.alias("g"), (i + F.lit(1)).alias("p")),
     )
-    return _mask_starts(base, starts, n, id_col)
+    # array_sort on (g, p) groups equal grams with ascending positions;
+    # one aggregate pass keeps every position whose predecessor has the
+    # same gram. The sort column is referenced exactly once so the
+    # expression is evaluated once per row.
+    rep = F.aggregate(
+        F.array_sort(gpos),
+        F.struct(
+            F.lit(None).cast("string").alias("pg"),
+            F.array().cast("array<integer>").alias("ss"),
+        ),
+        lambda acc, x: F.struct(
+            x["g"].alias("pg"),
+            F.when(
+                x["g"] == acc["pg"], F.concat(acc["ss"], F.array(x["p"]))
+            )
+            .otherwise(acc["ss"])
+            .alias("ss"),
+        ),
+        lambda acc: acc["ss"],
+    )
+    masked = base.withColumn("_ss", rep)
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, i: ~F.exists(
+            F.col("_ss"), lambda s: (i + 1 >= s) & (i + 1 <= s + (n - 1))
+        ),
+    )
+    return masked.select(
+        F.col(id_col),
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned"),
+    )
 
 
 def d21_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
