@@ -183,9 +183,26 @@ def retrieval_eval(
     # query → probed cells with their probe rank (1 = nearest cell).
     # Driver-side BLAS over the tiny q × cells matrix, slack-kept, then
     # ranked with Spark's rounding (same discipline as assignment).
-    cids, cmat_n = _collect_centroids(cents, id_col, vec_col)
+    # Centroid rows and query rows are pulled in ONE collect job over a
+    # single pushdown-filtered scan (round 14: they were two separate
+    # jobs scanning the same parquet).
+    both = (
+        embeddings.where(
+            (F.col(id_col) % centroid_every == 0) | (F.col(id_col) < n_queries)
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    crows = sorted(
+        (r for r in both if r[0] % centroid_every == 0), key=lambda r: r[0]
+    )
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    cmat_n = cmat / cn
     spark = embeddings.sparkSession
-    qrows = sorted(qdf.collect(), key=lambda r: r[0])
+    qrows = sorted((r for r in both if r[0] < n_queries), key=lambda r: r[0])
     probe_rows = []
     for r in qrows:
         qv = np.asarray(r[1], dtype=np.float64)
@@ -254,7 +271,7 @@ def retrieval_eval(
         )
     )
     return (
-        universe.join(m, ["nprobe", "query_id"], "left")
+        universe.join(F.broadcast(m), ["nprobe", "query_id"], "left")
         .select(
             "nprobe",
             "query_id",
