@@ -17,9 +17,12 @@ Spark-first shape for 100 TB:
   and localCheckpoint-ed; every iteration reuses it, partitioned the
   same way, so the per-iteration cost is ONE shuffle (the contribution
   groupBy on dst) plus a keyed join against the |nodes|-row rank frame.
-- Per-iteration lineage is truncated with localCheckpoint — the
-  standard Spark idiom for iterative algorithms (same as
-  connected_components); without it the plan doubles every round.
+- Each iteration references the previous one exactly once, so lineage
+  grows LINEARLY and the whole fixed-point chain executes as one job;
+  only the subtrees that are re-referenced every round (the edge list,
+  the node set) are localCheckpoint-ed. (connected_components still
+  checkpoints per round — there each round references the previous
+  frame several times, which is the case where lineage would explode.)
 - A FIXED iteration count (no convergence collect) keeps the loop
   driver-decision-free and lets the DuckDB oracle mirror it exactly as
   an unrolled chain of CTEs.
@@ -77,21 +80,24 @@ def pagerank(
         F.col("src").alias("id"), F.lit(_R0).cast("long").alias("r")
     ).localCheckpoint(eager=True)
     nodes = ranks.select("id")
+    # the loop builds ONE lazy plan: iteration i references iteration
+    # i-1 exactly once (and the checkpointed edges/nodes leaves), so
+    # lineage grows linearly and everything executes as a single job —
+    # the old per-iteration eager localCheckpoint serialized `iters`
+    # materialization jobs whose wall was pure scheduler floor (round
+    # 14; the checkpoints that prevent real re-execution, edges and the
+    # initial ranks, stay)
     for _ in range(iters):
         contrib = edges.join(ranks, edges["src"] == ranks["id"]).select(
             F.col("dst"), F.expr("r div outdeg").alias("c")
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, nodes["id"] == sums["dst"], "left")
-            .select(
-                "id",
-                (
-                    F.lit(_BASE)
-                    + F.expr(f"({_DAMP_PCT} * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(sums, nodes["id"] == sums["dst"], "left").select(
+            "id",
+            (
+                F.lit(_BASE)
+                + F.expr(f"({_DAMP_PCT} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("r"),
         )
     return ranks.select("id", F.col("r").alias("rank_micro")).orderBy("id")
 
