@@ -868,26 +868,38 @@ def _incremental_dedup_impl(
         ).drop("_cdf")
     else:
         ex_kept = ex
-    # persist AFTER the df-cap + size windows, not before: both join
-    # sides are then cheap filters of the cached frame instead of each
-    # re-running the whole shingle/window chain
-    ex_kept = ex_kept.withColumn(
-        "_sz", F.count(F.lit(1)).over(Window.partitionBy("_new", "_id"))
-    ).persist()
+    # persist AFTER the df-cap window, not before: the join sides and
+    # the size aggregate are then cheap filters of the cached frame
+    # instead of each re-running the whole shingle/window chain. The
+    # per-doc kept sizes are NOT windowed onto the exploded frame any
+    # more (round 14, the d2_blocked fix): that second window
+    # re-partitioned the postings by (side, id) and destroyed the
+    # (block, hash) clustering the merge join needs, so both join sides
+    # paid a fresh exchange + sort. Sizes now attach to the (tiny)
+    # aggregated pair set via broadcast, and the persisted frame keeps
+    # the df-cap window's (block, hash) partitioning for the join.
+    ex_kept = ex_kept.persist()
     # materialize EAGERLY: the sort-merge join schedules BOTH sides'
     # sort stages concurrently, and with a still-lazy cache they race to
-    # build it — each recomputing the full Arrow-shingle + two-window
+    # build it — each recomputing the full Arrow-shingle + window
     # chain in parallel. The race is the sf1 wall instability VERDICT
     # r10 flagged (measured fresh-session sf1 reps 7.5-67s lazy vs
     # 9.6-26.5s eager); one count() pins the cache before either reader
     ex_kept.count()
+    sizes = ex_kept.groupBy("_new", "_id").agg(F.count(F.lit(1)).alias("_sz"))
+    nsz = sizes.where(F.col("_new")).select(
+        F.col("_id").alias("new_id"), F.col("_sz").alias("_nn")
+    )
+    osz = sizes.where(~F.col("_new")).select(
+        F.col("_id").alias("_oid"), F.col("_sz").alias("_no")
+    )
     nkept = (
         ex_kept.where(F.col("_new"))
-        .select(F.col("_id").alias("new_id"), F.col("_sz").alias("_nn"), "_h", *bcols)
+        .select(F.col("_id").alias("new_id"), "_h", *bcols)
     )
     ckept = (
         ex_kept.where(~F.col("_new"))
-        .select(F.col("_id").alias("_oid"), F.col("_sz").alias("_no"), "_h", *bcols)
+        .select(F.col("_id").alias("_oid"), "_h", *bcols)
     )
     # force a sort-merge join: both sides are O(tokens) exploded postings,
     # but size estimates downstream of a persist+window chain are
@@ -895,8 +907,10 @@ def _incremental_dedup_impl(
     # 10x sf0.1
     inter = (
         nkept.join(ckept.hint("merge"), [*bcols, "_h"])
-        .groupBy("new_id", "_nn", "_oid", "_no")
+        .groupBy("new_id", "_oid")
         .agg(F.count(F.lit(1)).alias("_i"))
+        .join(F.broadcast(nsz), "new_id")
+        .join(F.broadcast(osz), "_oid")
     )
     jac = F.round(
         F.col("_i").cast("double") / (F.col("_nn") + F.col("_no") - F.col("_i")), 4
