@@ -16,10 +16,11 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     sf_dir, reps, names = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
+    parts = os.environ.get("PROBE_SHUFFLE_PARTITIONS", "64")
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", parts)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
