@@ -226,3 +226,53 @@ def test_merge_batch_toast_coalesce(spark):
     s_plain = apply.merge_batch(None, b1)
     gotp = {r["pk"]: r["after_content"] for r in s_plain.collect()}
     assert gotp["1"] is None
+
+
+def test_apply_batch_touched_precompute_equivalent(spark, tmp_path):
+    """Round 14 (c6 replay): apply_batch(touched=precomputed) must land
+    the same state as the default per-batch distinct+collect path, and
+    touched=[] must be a no-op (the replay's empty-batch early return)."""
+    base = _log(
+        spark,
+        [(1, "c", "t", "1", "v1", "c", "a"), (2, "c", "t", "2", "v2", "c", "a")],
+    )
+    batch = _log(
+        spark,
+        [
+            (3, "u", "t", "1", "v1b", "c", "a"),
+            (4, "c", "t", "9", "v9", "c", "a"),
+            (5, "d", "t", "2", None, None, None),
+        ],
+    )
+    states = {}
+    for mode in ("default", "precomputed"):
+        path = str(tmp_path / mode)
+        coll = apply.ParquetCollection(spark, path, n_buckets=8)
+        coll.apply_batch(base)
+        if mode == "precomputed":
+            # exactly the caller's one-job derivation (changelog.py c6)
+            ev = apply.eligible_events(batch, coll.text_cols)
+            touched = [
+                r[0]
+                for r in ev.select(
+                    apply.bucket_expr(coll.key_cols, coll.n_buckets)
+                )
+                .distinct()
+                .collect()
+            ]
+            coll.apply_batch(batch, touched=touched)
+        else:
+            coll.apply_batch(batch)
+        states[mode] = sorted(
+            (r["pk"], r["after_title"], r["after_content"], r["after_author"])
+            for r in coll.state().collect()
+        )
+    assert states["default"] == states["precomputed"]
+    assert [pk for pk, *_ in states["default"]] == ["1", "9"]
+
+    # touched=[] is the precomputed form of "no eligible events": no write
+    coll = apply.ParquetCollection(spark, str(tmp_path / "noop"), n_buckets=8)
+    coll.apply_batch(base)
+    before = _bucket_snapshot(str(tmp_path / "noop"))
+    coll.apply_batch(batch, touched=[])
+    assert _bucket_snapshot(str(tmp_path / "noop")) == before

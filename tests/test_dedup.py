@@ -482,3 +482,31 @@ def test_aqe_pin_nested_and_concurrent_restore(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, saved)
+
+
+def test_gram_hash_memo_pure_and_capped():
+    """Round 14 (guide §4.5): the per-worker gram→hash memo is a pure
+    cache — cold, warm and past-cap paths must return bit-identical
+    sorted hashes, and the dict must never grow past its cap."""
+    saved_memo = dict(dedup._GRAM_HASH_MEMO)
+    saved_cap = dedup._GRAM_HASH_MEMO_CAP
+    text = "a b c a b c d e f a b"
+    try:
+        dedup._GRAM_HASH_MEMO.clear()
+        cold = dedup._gram_hashes(text, 3)
+        assert cold and cold == sorted(cold) and len(set(cold)) == len(cold)
+        warm = dedup._gram_hashes(text, 3)  # every gram is a memo hit
+        assert warm == cold
+        # past-cap degradation: values identical, no inserts ever happen
+        dedup._GRAM_HASH_MEMO.clear()
+        dedup._GRAM_HASH_MEMO_CAP = 0
+        assert dedup._gram_hashes(text, 3) == cold
+        assert dedup._GRAM_HASH_MEMO == {}
+        # boundary: cap reached mid-document → partial insert, same values
+        dedup._GRAM_HASH_MEMO_CAP = 2
+        assert dedup._gram_hashes(text, 3) == cold
+        assert len(dedup._GRAM_HASH_MEMO) == 2
+    finally:
+        dedup._GRAM_HASH_MEMO_CAP = saved_cap
+        dedup._GRAM_HASH_MEMO.clear()
+        dedup._GRAM_HASH_MEMO.update(saved_memo)
