@@ -86,43 +86,49 @@ rotated OUT into x1: c13_asof_join and c14_event_paths, with their
 exact oracles pinned at two scale factors in
 tests/test_rotated_oracles.py.
 
-Groupings:
-  x1_rowsonly_pipeline — a8_deterministic_embed, a9_points_pipeline,
-                         b16_sketches, c4_watermark, d10_split, d10_pack
-                         + the round-11 parking set c9_stream_enrich,
-                         c10_funnel, c11_retention + the round-12
-                         parking set c1_tumbling, c2_sliding,
-                         c3_session, c5_dedup_count + the round-13
-                         parking set c13_asof_join, c14_event_paths
-                         + the round-14 parking set c8_interval_join,
-                         c15_rate_anomaly (long-green; freed their
-                         slots for the round-13 newcomers c20/c21/d52)
-  x2_rowsonly_dedup    — d2_minhash_lsh, d2_simhash, d9_keep_canonical,
-                         d6_features, d12_semdedup (each pinned in its
-                         own test file), d12_semdedup_exact (exact
-                         two-SF oracle in tests/test_similarity.py)
-                         + the round-11 parking set d21_span_dedup,
-                         d23_selfrep, d24_winnow, d26_winnow_pairs
-                         + the round-12 parking set d8_cosine_neardup
-  x3_rowsonly_ann      — d3_ivf_topk, d3_hyperplane_topk, d8_lsh_neardup,
-                         d3_pq_topk, d22_pca_topk (recall/parity pinned
-                         in tests) + d45_kmeans_refine
-                         (numpy parity in tests/test_kmeans.py)
-                         + the round-11 parking set d35_retrieval_eval
-                         + the round-12 parking set d3_multi_topk,
-                         d7_embedding_stats
-  x4_rowsonly_stable   — b2–b17 relational anchors + d4, d5 + d11,
-                         d14, d15, d17, d18, d19 (rotated out round 8)
-                         + the round-9 parking set t1–t7, b1, b11, b12,
-                         b13, b14_json, b18, d13 + the round-10 parking
-                         set d25, d28, d29, d30, d31 + t8 (rows-only by
-                         nature — BPE merges are iterative, pinned vs a
-                         pure-Python reference encoder in
-                         tests/test_bpe.py) + the round-11 parking set
-                         b19_grouping_sets, b20_range_frame, b21_zorder,
-                         t9_nfc_normalize, d20_pii, d33_weighted_sample;
-                         all parked exact oracles pinned at two SFs in
-                         tests/test_rotated_oracles.py
+Round-15 restructure (VERDICT r14 ask #1 — "end the rotation's lossy
+cycle structurally"): the composites are regrouped by ORACLE
+AVAILABILITY, not theme. x1 (streaming/window), x2 (dedup/similarity/
+retrieval) and x4 (stable relational/text anchors) now hold ONLY
+components with exact DuckDB oracles, and each carries a full oracle in
+``ORACLES[<probe>]``: the UNION ALL of its components' oracle SQL,
+canonicalized to the same ``(probe, row)`` strings as ``_canon``
+(name-sorted columns, engine-identical per-type renderings — see
+``_canon_oracle_sql``). The driver grades them rows+schema+hash like
+any other query, so PARKING A KEY NO LONGER COSTS DRIVER-VERIFIED
+COVERAGE and future rotations are coverage-neutral by construction.
+x3 consolidates every genuinely rows-only component (approximate ANN,
+float k-means, probabilistic dedup, multimodal features, the
+deterministic-embed/sketch/watermark/split-pack probes, iterative BPE)
+and is the one remaining ``no_oracle`` registry row; each x3 component
+stays pinned by recall/parity/invariant tests in its own test file.
+
+Groupings (membership pinned in tests/test_entry.py; the oracle-bearing
+probes' membership is the _X_MEMBERS table the oracles are generated
+from):
+  x1_rowsonly_pipeline — c1_tumbling, c2_sliding, c3_session,
+                         c5_dedup_count, c8_interval_join,
+                         c9_stream_enrich, c10_funnel, c11_retention,
+                         c13_asof_join, c14_event_paths,
+                         c15_rate_anomaly, c22_log_compaction
+  x2_rowsonly_dedup    — d3_multi_topk, d7_embedding_stats,
+                         d8_cosine_neardup, d12_semdedup_exact,
+                         d21_span_dedup, d23_selfrep, d24_winnow,
+                         d26_winnow_pairs, d35_retrieval_eval
+  x3_rowsonly_ann      — a8_deterministic_embed, a9_points_pipeline,
+                         b16_sketches, c4_watermark, d10_split,
+                         d10_pack, d2_minhash_lsh, d2_simhash,
+                         d3_ivf_topk, d3_hyperplane_topk, d3_pq_topk,
+                         d6_features, d8_lsh_neardup, d9_keep_canonical,
+                         d12_semdedup, d22_pca_topk, d45_kmeans_refine,
+                         t8_bpe (all rows-only; pinned in their own
+                         test files)
+  x4_rowsonly_stable   — the stable relational/text/corpus anchors:
+                         b1–b21, d4, d5, d11, d13, d14, d15, d17, d18,
+                         d19, d20, d25, d28, d29, d30, d31, d33, d42,
+                         d53, t1–t7, t9, t13 (every one oracle-bearing;
+                         the same SQL stays pinned at two SFs in
+                         tests/test_rotated_oracles.py)
 """
 
 from __future__ import annotations
@@ -292,12 +298,28 @@ CONSOLIDATED: tuple[str, ...] = (
 
 
 def _canon(df: DataFrame, probe: str) -> DataFrame:
-    """Flatten any component result to (probe, row): every column cast to
-    string (floats are pre-rounded by the components, so the rendering is
-    stable), null-safe, '|'-joined in schema order."""
-    cells = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\0NULL")) for c in df.columns
-    ]
+    """Flatten any component result to (probe, row): columns in
+    NAME-SORTED order (the driver's own column canonicalization), each
+    rendered to a string the DuckDB side reproduces byte-identically
+    (see ``_canon_oracle``), null-safe, '|'-joined.
+
+    Renderings (verified engine-identical on every value class the
+    components emit — round-15 experiments):
+      - double/float → cast to DECIMAL(38,9) then string: full-scale
+        fixed-point ("1.500000000"); Spark's double→decimal goes through
+        the shortest decimal repr, which DuckDB replicates via
+        VARCHAR→DECIMAL; NaN/±Inf/overflow → NULL on both sides.
+      - timestamp/date/everything else → plain cast to string
+        (timestamps render "yyyy-MM-dd HH:mm:ss[.ffffff]" with trailing
+        fraction zeros trimmed in BOTH engines — verified on the events
+        data).
+    """
+    cells = []
+    for c, t in sorted(df.dtypes, key=lambda ct: ct[0]):
+        col = F.col(c)
+        if t in ("double", "float"):
+            col = col.cast("decimal(38,9)")
+        cells.append(F.coalesce(col.cast("string"), F.lit("\0NULL")))
     return df.select(
         F.lit(probe).alias("probe"),
         F.concat_ws("|", *cells).alias("row"),
@@ -314,38 +336,32 @@ def _union(spark: SparkSession, sf_dir: str, parts: list[tuple[str, Callable]]) 
 
 
 def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline/streaming/sketch rows-only probes, consolidated, plus
-    the round-11 streaming-themed parking set (c9/c10/c11), the
-    round-12 parking set (c1/c2/c3/c5), the round-13 parking set
-    (c13/c14) and the round-14 parking set (c8/c15 — long-green,
-    driver-green in r11 through r13, oracles pinned in
-    tests/test_rotated_oracles.py)."""
-    from ..cdc.changelog import a9_points_pipeline, c22_log_compaction
+    """Streaming/window/event-analytics probe. Round 15 (VERDICT r14 ask
+    #1): every component here carries an exact DuckDB oracle, and the
+    probe itself is graded against ``ORACLES['x1_rowsonly_pipeline']`` —
+    the UNION ALL of the components' oracles canonicalized to the same
+    (probe, row) strings — so parking a key in a composite no longer
+    costs driver-verified coverage. The genuinely rows-only components
+    that used to ride here (a8/a9/b16/c4/d10_split/d10_pack) moved to
+    x3, the one probe that stays rows-only."""
+    from ..cdc.changelog import c22_log_compaction
     from ..streaming.joins import c8_interval_join, c9_stream_enrich, c13_asof_join
     from ..streaming.windows import (
         c1_tumbling,
         c2_sliding,
         c3_session,
-        c4_watermark,
         c5_dedup_count,
         c15_rate_anomaly,
     )
     from .funnel import c10_funnel, c11_retention, c14_event_paths
-    from .relational import b16_sketches
-    from .sampling import d10_pack, d10_split
-    from .vectors import a8_deterministic_embed
 
     return _union(
         spark,
         sf_dir,
         [
-            ("a8_deterministic_embed", a8_deterministic_embed),
-            ("a9_points_pipeline", a9_points_pipeline),
-            ("b16_sketches", b16_sketches),
             ("c1_tumbling", c1_tumbling),
             ("c2_sliding", c2_sliding),
             ("c3_session", c3_session),
-            ("c4_watermark", c4_watermark),
             ("c5_dedup_count", c5_dedup_count),
             ("c8_interval_join", c8_interval_join),
             ("c9_stream_enrich", c9_stream_enrich),
@@ -355,77 +371,91 @@ def x1_rowsonly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("c14_event_paths", c14_event_paths),
             ("c15_rate_anomaly", c15_rate_anomaly),
             ("c22_log_compaction", c22_log_compaction),
-            ("d10_split", d10_split),
-            ("d10_pack", d10_pack),
         ],
     )
 
 
 def x2_rowsonly_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic-dedup + multimodal-feature + semantic-dedup
-    rows-only probes (recall/precision pinned vs exact answers in their
-    own test files; d12_semdedup_exact carries an exact two-SF oracle in
-    tests/test_similarity.py — the semantic-dedup hash-checked anchor),
-    plus the round-11 dedup-themed parking set (d21/d23/d24/d26) and
-    the round-12 parking set (d8 — long-green, driver-green in r10 AND
-    r11, oracle pinned in tests/test_rotated_oracles.py)."""
-    from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
-    from .multimodal import d6_features
-    from .similarity import d8_cosine_neardup, d12_semdedup, d12_semdedup_exact
+    """Dedup/similarity/retrieval probe. Round 15 (VERDICT r14 ask #1):
+    oracle-bearing components only — graded against the UNION-ALL oracle
+    in ``ORACLES['x2_rowsonly_dedup']``. The genuinely rows-only dedup
+    components (d2_minhash_lsh/d2_simhash/d9_keep_canonical/d6_features/
+    d12_semdedup) moved to x3; the oracle-bearing ANN-themed keys
+    (d3_multi_topk/d7_embedding_stats/d35_retrieval_eval) moved IN from
+    x3 so their exact oracles count again."""
+    from .retrieval_eval import d35_retrieval_eval
+    from .similarity import d3_multi_topk, d8_cosine_neardup, d12_semdedup_exact
     from .span_dedup import d21_span_dedup, d23_selfrep
+    from .vectors import d7_embedding_stats
     from .winnow import d24_winnow, d26_winnow_pairs
 
     return _union(
         spark,
         sf_dir,
         [
-            ("d2_minhash_lsh", d2_minhash_lsh),
-            ("d2_simhash", d2_simhash),
+            ("d3_multi_topk", d3_multi_topk),
+            ("d7_embedding_stats", d7_embedding_stats),
             ("d8_cosine_neardup", d8_cosine_neardup),
-            ("d9_keep_canonical", d9_keep_canonical),
-            ("d6_features", d6_features),
-            ("d12_semdedup", d12_semdedup),
             ("d12_semdedup_exact", d12_semdedup_exact),
             ("d21_span_dedup", d21_span_dedup),
             ("d23_selfrep", d23_selfrep),
             ("d24_winnow", d24_winnow),
             ("d26_winnow_pairs", d26_winnow_pairs),
+            ("d35_retrieval_eval", d35_retrieval_eval),
         ],
     )
 
 
 def x3_rowsonly_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-ANN + retrieval rows-only probes (recall pinned vs
-    exact in tests/test_similarity.py, tests/test_quantize.py), plus the
-    round-11 retrieval-themed parking set (d35) and the round-12
-    parking set (d3_multi_topk, d7_embedding_stats — long-green,
-    driver-green in r10 AND r11, oracles pinned in
-    tests/test_rotated_oracles.py)."""
+    """THE rows-only probe (round 15, VERDICT r14 ask #1): every
+    component with no exact SQL oracle — approximate ANN/LSH/PQ/PCA
+    retrieval, float k-means means, probabilistic dedup, multimodal
+    features, the deterministic-embed/sketch/watermark/split-pack
+    pipeline probes and the iterative BPE encoder — consolidated here so
+    the OTHER three composites are pure unions of oracle-bearing
+    components and carry full UNION-ALL oracles. Each component's
+    correctness is pinned in its own test file (recall/parity/invariant
+    pins; see the module docstring)."""
+    from ..cdc.changelog import a9_points_pipeline
+    from ..streaming.windows import c4_watermark
+    from .bpe import t8_bpe
+    from .dedup import d2_minhash_lsh, d2_simhash, d9_keep_canonical
     from .kmeans import d45_kmeans_refine
+    from .multimodal import d6_features
     from .quantize import d3_pq_topk
     from .reduce import d22_pca_topk
-    from .retrieval_eval import d35_retrieval_eval
+    from .relational import b16_sketches
+    from .sampling import d10_pack, d10_split
     from .similarity import (
         d3_hyperplane_topk,
         d3_ivf_topk,
-        d3_multi_topk,
         d8_lsh_neardup,
+        d12_semdedup,
     )
-    from .vectors import d7_embedding_stats
+    from .vectors import a8_deterministic_embed
 
     return _union(
         spark,
         sf_dir,
         [
+            ("a8_deterministic_embed", a8_deterministic_embed),
+            ("a9_points_pipeline", a9_points_pipeline),
+            ("b16_sketches", b16_sketches),
+            ("c4_watermark", c4_watermark),
+            ("d10_split", d10_split),
+            ("d10_pack", d10_pack),
+            ("d2_minhash_lsh", d2_minhash_lsh),
+            ("d2_simhash", d2_simhash),
             ("d3_ivf_topk", d3_ivf_topk),
             ("d3_hyperplane_topk", d3_hyperplane_topk),
-            ("d3_multi_topk", d3_multi_topk),
-            ("d7_embedding_stats", d7_embedding_stats),
-            ("d8_lsh_neardup", d8_lsh_neardup),
             ("d3_pq_topk", d3_pq_topk),
+            ("d6_features", d6_features),
+            ("d8_lsh_neardup", d8_lsh_neardup),
+            ("d9_keep_canonical", d9_keep_canonical),
+            ("d12_semdedup", d12_semdedup),
             ("d22_pca_topk", d22_pca_topk),
-            ("d35_retrieval_eval", d35_retrieval_eval),
             ("d45_kmeans_refine", d45_kmeans_refine),
+            ("t8_bpe", t8_bpe),
         ],
     )
 
@@ -442,8 +472,11 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each driver-green in CORRECTNESS_r08 AND _r09); round-11 adds
     b19/b20/b21, t9, d20 and d33 (each driver-green in CORRECTNESS_r09
     AND _r10); round-14 adds d42_tfidf_keywords (driver-green in
-    CORRECTNESS_r11 through _r13)."""
-    from .bpe import t8_bpe
+    CORRECTNESS_r11 through _r13). Round 15 (VERDICT r14 ask #1): the
+    probe is graded against ``ORACLES['x4_rowsonly_stable']`` — the
+    UNION ALL of every component's exact oracle canonicalized to the
+    same (probe, row) strings — and t8_bpe (rows-only by nature) moved
+    to x3 so every component here is oracle-bearing."""
     from .decontam import d11_decontaminate
     from .drift import d53_ngram_novelty
     from .html_extract import d30_html_extract
@@ -553,7 +586,6 @@ def x4_rowsonly_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("t5_regex_tokens", t5_regex_tokens),
             ("t6_length_percentiles", t6_length_percentiles),
             ("t7_vocab_topdf", t7_vocab_topdf),
-            ("t8_bpe", t8_bpe),
             ("t9_nfc_normalize", t9_nfc_normalize),
             ("t13_readability", t13_readability),
         ],
@@ -567,7 +599,174 @@ QUERIES = {
     "x4_rowsonly_stable": x4_rowsonly_stable,
 }
 
-ORACLES: dict[str, str] = {}  # rows-only by construction (that is the point)
+# Name-sorted (column, spark-dtype) schema of every ORACLE-BEARING
+# component — the single source of truth for both sides of the
+# composite canonicalization (``_canon`` reads live dtypes; the DuckDB
+# union oracle is generated from THIS table, and
+# tests/test_entry.py::test_canon_schema_matches_live pins the two
+# together so schema drift is loud, not a silent oracle mismatch).
+_CANON_SCHEMA: dict[str, tuple[tuple[str, str], ...]] = {
+    "c1_tumbling": (("event_type", "string"), ("n", "bigint"), ("s", "double"), ("w", "timestamp"),),
+    "c2_sliding": (("event_type", "string"), ("n", "bigint"), ("s", "double"), ("w", "timestamp"),),
+    "c3_session": (("n", "bigint"), ("s_start", "timestamp"), ("user_id", "bigint"),),
+    "c5_dedup_count": (("n", "bigint"),),
+    "c8_interval_join": (("click_id", "bigint"), ("user_id", "bigint"), ("view_id", "bigint"),),
+    "c9_stream_enrich": (("c_nationkey", "int"), ("n", "bigint"), ("s", "double"), ("w", "timestamp"),),
+    "c10_funnel": (("conv_micro", "bigint"), ("event_type", "string"), ("n_users", "bigint"), ("step", "int"),),
+    "c11_retention": (("cohort_week", "bigint"), ("n_users", "bigint"), ("retention_micro", "bigint"), ("week_offset", "bigint"),),
+    "c13_asof_join": (("click_ts", "timestamp"), ("event_id", "bigint"),),
+    "c14_event_paths": (("from_type", "string"), ("n", "bigint"), ("to_type", "string"),),
+    "c15_rate_anomaly": (("baseline_buckets", "bigint"), ("bucket", "bigint"), ("event_type", "string"), ("is_anomaly", "boolean"), ("n", "bigint"), ("z_micro", "bigint"),),
+    "c22_log_compaction": (("author", "string"), ("lsn", "bigint"), ("op", "string"), ("pk", "string"), ("segment", "string"),),
+    "d3_multi_topk": (("query_id", "bigint"), ("rank", "int"), ("sim", "double"), ("vec_id", "bigint"),),
+    "d7_embedding_stats": (("avg_first", "double"), ("label", "int"), ("n", "bigint"),),
+    "d8_cosine_neardup": (("id_a", "bigint"), ("id_b", "bigint"), ("sim", "double"),),
+    "d12_semdedup_exact": (("dropped", "boolean"), ("label", "int"), ("vec_id", "bigint"),),
+    "d21_span_dedup": (("cleaned_md5", "string"), ("doc_id", "bigint"), ("n_removed", "int"), ("n_tokens", "int"),),
+    "d23_selfrep": (("cleaned_md5", "string"), ("doc_id", "bigint"), ("n_removed", "int"), ("n_tokens", "int"),),
+    "d24_winnow": (("doc_id", "bigint"), ("fp", "string"), ("pos", "bigint"),),
+    "d26_winnow_pairs": (("id_a", "bigint"), ("id_b", "bigint"), ("n_shared", "bigint"),),
+    "d35_retrieval_eval": (("hits", "bigint"), ("n_cand", "bigint"), ("nprobe", "int"), ("query_id", "bigint"), ("recall_micro", "bigint"), ("rr_micro", "bigint"),),
+    "b1_scan_count": (("n", "bigint"),),
+    "b2_project_filter": (("l_orderkey", "bigint"), ("l_quantity", "double"),),
+    "b3_broadcast_join": (("c", "bigint"), ("n_name", "string"),),
+    "b4_multiway_join": (("r_name", "string"), ("s", "double"),),
+    "b5_semi_join": (("n", "bigint"),),
+    "b5_anti_join": (("n", "bigint"),),
+    "b6_hash_agg": (("avg_price", "double"), ("l_linestatus", "string"), ("l_returnflag", "string"), ("n", "bigint"), ("sum_qty", "double"),),
+    "b7_count_distinct": (("n", "bigint"),),
+    "b8_rollup": (("l_linestatus", "string"), ("l_returnflag", "string"), ("n", "bigint"),),
+    "b8_cube": (("l_linestatus", "string"), ("l_returnflag", "string"), ("n", "bigint"), ("sq", "double"),),
+    "b9_rank_window": (("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("rn", "int"),),
+    "b10_running_sum": (("next_key", "bigint"), ("o_orderkey", "bigint"), ("prev_price", "double"), ("quartile", "int"), ("running", "double"),),
+    "b11_topk": (("o_orderkey", "bigint"), ("o_totalprice", "double"),),
+    "b12_intersect": (("k", "int"), ("op", "string"),),
+    "b13_scalar_funcs": (("bucket13", "bigint"), ("bumped", "double"), ("dist1k", "double"), ("len", "int"), ("mo", "int"), ("p_partkey", "bigint"), ("padded", "string"), ("pfx", "string"), ("snake", "string"), ("yr", "int"),),
+    "b14_array_dim": (("dim", "int"), ("e1", "double"), ("sum3", "double"), ("vec_id", "bigint"),),
+    "b14_json_extract": (("absent", "string"), ("event_id", "bigint"), ("k", "string"), ("k_plus_one", "int"),),
+    "b15_scalar_subquery": (("c_custkey", "bigint"),),
+    "b17_pivot": (("de", "bigint"), ("en", "bigint"), ("es", "bigint"), ("fr", "bigint"), ("source", "string"), ("zh", "bigint"),),
+    "b18_unpivot": (("metric", "string"), ("p_partkey", "bigint"), ("value", "double"),),
+    "b19_grouping_sets": (("gid", "bigint"), ("l_linestatus", "string"), ("l_returnflag", "string"), ("n", "bigint"), ("sq", "double"),),
+    "b20_range_frame": (("epoch_day", "int"), ("n_30d", "bigint"), ("o_custkey", "bigint"), ("o_orderkey", "bigint"), ("spend_30d", "double"),),
+    "b21_zorder": (("max_x", "bigint"), ("max_y", "int"), ("min_x", "bigint"), ("min_y", "int"), ("n", "bigint"), ("zbucket", "bigint"),),
+    "d4_text_stats": (("avg_chars", "double"), ("avg_len", "double"), ("lang", "string"), ("n", "bigint"),),
+    "d5_slicing": (("lang", "string"), ("n", "bigint"), ("source", "string"),),
+    "d11_decontaminate": (("contaminated", "boolean"), ("doc_id", "bigint"), ("n_grams", "bigint"), ("n_matched", "bigint"), ("overlap_frac", "double"),),
+    "d13_dsir": (("doc_id", "bigint"), ("n_terms", "bigint"), ("selected", "boolean"), ("weight_micro", "bigint"),),
+    "d14_stratified": (("doc_id", "bigint"), ("lang", "string"), ("source", "string"),),
+    "d15_chunk": (("chunk_id", "int"), ("chunk_md5", "string"), ("doc_id", "bigint"), ("n_tokens", "int"),),
+    "d17_bm25": (("doc_id", "bigint"), ("n_hit_terms", "bigint"), ("score_micro", "bigint"),),
+    "d18_cdc_bm25": (("id", "string"), ("n_hit_terms", "bigint"), ("score_micro", "bigint"),),
+    "d19_hybrid": (("doc_id", "bigint"), ("fused_micro", "bigint"), ("n_lists", "bigint"),),
+    "d20_pii": (("doc_id", "bigint"), ("n_emails", "int"), ("n_ips", "int"), ("n_phones", "int"), ("redacted_md5", "string"),),
+    "d25_token_mix": (("cum_tokens", "bigint"), ("doc_id", "bigint"), ("n_tokens", "int"), ("source", "string"),),
+    "d28_lm_perplexity": (("doc_id", "bigint"), ("keep", "boolean"), ("mean_nll_micro", "bigint"), ("n_bigrams", "bigint"), ("nll_micro", "bigint"), ("ppl_bucket", "string"),),
+    "d29_shards": (("doc_id", "bigint"), ("n_tokens", "int"), ("pos", "bigint"), ("shard", "bigint"),),
+    "d30_html_extract": (("body_first", "boolean"), ("clean_text", "string"), ("doc_id", "bigint"), ("n_kept", "bigint"), ("n_segments", "bigint"),),
+    "d31_domain_cap": (("doc_id", "bigint"), ("domain", "string"), ("kept", "boolean"), ("rank_in_domain", "bigint"), ("url_norm", "string"),),
+    "d33_weighted_sample": (("doc_id", "bigint"), ("key_micro", "bigint"), ("n_tokens", "int"),),
+    "d42_tfidf_keywords": (("doc_id", "bigint"), ("rank", "int"), ("score_micro", "bigint"), ("term", "string"), ("tf", "bigint"),),
+    "d53_ngram_novelty": (("doc_id", "bigint"), ("n_grams", "bigint"), ("novel_grams", "bigint"), ("novelty_bp", "bigint"),),
+    "t1_token_count": (("doc_id", "bigint"), ("n_tokens", "int"),),
+    "t2_quality_score": (("doc_id", "bigint"), ("quality", "double"),),
+    "t3_lang_guess": (("lang_guess", "string"), ("n", "bigint"),),
+    "t4_fingerprint": (("doc_id", "bigint"), ("fp", "string"),),
+    "t5_regex_tokens": (("doc_id", "bigint"), ("first_tok", "string"), ("n_tokens", "int"),),
+    "t6_length_percentiles": (("n", "bigint"), ("p50_tokens", "double"), ("p90_tokens", "double"), ("source", "string"),),
+    "t7_vocab_topdf": (("df", "bigint"), ("term", "string"),),
+    "t9_nfc_normalize": (("doc_id", "bigint"), ("len_nfc", "int"), ("len_raw", "int"), ("nfc_md5", "string"),),
+    "t13_readability": (("doc_id", "bigint"), ("flesch_micro", "bigint"), ("n_sentences", "bigint"), ("n_syllables", "bigint"), ("n_words", "bigint"),),
+}
+
+_X_MEMBERS: dict[str, tuple[str, ...]] = {
+    "x1_rowsonly_pipeline": ("c1_tumbling", "c2_sliding", "c3_session", "c5_dedup_count", "c8_interval_join", "c9_stream_enrich", "c10_funnel", "c11_retention", "c13_asof_join", "c14_event_paths", "c15_rate_anomaly", "c22_log_compaction",),
+    "x2_rowsonly_dedup": ("d3_multi_topk", "d7_embedding_stats", "d8_cosine_neardup", "d12_semdedup_exact", "d21_span_dedup", "d23_selfrep", "d24_winnow", "d26_winnow_pairs", "d35_retrieval_eval",),
+    "x4_rowsonly_stable": ("b1_scan_count", "b2_project_filter", "b3_broadcast_join", "b4_multiway_join", "b5_semi_join", "b5_anti_join", "b6_hash_agg", "b7_count_distinct", "b8_rollup", "b8_cube", "b9_rank_window", "b10_running_sum", "b11_topk", "b12_intersect", "b13_scalar_funcs", "b14_array_dim", "b14_json_extract", "b15_scalar_subquery", "b17_pivot", "b18_unpivot", "b19_grouping_sets", "b20_range_frame", "b21_zorder", "d4_text_stats", "d5_slicing", "d11_decontaminate", "d13_dsir", "d14_stratified", "d15_chunk", "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "d20_pii", "d25_token_mix", "d28_lm_perplexity", "d29_shards", "d30_html_extract", "d31_domain_cap", "d33_weighted_sample", "d42_tfidf_keywords", "d53_ngram_novelty", "t1_token_count", "t2_quality_score", "t3_lang_guess", "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles", "t7_vocab_topdf", "t9_nfc_normalize", "t13_readability",),
+}
+
+
+def _component_oracles() -> dict[str, str]:
+    """Exact DuckDB oracle SQL of every oracle-bearing component, pulled
+    from the home modules' ORACLES dicts (the same SQL
+    tests/test_rotated_oracles.py pins at two SFs)."""
+    import importlib
+
+    mods = (
+        "cdc2vec_spark.streaming.windows",
+        "cdc2vec_spark.streaming.joins",
+        "cdc2vec_spark.cdc.changelog",
+        "cdc2vec_spark.operators.funnel",
+        "cdc2vec_spark.operators.similarity",
+        "cdc2vec_spark.operators.vectors",
+        "cdc2vec_spark.operators.span_dedup",
+        "cdc2vec_spark.operators.winnow",
+        "cdc2vec_spark.operators.retrieval_eval",
+        "cdc2vec_spark.operators.relational",
+        "cdc2vec_spark.operators.text",
+        "cdc2vec_spark.operators.decontam",
+        "cdc2vec_spark.operators.selection",
+        "cdc2vec_spark.operators.sampling",
+        "cdc2vec_spark.operators.lex_index",
+        "cdc2vec_spark.operators.retrieval",
+        "cdc2vec_spark.operators.pii",
+        "cdc2vec_spark.operators.lm",
+        "cdc2vec_spark.operators.html_extract",
+        "cdc2vec_spark.operators.urls",
+        "cdc2vec_spark.operators.layout",
+        "cdc2vec_spark.operators.keywords",
+        "cdc2vec_spark.operators.drift",
+    )
+    out: dict[str, str] = {}
+    for m in mods:
+        out.update(getattr(importlib.import_module(m), "ORACLES", {}))
+    return out
+
+
+def _canon_oracle_sql(probe: str, component_sql: str) -> str:
+    """DuckDB side of ``_canon``: render the component oracle's columns
+    (name-sorted, per _CANON_SCHEMA) to the SAME strings Spark's
+    canonicalization produces. Verified engine-identical renderings:
+      - double/float: Spark casts double→DECIMAL(38,9) via the shortest
+        decimal repr (Double.toString), which DuckDB replicates with
+        VARCHAR→DECIMAL (its native double→decimal multiplies by 10^9 in
+        binary and diverges at |v|≳1e10); NaN/Inf/overflow → NULL in
+        Spark, so the CASE guard maps them to NULL here too.
+      - everything else: plain CAST AS VARCHAR (int/bigint/boolean/
+        timestamp renderings verified byte-identical on the real data).
+    """
+    exprs = []
+    for c, t in _CANON_SCHEMA[probe]:
+        qc = f'"{c}"'
+        if t in ("double", "float"):
+            r = (
+                f"CASE WHEN isfinite({qc}) AND abs({qc}) < 1e29 THEN "
+                f"CAST(CAST(CAST({qc} AS VARCHAR) AS DECIMAL(38,9)) AS VARCHAR) END"
+            )
+        else:
+            r = f"CAST({qc} AS VARCHAR)"
+        exprs.append(f"COALESCE({r}, chr(0) || 'NULL')")
+    return (
+        f"SELECT '{probe}' AS probe, concat_ws('|', {', '.join(exprs)}) AS row\n"
+        f"FROM ({component_sql})"
+    )
+
+
+def _build_oracles() -> dict[str, str]:
+    comp = _component_oracles()
+    out: dict[str, str] = {}
+    for xname, members in _X_MEMBERS.items():
+        parts = [_canon_oracle_sql(m, comp[m]) for m in members]
+        out[xname] = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+    return out
+
+
+# Round 15 (VERDICT r14 ask #1): x1/x2/x4 are pure unions of
+# oracle-bearing components, graded against the UNION ALL of their
+# components' exact oracles canonicalized to the same (probe, row)
+# strings as _canon. x3 consolidates the genuinely rows-only components
+# and stays oracle-free — the ONE no_oracle registry row.
+ORACLES: dict[str, str] = _build_oracles()
 
 
 def component_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

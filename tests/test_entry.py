@@ -36,14 +36,13 @@ def test_every_query_callable():
 
 
 @pytest.mark.parametrize("rows_only", [
-    # documented rows-only (no SQL oracle) set — the individual
-    # rows-only queries (and, for round 7, the ten rotated-out stable
-    # queries) ride inside these 4 composites (operators/composite.py)
-    # so the registry fits the driver's proven 50-entry grading budget.
+    # documented rows-only (no SQL oracle) set — round 15 (VERDICT r14
+    # ask #1): x1/x2/x4 carry full UNION-ALL oracles of their
+    # oracle-bearing components; x3 consolidates the genuinely
+    # rows-only components and is the ONE no_oracle registry row.
     # Additions need a pinned engine test per SURVEY §5; removals should
     # convert the entry to a full oracle row.
-    {"x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x3_rowsonly_ann",
-     "x4_rowsonly_stable"}
+    {"x3_rowsonly_ann"}
 ])
 def test_rows_only_set_is_exactly_documented(rows_only):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -76,50 +75,24 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
     composite fails here, not as a quietly smaller rows-only count)."""
     from cdc2vec_spark.operators import composite
 
+    # round 15 (VERDICT r14 ask #1): x1/x2/x4 hold ONLY oracle-bearing
+    # components (their membership is pinned against composite._X_MEMBERS
+    # below, the same table the UNION-ALL oracles are generated from);
+    # x3 holds every genuinely rows-only component.
     expected = {
-        "x1_rowsonly_pipeline": {
-            "a8_deterministic_embed", "a9_points_pipeline",
-            "b16_sketches", "c1_tumbling", "c2_sliding", "c3_session",
-            "c4_watermark", "c5_dedup_count", "c8_interval_join",
-            "c9_stream_enrich",
-            "c10_funnel", "c11_retention", "c13_asof_join",
-            "c14_event_paths", "c15_rate_anomaly",
-            "c22_log_compaction",
-            "d10_split", "d10_pack",
-        },
-        "x2_rowsonly_dedup": {
-            "d2_minhash_lsh", "d2_simhash", "d8_cosine_neardup",
-            "d9_keep_canonical",
-            "d6_features", "d12_semdedup", "d12_semdedup_exact",
-            "d21_span_dedup", "d23_selfrep", "d24_winnow",
-            "d26_winnow_pairs",
-        },
-        "x3_rowsonly_ann": {
-            "d3_ivf_topk", "d3_hyperplane_topk", "d3_multi_topk",
-            "d7_embedding_stats", "d8_lsh_neardup",
-            "d3_pq_topk", "d22_pca_topk", "d35_retrieval_eval",
-            "d45_kmeans_refine",
-        },
-        "x4_rowsonly_stable": {
-            "b1_scan_count", "b2_project_filter", "b3_broadcast_join",
-            "b4_multiway_join",
-            "b5_semi_join", "b5_anti_join", "b6_hash_agg",
-            "b7_count_distinct", "b8_rollup", "b8_cube", "b9_rank_window",
-            "b10_running_sum", "b11_topk", "b12_intersect",
-            "b13_scalar_funcs", "b14_array_dim", "b14_json_extract",
-            "b15_scalar_subquery", "b17_pivot", "b18_unpivot",
-            "b19_grouping_sets", "b20_range_frame", "b21_zorder",
-            "d4_text_stats", "d5_slicing",
-            "d11_decontaminate", "d13_dsir", "d14_stratified", "d15_chunk",
-            "d17_bm25", "d18_cdc_bm25", "d19_hybrid", "d20_pii",
-            "d25_token_mix", "d28_lm_perplexity", "d29_shards",
-            "d30_html_extract", "d31_domain_cap", "d33_weighted_sample",
-            "d42_tfidf_keywords", "d53_ngram_novelty",
-            "t1_token_count", "t2_quality_score", "t3_lang_guess",
-            "t4_fingerprint", "t5_regex_tokens", "t6_length_percentiles",
-            "t7_vocab_topdf", "t8_bpe", "t9_nfc_normalize",
-            "t13_readability",
-        },
+        name: set(members) for name, members in composite._X_MEMBERS.items()
+    }
+    expected["x3_rowsonly_ann"] = {
+        "a8_deterministic_embed", "a9_points_pipeline", "b16_sketches",
+        "c4_watermark", "d10_split", "d10_pack",
+        "d2_minhash_lsh", "d2_simhash", "d9_keep_canonical",
+        "d6_features", "d12_semdedup",
+        "d3_ivf_topk", "d3_hyperplane_topk", "d3_pq_topk",
+        "d8_lsh_neardup", "d22_pca_topk", "d45_kmeans_refine",
+        "t8_bpe",
+    }
+    assert set(composite._X_MEMBERS) == {
+        "x1_rowsonly_pipeline", "x2_rowsonly_dedup", "x4_rowsonly_stable"
     }
     assert set().union(*expected.values()) == set(composite.CONSOLIDATED)
     for name, fn in composite.QUERIES.items():
@@ -127,3 +100,31 @@ def test_composite_probes_execute_and_tag_components(spark, sf_dir):
         tags = {r["probe"] for r in rows}
         assert tags == expected[name], f"{name}: {tags} != {expected[name]}"
         assert rows and all(r["row"] is not None for r in rows)
+
+
+def test_canon_schema_matches_live(spark, sf_dir):
+    """_CANON_SCHEMA (the static table the DuckDB union oracles are
+    generated from) must equal the live Spark schemas of the components,
+    name-sorted — a component schema change without a table update would
+    otherwise surface as an opaque driver hash mismatch on the
+    composite."""
+    from cdc2vec_spark.operators import composite
+
+    comp = composite.component_queries()
+    for probe, pinned in composite._CANON_SCHEMA.items():
+        live = tuple(
+            sorted(comp[probe](spark, sf_dir).dtypes, key=lambda ct: ct[0])
+        )
+        assert tuple(map(tuple, pinned)) == live, f"{probe}: {pinned} != {live}"
+
+
+def test_composite_oracles_cover_exactly_their_members():
+    from cdc2vec_spark.operators import composite
+
+    oracle_sqls = composite._component_oracles()
+    for xname, members in composite._X_MEMBERS.items():
+        assert set(members) <= set(oracle_sqls), xname
+        # every member appears as a probe literal in the union oracle
+        for m in members:
+            assert f"'{m}' AS probe" in composite.ORACLES[xname], (xname, m)
+    assert set(composite.ORACLES) == set(composite._X_MEMBERS)
