@@ -392,10 +392,20 @@ def main() -> None:
             json.dumps({"queries_full": timings}, separators=(",", ":")),
             flush=True,
         )
-        by_cost = sorted(timings, key=lambda q: -timings[q])
+        # Stable kept-key set (PERF r14 flagged 7 phantom
+        # "dropped_from_bench" keys): keys the driver PARSED last round
+        # (BENCH_r{N-1}.json "parsed".queries) are protected — only
+        # never-before-parsed keys are dropped (cheapest first), so the
+        # driver's round-over-round comparison set never shrinks. If the
+        # protected set alone outgrows the budget, the cheapest
+        # protected keys go last (and the omission is still counted).
+        prev_parsed = _prev_parsed_keys()
+        by_cost = sorted(
+            timings, key=lambda q: (q not in prev_parsed, -timings[q])
+        )  # unprotected-cheapest at the END (popped first)
         kept = dict(timings)
         while by_cost and len(line) > budget:
-            kept.pop(by_cost.pop())  # drop the cheapest until it fits
+            kept.pop(by_cost.pop())  # drop the cheapest unprotected first
             trimmed = {
                 **headline,
                 "queries": {q: kept[q] for q in sorted(kept)},
@@ -1196,6 +1206,33 @@ def _replay_floor_probe(spark, registry) -> dict:
             "floor_pred": round(jobs * lat, 2),
         }
     return out
+
+
+def _prev_parsed_keys() -> frozenset[str]:
+    """Key set of the newest driver-parsed bench line (BENCH_r{N}.json
+    ``parsed.queries``). These keys are protected from the budgeted
+    final line's trimming: dropping a key the driver parsed last round
+    manufactures a phantom "dropped_from_bench" entry in PERF (r14 had
+    7). Falls back to empty (pure cost-ordered trimming) when no driver
+    record exists or none parsed."""
+    import glob
+    import re
+
+    best: tuple[int, frozenset[str]] = (-1, frozenset())
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        # canonical driver records only — BENCH_r14_c8.json-style stray
+        # captures carry stale key sets
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                q = (json.load(f).get("parsed") or {}).get("queries") or {}
+            if q and int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), frozenset(q))
+        except (OSError, json.JSONDecodeError, AttributeError):
+            pass
+    return best[1]
 
 
 def _delta_vs_prev(timings: dict[str, float]) -> dict[str, float]:
