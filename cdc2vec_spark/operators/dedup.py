@@ -292,7 +292,13 @@ def jaccard_pairs(
     ex = ex.persist()
     ex.count()
     # per-doc retained size: one row per doc (id determines its block),
-    # broadcast onto the pair aggregate below
+    # attached to the pair aggregate below. NO broadcast hint (round 15,
+    # ADVICE r14): the sizes table is one row per surviving DOCUMENT —
+    # linear in corpus size — so an unconditional broadcast breaks at
+    # 100 TB. The operator runs with AQE on, and AQE sees the REAL
+    # post-persist sizes at runtime: at fixture scale it picks the
+    # broadcast join itself; at corpus scale it keeps the (correct)
+    # shuffle join of the small pair aggregate against sizes.
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a = ex.select("_b", F.col("_id").alias("id_a"), "_h")
     b = ex.select("_b", F.col("_id").alias("id_b"), "_h")
@@ -302,11 +308,11 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_i"))
         .join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))),
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))),
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
             "id_b",
         )
     )
@@ -905,12 +911,21 @@ def _incremental_dedup_impl(
     # but size estimates downstream of a persist+window chain are
     # unreliable and AQE auto-broadcast of the corpus side OOMs/stalls at
     # 10x sf0.1
+    # size attachment (round 15, ADVICE r14): nsz is one row per NEW doc
+    # — bounded by the ingest batch at any corpus size — so its
+    # broadcast is scale-safe and stays. osz is one row per CORPUS doc
+    # (linear in state), and with AQE pinned off the static planner
+    # would honor an unconditional broadcast hint forever — so the
+    # corpus side joins as a sort-merge of the (small, pair-aggregate)
+    # probe side against it instead: two bounded exchanges of tiny
+    # frames, never an O(corpus) broadcast relation.
     inter = (
         nkept.join(ckept.hint("merge"), [*bcols, "_h"])
         .groupBy("new_id", "_oid")
         .agg(F.count(F.lit(1)).alias("_i"))
         .join(F.broadcast(nsz), "new_id")
-        .join(F.broadcast(osz), "_oid")
+        .hint("merge")
+        .join(osz, "_oid")
     )
     jac = F.round(
         F.col("_i").cast("double") / (F.col("_nn") + F.col("_no") - F.col("_i")), 4

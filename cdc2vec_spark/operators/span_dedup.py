@@ -108,34 +108,29 @@ def remove_repeated_spans(
             "min_docs must be >= 2 (every gram occurs in >= 1 doc; "
             "within-doc repetition is remove_self_repeats' job)"
         )
+    from pyspark.sql.window import Window
+
     base, grams = _doc_grams(docs, n, id_col, text_col)
-    # ONE exchange on the gram hash (round 14, guide §2.4): group the
-    # occurrences per gram and keep grams spanning >= min_docs DISTINCT
-    # docs — replacing the old distinct → groupBy(g) → join(grams, dup)
-    # chain, which shuffled twice more AND derived the md5-gram HOF
-    # build a second time for the join's probe side. The occurrence
-    # list per gram is exactly the fan-out the old join emitted, so the
-    # 100 TB skew bound is unchanged (corpus-wide boilerplate grams are
-    # the winnow stop-fingerprint problem either way).
-    occ = (
-        grams.groupBy("g")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("_id"), F.col("pos").alias("_p"))
-            ).alias("_occ")
-        )
-        .where(
-            F.size(
-                F.array_distinct(F.transform(F.col("_occ"), lambda o: o["_id"]))
-            )
-            >= min_docs
-        )
+    # ONE exchange on the gram hash (round 14, guide §2.4), spilled
+    # safely (round 15, ADVICE r14): the distinct-doc frequency per gram
+    # is two window functions over the same (g)-partitioning — a
+    # dense_rank over doc ids, then its per-gram max, which IS
+    # count(DISTINCT doc) — so a corpus-wide boilerplate gram streams
+    # through the window's spillable sorter instead of accumulating its
+    # entire occurrence list in ONE collect_list aggregation buffer (the
+    # round-14 shape's executor-OOM hazard at 100 TB: the hot grams are
+    # precisely the ones the >= min_docs filter KEEPS). Same exchange
+    # count as round 14 (one on g, one on the per-doc starts), the old
+    # distinct → groupBy → join-back chain stays gone.
+    w_ord = Window.partitionBy("g").orderBy(id_col)
+    w_all = Window.partitionBy("g")
+    qualified = (
+        grams.withColumn("_dr", F.dense_rank().over(w_ord))
+        .withColumn("_ddf", F.max("_dr").over(w_all))
+        .where(F.col("_ddf") >= min_docs)
     )
-    starts = (
-        occ.select(F.explode("_occ").alias("_o"))
-        .select(F.col("_o._id").alias(id_col), F.col("_o._p").alias("pos"))
-        .groupBy(id_col)
-        .agg(F.collect_list("pos").alias("_ss"))
+    starts = qualified.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_ss")
     )
     return _mask_starts(base, starts, n, id_col)
 

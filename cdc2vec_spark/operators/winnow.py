@@ -154,18 +154,34 @@ def winnow_neardup_pairs(
     the old a⋈b self-join emitted), followed by the per-pair count.
     The old chain (distinct → groupBy(fp) → join(fps, rare) → self-join
     → count) shuffled five times and re-derived the winnow HOF scan for
-    every consumer (8 documents scans in the executed plan)."""
+    every consumer (8 documents scans in the executed plan).
+
+    Round 15 (ADVICE r14): the df cap is applied as a window COUNT over
+    the same (fp)-partitioning BEFORE the posting-list collect — the
+    round-14 shape collected every stop-fingerprint's full occurrence
+    list into one aggregation buffer before filtering it away, exactly
+    the 100 TB boilerplate key the cap exists to drop without
+    materializing. The window streams through a spillable sorter, the
+    collect only ever sees ≤ max_df rows per fp, and the groupBy reuses
+    the window's exchange (same key) — same shuffle count, bounded
+    memory. A fingerprint occurs at most once per doc
+    (winnow_fingerprints dedupes per doc), so count(*) per fp IS its
+    document frequency."""
+    from pyspark.sql.window import Window
+
     fps = winnow_fingerprints(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
     ).select(id_col, "fp")
+    wfp = Window.partitionBy("fp")
     occ = (
-        fps.groupBy("fp")
+        fps.withColumn("_df", F.count(F.lit(1)).over(wfp))
+        .where(F.col("_df") <= max_df)
+        .groupBy("fp")
         .agg(
             F.array_sort(
                 F.array_distinct(F.collect_list(F.col(id_col)))
             ).alias("_ids")
         )
-        .where(F.size("_ids") <= max_df)
     )
     ids = F.col("_ids")
     pairs = F.flatten(
