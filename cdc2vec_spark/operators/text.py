@@ -901,8 +901,14 @@ def t13_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors with ``regexp_extract_all``. Pure scan-stage
     expression work (one regexp per token inside a HOF aggregate — the
     t4 bounded-interpreted-HOF shape); the only exchange is the
-    presentation sort. Docs with zero words are excluded (mirrored)."""
-    d = load_table(spark, sf_dir, "documents")
+    presentation sort. Docs with zero words are excluded (mirrored).
+
+    rebalance (round 15): the fixture is a single parquet split and the
+    per-token regexp HOF is the expensive stage — unrebalanced it ran
+    serialized on 1-2 cores (the t4/d53 single-split hazard; the r14
+    driver measured an 8c/32c scaling ratio of 1.01 here, the
+    serialized signature)."""
+    d = rebalance(load_table(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
         lambda w: w != "",
