@@ -7,6 +7,10 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
+
 from cdc2vec_spark.io import load_table
 from cdc2vec_spark.operators.ann_index import TOMB_CELL, IncrementalIvfIndex
 

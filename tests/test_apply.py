@@ -1,6 +1,8 @@
 """CDC apply semantics: last-write-wins, skip-empty, delete routing,
 batch merge idempotence, and incremental == batch (SURVEY §2.2 A6/C6)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc2vec_spark.cdc import apply
@@ -71,6 +73,7 @@ def test_merge_batch_idempotent_replay(spark):
     assert [(r["pk"], r["after_title"]) for r in s2_stale.collect()] == [("1", "v2")]
 
 
+@pytest.mark.slow
 def test_incremental_equals_batch_on_fixture(spark, sf_dir, tmp_path):
     """Split the derived changelog into 3 LSN-ordered batches, apply via
     ParquetCollection, compare with the one-shot latest_state answer."""

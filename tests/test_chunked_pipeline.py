@@ -15,6 +15,12 @@ from cdc2vec_spark.config import DOCUMENTS_MAPPING
 from cdc2vec_spark.embed.provider import DeterministicHashProvider
 from cdc2vec_spark.runner import ChunkedPointsCollection
 
+import pytest
+
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
+
 PROV = DeterministicHashProvider(dim=8)
 
 

@@ -2,6 +2,8 @@
 (SURVEY §2.2 D2 'engine test vs brute-force Jaccard on sf0.001'),
 SimHash properties, exact dedup."""
 
+import pytest
+
 import itertools
 
 from pyspark.sql import functions as F
@@ -114,6 +116,7 @@ def test_connected_components_vs_union_find(spark):
     assert got[5] == 1 and got[22] == 20  # chains collapsed to min id
 
 
+@pytest.mark.slow
 def test_keep_canonical_on_derived_corpus(spark, sf_dir):
     """End-to-end: corpus + its minhash pairs → one survivor per cluster;
     every truncated copy (doc_id+1M) whose pair was found is dropped."""
@@ -196,6 +199,7 @@ def test_jaccard_max_df_bounds_boilerplate(spark):
     assert n_uncapped > 500000, n_uncapped
 
 
+@pytest.mark.slow
 def test_lsh_max_bucket_bounds_duplicate_cluster(spark):
     """VERDICT r07 ask #4 (LSH path): a 1000-copy exact-duplicate
     cluster collides in EVERY band; max_bucket drops those oversized
@@ -308,6 +312,7 @@ def test_incremental_dedup_semantics(spark):
     assert rows[12]["is_dup"] and rows[12]["dup_of"] == 3
 
 
+@pytest.mark.slow
 def test_incremental_dedup_randomized_matches_python_reference(spark):
     """Fixed-seed fuzz: random small corpora (dups, near-dups, short
     docs below the shingle width, ties) — incremental_dedup must equal

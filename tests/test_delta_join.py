@@ -53,6 +53,7 @@ def test_c20_matches_duckdb_oracle(spark, sf):
     assert not problems, (sf, problems)
 
 
+@pytest.mark.slow
 def test_c19_exercises_dim_updates_and_deletes(spark, sf_dir):
     """Non-vacuity: the synthesized dim stream must actually change
     tiers mid-replay (even n) and delete authors (n%5=3), and the view
@@ -138,6 +139,7 @@ def _agg_rows(ivj):
     }
 
 
+@pytest.mark.slow
 def test_incremental_equals_recompute_every_batch(spark, tmp_path):
     """The crafted walk: fk-moving fact update, dim update fanning out,
     dim delete dropping facts, fact delete + reinsert — after EVERY
@@ -191,6 +193,7 @@ def test_incremental_equals_recompute_every_batch(spark, tmp_path):
         assert _agg_rows(ivj) == _agg_ref(ref)
 
 
+@pytest.mark.slow
 def test_replay_idempotent(spark, tmp_path):
     ivj = IncrementalJoinView(
         spark, str(tmp_path / "jv"),
@@ -207,6 +210,7 @@ def test_replay_idempotent(spark, tmp_path):
     assert _view_rows(ivj) == first == _batch_join(l, r)
 
 
+@pytest.mark.slow
 def test_one_sided_batches(spark, tmp_path):
     """Either stream may be quiet in a batch (None or empty)."""
     ivj = IncrementalJoinView(
@@ -228,6 +232,7 @@ def test_one_sided_batches(spark, tmp_path):
     assert _view_rows(ivj) == _batch_join(l, r)
 
 
+@pytest.mark.slow
 def test_torn_commit_rebuilds_from_base_states(spark, tmp_path):
     ivj = IncrementalJoinView(
         spark, str(tmp_path / "jv"),
@@ -256,6 +261,7 @@ def test_torn_commit_rebuilds_from_base_states(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [7, 23, 91])
+@pytest.mark.slow
 def test_random_walk_matches_reference(spark, tmp_path, seed):
     """Seeded random-walk fuzz (the IVM family's topk/quantiles fuzz
     discipline applied to the join view): 5 batches of random
@@ -308,6 +314,7 @@ def test_random_walk_matches_reference(spark, tmp_path, seed):
         assert _agg_rows(ivj) == _agg_ref(ref)
 
 
+@pytest.mark.slow
 def test_deferred_batches_equal_full_path(spark, tmp_path):
     """apply_batch_deferred (the replay's merge-only fast path) followed
     by a read() must land on the same view AND join-agg as running every

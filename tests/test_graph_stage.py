@@ -5,6 +5,8 @@ to the per-query derivations it replaced."""
 
 from __future__ import annotations
 
+import pytest
+
 from cdc2vec_spark.operators import datacard, dedup, graph
 
 
@@ -12,6 +14,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_family_derives_pairs_and_labels_once(spark, sf_dir, monkeypatch):
     """Across the whole five-query family, jaccard_pairs runs exactly
     twice (the source-blocked set shared by d9/d44/d46/d48 + d47's
@@ -47,6 +50,7 @@ def test_family_derives_pairs_and_labels_once(spark, sf_dir, monkeypatch):
     assert calls == {"pairs": 2, "cc": 1}
 
 
+@pytest.mark.slow
 def test_shared_stage_is_bit_identical_to_fresh_derivation(spark, sf_dir):
     """Every family answer through the shared stage equals the same
     report computed from a fresh, uncached derivation (the round-10

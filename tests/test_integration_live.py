@@ -32,10 +32,15 @@ PG_DSN = os.environ.get(
 )
 QDRANT_URL = os.environ.get("CDC2VEC_QDRANT_URL", "http://localhost:6333")
 
-pytestmark = pytest.mark.skipif(
-    not LIVE,
-    reason="live integration: set CDC2VEC_LIVE=1 with the compose stack up",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not LIVE,
+        reason="live integration: set CDC2VEC_LIVE=1 with the compose stack up",
+    ),
+    # live suite: also deselected under the default driver-budget run
+    # (pytest.ini); opt-in via -m ""
+    pytest.mark.slow,
+]
 
 
 def _pg_conn():

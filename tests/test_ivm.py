@@ -51,6 +51,7 @@ def _agg_of(df, group="after_author"):
     }
 
 
+@pytest.mark.slow
 def test_incremental_equals_recompute_after_every_batch(spark, sf_dir, tmp_path):
     """After EACH micro-batch (not just the final one) the maintained agg
     equals a from-scratch GROUP BY over the collection's live state."""
@@ -96,6 +97,7 @@ def test_groups_drain_to_zero_on_delete(spark, tmp_path):
     assert got == {"g2": (1, 7)}, got
 
 
+@pytest.mark.slow
 def test_streaming_foreachbatch_maintains_the_aggregate(spark, sf_dir, tmp_path):
     """The apply_batch signature IS a foreachBatch hook: a real file
     stream driving IncrementalGroupAgg converges to the same agg table
@@ -122,6 +124,7 @@ def test_streaming_foreachbatch_maintains_the_aggregate(spark, sf_dir, tmp_path)
     assert got == want != {}
 
 
+@pytest.mark.slow
 def test_randomized_cdc_sequences_match_python_reference(spark, tmp_path):
     """Fixed-seed fuzz: random op sequences (insert/update/delete/guard-
     fail/ignored-table/out-of-order lsn) through the IVM in 3 batches
@@ -186,6 +189,7 @@ def test_randomized_cdc_sequences_match_python_reference(spark, tmp_path):
         assert got == want, (seed, got, want)
 
 
+@pytest.mark.slow
 def test_boot_group_agg_sink_end_to_end(spark, sf_dir, tmp_path):
     """sink.type=group_agg in the config: boot() maintains the IVM agg
     table from the live stream; after the replay it equals the GROUP BY
@@ -315,6 +319,7 @@ def test_torn_commit_recovers_by_rebuild(spark, tmp_path):
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_generalized_aggs_avg_var_and_multicolumn_grouping(spark, tmp_path):
     """Configurable self-maintainable aggs (sum/avg/var via additive
     accumulators) over a typed extracted column, grouped by TWO columns,
@@ -397,6 +402,7 @@ _MM_SCHEMA = ("lsn long, op string, tbl string, pk string, "
               "after_title string, after_content string, after_author string")
 
 
+@pytest.mark.slow
 def test_minmax_maintained_through_inserts_deletes_and_updates(spark, tmp_path):
     """The extremum absorbs inserts monotonically; deleting (or updating
     away) the row CARRYING the extremum triggers the group re-scan and
@@ -442,6 +448,7 @@ def test_minmax_maintained_through_inserts_deletes_and_updates(spark, tmp_path):
     assert read() == {"g1": (2, 5, 2), "g3": (1, 3, 3)}
 
 
+@pytest.mark.slow
 def test_minmax_randomized_sequences_match_python_reference(spark, tmp_path):
     """The incremental≡recompute fuzz extended to min/max (VERDICT r09
     ask #6): random insert/update/delete sequences — extremum removals
@@ -543,6 +550,7 @@ def test_chunked_replace_set_counts_base_docs(spark, tmp_path):
     assert got == {"g1": (1, 3)}, got
 
 
+@pytest.mark.slow
 def test_boot_chunked_group_agg_end_to_end(spark, sf_dir, tmp_path):
     """VERDICT r8 ask #6: sink.type=group_agg composes with engine.chunk.
     After a chunked boot replay, the maintained agg counts live BASE
@@ -608,6 +616,7 @@ def test_boot_chunked_group_agg_end_to_end(spark, sf_dir, tmp_path):
     assert got == want != {}, (got, want)
 
 
+@pytest.mark.slow
 def test_yaml_aggs_spec_drives_the_group_agg_sink(spark, sf_dir, tmp_path):
     """VERDICT r8 ask #5 (config surface): sink.type=group_agg accepts
     an aggs spec straight from YAML — boot with count/sum/avg specs,
@@ -766,6 +775,7 @@ def test_agg_spec_name_hygiene_rejected_at_config_time():
         )
 
 
+@pytest.mark.slow
 def test_chunked_minmax_recompute_on_replace_set(spark, tmp_path):
     """Chunked mode × min/max: extrema run over CHUNK rows (the sum
     discipline); a shrinking re-embed that sheds the extremum-carrying
@@ -835,6 +845,7 @@ def test_c16_matches_duckdb_oracle(spark, sf):
     assert not problems, (sf, problems)
 
 
+@pytest.mark.slow
 def test_distinct_refcounts_survive_partial_deletes(spark, tmp_path):
     """Deleting a row whose value ANOTHER live row still holds must NOT
     lower the distinct count; deleting the last holder must. This is
@@ -896,6 +907,7 @@ def test_distinct_null_values_and_null_groups(spark, tmp_path):
     assert (rows[0]["n_titles"], rows[0]["n_clens"]) == (1, 1)
 
 
+@pytest.mark.slow
 def test_distinct_incremental_equals_recompute_every_batch(spark, sf_dir, tmp_path):
     """After EACH replayed micro-batch the maintained distinct counts
     equal a from-scratch COUNT(DISTINCT) over the LWW live state."""
@@ -956,6 +968,7 @@ def test_distinct_spec_hygiene_rejected_at_config_time(spark, tmp_path):
             spark, str(tmp_path / "c"), specs=[{"name": "x"}])
 
 
+@pytest.mark.slow
 def test_boot_distinct_agg_sink_end_to_end(spark, sf_dir, tmp_path):
     """sink.type=distinct_agg in the config: boot() maintains the
     ref-counted COUNT(DISTINCT) table from the live stream; after the
@@ -1081,6 +1094,7 @@ def test_topk_ranking_ties_and_truncation(spark, tmp_path):
     assert got == [(1, "tA", 1), (2, "tC", 1)], got
 
 
+@pytest.mark.slow
 def test_topk_equals_recompute_after_every_batch(spark, sf_dir, tmp_path):
     """After EACH replayed micro-batch, topk over the maintained dv
     state equals the same ranking recomputed from the LWW live rows."""
@@ -1144,6 +1158,7 @@ def test_topk_rejects_bad_k(spark, tmp_path):
         dc.topk(0)
 
 
+@pytest.mark.slow
 def test_boot_distinct_agg_topk_cadence(spark, sf_dir, tmp_path):
     """options.topk_every materializes the ranked top-k report to
     path/topk from the live stream; after the replay it equals the
@@ -1277,6 +1292,7 @@ def test_quantiles_hand_built_type1_semantics(spark, tmp_path):
     assert got == {("g1", 50): 3, ("g1", 100): 5}, got
 
 
+@pytest.mark.slow
 def test_quantiles_equals_recompute_after_every_batch(spark, sf_dir, tmp_path):
     """After EACH replayed micro-batch, quantiles over the maintained dv
     state equal the type-1 rule recomputed from the LWW live rows."""
@@ -1343,6 +1359,7 @@ def test_quantiles_rejects_bad_qs(spark, tmp_path):
         dc.quantiles((101,))
 
 
+@pytest.mark.slow
 def test_c16_c17_c18_share_one_replay(spark, sf_dir):
     """The three report faces must pay the 4-batch replay ONCE per
     (session, sf_dir) — the dedup shared-graph-stage discipline: one
@@ -1360,6 +1377,7 @@ def test_c16_c17_c18_share_one_replay(spark, sf_dir):
         ivm.clear_replay_cache()
 
 
+@pytest.mark.slow
 def test_randomized_topk_and_quantiles_match_python_reference(spark, tmp_path):
     """Fixed-seed fuzz: random op sequences through the distinct-count
     IVM in 3 batches; after the replay, topk and quantiles over the dv

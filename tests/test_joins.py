@@ -39,6 +39,7 @@ def test_interval_join_hand_built(spark):
     assert pairs == [(1, 10), (2, 12)]
 
 
+@pytest.mark.slow
 def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     views_b = ev.where(F.col("event_type") == "view")

@@ -8,6 +8,10 @@ two scale factors via the driver's comparator.
 from __future__ import annotations
 
 import pytest
+
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from oracle_check import compare_one, duckdb_conn

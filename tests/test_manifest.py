@@ -8,6 +8,10 @@ import json
 import os
 
 import pytest
+
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from cdc2vec_spark.cdc import apply

@@ -9,6 +9,12 @@ from pyspark.sql import functions as F
 from cdc2vec_spark.operators.dedup import minhash_neardup, neardup_corpus
 from cdc2vec_spark.streaming.neardup import StreamingNearDup
 
+import pytest
+
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
+
 
 def _pairs(df):
     return {(r["id_a"], r["id_b"], r["jac"]) for r in df.collect()}

@@ -125,6 +125,7 @@ def test_provision_warn_and_continue():
         )
 
 
+@pytest.mark.slow
 def test_boot_from_postgres_live_tail(spark, tmp_path):
     """Full demo topology with the bridge LIVE: WAL lines appended while
     the engine runs must flow bridge → chunks → stream → point store
@@ -166,6 +167,7 @@ def test_boot_from_postgres_live_tail(spark, tmp_path):
         stop()
 
 
+@pytest.mark.slow
 def test_bridge_replay_through_boot(spark, tmp_path):
     """Synthetic WAL-like log → PostgresBridge chunks → runner.boot: the
     reference's no-Kafka demo topology end-to-end. Includes a torn tail

@@ -43,6 +43,7 @@ def test_rrf_fusion_semantics(spark):
     assert set(by) == {10, 20, 30, 40}
 
 
+@pytest.mark.slow
 def test_hybrid_over_incremental_indexes(spark, tmp_path):
     """The composition the engine exists for: BOTH CDC-maintained
     indexes (IVF vector + BM25 lexical) answer one hybrid query via

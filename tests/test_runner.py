@@ -19,6 +19,12 @@ from cdc2vec_spark.cdc.transform import filter_mapped
 from cdc2vec_spark.cdc import apply as cdc_apply
 from cdc2vec_spark.streaming.source import write_chunks
 
+import pytest
+
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
+
 
 def test_boot_end_to_end(spark, sf_dir, tmp_path):
     ch = filter_mapped(changes_df(spark, sf_dir), MAPPED)

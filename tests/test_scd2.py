@@ -124,6 +124,7 @@ def _hist_rows(sh, key="pk"):
     )
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_any_split(spark, sf_dir, tmp_path):
     """Round 14: the incrementally maintained history (cdc/scd2.py —
     the scd2_history sink's engine) equals the one-window batch c21
@@ -230,6 +231,7 @@ def test_as_of_walkthrough(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_boot_scd2_sink_e2e(spark, sf_dir, tmp_path):
     """sink.type=scd2_history in the config: boot() maintains the
     validity-interval history live from the stream; the open versions
@@ -287,6 +289,7 @@ def test_boot_scd2_sink_e2e(spark, sf_dir, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_scd2_random_walk_matches_python_reference(spark, tmp_path, seed):
     """Seeded fuzz: random per-key event walks applied in random batch
     splits — the maintained history must equal a pure-Python SCD2
@@ -357,6 +360,7 @@ def test_chunked_config_rejected(spark, tmp_path):
             runner.sink_hook_for(cfg)
 
 
+@pytest.mark.slow
 def test_prune_retention_contract(spark, sf_dir, tmp_path):
     """prune(H): closed-before-H versions and spent delete markers go;
     as_of(t) stays exact for t >= H; and maintenance AFTER a prune

@@ -202,6 +202,7 @@ def test_qdrant_http_writer_end_to_end(spark):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_sink_writers_chunk_oversized_partitions(spark):
     """Round-5 verdict #4: one request per partition has an unbounded
     body (hundreds of MB at dim 768) that real servers reject. A

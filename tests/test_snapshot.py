@@ -20,6 +20,12 @@ from cdc2vec_spark.config import DOCUMENTS_MAPPING
 from cdc2vec_spark.embed.provider import DeterministicHashProvider
 from tests.conftest import SF0001
 
+import pytest
+
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
+
 _PROVIDER = DeterministicHashProvider(dim=16)
 
 

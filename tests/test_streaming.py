@@ -14,6 +14,12 @@ from cdc2vec_spark.cdc.transform import filter_mapped
 from cdc2vec_spark.io import load_table
 from cdc2vec_spark.streaming import source, windows
 
+import pytest
+
+# long e2e suite: deselected under the default driver-budget run
+# (pytest.ini); the full suite is opt-in via -m ""
+pytestmark = pytest.mark.slow
+
 
 def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
