@@ -39,6 +39,33 @@ from ..io import load_table, rebalance
 _AQE_PIN_LOCK = __import__("threading").RLock()
 _AQE_PIN_DEPTH = 0
 _AQE_PIN_SAVED = "true"
+_SP_SAVED: str | None = None
+
+
+def _sized_shuffle_partitions(
+    *dfs: DataFrame, expansion: float = 16.0, floor: int = 8
+) -> int:
+    """Scale-adaptive shuffle-partition count for the AQE-PINNED near-dup
+    plans (guide §2.3 / VERDICT r14 item 7): with AQE off there is no
+    runtime coalescing, so the session's fixed spark.sql.shuffle.partitions
+    (= core count) fans tiny exchanges into pure scheduling overhead at
+    small inputs — the r14 driver measured d40/d2_minhash FASTER on 8
+    cores than 32 at sf0.1. Target one ~64 MB post-explode partition:
+    input estimate (compressed scan bytes from the optimizer stats) ×
+    ``expansion`` (decompression + shingle explode, measured ~10-20×),
+    floored at ``floor`` so fixture-scale plans keep a few-way shuffle,
+    capped at 4× defaultParallelism so a 100 TB input still bounds the
+    task count to the cluster. Partition count is pure layout — results
+    are partitioning-invariant (oracle-pinned)."""
+    est = 0
+    for df in dfs:
+        try:
+            est += int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 — sizing must never fail the op
+            est += 1 << 30
+    dp = dfs[0].sparkSession.sparkContext.defaultParallelism
+    target = int(est * expansion) // (64 << 20)
+    return max(floor, min(target, dp * 4))
 
 
 class _aqe_pinned_off:
@@ -56,17 +83,27 @@ class _aqe_pinned_off:
     one place determinism was measured to matter (see incremental_dedup's
     rationale)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, shuffle_partitions: int | None = None):
         self.spark = spark
+        # optional scoped spark.sql.shuffle.partitions (round 15, guide
+        # §2.3): the pinned plans have no AQE coalescing, so their
+        # exchange width is sized to the data here (_sized_shuffle_
+        # partitions) instead of inheriting the session's core count
+        self.shuffle_partitions = shuffle_partitions
 
     def __enter__(self):
-        global _AQE_PIN_DEPTH, _AQE_PIN_SAVED
+        global _AQE_PIN_DEPTH, _AQE_PIN_SAVED, _SP_SAVED
         _AQE_PIN_LOCK.acquire()
         if _AQE_PIN_DEPTH == 0:
             _AQE_PIN_SAVED = self.spark.conf.get(
                 "spark.sql.adaptive.enabled", "true"
             )
+            _SP_SAVED = self.spark.conf.get("spark.sql.shuffle.partitions", None)
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if self.shuffle_partitions is not None:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self.shuffle_partitions)
+            )
         _AQE_PIN_DEPTH += 1
         return self
 
@@ -77,6 +114,8 @@ class _aqe_pinned_off:
             self.spark.conf.set(
                 "spark.sql.adaptive.enabled", _AQE_PIN_SAVED
             )
+            if _SP_SAVED is not None:
+                self.spark.conf.set("spark.sql.shuffle.partitions", _SP_SAVED)
         _AQE_PIN_LOCK.release()
         return False
 
@@ -569,7 +608,9 @@ def minhash_neardup(
     # Like incremental_dedup, this plan is fully hand-specified (fixed
     # banding, bucket caps, fixed shuffle partitions); pinning AQE off
     # makes the executed task count a constant of the input.
-    with _aqe_pinned_off(df.sparkSession):
+    with _aqe_pinned_off(
+        df.sparkSession, shuffle_partitions=_sized_shuffle_partitions(df)
+    ):
         both = shingle_minhash(df, n, num_perm, text_col)
         # eager pin (VERDICT r11 ask #1): the bucket join and the two
         # verify sides schedule their stages concurrently; a still-lazy
@@ -832,7 +873,10 @@ def incremental_dedup(
     # structurally (blocking + df caps), and the headline ops keep AQE
     # on — this pin is local to the one operator whose plan it
     # destabilized.
-    with _aqe_pinned_off(new_docs.sparkSession):
+    with _aqe_pinned_off(
+        new_docs.sparkSession,
+        shuffle_partitions=_sized_shuffle_partitions(new_docs, corpus),
+    ):
         return _incremental_dedup_impl(
             new_docs, corpus, threshold, n, max_df, id_col, text_col, block_col
         )
