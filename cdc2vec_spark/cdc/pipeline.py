@@ -139,7 +139,11 @@ def _chunk_events(df: DataFrame, chunk: tuple[int, int]) -> DataFrame:
     c, s = chunk
     if not 0 < s <= c:
         raise ValueError(f"need 0 < stride <= chunk_tokens: {s}, {c}")
-    toks = F.split(F.col("text"), " ")
+    # token array materialized in its own projection (round 15): a raw
+    # split referenced inside the chunk lambda is re-evaluated per chunk
+    # slice — O(tokens²/stride) re-splits per document (same hazard as
+    # operators.text.chunk_documents, which already projects _toks)
+    toks = F.col("_toks")
     n = F.size(toks)
     k_expr = F.when(n <= c, F.lit(1)).otherwise(
         F.lit(1) + F.ceil((n - c) / F.lit(float(s))).cast("int")
@@ -154,6 +158,7 @@ def _chunk_events(df: DataFrame, chunk: tuple[int, int]) -> DataFrame:
     base_cols = [col for col in df.columns if col != "text"]
     ups = (
         df.where(F.col("op") != OP_DELETE)
+        .withColumn("_toks", F.split(F.col("text"), " "))
         .select(*base_cols, F.explode(chunks).alias("_c"))
         .select(
             *[c2 for c2 in base_cols if c2 != "id"],

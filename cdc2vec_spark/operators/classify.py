@@ -51,23 +51,36 @@ def classify_documents(
     scan-stage pass (HOFs only), no shuffle — at 100 TB this runs at
     I/O speed alongside the other scan-stage filters (t2/d20/d30)."""
     # NULL text scores like empty text (0 tokens, margin 0, drop) — the
-    # oracle coalesces identically, so the hash can't diverge on it
+    # oracle coalesces identically, so the hash can't diverge on it.
+    # Tokens and margin are each materialized ONCE in their own
+    # projection (round 15): the old single select evaluated the full
+    # md5-per-token aggregate twice (margin_milli + the label branch)
+    # and the split+filter three times per row — interpreted HOF
+    # expressions have no common-subexpression cache.
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda x: x != "",
     )
     margin = F.aggregate(
-        F.transform(toks, token_weight_milli),
+        F.transform(F.col("_toks"), token_weight_milli),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_tok"),
-        margin.alias("margin_milli"),
-        F.when(margin > threshold_milli, F.lit("keep"))
-        .otherwise(F.lit("drop"))
-        .alias("label"),
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("n_tok"),
+            margin.alias("margin_milli"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            "margin_milli",
+            F.when(F.col("margin_milli") > threshold_milli, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
     )
 
 

@@ -84,16 +84,26 @@ def extract_text(
             )
         ),
     )
-    # 4. boilerplate rule: keep segments with >= min_words words
+    # 4. boilerplate rule: keep segments with >= min_words words.
+    # The cleaned/kept segment arrays are materialized ONCE each in
+    # their own projections (round 15): referenced directly from
+    # withColumns, the full tag-strip + unescape regex pipeline ran
+    # three times per row (clean_text via kept, n_segments, n_kept —
+    # interpreted HOFs have no common-subexpression cache).
     kept = F.filter(
-        cleaned, lambda s: F.size(F.split(s, " ")) >= F.lit(min_words)
+        F.col("_segs"), lambda s: F.size(F.split(s, " ")) >= F.lit(min_words)
     )
-    return df.withColumns(
-        {
-            "clean_text": F.array_join(kept, " "),
-            "n_segments": F.size(cleaned).cast("long"),
-            "n_kept": F.size(kept).cast("long"),
-        }
+    return (
+        df.withColumn("_segs", cleaned)
+        .withColumn("_kept", kept)
+        .withColumns(
+            {
+                "clean_text": F.array_join("_kept", " "),
+                "n_segments": F.size("_segs").cast("long"),
+                "n_kept": F.size("_kept").cast("long"),
+            }
+        )
+        .drop("_segs", "_kept")
     )
 
 

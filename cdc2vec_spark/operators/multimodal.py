@@ -144,7 +144,11 @@ def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
     sampled = F.transform(idx, lambda i: F.substring(media, i, 1))
     # sequence(1, 0) is an error, not empty — zero-byte blobs need a guard
     frames = F.when(F.length(media) == 0, F.array().cast("array<binary>")).otherwise(sampled)
-    return df.select("doc_id", frames.alias("frames"), F.size(frames).alias("n_frames"))
+    # frames materialized once (round 15): size() from the raw expression
+    # re-ran the per-byte sampling transform a second time per row
+    return df.select("doc_id", frames.alias("frames")).withColumn(
+        "n_frames", F.size("frames")
+    )
 
 
 def d6_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:

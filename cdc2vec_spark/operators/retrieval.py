@@ -190,11 +190,13 @@ def _bm25_batch_scored(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
         "query_id int, term string",
     )
+    # token array projected once (round 15): dl and _hits each re-split
+    # the text when toks was a raw expression in a single select
     toks = F.split(F.lower(F.col(text_col)), " ")
-    perdoc = docs.select(
+    perdoc = docs.select(F.col(id_col), toks.alias("_t")).select(
         F.col(id_col),
-        F.size(toks).alias("dl"),
-        F.filter(toks, lambda t: t.isin(*all_terms)).alias("_hits"),
+        F.size("_t").alias("dl"),
+        F.filter(F.col("_t"), lambda t: t.isin(*all_terms)).alias("_hits"),
     )
     if eager:
         perdoc = perdoc.persist()

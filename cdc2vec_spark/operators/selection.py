@@ -50,18 +50,26 @@ def hashed_bucket(col: Column, n_buckets: int = _N_BUCKETS) -> Column:
 
 
 def terms(text_col: Column) -> Column:
-    """Lowercased whitespace unigrams + bigrams, as one array."""
-    toks = F.split(F.lower(text_col), " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    """Lowercased whitespace unigrams + bigrams, as one array.
+
+    The token array is bound once per row via a single-element
+    ``transform`` lambda (the gram_strings discipline, decontam.py:47):
+    a raw split referenced inside the bigram lambda would re-split the
+    whole text per element — O(tokens²) per document."""
+
+    def _terms(toks: Column) -> Column:
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    return F.transform(F.array(F.split(F.lower(text_col), " ")), _terms)[0]
 
 
 def dsir_weights(

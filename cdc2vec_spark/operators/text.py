@@ -681,6 +681,11 @@ def sentence_stats(
     scan-stage HOF expression work (regex portable Java ≡ RE2, the d20
     discipline) — no shuffle before the ordering sort; the mean is ONE
     integer-sum / integer-count division, identical in both engines."""
+    # The per-sentence token-count array is materialized ONCE in its own
+    # projection (round 15): referenced directly from the final select it
+    # was re-evaluated per consumer — size twice, the sum aggregate, and
+    # array_max each re-ran the full regex-split + per-sentence tokenize
+    # chain per row (interpreted HOFs have no common-subexpression cache).
     sents = F.split(F.coalesce(F.col(text_col), F.lit("")), "[.!?]+")
     counts = F.filter(
         F.transform(
@@ -689,14 +694,22 @@ def sentence_stats(
         ),
         lambda c: c > 0,
     )
-    n = F.size(counts)
-    total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
-    return docs.select(
-        F.col(id_col),
-        n.cast("long").alias("n_sentences"),
-        F.when(n > 0, F.round(total / n, 2)).alias("avg_sent_tokens"),
-        F.when(n > 0, F.array_max(counts).cast("long")).alias("max_sent_tokens"),
-    ).orderBy(id_col)
+    n = F.size("_counts")
+    total = F.aggregate(
+        F.col("_counts"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return (
+        docs.select(F.col(id_col), counts.alias("_counts"))
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_sentences"),
+            F.when(n > 0, F.round(total / n, 2)).alias("avg_sent_tokens"),
+            F.when(n > 0, F.array_max("_counts").cast("long")).alias(
+                "max_sent_tokens"
+            ),
+        )
+        .orderBy(id_col)
+    )
 
 
 def t11_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,7 +835,10 @@ def t12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("_sg"), s).alias("g"),
         ),
     )
-    win = F.array_max(runs)
+    # winner struct materialized once (round 15): the two field reads in
+    # the final select each re-ran array_max over the runs transform
+    base = base.withColumn("_win", F.array_max(runs))
+    win = F.col("_win")
     return (
         base.select(
             "doc_id",
@@ -909,13 +925,17 @@ def t13_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver measured an 8c/32c scaling ratio of 1.01 here, the
     serialized signature)."""
     d = rebalance(load_table(spark, sf_dir, "documents"))
+    # word tokens materialized once (round 15): n_words and the syllable
+    # aggregate each re-ran the split+filter per row when it was a raw
+    # expression (no common-subexpression cache in interpreted HOFs)
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
         lambda w: w != "",
     )
-    n_words = F.size(toks)
+    d = d.select("doc_id", "text", toks.alias("_w"))
+    n_words = F.size("_w")
     n_syll = F.aggregate(
-        toks,
+        F.col("_w"),
         F.lit(0).cast("long"),
         lambda a, w: a
         + F.greatest(F.lit(1), F.regexp_count(w, F.lit("[aeiouy]+"))),
