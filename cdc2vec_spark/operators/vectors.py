@@ -19,7 +19,12 @@ def a7_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize embeddings, then verify ‖v‖₂ ≡ 1 (util/text.go:37-51
     parity; zero vectors pass through as norm 0)."""
     e = load_table(spark, sf_dir, "embeddings")
-    normed = e.select("vec_id", ops.l2_normalize("embedding").alias("nv"))
+    # with_l2_normalized, not l2_normalize (round 15): the expression form
+    # embeds the norm aggregate in the transform lambda — re-evaluated per
+    # element, O(d²) per row; the projected form is O(d), same output
+    normed = ops.with_l2_normalized(
+        e.select("vec_id", "embedding"), "embedding", "nv"
+    ).select("vec_id", "nv")
     return (
         normed.select(
             "vec_id",

@@ -76,7 +76,15 @@ def with_l2_normalized(
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """dot(a,b) / (‖a‖·‖b‖); 0.0 when either side is a zero vector."""
+    """dot(a,b) / (‖a‖·‖b‖); 0.0 when either side is a zero vector.
+
+    The denominator is bound once per row via a single-element transform
+    lambda (round 15): referenced from both the zero-guard and the
+    division it was evaluated twice — two extra full norm aggregates
+    per row (no let-binding in Catalyst lambdas)."""
     d = dot(a, b)
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(d / denom)
+    return F.transform(
+        F.array(denom),
+        lambda dn: F.when(dn == 0.0, F.lit(0.0)).otherwise(d / dn),
+    )[0]
