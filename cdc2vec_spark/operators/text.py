@@ -55,22 +55,32 @@ def t5_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies assume). Pure JVM regexp — the pattern is RE2/Java
     portable so the DuckDB oracle applies the identical split."""
     d = load_table(spark, sf_dir, "documents")
+    # token array projected once (round 15): n_tokens and first_tok each
+    # re-ran the full regexp extraction per row as a raw expression
     toks = F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0))
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.element_at(toks, 1).alias("first_tok"),
-    ).orderBy("doc_id")
+    return (
+        d.select("doc_id", toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.size("_t").alias("n_tokens"),
+            F.element_at("_t", 1).alias("first_tok"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def quality_score(text_col: str = "text") -> F.Column:
     """Lexical-diversity quality score: distinct-token ratio, rounded.
     (The classic punct/stopword ratios degenerate on this synthetic corpus;
     diversity is the discriminating signal it does have.)"""
-    toks = F.split(F.col(text_col), " ")
-    return F.round(
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
-    )
+    # token array bound once per row (round 15): the distinct-count and
+    # total-count each re-split the text as a raw repeated expression
+    return F.transform(
+        F.array(F.split(F.col(text_col), " ")),
+        lambda toks: F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ),
+    )[0]
 
 
 def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
