@@ -74,21 +74,29 @@ def lm_perplexity(
     (CCNet discards the tail by default and keeps short docs for
     downstream length filters to judge)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select(F.col(id_col), is_reference.alias("_r"), toks.alias("t"))
+    # hash every token ONCE per row (round 15, guide §2.3/§4.2): the
+    # per-bigram form md5-hashed each interior token TWICE (once as the
+    # context of bigram i, once as the word of bigram i-1). Binding the
+    # hashed array first halves the md5 work; md5 of the same token is
+    # the same value, so the (cb, wb) stream — and the oracle fixed
+    # point — are bit-identical. int, not long: buckets are < n_buckets,
+    # so the narrower key halves the exploded rows' shuffle bytes.
+    ht = F.transform(toks, lambda tok: hashed_bucket(tok, n_buckets).cast("int"))
+    base = docs.select(F.col(id_col), is_reference.alias("_r"), ht.alias("h"))
     # bigram (context-bucket, word-bucket) pairs, built JVM-side in the
     # scan stage; docs with < 2 tokens contribute no rows here and are
     # re-attached by the left join below
     bg = (
-        base.where(F.size("t") >= 2)
+        base.where(F.size("h") >= 2)
         .select(
             id_col,
             "_r",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
+                    F.sequence(F.lit(1), F.size("h") - 1),
                     lambda i: F.struct(
-                        hashed_bucket(F.element_at(F.col("t"), i), n_buckets).alias("cb"),
-                        hashed_bucket(F.element_at(F.col("t"), i + 1), n_buckets).alias("wb"),
+                        F.element_at(F.col("h"), i).alias("cb"),
+                        F.element_at(F.col("h"), i + 1).alias("wb"),
                     ),
                 )
             ).alias("g"),
@@ -101,6 +109,11 @@ def lm_perplexity(
     # call, a bare persist would leak a cache entry per invocation.
     bg = bg.localCheckpoint(eager=True)
     pairs = bg.where("_r").groupBy("cb", "wb").agg(F.count(F.lit(1)).alias("c2"))
+    # pin the pair counts (≤ n_buckets² tiny rows): BOTH broadcast
+    # builds below (pairs itself and the ctxs re-aggregate) otherwise
+    # re-run the bg-scan + exchange + aggregate subtree once each —
+    # one aggregation job instead of two (round 15, guide §5.2).
+    pairs = pairs.localCheckpoint(eager=True)
     # context counts are the pair counts re-aggregated (Σ_wb c2 ≡ the
     # per-cb bigram count, exact integers) — ≤ n_buckets² rows instead
     # of a SECOND full pass + exchange over bg (round 14, guide §2.3
