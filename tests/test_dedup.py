@@ -199,6 +199,30 @@ def test_jaccard_max_df_bounds_boilerplate(spark):
     assert n_uncapped > 500000, n_uncapped
 
 
+def test_jaccard_sizes_broadcast_gate_is_layout_only(spark, monkeypatch):
+    """Round 15: the per-doc sizes broadcast hint is gated on the
+    materialized postings count (ADVICE r14 — never an unconditional
+    O(corpus) broadcast). The gate decides join STRATEGY only: forcing
+    it off (bound 0 → AQE/shuffle path, the 100 TB arm) must produce
+    the exact same pair set and jaccard values as the default-on arm."""
+    corpus = _boilerplate_corpus(spark, n_docs=120)
+    want = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in dedup.jaccard_pairs(
+            corpus, "source", "doc_id", 0.5, max_df=50
+        ).collect()
+    }
+    assert want, "fixture must produce at least the planted pairs"
+    monkeypatch.setattr(dedup, "_BROADCAST_SIZES_MAX_POSTINGS", 0)
+    got = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in dedup.jaccard_pairs(
+            corpus, "source", "doc_id", 0.5, max_df=50
+        ).collect()
+    }
+    assert got == want
+
+
 @pytest.mark.slow
 def test_lsh_max_bucket_bounds_duplicate_cluster(spark):
     """VERDICT r07 ask #4 (LSH path): a 1000-copy exact-duplicate
